@@ -1,0 +1,346 @@
+"""Item-level collection operations (SURVEY.md §2.2 A1-A15).
+
+These are the `api/v1/collections/{id}/...` item endpoints of the API
+the reference client targets (not materialized in the reference's own
+code — src/collection.rs:4-22 is a passive struct; see SURVEY.md §0).
+
+Functions take (engine, collection, ...) and are surfaced as bound
+methods on `Collection` via `Collection.__getattr__`.
+
+Storage: each collection is a Parquet dataset with the fixed item
+schema  id STRING, embedding ARRAY<FLOAT>, embedding_norm DOUBLE,
+document STRING, metadata MAP<STRING,STRING>.  The `embedding_norm`
+column is precomputed at add-time — the batch "vector index build"
+(BASELINE.md north star) that makes cosine queries cheap at scale.
+
+Mutation model (SURVEY.md §7 hard-part (a)): Parquet has no row-level
+update, so upsert/update/delete are read-modify-overwrite with a
+temp-dir swap. This is NOT transactional under concurrent writers —
+at production scale you'd swap the format for Delta/Iceberg and keep
+this API identical; the logical plans below don't change.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from chroma_rs_spark.catalog import Collection, Engine
+from chroma_rs_spark.errors import (
+    DimensionMismatchError,
+    DuplicateIDError,
+    EngineError,
+    InvalidFilterError,
+)
+from chroma_rs_spark.filters import compile_where, compile_where_document
+from chroma_rs_spark.functions.vector import l2_norm
+from chroma_rs_spark.operators.knn import knn_exact
+
+ITEM_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType(), False),
+        T.StructField("embedding", T.ArrayType(T.FloatType()), True),
+        T.StructField("embedding_norm", T.DoubleType(), True),
+        T.StructField("document", T.StringType(), True),
+        T.StructField("metadata", T.MapType(T.StringType(), T.StringType()), True),
+    ]
+)
+
+INCLUDE_COLS = {
+    "embeddings": "embedding",
+    "documents": "document",
+    "metadatas": "metadata",
+}
+
+
+# -- helpers ------------------------------------------------------------
+
+
+def items_df(engine: Engine, coll: Collection) -> DataFrame:
+    """The collection's items as a DataFrame (empty if nothing added)."""
+    path = engine.data_path(coll.id)
+    if os.path.isdir(path) and any(
+        f.endswith(".parquet") for f in os.listdir(path)
+    ):
+        return engine.spark.read.schema(ITEM_SCHEMA).parquet(path)
+    return engine.spark.createDataFrame([], ITEM_SCHEMA)
+
+
+def _items_from_args(
+    engine: Engine,
+    ids: Sequence[str],
+    embeddings: Sequence[Sequence[float]] | None,
+    documents: Sequence[str] | None,
+    metadatas: Sequence[dict] | None,
+) -> DataFrame:
+    n = len(ids)
+    embeddings = embeddings if embeddings is not None else [None] * n
+    documents = documents if documents is not None else [None] * n
+    metadatas = metadatas if metadatas is not None else [None] * n
+    if not (len(embeddings) == len(documents) == len(metadatas) == n):
+        raise EngineError("ids/embeddings/documents/metadatas length mismatch")
+    rows = [
+        (
+            str(i),
+            [float(x) for x in e] if e is not None else None,
+            None,
+            d,
+            {k: str(v) for k, v in m.items()} if m else None,
+        )
+        for i, e, d, m in zip(ids, embeddings, documents, metadatas)
+    ]
+    df = engine.spark.createDataFrame(rows, ITEM_SCHEMA)
+    return df.withColumn("embedding_norm", l2_norm(F.col("embedding")))
+
+
+def _check_dim(engine: Engine, coll: Collection, df: DataFrame) -> None:
+    row = engine._registry_row(coll.id)
+    dims = [
+        r[0]
+        for r in df.select(F.size("embedding").alias("d"))
+        .where(F.col("d") >= 0)
+        .distinct()
+        .collect()
+    ]
+    if not dims:
+        return
+    if len(dims) > 1:
+        raise DimensionMismatchError(f"mixed embedding dims in add: {sorted(dims)}")
+    if row.get("dim") is None:
+        engine._update_registry_row(coll.id, dim=int(dims[0]))
+    elif int(dims[0]) != int(row["dim"]):
+        raise DimensionMismatchError(
+            f"expected dim {row['dim']}, got {dims[0]}"
+        )
+
+
+def _overwrite(engine: Engine, coll: Collection, df: DataFrame) -> None:
+    """Read-modify-overwrite with temp-dir swap (non-transactional)."""
+    path = engine.data_path(coll.id)
+    tmp = path + ".__tmp"
+    df.write.mode("overwrite").parquet(tmp)
+    old = path + ".__old"
+    if os.path.isdir(path):
+        os.replace(path, old)
+    os.replace(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def _predicate(
+    where: dict | None, where_document: dict | None, ids: Sequence[str] | None
+) -> Column | None:
+    preds = []
+    if ids is not None:
+        preds.append(F.col("id").isin([str(i) for i in ids]))
+    if where is not None:
+        preds.append(compile_where(where))
+    if where_document is not None:
+        preds.append(compile_where_document(where_document))
+    if not preds:
+        return None
+    combined = preds[0]
+    for p in preds[1:]:
+        combined = combined & p
+    return combined
+
+
+# -- A1 add / A2 upsert / A3 update ------------------------------------
+
+
+def add(
+    engine: Engine,
+    coll: Collection,
+    ids: Sequence[str],
+    embeddings: Sequence[Sequence[float]] | None = None,
+    documents: Sequence[str] | None = None,
+    metadatas: Sequence[dict] | None = None,
+) -> int:
+    """Append items; duplicate ids (in batch or existing) error (A1)."""
+    new = _items_from_args(engine, ids, embeddings, documents, metadatas)
+    if len(set(ids)) != len(ids):
+        raise DuplicateIDError("duplicate ids within add() batch")
+    existing = items_df(engine, coll)
+    # left-semi against existing ids: cheap (id-only columns; Catalyst
+    # prunes the rest) and shuffle-free when `new` is broadcastable.
+    dup = new.join(existing.select("id"), "id", "left_semi").count()
+    if dup:
+        raise DuplicateIDError(f"{dup} ids already exist in collection")
+    _check_dim(engine, coll, new)
+    new.write.mode("append").parquet(engine.data_path(coll.id))
+    return len(ids)
+
+
+def add_df(engine: Engine, coll: Collection, df: DataFrame) -> None:
+    """Bulk add from a DataFrame already in item shape (batch path).
+
+    Columns: id, embedding[, document][, metadata]. This is the 100 TB
+    ingestion path — no driver-side lists, just a distributed write.
+    """
+    cols = set(df.columns)
+    out = df.select(
+        F.col("id").cast("string").alias("id"),
+        F.col("embedding").cast("array<float>").alias("embedding"),
+        l2_norm(F.col("embedding")).alias("embedding_norm"),
+        (F.col("document") if "document" in cols else F.lit(None).cast("string")).alias(
+            "document"
+        ),
+        (
+            F.col("metadata")
+            if "metadata" in cols
+            else F.lit(None).cast("map<string,string>")
+        ).alias("metadata"),
+    )
+    _check_dim(engine, coll, out)
+    out.write.mode("append").parquet(engine.data_path(coll.id))
+
+
+def upsert(
+    engine: Engine,
+    coll: Collection,
+    ids: Sequence[str],
+    embeddings: Sequence[Sequence[float]] | None = None,
+    documents: Sequence[str] | None = None,
+    metadatas: Sequence[dict] | None = None,
+) -> int:
+    """Add-or-replace by id (A2): anti-join existing, union new."""
+    new = _items_from_args(engine, ids, embeddings, documents, metadatas)
+    _check_dim(engine, coll, new)
+    existing = items_df(engine, coll)
+    kept = existing.join(F.broadcast(new.select("id")), "id", "left_anti")
+    _overwrite(engine, coll, kept.unionByName(new))
+    return len(ids)
+
+
+def update(
+    engine: Engine,
+    coll: Collection,
+    ids: Sequence[str],
+    embeddings: Sequence[Sequence[float]] | None = None,
+    documents: Sequence[str] | None = None,
+    metadatas: Sequence[dict] | None = None,
+) -> int:
+    """Patch columns by id (A3): column-wise coalesce of new over old."""
+    patch = _items_from_args(engine, ids, embeddings, documents, metadatas)
+    existing = items_df(engine, coll)
+    p = patch.select(
+        F.col("id"),
+        F.col("embedding").alias("_e"),
+        F.col("embedding_norm").alias("_en"),
+        F.col("document").alias("_d"),
+        F.col("metadata").alias("_m"),
+    )
+    merged = (
+        existing.join(F.broadcast(p), "id", "left")
+        .select(
+            "id",
+            F.coalesce("_e", "embedding").alias("embedding"),
+            F.coalesce("_en", "embedding_norm").alias("embedding_norm"),
+            F.coalesce("_d", "document").alias("document"),
+            F.coalesce("_m", "metadata").alias("metadata"),
+        )
+    )
+    _overwrite(engine, coll, merged)
+    return len(ids)
+
+
+# -- A4 delete ----------------------------------------------------------
+
+
+def delete(
+    engine: Engine,
+    coll: Collection,
+    ids: Sequence[str] | None = None,
+    where: dict | None = None,
+    where_document: dict | None = None,
+) -> None:
+    pred = _predicate(where, where_document, ids)
+    if pred is None:
+        raise InvalidFilterError("delete() requires ids and/or where/where_document")
+    existing = items_df(engine, coll)
+    _overwrite(engine, coll, existing.filter(~pred))
+
+
+# -- A5 get / A6 count / A7 peek ---------------------------------------
+
+
+def get(
+    engine: Engine,
+    coll: Collection,
+    ids: Sequence[str] | None = None,
+    where: dict | None = None,
+    where_document: dict | None = None,
+    limit: int | None = None,
+    offset: int = 0,
+    include: Sequence[str] = ("documents", "metadatas"),
+) -> DataFrame:
+    """Filtered retrieval with pagination + projection (A5, A15).
+
+    Projection (`include`) happens first so Catalyst prunes Parquet
+    columns; ordering by id makes pagination deterministic.
+    """
+    df = items_df(engine, coll)
+    pred = _predicate(where, where_document, ids)
+    if pred is not None:
+        df = df.filter(pred)
+    cols = ["id"] + [INCLUDE_COLS[i] for i in include if i in INCLUDE_COLS]
+    df = df.select(*cols).orderBy("id")
+    if offset:
+        df = df.offset(offset)
+    if limit is not None:
+        df = df.limit(limit)
+    return df
+
+
+def count(engine: Engine, coll: Collection) -> int:
+    return items_df(engine, coll).count()
+
+
+def peek(engine: Engine, coll: Collection, limit: int = 10) -> DataFrame:
+    return items_df(engine, coll).orderBy("id").limit(limit)
+
+
+# -- A8 query (KNN) -----------------------------------------------------
+
+
+def query(
+    engine: Engine,
+    coll: Collection,
+    query_embeddings: Sequence[Sequence[float]],
+    n_results: int = 10,
+    where: dict | None = None,
+    where_document: dict | None = None,
+    include: Sequence[str] = ("documents", "metadatas", "distances"),
+) -> DataFrame:
+    """Batch KNN over the collection under its `hnsw:space` metric.
+
+    Returns (query_id, rank, id, distance[, document][, metadata]).
+    """
+    metric = (coll.metadata or {}).get("hnsw:space", "l2")
+    df = items_df(engine, coll)
+    pred = _predicate(where, where_document, None)
+    if pred is not None:
+        df = df.filter(pred)
+    queries = engine.spark.createDataFrame(
+        [(i, [float(x) for x in q]) for i, q in enumerate(query_embeddings)],
+        "query_id INT, query_embedding ARRAY<DOUBLE>",
+    )
+    result = knn_exact(
+        df,
+        queries,
+        k=n_results,
+        metric=metric,
+        item_id="id",
+        item_emb="embedding",
+    )
+    out_cols = ["query_id", "rank", "id"]
+    if "distances" in include:
+        out_cols.append("distance")
+    extra = [INCLUDE_COLS[i] for i in include if i in INCLUDE_COLS]
+    if extra:
+        result = result.join(df.select("id", *extra), "id", "left")
+    return result.select(*out_cols, *extra).orderBy("query_id", "rank")

@@ -1,0 +1,180 @@
+"""Batch KNN — the flagship query (SURVEY.md §2.2 A8-A11).
+
+Semantics: for each query vector, the top-k nearest items in a
+collection under the collection's distance metric, optionally after a
+metadata filter. This is the `query(query_embeddings, n_results, ...)`
+endpoint of the API the reference client targets
+(api/v1/collections/{id}/query — see SURVEY.md §0/§2.2; the reference
+itself stops at collection management, reference src/collection.rs has
+no item methods).
+
+Two physical strategies, same logical semantics:
+
+* `knn_exact` — pure DataFrame: broadcast the (small) query set, cross
+  join, HOF distance, window top-k. Fully JVM-side and bit-matchable
+  against a SQL oracle. The window's partitionBy(query_id) shuffles
+  the full |items| x |queries| cross product, which is fine up to
+  mid-size collections but becomes the bottleneck at 100 TB.
+
+* `knn_exact_local_topk` — the scale path: per-partition top-k in a
+  vectorized Arrow batch (numpy matmul), so only |partitions| x
+  |queries| x k candidate rows ever shuffle; the final window runs on
+  that tiny set. At 1000 executors this turns an all-to-all shuffle of
+  the cross product into a near-map-only plan.
+
+Determinism: ranks order by (distance rounded to 6 dp, item id) so
+top-k sets and orderings are reproducible and engine-independent
+(SURVEY.md §7 hard-part (e)).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from chroma_rs_spark.functions.vector import (
+    cosine_distance,
+    dot_product,
+    l2_distance,
+    l2_norm,
+)
+
+METRICS = ("cosine", "l2", "ip")
+
+DIST_DECIMALS = 6  # rounding for deterministic cross-engine ranking
+
+
+def _distance_col(metric: str, item_emb, query_emb):
+    if metric == "cosine":
+        return cosine_distance(item_emb, query_emb)
+    if metric == "l2":
+        return l2_distance(item_emb, query_emb)
+    if metric == "ip":
+        return F.lit(1.0) - dot_product(item_emb, query_emb)
+    raise ValueError(f"unknown metric {metric!r}; expected one of {METRICS}")
+
+
+def knn_exact(
+    items: DataFrame,
+    queries: DataFrame,
+    k: int,
+    metric: str = "cosine",
+    item_id: str = "doc_id",
+    item_emb: str = "embedding",
+    query_id: str = "query_id",
+    query_emb: str = "query_embedding",
+) -> DataFrame:
+    """Exact top-k per query via broadcast cross join + window.
+
+    Returns (query_id, rank, item_id, distance) with distance rounded
+    to DIST_DECIMALS.
+    """
+    q = queries.select(
+        F.col(query_id).alias("__qid"), F.col(query_emb).alias("__qemb")
+    )
+    it = items.select(F.col(item_id).alias("__iid"), F.col(item_emb).alias("__iemb"))
+    # Query sets are tiny relative to the collection: broadcast so the
+    # cross product is computed map-side with zero pre-join shuffle.
+    joined = it.crossJoin(F.broadcast(q))
+    dist = F.round(
+        _distance_col(metric, F.col("__iemb"), F.col("__qemb")), DIST_DECIMALS
+    )
+    scored = joined.select(
+        F.col("__qid").alias(query_id),
+        F.col("__iid").alias(item_id),
+        dist.alias("distance"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("distance").asc(), F.col(item_id).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, "rank", item_id, "distance")
+    )
+
+
+def knn_exact_local_topk(
+    items: DataFrame,
+    queries: Sequence[tuple],
+    k: int,
+    metric: str = "cosine",
+    item_id: str = "doc_id",
+    item_emb: str = "embedding",
+    query_id: str = "query_id",
+) -> DataFrame:
+    """Scale-path exact KNN: per-partition vectorized top-k, then a
+    tiny global top-k.
+
+    `queries` is a driver-side list of (qid, vector) — the query set is
+    small by contract (A8 batches a handful of probe vectors). Each
+    Arrow batch computes all-pairs distances with one numpy matmul and
+    keeps only k candidates per query, so the shuffle after
+    mapInPandas carries at most |batches| * |queries| * k rows.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if metric not in METRICS:
+        raise ValueError(f"unknown metric {metric!r}; expected one of {METRICS}")
+
+    qids = [q[0] for q in queries]
+    qmat = np.asarray([q[1] for q in queries], dtype=np.float64)  # (nq, dim)
+    qnorm = np.linalg.norm(qmat, axis=1)
+
+    out_schema = (
+        f"{query_id} long, {item_id} long, distance double"
+    )
+
+    def local_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            emb = np.stack(pdf[item_emb].to_numpy()).astype(np.float64)  # (n, dim)
+            if metric == "l2":
+                # |a-b|^2 = |a|^2 - 2ab + |b|^2
+                d = (
+                    (emb * emb).sum(axis=1)[:, None]
+                    - 2.0 * (emb @ qmat.T)
+                    + (qmat * qmat).sum(axis=1)[None, :]
+                )
+            elif metric == "ip":
+                d = 1.0 - emb @ qmat.T
+            else:  # cosine
+                inorm = np.linalg.norm(emb, axis=1)
+                d = 1.0 - (emb @ qmat.T) / (inorm[:, None] * qnorm[None, :])
+            d = np.round(d, DIST_DECIMALS)  # (n, nq)
+            ids = pdf[item_id].to_numpy()
+            kk = min(k, d.shape[0])
+            # partial-select then stable sort: per-query local top-k
+            part = np.argpartition(d, kk - 1, axis=0)[:kk, :]  # (kk, nq)
+            rows = []
+            for j, qid in enumerate(qids):
+                sel = part[:, j]
+                rows.append(
+                    pd.DataFrame(
+                        {
+                            query_id: qid,
+                            item_id: ids[sel],
+                            "distance": d[sel, j],
+                        }
+                    )
+                )
+            yield pd.concat(rows, ignore_index=True)
+
+    candidates = items.select(item_id, item_emb).mapInPandas(
+        local_topk, schema=out_schema
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("distance").asc(), F.col(item_id).asc()
+    )
+    return (
+        candidates.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, "rank", item_id, "distance")
+    )
+
+
+def with_norm(items: DataFrame, emb: str = "embedding", out: str = "embedding_norm") -> DataFrame:
+    """Materialize the L2 norm column — the add-time 'index build'."""
+    return items.withColumn(out, l2_norm(F.col(emb)))

@@ -1,0 +1,49 @@
+"""SparkSession construction with scale-appropriate defaults.
+
+The session is the in-process analogue of the reference's
+`ChromaClient` connection (reference src/client.rs:12-35): where the
+client held host/port/headers, we hold Spark config.
+
+Defaults are chosen for the 100 TB design point but harmless locally:
+AQE on (runtime re-plan, skew-join splitting, partition coalescing),
+Arrow on (fast pandas interchange for the few Pandas-UDF operators),
+and an explicit shuffle-partition count sized to the local test rig —
+on a real cluster this would be set to ~2-3x total executor cores or
+left to AQE's coalescing.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "chroma_rs_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    shuffle = str(shuffle_partitions or int(cpus))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", shuffle)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # Keep parquet scans well-sized: at 100 TB this bounds task count
+        # and keeps per-task memory predictable.
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

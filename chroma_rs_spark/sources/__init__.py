@@ -1,0 +1,3 @@
+from chroma_rs_spark.sources.tables import TABLES, load_table, load_tables
+
+__all__ = ["TABLES", "load_table", "load_tables"]

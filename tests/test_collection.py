@@ -1,0 +1,95 @@
+"""Item-op tests (SURVEY.md §2.2 A1-A7, A12) on a small collection."""
+
+import pytest
+
+from chroma_rs_spark.errors import (
+    DimensionMismatchError,
+    DuplicateIDError,
+    InvalidFilterError,
+)
+
+
+@pytest.fixture()
+def coll(engine):
+    c = engine.create_collection("items", {"hnsw:space": "cosine"})
+    c.add(
+        ids=["a", "b", "c"],
+        embeddings=[[1.0, 0.0], [0.0, 1.0], [1.0, 1.0]],
+        documents=["alpha doc", "beta doc", "gamma text"],
+        metadatas=[{"label": "1"}, {"label": "2"}, {"label": "1"}],
+    )
+    return c
+
+
+def test_add_and_count(coll):
+    assert coll.count() == 3
+
+
+def test_add_duplicate_id_errors(coll):
+    with pytest.raises(DuplicateIDError):
+        coll.add(ids=["a"], embeddings=[[1.0, 2.0]])
+    with pytest.raises(DuplicateIDError):
+        coll.add(ids=["x", "x"], embeddings=[[1.0, 2.0], [1.0, 2.0]])
+
+
+def test_dim_enforced(coll):
+    with pytest.raises(DimensionMismatchError):
+        coll.add(ids=["d"], embeddings=[[1.0, 2.0, 3.0]])
+
+
+def test_get_with_filters(coll):
+    got = coll.get(where={"label": "1"}).collect()
+    assert [r["id"] for r in got] == ["a", "c"]
+    got = coll.get(where_document={"$contains": "doc"}).collect()
+    assert [r["id"] for r in got] == ["a", "b"]
+    got = coll.get(limit=2, offset=1).collect()
+    assert [r["id"] for r in got] == ["b", "c"]
+
+
+def test_peek(coll):
+    assert len(coll.peek(limit=2).collect()) == 2
+
+
+def test_upsert(coll):
+    coll.upsert(ids=["c", "d"], embeddings=[[9.0, 9.0], [0.5, 0.5]],
+                documents=["gamma v2", "delta doc"])
+    assert coll.count() == 4
+    got = {r["id"]: r["document"] for r in coll.get().collect()}
+    assert got["c"] == "gamma v2" and got["d"] == "delta doc"
+
+
+def test_update_patches_columns(coll):
+    coll.update(ids=["a"], documents=["alpha v2"])
+    got = {r["id"]: r for r in coll.get(include=("documents", "embeddings")).collect()}
+    assert got["a"]["document"] == "alpha v2"
+    assert got["a"]["embedding"] == [1.0, 0.0]  # unchanged
+
+
+def test_delete_by_ids_and_where(coll):
+    coll.delete(ids=["a"])
+    assert coll.count() == 2
+    coll.delete(where={"label": "1"})
+    assert coll.count() == 1
+    with pytest.raises(InvalidFilterError):
+        coll.delete()
+
+
+def test_query_knn_cosine(coll):
+    res = coll.query([[1.0, 0.1]], n_results=2).collect()
+    assert [r["id"] for r in res] == ["a", "c"]
+    assert res[0]["rank"] == 1 and res[0]["distance"] < res[1]["distance"]
+    assert res[0]["document"] == "alpha doc"
+
+
+def test_query_with_filter(coll):
+    res = coll.query([[1.0, 0.1]], n_results=3, where={"label": "2"}).collect()
+    assert [r["id"] for r in res] == ["b"]
+
+
+def test_add_df_bulk(engine, spark):
+    c = engine.create_collection("bulk")
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(50)], "id INT, embedding ARRAY<FLOAT>"
+    )
+    c.add_df(df)
+    assert c.count() == 50

@@ -1,0 +1,74 @@
+"""KNN operator tests against numpy brute force (SURVEY.md §2.2 A8-A11)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from chroma_rs_spark.operators.knn import knn_exact, knn_exact_local_topk
+from tests.conftest import SF001_DIR
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF001_DIR}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def np_data(emb):
+    rows = emb.orderBy("vec_id").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    return ids, mat
+
+
+def np_topk(mat, ids, qvecs, k, metric):
+    out = {}
+    for qi, q in enumerate(qvecs):
+        if metric == "cosine":
+            d = 1 - (mat @ q) / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+        elif metric == "l2":
+            d = ((mat - q) ** 2).sum(axis=1)
+        else:
+            d = 1 - mat @ q
+        d = np.round(d, 6)
+        order = np.lexsort((ids, d))[:k]
+        out[qi] = list(ids[order])
+    return out
+
+
+@pytest.mark.parametrize("metric", ["cosine", "l2", "ip"])
+def test_knn_exact_matches_numpy(spark, emb, np_data, metric):
+    ids, mat = np_data
+    qvecs = mat[:3]
+    queries = spark.createDataFrame(
+        [(i, list(map(float, q))) for i, q in enumerate(qvecs)],
+        "query_id INT, query_embedding ARRAY<DOUBLE>",
+    )
+    res = knn_exact(emb, queries, k=5, metric=metric, item_id="vec_id").collect()
+    got = {}
+    for r in res:
+        got.setdefault(r["query_id"], []).append(r["vec_id"])
+    assert got == np_topk(mat, ids, qvecs, 5, metric)
+
+
+@pytest.mark.parametrize("metric", ["cosine", "l2", "ip"])
+def test_local_topk_matches_exact(spark, emb, np_data, metric):
+    ids, mat = np_data
+    queries = [(i, list(map(float, q))) for i, q in enumerate(mat[:3])]
+    res = knn_exact_local_topk(
+        emb, queries, k=5, metric=metric, item_id="vec_id"
+    ).collect()
+    got = {}
+    for r in res:
+        got.setdefault(r["query_id"], []).append(r["vec_id"])
+    assert got == np_topk(mat, ids, [q for _, q in queries], 5, metric)
+
+
+def test_self_query_rank1_is_self(spark, emb, np_data):
+    ids, mat = np_data
+    queries = spark.createDataFrame(
+        [(int(ids[7]), list(map(float, mat[7])))],
+        "query_id INT, query_embedding ARRAY<DOUBLE>",
+    )
+    res = knn_exact(emb, queries, k=1, metric="cosine", item_id="vec_id").collect()
+    assert res[0]["vec_id"] == ids[7] and res[0]["distance"] == 0.0
