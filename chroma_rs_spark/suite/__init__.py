@@ -1,0 +1,38 @@
+"""The query suite: every operator exposed through the driver contract.
+
+Each submodule exports ``QUERIES: dict[str, QueryDef]`` where QueryDef
+bundles the PySpark callable and (where SQL-expressible) the DuckDB
+oracle twin. ``__spark_entry__.py`` flattens these into ``queries()``
+and ``oracle_sql()``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class QueryDef:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None = None
+
+
+def all_queries() -> dict[str, QueryDef]:
+    from chroma_rs_spark.suite import (
+        pipeline,
+        relational,
+        streaming,
+        text,
+        vector,
+    )
+
+    merged: dict[str, QueryDef] = {}
+    for mod in (vector, relational, pipeline, text, streaming):
+        overlap = merged.keys() & mod.QUERIES.keys()
+        if overlap:
+            raise ValueError(f"duplicate query names: {sorted(overlap)}")
+        merged.update(mod.QUERIES)
+    return merged

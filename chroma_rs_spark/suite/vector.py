@@ -1,0 +1,196 @@
+"""Vector-DB query suite (SURVEY.md §2.2 A5, A8-A15) over the driver's
+`embeddings`/`documents` tables, each with a DuckDB oracle twin.
+
+The KNN entries are the flagship: 5 probe vectors (vec_id < 5) against
+the whole embeddings table, top-10 under each metric. Distances are
+computed in double precision with strict left-to-right accumulation on
+the Spark side; the oracles mirror the same math with
+`list_dot_product`/`list_distance` on DOUBLE[] casts, and both sides
+round to 6 dp before ranking so rank order is engine-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from chroma_rs_spark.filters import column_resolver, compile_where, compile_where_document
+from chroma_rs_spark.functions.vector import l2_norm
+from chroma_rs_spark.operators.knn import knn_exact, knn_exact_local_topk
+from chroma_rs_spark.sources.tables import load_table
+from chroma_rs_spark.suite import QueryDef
+
+N_PROBES = 5
+TOP_K = 10
+
+
+def _probe_queries(emb: DataFrame) -> DataFrame:
+    return emb.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("query_embedding"),
+    )
+
+
+def _knn(spark: SparkSession, sf_dir: str, metric: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    res = knn_exact(
+        emb, _probe_queries(emb), k=TOP_K, metric=metric, item_id="vec_id"
+    )
+    return res.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("vec_id").cast("long").alias("neighbor_id"),
+        F.col("distance"),
+    )
+
+
+def _knn_oracle(metric_expr: str) -> str:
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+  FROM embeddings WHERE vec_id < {N_PROBES}
+),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         ROUND(({metric_expr}), 6) AS distance
+  FROM embeddings e CROSS JOIN q
+),
+ranked AS (
+  SELECT query_id, neighbor_id, distance,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY distance, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id, distance
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+_COSINE_EXPR = (
+    "1.0 - list_dot_product(e.embedding::DOUBLE[], q.qe)"
+    " / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))"
+    " * sqrt(list_dot_product(q.qe, q.qe)))"
+)
+_L2_EXPR = "list_distance(e.embedding::DOUBLE[], q.qe) ** 2"
+_IP_EXPR = "1.0 - list_dot_product(e.embedding::DOUBLE[], q.qe)"
+
+
+def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _knn(spark, sf_dir, "cosine")
+
+
+def q_knn_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _knn(spark, sf_dir, "l2")
+
+
+def q_knn_ip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _knn(spark, sf_dir, "ip")
+
+
+def q_knn_cosine_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same semantics as knn_cosine via the bounded-shuffle scale path."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = [
+        (r["query_id"], r["query_embedding"])
+        for r in _probe_queries(emb).collect()
+    ]
+    res = knn_exact_local_topk(
+        emb, probes, k=TOP_K, metric="cosine", item_id="vec_id"
+    )
+    return res.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("vec_id").cast("long").alias("neighbor_id"),
+        F.col("distance"),
+    )
+
+
+def q_vector_index_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The add-time 'index build': per-vector L2 norm column (A11)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.round(l2_norm(F.col("embedding")), 6).alias("norm"),
+    )
+
+
+def q_where_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13 where-DSL compiled against typed columns of `documents`."""
+    docs = load_table(spark, sf_dir, "documents")
+    pred = compile_where(
+        {"$and": [{"lang": {"$in": ["en", "de"]}}, {"n_chars": {"$gt": 200}}]},
+        resolver=column_resolver,
+    )
+    return docs.filter(pred).select("doc_id", "lang", "source", "n_chars")
+
+
+def q_where_document(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14 where_document DSL ($contains / $not_contains) on text."""
+    docs = load_table(spark, sf_dir, "documents")
+    pred = compile_where_document(
+        {"$and": [{"$contains": "scan"}, {"$not_contains": "hash"}]},
+        document_col="text",
+    )
+    return docs.filter(pred).select("doc_id", "lang")
+
+
+def q_get_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 pagination: deterministic order + offset + limit."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+        .offset(10)
+        .limit(50)
+    )
+
+
+def q_item_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 count as a 1-row DataFrame."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.agg(F.count(F.lit(1)).alias("n"))
+
+
+QUERIES = {
+    "knn_cosine": QueryDef(q_knn_cosine, _knn_oracle(_COSINE_EXPR)),
+    "knn_l2": QueryDef(q_knn_l2, _knn_oracle(_L2_EXPR)),
+    "knn_ip": QueryDef(q_knn_ip, _knn_oracle(_IP_EXPR)),
+    "knn_cosine_scale": QueryDef(q_knn_cosine_scale, _knn_oracle(_COSINE_EXPR)),
+    "vector_index_norms": QueryDef(
+        q_vector_index_norms,
+        """
+SELECT vec_id,
+       ROUND(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS norm
+FROM embeddings
+""",
+    ),
+    "where_filter": QueryDef(
+        q_where_filter,
+        """
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE lang IN ('en', 'de') AND n_chars > 200
+""",
+    ),
+    "where_document": QueryDef(
+        q_where_document,
+        """
+SELECT doc_id, lang
+FROM documents
+WHERE contains(text, 'scan') AND NOT contains(text, 'hash')
+""",
+    ),
+    "get_page": QueryDef(
+        q_get_page,
+        """
+SELECT doc_id, lang, n_chars
+FROM documents
+ORDER BY doc_id
+LIMIT 50 OFFSET 10
+""",
+    ),
+    "item_count": QueryDef(
+        q_item_count,
+        "SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings",
+    ),
+}

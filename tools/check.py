@@ -1,0 +1,124 @@
+#!/usr/bin/env python
+"""Local replica of the driver's correctness gate.
+
+Runs every ``queries()`` entry in Spark and its ``oracle_sql()`` twin
+in DuckDB on the same parquet tables, then compares row count, schema
+(sorted column names) and an order-insensitive value comparison
+(columns sorted by name, rows sorted by all columns, exact equality —
+stricter than any hash).
+
+Usage: python tools/check.py [query_name ...]   (default: all)
+       SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 python tools/check.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            # map/list columns -> stable string repr for sorting
+            df[c] = df[c].map(lambda v: str(sorted(v.items())) if isinstance(v, dict) else str(v))
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
+    problems = []
+    if len(spark_pdf) != len(oracle_pdf):
+        problems.append(f"row count: spark={len(spark_pdf)} oracle={len(oracle_pdf)}")
+    if sorted(spark_pdf.columns) != sorted(oracle_pdf.columns):
+        problems.append(
+            f"schema: spark={sorted(spark_pdf.columns)} oracle={sorted(oracle_pdf.columns)}"
+        )
+        return problems
+    if problems:
+        return problems
+    s, o = normalize(spark_pdf), normalize(oracle_pdf)
+    for c in s.columns:
+        sv, ov = s[c], o[c].astype(s[c].dtype, errors="ignore") if hasattr(o[c], "astype") else o[c]
+        if np.issubdtype(sv.dtype, np.floating) or np.issubdtype(np.asarray(ov).dtype, np.floating):
+            a, b = np.asarray(sv, dtype=float), np.asarray(ov, dtype=float)
+            both_nan = np.isnan(a) & np.isnan(b)
+            eq = (a == b) | both_nan
+            if not eq.all():
+                bad = (~eq).sum()
+                problems.append(
+                    f"col {c}: {bad} float mismatches, max abs diff "
+                    f"{np.nanmax(np.abs(a - b)):.3e}"
+                )
+        else:
+            eq = sv.to_numpy() == np.asarray(ov)
+            if not np.asarray(eq).all():
+                bad = int((~np.asarray(eq)).sum())
+                i = int(np.argmax(~np.asarray(eq)))
+                problems.append(
+                    f"col {c}: {bad} mismatches, first at row {i}: "
+                    f"spark={sv.iloc[i]!r} oracle={o[c].iloc[i]!r}"
+                )
+    return problems
+
+
+def main() -> int:
+    import __spark_entry__ as se
+    from chroma_rs_spark.session import get_spark
+
+    only = set(sys.argv[1:])
+    spark = get_spark(app_name="check", master="local[8]", shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+
+    qs, oracles = se.queries(), se.oracle_sql()
+    failed = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            spark_pdf = fn(spark, SF_DIR).toPandas()
+        except Exception as e:
+            failed.append(name)
+            print(f"FAIL {name}: spark error: {e}")
+            continue
+        t_spark = time.time() - t0
+        if name not in oracles:
+            print(f"WEAK {name}: no oracle, rows={len(spark_pdf)} ({t_spark:.1f}s)")
+            continue
+        try:
+            oracle_pdf = con.sql(oracles[name]).df()
+        except Exception as e:
+            failed.append(name)
+            print(f"FAIL {name}: oracle error: {e}")
+            continue
+        problems = compare(name, spark_pdf, oracle_pdf)
+        if problems:
+            failed.append(name)
+            print(f"FAIL {name} ({t_spark:.1f}s):")
+            for p in problems:
+                print(f"   - {p}")
+        else:
+            print(f"OK   {name}: rows={len(spark_pdf)} ({t_spark:.1f}s)")
+    print(f"\n{len(failed)} failures" + (f": {failed}" if failed else ""))
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
