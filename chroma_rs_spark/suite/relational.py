@@ -1,3 +1,634 @@
-"""Placeholder — filled in incrementally."""
+"""Relational analytics suite (SURVEY.md §2.3) over the TPC-H-ish
+driver tables, each query with a DuckDB oracle twin.
 
-QUERIES: dict = {}
+Scale discipline baked into every query:
+- dims (region/nation, and supplier where small) join via explicit
+  `F.broadcast` — no shuffle for the dimension side;
+- fact-fact joins shuffle on their natural keys only after filters are
+  applied (Catalyst pushes the filters into the parquet scans);
+- aggregations are expressed as plain groupBy so map-side partial
+  aggregation happens automatically;
+- window top-k is used instead of global sorts wherever "top N per
+  group" is wanted.
+
+Exactness discipline (SURVEY.md §7 hard-part (e)): money math runs in
+DECIMAL (exact, order-independent) and is cast to DOUBLE only at the
+output boundary; averages are expressed as exact-sum / count so both
+engines perform one identical double division. This makes value
+hashes engine-independent even though Spark sums in arbitrary
+partition order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from chroma_rs_spark.sources.tables import load_table
+from chroma_rs_spark.suite import QueryDef
+
+
+def _dec(col: str | Column, spec: str = "15,2") -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(f"decimal({spec})")
+
+
+def _one_minus(col: str) -> Column:
+    return F.lit(1).cast("decimal(3,2)") - _dec(col, "4,2")
+
+
+def _one_plus(col: str) -> Column:
+    return F.lit(1).cast("decimal(3,2)") + _dec(col, "4,2")
+
+
+# -- Q1-style pricing summary ------------------------------------------
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    cutoff = F.lit("2000-09-02").cast("timestamp")
+    disc_price = _dec("l_extendedprice") * _one_minus("l_discount")
+    charge = disc_price * _one_plus("l_tax")
+    grouped = (
+        li.filter(F.col("l_shipdate") <= cutoff)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).alias("_sq"),
+            F.sum(_dec("l_extendedprice")).alias("_sp"),
+            F.sum(disc_price).alias("_sd"),
+            F.sum(charge).alias("_sc"),
+            F.sum(_dec("l_discount", "4,2")).alias("_sdisc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+    n = F.col("count_order")
+    return grouped.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("_sq").cast("double").alias("sum_qty"),
+        F.col("_sp").cast("double").alias("sum_base_price"),
+        F.col("_sd").cast("double").alias("sum_disc_price"),
+        F.col("_sc").cast("double").alias("sum_charge"),
+        (F.col("_sq").cast("double") / n).alias("avg_qty"),
+        (F.col("_sp").cast("double") / n).alias("avg_price"),
+        (F.col("_sdisc").cast("double") / n).alias("avg_disc"),
+        "count_order",
+    )
+
+
+_PRICING_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(15,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(15,2))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(15,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+           AS sum_disc_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(15,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
+                * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE)
+           AS sum_charge,
+       CAST(sum(CAST(l_quantity AS DECIMAL(15,2))) AS DOUBLE) / count(*) AS avg_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(15,2))) AS DOUBLE) / count(*) AS avg_price,
+       CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / count(*) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# -- Q3-style shipping priority (join + agg + top-k) -------------------
+
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    d = F.lit("1998-03-15").cast("timestamp")
+    revenue = _dec("l_extendedprice") * _one_minus("l_discount")
+    return (
+        li.filter(F.col("l_shipdate") > d)
+        .join(orders.filter(F.col("o_orderdate") < d), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(cust.filter(F.col("c_mktsegment") == "BUILDING")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.sum(revenue).alias("_rev"))
+        .select(
+            "o_orderkey",
+            F.col("_rev").cast("double").alias("revenue"),
+            "o_orderdate",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+_SHIPPING_ORACLE = """
+SELECT o_orderkey,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(15,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+           AS revenue,
+       o_orderdate
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING'
+  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY o_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+# -- Q5-style local supplier volume (6-way join, broadcast dims) -------
+
+
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    lo = F.lit("1996-01-01").cast("timestamp")
+    hi = F.lit("1998-01-01").cast("timestamp")
+    revenue = _dec("l_extendedprice") * _one_minus("l_discount")
+    asia_nations = nation.join(
+        F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    )
+    return (
+        li.join(
+            orders.filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            cust,
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(asia_nations), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum(revenue).alias("_rev"))
+        .select("n_name", F.col("_rev").cast("double").alias("revenue"))
+    )
+
+
+_LOCAL_SUPPLIER_ORACLE = """
+SELECT n_name,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(15,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+           AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+# -- window top-k per group --------------------------------------------
+
+
+def q_top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    spend = (
+        orders.groupBy("o_custkey")
+        .agg(F.sum(_dec("o_totalprice")).alias("_spend"))
+    )
+    w = Window.partitionBy("n_name").orderBy(
+        F.col("spend").desc(), F.col("c_custkey").asc()
+    )
+    return (
+        cust.join(spend, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            "n_name", "c_custkey", F.col("_spend").cast("double").alias("spend")
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+    )
+
+
+_TOP_CUSTOMERS_ORACLE = """
+WITH spend AS (
+  SELECT o_custkey, CAST(sum(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) AS spend
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT n_name, c_custkey, spend,
+         ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY spend DESC, c_custkey) AS rank
+  FROM customer
+  JOIN spend ON c_custkey = o_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+)
+SELECT n_name, c_custkey, spend, rank FROM ranked WHERE rank <= 3
+"""
+
+
+# -- rollup / cube ------------------------------------------------------
+
+
+def q_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total_price"),
+        )
+    )
+
+
+_ORDERS_ROLLUP_ORACLE = """
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+def q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("event_year", F.year("ts").cast("long"))
+        .cube("event_type", "event_year")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec("value", "18,6")).cast("double").alias("total_value"),
+        )
+    )
+
+
+_EVENTS_CUBE_ORACLE = """
+SELECT event_type, CAST(year(ts) AS BIGINT) AS event_year,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY CUBE (event_type, CAST(year(ts) AS BIGINT))
+"""
+
+
+# -- outer / semi / anti joins -----------------------------------------
+
+
+def q_customer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        cust.join(per_cust, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("n_orders"),
+        )
+    )
+
+
+_CUSTOMER_ORDER_COUNTS_ORACLE = """
+SELECT c_custkey, c_mktsegment,
+       CAST(coalesce(n, 0) AS BIGINT) AS n_orders
+FROM customer
+LEFT JOIN (SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey) o
+  ON c_custkey = o_custkey
+"""
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join: customers with no order since 2000 (lapsed)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    return (
+        cust.join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+_CUSTOMERS_WITHOUT_ORDERS_ORACLE = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+"""
+
+
+def q_suppliers_with_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi: suppliers that shipped at least one returned line."""
+    supp = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    returned = li.filter(F.col("l_returnflag") == "R")
+    return supp.join(
+        returned, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+_SUPPLIERS_WITH_RETURNS_ORACLE = """
+SELECT s_suppkey, s_name FROM supplier
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_suppkey = s_suppkey AND l_returnflag = 'R')
+"""
+
+
+# -- set operations -----------------------------------------------------
+
+
+def q_parts_in_both_years(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: parts shipped in both 1996 and 2000."""
+    li = load_table(spark, sf_dir, "lineitem")
+    y96 = li.filter(F.year("l_shipdate") == 1996).select("l_partkey").distinct()
+    y00 = li.filter(F.year("l_shipdate") == 2000).select("l_partkey").distinct()
+    return y96.intersect(y00)
+
+
+_PARTS_IN_BOTH_YEARS_ORACLE = """
+SELECT DISTINCT l_partkey FROM lineitem WHERE year(l_shipdate) = 1996
+INTERSECT
+SELECT DISTINCT l_partkey FROM lineitem WHERE year(l_shipdate) = 2000
+"""
+
+
+def q_urgent_only_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT: customers who placed URGENT orders but never LOW ones."""
+    orders = load_table(spark, sf_dir, "orders")
+    urgent = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+        .distinct()
+    )
+    low = (
+        orders.filter(F.col("o_orderpriority") == "5-LOW")
+        .select("o_custkey")
+        .distinct()
+    )
+    return urgent.exceptAll(low)
+
+
+_URGENT_ONLY_ORACLE = """
+SELECT o_custkey FROM (
+  SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+EXCEPT ALL
+SELECT o_custkey FROM (
+  SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '5-LOW')
+"""
+
+
+# -- scalar functions ---------------------------------------------------
+
+
+def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("o_year"),
+        F.month("o_orderdate").cast("long").alias("o_month"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        F.upper("o_orderpriority").alias("priority_upper"),
+        F.substring("o_orderpriority", 1, 1).cast("long").alias("priority_rank"),
+        F.length("o_orderpriority").cast("long").alias("priority_len"),
+        F.concat_ws("-", "o_orderstatus", "o_orderpriority").alias("status_priority"),
+        F.round(F.sqrt("o_totalprice"), 6).alias("price_sqrt"),
+        # divisor chosen so the true quotient never lands on an exact
+        # decimal half — Spark rounds the shortest string repr (HALF_UP)
+        # while DuckDB rounds the binary value, and they disagree only at
+        # exact .xx5 decimals (x*0.1 of 2-decimal money hits those).
+        F.round(F.col("o_totalprice") / 3.0, 2).alias("price_third"),
+        F.abs(F.col("o_totalprice") - 200000.0).alias("price_dev"),
+    )
+
+
+_SCALAR_FUNCTIONS_ORACLE = """
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(month(o_orderdate) AS BIGINT) AS o_month,
+       date_trunc('month', o_orderdate) AS month_start,
+       upper(o_orderpriority) AS priority_upper,
+       CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS priority_rank,
+       CAST(length(o_orderpriority) AS BIGINT) AS priority_len,
+       concat_ws('-', o_orderstatus, o_orderpriority) AS status_priority,
+       round(sqrt(o_totalprice), 6) AS price_sqrt,
+       round(o_totalprice / 3.0, 2) AS price_third,
+       abs(o_totalprice - 200000.0) AS price_dev
+FROM orders
+"""
+
+
+# -- windows: running totals & sessionization --------------------------
+
+
+def q_running_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(_dec("o_totalprice")).over(w).cast("double").alias("running_spend"),
+        F.row_number().over(
+            Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        ).cast("long").alias("order_seq"),
+    )
+
+
+_RUNNING_ORDER_TOTALS_ORACLE = """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(15,2)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           AS running_spend,
+       ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+           AS order_seq
+FROM orders
+"""
+
+
+SESSION_GAP_SECONDS = 1800
+
+
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag-based sessionization: a >30min gap starts a new session."""
+    ev = load_table(spark, sf_dir, "events")
+    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    running = by_user.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_us = SESSION_GAP_SECONDS * 1_000_000
+    with_gap = ev.withColumn(
+        "_prev", F.lag(F.unix_micros(F.col("ts"))).over(by_user)
+    ).withColumn(
+        "_new",
+        F.when(
+            F.col("_prev").isNull()
+            | ((F.unix_micros(F.col("ts")) - F.col("_prev")) > gap_us),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    return (
+        with_gap.withColumn("session_id", F.sum("_new").over(running).cast("long"))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )
+
+
+_SESSIONIZE_ORACLE = f"""
+WITH gaps AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {SESSION_GAP_SECONDS * 1_000_000}
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS session_id
+  FROM gaps
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end
+FROM sessions
+GROUP BY user_id, session_id
+"""
+
+
+# -- distinct counts ----------------------------------------------------
+
+
+def q_monthly_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("month"))
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+_MONTHLY_DISTINCT_ORACLE = """
+SELECT date_trunc('month', o_orderdate) AS month,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+       count(*) AS n_orders
+FROM orders
+GROUP BY date_trunc('month', o_orderdate)
+"""
+
+
+def q_approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct estimate — algorithm-specific, so checked
+    rows-only (DuckDB's approx sketch yields a different estimate)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+
+
+# -- JSON extraction (events.props) ------------------------------------
+
+
+def q_events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.from_json("props", "k INT")["k"]
+    return (
+        ev.withColumn("_k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_k").cast("long").alias("sum_k"),
+            (F.sum("_k").cast("double") / F.count(F.lit(1))).alias("avg_k"),
+        )
+    )
+
+
+_EVENTS_JSON_ORACLE = """
+SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS DOUBLE) / count(*) AS avg_k
+FROM events
+GROUP BY event_type
+"""
+
+
+# -- broadcast dim chain -----------------------------------------------
+
+
+def q_customers_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    dims = nation.join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    return (
+        cust.join(F.broadcast(dims), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("total_acctbal"),
+        )
+    )
+
+
+_CUSTOMERS_PER_REGION_ORACLE = """
+SELECT r_name, count(*) AS n_customers,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(15,2))) AS DOUBLE) AS total_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+QUERIES = {
+    "pricing_summary": QueryDef(q_pricing_summary, _PRICING_ORACLE),
+    "shipping_priority": QueryDef(q_shipping_priority, _SHIPPING_ORACLE),
+    "local_supplier_volume": QueryDef(q_local_supplier_volume, _LOCAL_SUPPLIER_ORACLE),
+    "top_customers_per_nation": QueryDef(
+        q_top_customers_per_nation, _TOP_CUSTOMERS_ORACLE
+    ),
+    "orders_rollup": QueryDef(q_orders_rollup, _ORDERS_ROLLUP_ORACLE),
+    "events_cube": QueryDef(q_events_cube, _EVENTS_CUBE_ORACLE),
+    "customer_order_counts": QueryDef(
+        q_customer_order_counts, _CUSTOMER_ORDER_COUNTS_ORACLE
+    ),
+    "customers_without_orders": QueryDef(
+        q_customers_without_orders, _CUSTOMERS_WITHOUT_ORDERS_ORACLE
+    ),
+    "suppliers_with_returns": QueryDef(
+        q_suppliers_with_returns, _SUPPLIERS_WITH_RETURNS_ORACLE
+    ),
+    "parts_in_both_years": QueryDef(q_parts_in_both_years, _PARTS_IN_BOTH_YEARS_ORACLE),
+    "urgent_only_customers": QueryDef(q_urgent_only_customers, _URGENT_ONLY_ORACLE),
+    "scalar_functions": QueryDef(q_scalar_functions, _SCALAR_FUNCTIONS_ORACLE),
+    "running_order_totals": QueryDef(
+        q_running_order_totals, _RUNNING_ORDER_TOTALS_ORACLE
+    ),
+    "sessionize_events": QueryDef(q_sessionize_events, _SESSIONIZE_ORACLE),
+    "monthly_distinct_customers": QueryDef(
+        q_monthly_distinct_customers, _MONTHLY_DISTINCT_ORACLE
+    ),
+    "approx_distinct_parts": QueryDef(q_approx_distinct_parts, None),
+    "events_json_stats": QueryDef(q_events_json_stats, _EVENTS_JSON_ORACLE),
+    "customers_per_region": QueryDef(q_customers_per_region, _CUSTOMERS_PER_REGION_ORACLE),
+}
