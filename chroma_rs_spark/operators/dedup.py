@@ -1,0 +1,274 @@
+"""Deduplication operators for LLM-data pipelines (SURVEY.md §2.3 [EXT]).
+
+Five families, all engine-independent and deterministic:
+
+* exact       — sha2 text hash, group, keep min-id (hash-groupBy; one
+                shuffle on the hash, map-side partial agg)
+* minhash+LSH — shingle -> K minhashes -> B bands -> bucket join.
+                Hash function is md5(seed || '|' || shingle) compared
+                AS A STRING: md5 is available and bit-identical in
+                every engine (Spark, DuckDB, Python), so signatures
+                are reproducible anywhere — no engine-private hash.
+* simhash     — 32-bit sign-of-weighted-bit-sums over token hashes
+* n-gram Jaccard — inverted-index self-join on shingles (exact)
+* embedding cosine — all-pairs (small) / LSH-bucketed (scale)
+
+Scale notes: the LSH path is the 100 TB design point — candidate
+generation touches only same-bucket pairs (shuffle keyed on
+(band, band_key)); the exact all-pairs variants exist as correctness
+baselines and for small collections.  Everything below is pure
+DataFrame HOFs — no Python UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def tokens_col(text: str | Column = "text") -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(c, " ")
+
+
+def shingles_col(toks: Column, k: int = 3) -> Column:
+    """Token k-grams as strings, order-preserving (0-based SQL arrays).
+
+    Empty result for docs shorter than k tokens.
+    """
+    idx = F.sequence(F.lit(0), F.size(toks) - k)
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j + 1) for j in range(k)]
+        ),
+    )
+    return F.when(F.size(toks) >= k, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def exploded_shingles(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """(id, shingle) rows — the long form every shingle consumer uses.
+
+    Materializing tokens/shingles through an explode (a Generate
+    boundary) instead of re-deriving them inside each downstream
+    expression matters a lot: Catalyst's CollapseProject would
+    otherwise inline the split()/concat tree into every one of the K
+    minhash expressions and recompute tokenization K x 3 times per
+    shingle.
+    """
+    toks = tokens_col(text_col)
+    return df.select(
+        F.col(id_col), F.explode(shingles_col(toks, k)).alias("shingle")
+    )
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
+    """Array of `num_hashes` string-minhashes: min over shingles of
+    md5(seed || '|' || shingle). String-min over md5 hex is a valid
+    minwise hash family and replicates exactly in ANSI SQL."""
+    def seeded_min(seed: int):
+        # NB: close over `seed` via a def, not a lambda default arg — a
+        # 2-parameter lambda would be treated as transform's (elem, idx)
+        # signature and silently receive the element index instead.
+        return F.array_min(
+            F.transform(shingles, lambda s: F.md5(F.concat(F.lit(f"{seed}|"), s)))
+        )
+
+    return F.array(*[seeded_min(i) for i in range(num_hashes)])
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-row duplicate accounting by exact text hash.
+
+    Returns (id, text_sha, n_copies, keep) — `keep` marks the min-id
+    representative of each duplicate group.
+    """
+    hashed = df.select(
+        F.col(id_col), F.sha2(F.col(text_col), 256).alias("text_sha")
+    )
+    groups = hashed.groupBy("text_sha").agg(
+        F.count(F.lit(1)).alias("n_copies"), F.min(id_col).alias("_keep_id")
+    )
+    return hashed.join(groups, "text_sha").select(
+        id_col,
+        "text_sha",
+        "n_copies",
+        (F.col(id_col) == F.col("_keep_id")).alias("keep"),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Near-dup candidate pairs via MinHash + LSH banding.
+
+    rows-per-band R = num_hashes // bands. Returns
+    (id_a, id_b, est_jaccard) for pairs sharing >=1 band bucket, with
+    est_jaccard = fraction of agreeing signature positions.
+    """
+    rows_per_band = num_hashes // bands
+    assert bands * rows_per_band == num_hashes
+    # One pass over exploded shingle rows computes all K minhashes as
+    # grouped aggregates (map-side partial min, one shuffle keyed on
+    # id). Building the signature as an array expression instead would
+    # let CollapseProject inline the tokenizer into every seed's
+    # expression and re-split the text K x 3 times per shingle.
+    sh = exploded_shingles(df, id_col, text_col, shingle_k)
+    sig = sh.groupBy(id_col).agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"_mh{i}")
+            for i in range(num_hashes)
+        ]
+    ).select(
+        id_col,
+        F.array(*[F.col(f"_mh{i}") for i in range(num_hashes)]).alias("sig"),
+    )
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.element_at("sig", b * rows_per_band + r + 1)
+                        for r in range(rows_per_band)
+                    ],
+                )
+            ).alias("band_key"),
+        )
+        for b in range(bands)
+    ]
+    # The bucket join and pair-dedup carry only ids — the shuffle
+    # payload stays narrow (at scale candidate pairs ≪ banded rows).
+    banded = sig.select(id_col, F.explode(F.array(*band_cols)).alias("bk"))
+    left = banded.select(F.col(id_col).alias("id_a"), "bk")
+    right = banded.select(F.col(id_col).alias("id_b"), "bk")
+    if rows_per_band == 1:
+        # With 1-row bands, a band collision IS a signature-position
+        # match, so counting collisions per pair gives the agreement
+        # fraction directly — no signature re-join, one narrow shuffle.
+        return (
+            left.join(right, "bk")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("_n_match"))
+            .select(
+                "id_a",
+                "id_b",
+                (F.col("_n_match").cast("double") / F.lit(float(num_hashes))).alias(
+                    "est_jaccard"
+                ),
+            )
+        )
+    pairs = (
+        left.join(right, "bk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sig_a = sig.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+    sig_b = sig.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+    matches = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda a, b: (a == b).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        pairs.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (matches.cast("double") / F.lit(float(num_hashes))).alias("est_jaccard"),
+        )
+    )
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32) -> DataFrame:
+    """32-bit SimHash over whitespace tokens (term-frequency weighted).
+
+    Token hash = first 8 hex chars of md5 as an integer — reproducible
+    in any engine with md5 + hex parsing.
+    """
+    # hash each token once behind an explode boundary — computing the
+    # md5 inside all 32 bit-sum expressions would redo it 32x per token
+    tok = df.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("_t"))
+    hashed = tok.select(
+        id_col,
+        F.conv(F.substring(F.md5("_t"), 1, 8), 16, 10).cast("long").alias("_h"),
+    )
+    bit_df = hashed.groupBy(id_col).agg(
+        *[
+            F.sum(F.shiftright(F.col("_h"), j).bitwiseAND(F.lit(1)) * 2 - 1).alias(
+                f"_b{j}"
+            )
+            for j in range(bits)
+        ]
+    )
+    fingerprint = None
+    for j in range(bits):
+        term = F.when(F.col(f"_b{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return bit_df.select(F.col(id_col), fingerprint.alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    top_n: int | None = 20,
+) -> DataFrame:
+    """Exact n-gram Jaccard via inverted-index self-join.
+
+    The join is keyed on the shingle (the inverted index), so only
+    documents sharing a shingle ever meet — at 100 TB this is the
+    difference between |pairs-sharing-content| and |all-pairs|.
+    """
+    toks = tokens_col(text_col)
+    sh = (
+        df.select(
+            F.col(id_col), F.explode(shingles_col(toks, shingle_k)).alias("shingle")
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
+    jac = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    if top_n is not None:
+        jac = jac.orderBy(
+            F.col("jaccard").desc(), F.col("id_a"), F.col("id_b")
+        ).limit(top_n)
+    return jac

@@ -1,0 +1,109 @@
+"""Text-analysis operators for LLM-data pipelines (SURVEY.md §2.3 [EXT]).
+
+Language ID (stopword-overlap heuristic), quality scoring, token
+counting (whitespace + regex), and document fingerprinting (min-hash
+over 5-gram shingles — a winnowing-style content fingerprint).
+
+All pure JVM-side column expressions; every constant here is mirrored
+verbatim in the suite's DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from chroma_rs_spark.operators.dedup import shingles_col, tokens_col
+
+# Tiny per-language stopword lists (public common words). Order of
+# LANGS is the deterministic tie-break for argmax.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in"],
+    "de": ["der", "die", "das", "und", "zu", "ein"],
+    "es": ["el", "la", "de", "y", "que", "en"],
+    "fr": ["le", "la", "de", "et", "un", "pour"],
+    "zh": ["de", "le", "shi", "bu", "wo", "you"],
+}
+LANGS = list(STOPWORDS)
+
+TOKEN_REGEX = "[a-zA-Z]+|[0-9]+"  # BPE-ish word/number pieces
+
+
+def lang_scores(toks: Column) -> dict[str, Column]:
+    uniq = F.array_distinct(toks)
+    return {
+        lang: F.size(
+            F.array_intersect(uniq, F.array(*[F.lit(w) for w in words]))
+        )
+        for lang, words in STOPWORDS.items()
+    }
+
+
+def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Predict language by stopword overlap; deterministic tie-break
+    by LANGS order. Returns (id, predicted_lang, lang_score)."""
+    toks = tokens_col(text_col)
+    scores = lang_scores(toks)
+    best = F.greatest(*scores.values())
+    pred = F.when(scores[LANGS[0]] == best, F.lit(LANGS[0]))
+    for lang in LANGS[1:]:
+        pred = pred.when(scores[lang] == best, F.lit(lang))
+    pred = pred.otherwise(F.lit("unknown"))
+    return df.select(
+        F.col(id_col),
+        pred.alias("predicted_lang"),
+        best.cast("long").alias("lang_score"),
+    )
+
+
+def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Whitespace + regex token counts and char stats."""
+    toks = tokens_col(text_col)
+    n_ws = F.size(toks)
+    return df.select(
+        F.col(id_col),
+        n_ws.cast("long").alias("n_tokens_ws"),
+        F.regexp_count(F.col(text_col), F.lit(TOKEN_REGEX)).cast("long").alias(
+            "n_tokens_re"
+        ),
+        F.length(text_col).cast("long").alias("n_chars"),
+        F.round(
+            (F.length(text_col) - (n_ws - 1)).cast("double") / n_ws, 6
+        ).alias("avg_token_len"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Heuristic quality score in [0,1]: unique-token ratio, non-stopword
+    ratio, and a length factor (saturating at 50 tokens)."""
+    toks = tokens_col(text_col)
+    n = F.size(toks)
+    n_uniq = F.size(F.array_distinct(toks))
+    en = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(en, t)))
+    uniq_ratio = n_uniq.cast("double") / n
+    stop_ratio = n_stop.cast("double") / n
+    length_factor = F.least(n.cast("double") / 50.0, F.lit(1.0))
+    score = F.round(
+        0.5 * uniq_ratio + 0.3 * (1.0 - stop_ratio) + 0.2 * length_factor, 6
+    )
+    return df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_tokens"),
+        F.round(uniq_ratio, 6).alias("uniq_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        score.alias("quality"),
+    )
+
+
+def doc_fingerprint(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", shingle_k: int = 5
+) -> DataFrame:
+    """Content fingerprint: lexicographic min of md5 over k-gram
+    shingles (min-hash with one hash function — winnowing-style)."""
+    from chroma_rs_spark.operators.dedup import exploded_shingles
+
+    sh = exploded_shingles(df, id_col, text_col, shingle_k)
+    return sh.groupBy(id_col).agg(
+        F.min(F.md5(F.col("shingle"))).alias("fingerprint")
+    )

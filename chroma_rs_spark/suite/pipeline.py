@@ -1,3 +1,227 @@
-"""Placeholder — filled in incrementally."""
+"""Dedup / similarity / multimodal suite (SURVEY.md §2.3 [EXT]) with
+DuckDB oracle twins.
 
-QUERIES: dict = {}
+The oracles replicate the exact hash conventions of the operators —
+md5-based minhash/simhash are engine-portable by construction, so even
+the LSH pipelines are fully SQL-expressible and hash-checked (not
+rows-only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from chroma_rs_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from chroma_rs_spark.operators.multimodal import attach_payload, extract_media_features
+from chroma_rs_spark.operators.similarity import cosine_topk_pairs, signbucket_ann
+from chroma_rs_spark.sources.tables import load_table
+from chroma_rs_spark.suite import QueryDef
+
+# Shared SQL fragments -------------------------------------------------
+
+_TOKS = "string_split(text, ' ')"
+# 3-gram shingles, 1-based list indexing; docs have >=10 tokens
+_SHINGLES3 = f"""
+  SELECT doc_id,
+         concat_ws(' ', toks[i], toks[i+1], toks[i+2]) AS shingle
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i
+        FROM (SELECT doc_id, {_TOKS} AS toks FROM documents))
+"""
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup(docs)
+
+
+_DEDUP_EXACT_ORACLE = """
+WITH hashed AS (
+  SELECT doc_id, sha256(text) AS text_sha FROM documents
+),
+groups AS (
+  SELECT text_sha, count(*) AS n_copies, min(doc_id) AS keep_id
+  FROM hashed GROUP BY text_sha
+)
+SELECT h.doc_id, h.text_sha, g.n_copies, h.doc_id = g.keep_id AS keep
+FROM hashed h JOIN groups g USING (text_sha)
+"""
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, num_hashes=16, bands=16, shingle_k=3)
+
+
+_DEDUP_MINHASH_ORACLE = f"""
+WITH sh AS ({_SHINGLES3}),
+mh AS (
+  SELECT doc_id, s.i AS seed, min(md5(s.i::VARCHAR || '|' || shingle)) AS mh
+  FROM sh, range(0, 16) s(i)
+  GROUP BY doc_id, s.i
+),
+-- bands of 1 row: bucket key is md5 of the single signature entry
+banded AS (
+  SELECT doc_id, seed AS band, md5(mh) AS band_key FROM mh
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+agree AS (
+  SELECT c.id_a, c.id_b,
+         sum(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END) AS n_match
+  FROM cand c
+  JOIN mh ma ON ma.doc_id = c.id_a
+  JOIN mh mb ON mb.doc_id = c.id_b AND mb.seed = ma.seed
+  GROUP BY c.id_a, c.id_b
+)
+SELECT id_a, id_b, CAST(n_match AS DOUBLE) / 16.0 AS est_jaccard FROM agree
+"""
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash(docs)
+
+
+_DEDUP_SIMHASH_ORACLE = """
+WITH th AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) AS h
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) d,
+       unnest(toks) u(t)
+),
+bits AS (
+  SELECT doc_id, r.j AS j,
+         sum(((h >> r.j) & 1) * 2 - 1) AS s
+  FROM th, range(0, 32) r(j)
+  GROUP BY doc_id, r.j
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT)
+           AS simhash
+FROM bits GROUP BY doc_id
+"""
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, shingle_k=3, top_n=20)
+
+
+_DEDUP_NGRAM_ORACLE = f"""
+WITH sh AS (SELECT DISTINCT doc_id, shingle FROM ({_SHINGLES3})),
+sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       round(CAST(n_inter AS DOUBLE) / (sa.set_size + sb.set_size - n_inter), 6)
+           AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+ORDER BY jaccard DESC, id_a, id_b
+LIMIT 20
+"""
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk_pairs(emb, top_n=20)
+
+
+_EMBEDDING_NEAR_DUP_ORACLE = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+             / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+             6) AS cosine_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+ORDER BY cosine_sim DESC, id_a, id_b
+LIMIT 20
+"""
+
+
+def q_ann_signbucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_embedding"),
+    )
+    res = signbucket_ann(emb, probes, k=5, n_planes=8)
+    return res.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        "distance",
+    )
+
+
+_ANN_SIGNBUCKET_ORACLE = """
+WITH b AS (
+  SELECT vec_id, embedding,
+         concat(
+           CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,
+           CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END,
+           CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END,
+           CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END,
+           CASE WHEN embedding[5] >= 0 THEN '1' ELSE '0' END,
+           CASE WHEN embedding[6] >= 0 THEN '1' ELSE '0' END,
+           CASE WHEN embedding[7] >= 0 THEN '1' ELSE '0' END,
+           CASE WHEN embedding[8] >= 0 THEN '1' ELSE '0' END) AS bucket
+  FROM embeddings
+),
+scored AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         round(1.0 - list_dot_product(e.embedding::DOUBLE[], q.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))),
+               6) AS distance
+  FROM b q JOIN b e ON q.bucket = e.bucket AND e.vec_id != q.vec_id
+  WHERE q.vec_id < 5
+),
+ranked AS (
+  SELECT query_id, neighbor_id, distance,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY distance, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id, distance
+FROM ranked WHERE rank <= 5
+"""
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_media_features(attach_payload(docs))
+
+
+_MULTIMODAL_ORACLE = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+       CAST(octet_length(encode(text)) % 640 AS BIGINT) AS width,
+       CAST(octet_length(encode(text)) % 480 AS BIGINT) AS height,
+       CAST(octet_length(encode(text)) % 30 + 1 AS BIGINT) AS n_frames
+FROM documents
+"""
+
+
+QUERIES = {
+    "dedup_exact": QueryDef(q_dedup_exact, _DEDUP_EXACT_ORACLE),
+    "dedup_minhash_lsh": QueryDef(q_dedup_minhash_lsh, _DEDUP_MINHASH_ORACLE),
+    "dedup_simhash": QueryDef(q_dedup_simhash, _DEDUP_SIMHASH_ORACLE),
+    "dedup_ngram_jaccard": QueryDef(q_dedup_ngram_jaccard, _DEDUP_NGRAM_ORACLE),
+    "embedding_near_dup": QueryDef(q_embedding_near_dup, _EMBEDDING_NEAR_DUP_ORACLE),
+    "ann_signbucket": QueryDef(q_ann_signbucket, _ANN_SIGNBUCKET_ORACLE),
+    "multimodal_features": QueryDef(q_multimodal_features, _MULTIMODAL_ORACLE),
+}

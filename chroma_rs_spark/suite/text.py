@@ -1,3 +1,118 @@
-"""Placeholder — filled in incrementally."""
+"""Text-analysis suite (SURVEY.md §2.3 [EXT]) with DuckDB oracles.
 
-QUERIES: dict = {}
+Stopword lists and score weights are mirrored verbatim from
+chroma_rs_spark.operators.text — keep them in sync.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from chroma_rs_spark.operators.text import (
+    STOPWORDS,
+    doc_fingerprint,
+    lang_id,
+    quality_score,
+    token_stats,
+)
+from chroma_rs_spark.sources.tables import load_table
+from chroma_rs_spark.suite import QueryDef
+
+
+def _sql_list(words: list[str]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lang_id(load_table(spark, sf_dir, "documents"))
+
+
+_LANG_SCORES = ",\n         ".join(
+    f"len(list_intersect(uniq, {_sql_list(w)})) AS s_{lang}"
+    for lang, w in STOPWORDS.items()
+)
+_LANG_BEST = "greatest(s_en, s_de, s_es, s_fr, s_zh)"
+_LANG_ID_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id,
+         {_LANG_SCORES}
+  FROM (SELECT doc_id, list_distinct(string_split(text, ' ')) AS uniq
+        FROM documents)
+)
+SELECT doc_id,
+       CASE WHEN s_en = {_LANG_BEST} THEN 'en'
+            WHEN s_de = {_LANG_BEST} THEN 'de'
+            WHEN s_es = {_LANG_BEST} THEN 'es'
+            WHEN s_fr = {_LANG_BEST} THEN 'fr'
+            WHEN s_zh = {_LANG_BEST} THEN 'zh'
+            ELSE 'unknown' END AS predicted_lang,
+       CAST({_LANG_BEST} AS BIGINT) AS lang_score
+FROM scored
+"""
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_stats(load_table(spark, sf_dir, "documents"))
+
+
+_TOKEN_STATS_ORACLE = """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens_ws,
+       CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+')) AS BIGINT) AS n_tokens_re,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       round(CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+             / len(string_split(text, ' ')), 6) AS avg_token_len
+FROM documents
+"""
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_score(load_table(spark, sf_dir, "documents"))
+
+
+_QUALITY_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len(toks) AS n,
+         len(list_distinct(toks)) AS n_uniq,
+         len(list_filter(toks, x -> list_contains({_sql_list(STOPWORDS["en"])}, x)))
+             AS n_stop
+  FROM t
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_tokens,
+       round(CAST(n_uniq AS DOUBLE) / n, 6) AS uniq_ratio,
+       round(CAST(n_stop AS DOUBLE) / n, 6) AS stopword_ratio,
+       round(0.5 * (CAST(n_uniq AS DOUBLE) / n)
+             + 0.3 * (1.0 - CAST(n_stop AS DOUBLE) / n)
+             + 0.2 * least(CAST(n AS DOUBLE) / 50.0, 1.0), 6) AS quality
+FROM m
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return doc_fingerprint(load_table(spark, sf_dir, "documents"), shingle_k=5)
+
+
+_FINGERPRINT_ORACLE = """
+WITH sh AS (
+  SELECT doc_id,
+         concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3], toks[i+4])
+             AS shingle
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 3)) AS i
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
+)
+SELECT doc_id, min(md5(shingle)) AS fingerprint
+FROM sh GROUP BY doc_id
+"""
+
+
+QUERIES = {
+    "lang_id": QueryDef(q_lang_id, _LANG_ID_ORACLE),
+    "token_stats": QueryDef(q_token_stats, _TOKEN_STATS_ORACLE),
+    "quality_score": QueryDef(q_quality_score, _QUALITY_ORACLE),
+    "doc_fingerprint": QueryDef(q_doc_fingerprint, _FINGERPRINT_ORACLE),
+}

@@ -1,0 +1,119 @@
+"""Unit tests for dedup / similarity / multimodal operators."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from chroma_rs_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from chroma_rs_spark.operators.multimodal import (
+    attach_payload,
+    decode_image_real,
+    extract_media_features,
+)
+from chroma_rs_spark.operators.similarity import cosine_topk_pairs, signbucket_ann
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "the quick brown fox jumps over the lazy dog today"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy cat today"),  # near dup
+        (4, "completely different words about spark query engines here now"),
+    ]
+    return spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+
+def test_exact_dedup(docs):
+    res = {r["doc_id"]: r for r in exact_dedup(docs).collect()}
+    assert res[1]["n_copies"] == 2 and res[2]["n_copies"] == 2
+    assert res[1]["keep"] is True and res[2]["keep"] is False
+    assert res[3]["n_copies"] == 1 and res[3]["keep"] is True
+
+
+def test_minhash_identical_docs_full_agreement(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in minhash_lsh_pairs(docs).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    # near-dup shares most shingles -> high but < 1
+    assert 0.2 < pairs[(1, 3)] < 1.0
+    assert (1, 4) not in pairs  # disjoint shingles never collide
+
+
+def test_minhash_multirow_bands(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in minhash_lsh_pairs(docs, num_hashes=16, bands=4).collect()
+    }
+    # 4-row bands: exact dup still collides on every band
+    assert pairs[(1, 2)] == 1.0
+
+
+def test_simhash_identical_and_distinct(docs):
+    res = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert res[1] == res[2]
+    assert res[1] != res[4]
+    assert all(0 <= v < 2**32 for v in res.values())
+
+
+def test_ngram_jaccard(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, top_n=None).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    # 10 tokens -> 8 3-shingles; docs 1/3 differ in token 9 ('dog'/'cat'),
+    # which appears in 2 shingles each side: inter=6, union=10
+    assert pairs[(1, 3)] == 0.6
+
+
+def test_cosine_topk_pairs(spark):
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [2.0, 0.0]),   # same direction as 1
+        (3, [0.0, 1.0]),
+        (4, [1.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    top = cosine_topk_pairs(df, top_n=2).collect()
+    assert (top[0]["id_a"], top[0]["id_b"], top[0]["cosine_sim"]) == (1, 2, 1.0)
+
+
+def test_signbucket_ann_excludes_self_and_respects_bucket(spark):
+    rows = [
+        (0, [1.0, 1.0, 1.0, 1.0]),
+        (1, [0.5, 0.5, 0.5, 0.5]),   # same bucket as 0
+        (2, [-1.0, 1.0, 1.0, 1.0]),  # different bucket
+    ]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    probes = df.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_embedding"),
+    )
+    res = signbucket_ann(df, probes, k=5, n_planes=4).collect()
+    assert [r["neighbor_id"] for r in res] == [1]
+    assert res[0]["distance"] == 0.0  # same direction
+
+
+def test_multimodal_features_roundtrip(docs):
+    feats = {
+        r["doc_id"]: r
+        for r in extract_media_features(attach_payload(docs)).collect()
+    }
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for d, t in texts.items():
+        n = len(t.encode())
+        assert feats[d]["byte_len"] == n
+        assert feats[d]["width"] == n % 640
+        assert feats[d]["n_frames"] == n % 30 + 1
+
+
+def test_decode_image_real_is_explicit_stub():
+    with pytest.raises(NotImplementedError):
+        decode_image_real(b"\x89PNG...")

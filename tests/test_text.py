@@ -1,0 +1,54 @@
+"""Unit tests for text-analysis operators."""
+
+import pytest
+
+from chroma_rs_spark.operators.text import (
+    doc_fingerprint,
+    lang_id,
+    quality_score,
+    token_stats,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the cat sat of the mat and the dog too yes"),
+        (2, "der hund und die katze und das haus der garten"),
+        (3, "abc abc abc abc abc abc"),
+    ]
+    return spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+
+def test_lang_id(docs):
+    res = {r["doc_id"]: r for r in lang_id(docs).collect()}
+    assert res[1]["predicted_lang"] == "en"
+    assert res[2]["predicted_lang"] == "de"
+    # no stopwords at all -> all scores 0 -> deterministic tie-break: en
+    assert res[3]["predicted_lang"] == "en" and res[3]["lang_score"] == 0
+
+
+def test_token_stats(docs):
+    res = {r["doc_id"]: r for r in token_stats(docs).collect()}
+    assert res[3]["n_tokens_ws"] == 6
+    assert res[3]["n_tokens_re"] == 6
+    assert res[3]["n_chars"] == 23
+    assert res[3]["avg_token_len"] == 3.0
+
+
+def test_quality_score(docs):
+    res = {r["doc_id"]: r for r in quality_score(docs).collect()}
+    # doc 3: 6 tokens, 1 unique, 0 stopwords
+    assert res[3]["uniq_ratio"] == round(1 / 6, 6)
+    assert res[3]["stopword_ratio"] == 0.0
+    expected = round(0.5 * (1 / 6) + 0.3 * 1.0 + 0.2 * (6 / 50), 6)
+    assert res[3]["quality"] == expected
+    # repetitive doc scores below the varied one
+    assert res[3]["quality"] < res[2]["quality"]
+
+
+def test_doc_fingerprint_deterministic(docs):
+    a = {r["doc_id"]: r["fingerprint"] for r in doc_fingerprint(docs).collect()}
+    b = {r["doc_id"]: r["fingerprint"] for r in doc_fingerprint(docs).collect()}
+    assert a == b
+    assert len(set(a.values())) == 3  # distinct docs -> distinct fingerprints
