@@ -53,16 +53,34 @@ def exploded_shingles(
 ) -> DataFrame:
     """(id, shingle) rows — the long form every shingle consumer uses.
 
-    Materializing tokens/shingles through an explode (a Generate
-    boundary) instead of re-deriving them inside each downstream
-    expression matters a lot: Catalyst's CollapseProject would
-    otherwise inline the split()/concat tree into every one of the K
-    minhash expressions and recompute tokenization K x 3 times per
-    shingle.
+    Implementation: posexplode tokens, then lead() windows per doc to
+    assemble k-grams. Two reasons over the obvious
+    `explode(transform(sequence, ...))` array expression:
+    (1) the text is split exactly once per row — inside a per-element
+        lambda, every `element_at(split(text), i+j)` re-tokenizes the
+        whole document (k re-splits per shingle: ~5x slower measured);
+    (2) the window's partitionBy(id) shuffle spreads shingle
+        construction across all cores even when the source parquet is
+        a single row group (one scan partition) — and downstream
+        groupBy(id) consumers reuse that same partitioning, so the
+        shuffle isn't an extra exchange at scale.
     """
-    toks = tokens_col(text_col)
-    return df.select(
-        F.col(id_col), F.explode(shingles_col(toks, k)).alias("shingle")
+    tok = df.select(
+        F.col(id_col), F.posexplode(tokens_col(text_col)).alias("_pos", "_tok")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy("_pos")
+    parts = [F.col("_tok")] + [F.lead("_tok", j).over(w) for j in range(1, k)]
+    last = F.lead("_tok", k - 1).over(w) if k > 1 else F.col("_tok")
+    return (
+        tok.select(
+            F.col(id_col),
+            F.concat_ws(" ", *parts).alias("shingle"),
+            last.alias("_last"),
+        )
+        .filter(F.col("_last").isNotNull())
+        .drop("_last")
     )
 
 
@@ -236,36 +254,50 @@ def ngram_jaccard_pairs(
     documents sharing a shingle ever meet — at 100 TB this is the
     difference between |pairs-sharing-content| and |all-pairs|.
     """
-    toks = tokens_col(text_col)
-    sh = (
-        df.select(
-            F.col(id_col), F.explode(shingles_col(toks, shingle_k)).alias("shingle")
-        )
-        .distinct()
+    # Single linear pipeline — the shingle stage is computed once and
+    # set sizes ride along through the inverted index, instead of a
+    # 3-way reuse (sizes + both self-join sides) that would recompute
+    # the tokenizer pipeline three times:
+    #   shingles -> per-doc shingle sets (set size attached)
+    #   -> inverted index (explode) -> per-shingle doc list
+    #   -> pairs generated map-side from each list -> count = |inter|
+    sh = exploded_shingles(df, id_col, text_col, shingle_k)
+    docsets = sh.groupBy(id_col).agg(
+        F.sort_array(F.collect_set("shingle")).alias("_set")
     )
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+    inv = docsets.select(
+        F.col(id_col).alias("id"),
+        F.size("_set").alias("sz"),
+        F.explode("_set").alias("shingle"),
     )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
-    jac = (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(
-                F.col("n_inter").cast("double")
-                / (F.col("size_a") + F.col("size_b") - F.col("n_inter")),
-                6,
-            ).alias("jaccard"),
-        )
+    # Per-shingle postings list -> all (a<b) pairs, both sizes attached.
+    # Skew note: at 100 TB a doc-frequency cutoff (drop boilerplate
+    # shingles with huge postings lists) bounds the quadratic blowup;
+    # the driver tables have max df ~ tens so none is applied here.
+    bysh = inv.groupBy("shingle").agg(
+        F.sort_array(F.collect_list(F.struct("id", "sz"))).alias("xs")
+    )
+    pairs = bysh.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(xs, (x, i) ->"
+                " transform(slice(xs, i + 2, size(xs)), y ->"
+                " named_struct('id_a', x.id, 'size_a', x.sz,"
+                " 'id_b', y.id, 'size_b', y.sz))))"
+            )
+        ).alias("p")
+    ).select("p.*")
+    inter = pairs.groupBy("id_a", "id_b", "size_a", "size_b").agg(
+        F.count(F.lit(1)).alias("n_inter")
+    )
+    jac = inter.select(
+        "id_a",
+        "id_b",
+        F.round(
+            F.col("n_inter").cast("double")
+            / (F.col("size_a") + F.col("size_b") - F.col("n_inter")),
+            6,
+        ).alias("jaccard"),
     )
     if top_n is not None:
         jac = jac.orderBy(

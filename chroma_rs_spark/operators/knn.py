@@ -75,6 +75,14 @@ def knn_exact(
         F.col(query_id).alias("__qid"), F.col(query_emb).alias("__qemb")
     )
     it = items.select(F.col(item_id).alias("__iid"), F.col(item_emb).alias("__iemb"))
+    # Distance evaluation is CPU-bound; if the scan yields fewer
+    # partitions than cores (e.g. a single parquet row group), fan out
+    # first so the cross product is computed in parallel. On a real
+    # cluster scans are already wide and this is a no-op.
+    spark = items.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if it.rdd.getNumPartitions() < target:
+        it = it.repartition(target)
     # Query sets are tiny relative to the collection: broadcast so the
     # cross product is computed map-side with zero pre-join shuffle.
     joined = it.crossJoin(F.broadcast(q))
@@ -162,9 +170,12 @@ def knn_exact_local_topk(
                 )
             yield pd.concat(rows, ignore_index=True)
 
-    candidates = items.select(item_id, item_emb).mapInPandas(
-        local_topk, schema=out_schema
-    )
+    src = items.select(item_id, item_emb)
+    spark = items.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < target:
+        src = src.repartition(target)
+    candidates = src.mapInPandas(local_topk, schema=out_schema)
     w = Window.partitionBy(query_id).orderBy(
         F.col("distance").asc(), F.col(item_id).asc()
     )

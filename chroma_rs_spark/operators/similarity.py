@@ -51,6 +51,71 @@ def cosine_topk_pairs(
     )
 
 
+def cosine_topk_pairs_blocked(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    top_n: int = 20,
+) -> DataFrame:
+    """Exact top-N most-similar pairs via blocked matrix products.
+
+    Each Arrow batch multiplies its block of rows against the full
+    (broadcast) matrix with one numpy matmul and keeps only its local
+    top-N upper-triangle pairs, so the final global top-N sorts
+    |partitions| x top_n candidates instead of n^2/2 pairs. Same
+    result contract as `cosine_topk_pairs` (round-6 sims, id
+    tie-breaks). Good to ~1M vectors (reference matrix is broadcast);
+    beyond that, bucket first (signbucket_ann) or tile both sides.
+    """
+    import numpy as np
+    import pandas as pd
+
+    ref = df.select(id_col, emb_col).orderBy(id_col).collect()
+    ref_ids = np.array([r[0] for r in ref], dtype=np.int64)
+    ref_mat = np.asarray([r[1] for r in ref], dtype=np.float64)
+    ref_norm = np.linalg.norm(ref_mat, axis=1)
+
+    def block_topk(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy()
+            mat = np.stack(pdf[emb_col].to_numpy()).astype(np.float64)
+            sims = (mat @ ref_mat.T) / (
+                np.linalg.norm(mat, axis=1)[:, None] * ref_norm[None, :]
+            )
+            sims = np.round(sims, 6)
+            # upper triangle only: id_a < id_b
+            mask = ids[:, None] < ref_ids[None, :]
+            ia, ib = np.nonzero(mask)
+            if ia.size == 0:
+                continue
+            s = sims[ia, ib]
+            keep = min(top_n, s.size)
+            # threshold-select including ALL ties at the cutoff value, so
+            # the global id-tiebreak never loses a candidate a local
+            # block dropped arbitrarily
+            kth = np.partition(-s, keep - 1)[keep - 1]
+            sel = np.nonzero(s >= -kth)[0]
+            yield pd.DataFrame(
+                {
+                    "id_a": ids[ia[sel]],
+                    "id_b": ref_ids[ib[sel]],
+                    "cosine_sim": s[sel],
+                }
+            )
+
+    spark = df.sparkSession
+    # spread the row blocks across cores even if the scan is one row group
+    src = df.select(id_col, emb_col).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    cand = src.mapInPandas(
+        block_topk, schema="id_a long, id_b long, cosine_sim double"
+    )
+    return cand.orderBy(F.col("cosine_sim").desc(), "id_a", "id_b").limit(top_n)
+
+
 def sign_bucket(emb_col, n_planes: int = 8):
     """Bucket key: sign pattern of the first `n_planes` dimensions."""
     return F.concat(

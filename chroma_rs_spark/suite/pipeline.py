@@ -19,7 +19,10 @@ from chroma_rs_spark.operators.dedup import (
     simhash,
 )
 from chroma_rs_spark.operators.multimodal import attach_payload, extract_media_features
-from chroma_rs_spark.operators.similarity import cosine_topk_pairs, signbucket_ann
+from chroma_rs_spark.operators.similarity import (
+    cosine_topk_pairs_blocked,
+    signbucket_ann,
+)
 from chroma_rs_spark.sources.tables import load_table
 from chroma_rs_spark.suite import QueryDef
 
@@ -137,7 +140,7 @@ LIMIT 20
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return cosine_topk_pairs(emb, top_n=20)
+    return cosine_topk_pairs_blocked(emb, top_n=20)
 
 
 _EMBEDDING_NEAR_DUP_ORACLE = """

@@ -1,3 +1,89 @@
-"""Placeholder — filled in incrementally."""
+"""Streaming suite (SURVEY.md §2.3 [EXT]): the batch twins of the
+event-time operators, DuckDB-oracle-checked (SURVEY.md §7 hard-part
+(d): the *batch equivalents* of the windows are SQL-expressible;
+stream-mode execution of the same functions is covered by
+tests/test_streaming.py with rows-only equivalence to batch)."""
 
-QUERIES: dict = {}
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from chroma_rs_spark.sources.tables import load_table
+from chroma_rs_spark.streaming.events import (
+    session_window_agg,
+    sliding_window_counts,
+    tumbling_window_counts,
+)
+from chroma_rs_spark.suite import QueryDef
+
+
+def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tumbling_window_counts(load_table(spark, sf_dir, "events"))
+
+
+_TUMBLING_ORACLE = """
+SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+       event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sliding_window_counts(load_table(spark, sf_dir, "events"))
+
+
+# each event belongs to exactly two 10m/5m windows: the 5m bucket it
+# falls in and the one 5 minutes earlier
+_SLIDING_ORACLE = """
+WITH starts AS (
+  SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start FROM events
+  UNION ALL
+  SELECT time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes' FROM events
+)
+SELECT window_start, count(*) AS n_events
+FROM starts GROUP BY window_start
+"""
+
+
+def q_events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return session_window_agg(load_table(spark, sf_dir, "events"))
+
+
+# gaps-and-islands twin of Spark's session_window: a new session
+# starts when the gap to the previous event is >= 30min (half-open
+# windows); session end = last event + 30min
+_SESSION_WINDOW_ORACLE = """
+WITH gaps AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS session_id
+  FROM gaps
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL '30 minutes' AS session_end,
+       count(*) AS n_events
+FROM sessions
+GROUP BY user_id, session_id
+"""
+
+
+QUERIES = {
+    "events_tumbling": QueryDef(q_events_tumbling, _TUMBLING_ORACLE),
+    "events_sliding": QueryDef(q_events_sliding, _SLIDING_ORACLE),
+    "events_session_windows": QueryDef(
+        q_events_session_windows, _SESSION_WINDOW_ORACLE
+    ),
+}

@@ -1,0 +1,63 @@
+"""Streaming-mode tests: the same window functions over readStream
+must produce the batch answers once the stream is drained."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from chroma_rs_spark.sources.tables import load_table
+from chroma_rs_spark.streaming.events import (
+    read_events_stream,
+    session_window_agg,
+    tumbling_window_counts,
+)
+from tests.conftest import SF001_DIR
+
+
+def drain_to_memory(stream_df, name: str, mode: str = "complete"):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_stream_tumbling_matches_batch(spark):
+    batch = tumbling_window_counts(load_table(spark, SF001_DIR, "events"))
+    expected = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in batch.collect()
+    }
+    stream = tumbling_window_counts(read_events_stream(spark, SF001_DIR))
+    assert stream.isStreaming
+    drain_to_memory(stream, "tumbling_t")
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in spark.sql("SELECT * FROM tumbling_t").collect()
+    }
+    assert got == expected
+
+
+def test_stream_session_windows_matches_batch(spark):
+    batch = session_window_agg(load_table(spark, SF001_DIR, "events"))
+    expected = sorted(
+        (r["user_id"], r["session_start"], r["n_events"]) for r in batch.collect()
+    )
+    stream = session_window_agg(read_events_stream(spark, SF001_DIR))
+    drain_to_memory(stream, "sessions_t")
+    got = sorted(
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in spark.sql("SELECT * FROM sessions_t").collect()
+    )
+    assert got == expected
+
+
+def test_watermark_applied_on_stream_only(spark):
+    stream = read_events_stream(spark, SF001_DIR)
+    wm = tumbling_window_counts(stream, watermark="1 hour")
+    assert "EventTimeWatermark" in wm._jdf.queryExecution().analyzed().toString()
+    batch = tumbling_window_counts(load_table(spark, SF001_DIR, "events"))
+    assert "EventTimeWatermark" not in batch._jdf.queryExecution().analyzed().toString()
