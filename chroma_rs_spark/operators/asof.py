@@ -1,0 +1,99 @@
+"""As-of (most-recent-match) join — a temporal operator Spark lacks
+as a built-in (SURVEY.md §2.3 [EXT]; the "custom operator as a
+composition of existing DataFrame ops" case).
+
+Semantics (pandas `merge_asof` / kdb `aj` / DuckDB `ASOF JOIN`): for
+each left row, attach the single right row with the greatest
+`right_ts <= left_ts` among rows sharing the join keys — optionally
+bounded by a tolerance. Left rows with no qualifying match keep nulls
+(left-outer flavor).
+
+Physical strategy — union + running last, NOT a range join:
+
+    union(tagged left, tagged right)
+      -> window partitionBy(keys) orderBy(ts, side)
+      -> last(right_payload, ignorenulls) over rows unbounded..current
+      -> filter side == left
+
+One shuffle on the join keys, each row carried exactly once, state per
+window is a single struct. The naive alternative — equi-join on keys
+plus `r.ts <= l.ts` then a max-per-left-row — materializes every
+(left, earlier-right) pairing first: quadratic per key, unusable at
+100 TB. The union trick is how as-of joins are done on MPP engines;
+at 1000 executors it is one partitioned sort, the same cost class as
+any windowed aggregate.
+
+Determinism: right rows tie-breaking on equal (keys, ts) is resolved
+by the full right payload struct ordering (last = greatest payload);
+callers wanting a specific winner should pre-aggregate the right side
+to one row per (keys, ts).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str] | str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    tolerance: Column | None = None,
+) -> DataFrame:
+    """Left as-of join: every left row + payload of the most recent
+    right row (right_ts <= left_ts) per join key.
+
+    Right payload columns (everything except keys and `right_ts`) are
+    appended to the left schema, plus `right_ts` itself. `tolerance`
+    (a Column interval, e.g. ``F.expr("INTERVAL 10 MINUTES")``) nulls
+    out matches older than ``left_ts - tolerance``.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    payload_cols = [c for c in right.columns if c not in keys and c != right_ts]
+    if right_ts in left.columns and right_ts != left_ts:
+        raise ValueError(
+            f"right_ts {right_ts!r} collides with a left column; alias it first"
+        )
+
+    rv = F.struct(
+        F.col(right_ts).alias("__rts"), *[F.col(c) for c in payload_cols]
+    )
+    r_tagged = right.select(
+        *keys, F.col(right_ts).alias("__ts"), F.lit(0).alias("__side"), rv.alias("__rv")
+    )
+    l_tagged = left.select(
+        "*", F.col(left_ts).alias("__ts"), F.lit(1).alias("__side")
+    )
+    u = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
+
+    # side orders right-before-left on ts ties so `<=` is inclusive;
+    # __rv last in the ordering makes equal-ts right rows deterministic
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc(), F.col("__rv").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        u.withColumn("__m", F.last("__rv", ignorenulls=True).over(w))
+        .filter(F.col("__side") == 1)
+    )
+    if tolerance is not None:
+        matched = matched.withColumn(
+            "__m",
+            F.when(
+                F.col("__m.__rts") >= F.col(left_ts) - tolerance, F.col("__m")
+            ),
+        )
+    renames = {right_ts: "__rts"}
+    return matched.select(
+        *left.columns,
+        *[
+            F.col(f"__m.{renames.get(c, c)}").alias(c)
+            for c in ([right_ts] if right_ts not in left.columns else []) + payload_cols
+        ],
+    )

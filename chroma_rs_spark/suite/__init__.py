@@ -25,12 +25,13 @@ def all_queries() -> dict[str, QueryDef]:
         pipeline,
         relational,
         streaming,
+        temporal,
         text,
         vector,
     )
 
     merged: dict[str, QueryDef] = {}
-    for mod in (vector, relational, pipeline, text, streaming):
+    for mod in (vector, relational, pipeline, text, streaming, temporal):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {sorted(overlap)}")

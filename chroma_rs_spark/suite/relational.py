@@ -600,6 +600,188 @@ GROUP BY r_name
 """
 
 
+# -- grouping sets ------------------------------------------------------
+
+
+def q_orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS ((status, priority), (status), ()) — finer control
+    than rollup/cube; grouped-out dims carry an '(all)' sentinel so the
+    output is null-free for the hash gate."""
+    orders = load_table(spark, sf_dir, "orders")
+    gs = orders.groupingSets(
+        [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("total_price"),
+    )
+    return gs.select(
+        F.coalesce("o_orderstatus", F.lit("(all)")).alias("o_orderstatus"),
+        F.coalesce("o_orderpriority", F.lit("(all)")).alias("o_orderpriority"),
+        "n_orders",
+        "total_price",
+    )
+
+
+_ORDERS_GROUPING_SETS_ORACLE = """
+SELECT coalesce(o_orderstatus, '(all)') AS o_orderstatus,
+       coalesce(o_orderpriority, '(all)') AS o_orderpriority,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+"""
+
+
+# -- pivot --------------------------------------------------------------
+
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_user_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type counts as columns (pivot with an explicit
+    value list — at scale an implicit list would force a distinct scan)."""
+    ev = load_table(spark, sf_dir, "events")
+    pv = (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    return pv.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+            for t in EVENT_TYPES
+        ],
+    )
+
+
+_USER_EVENT_PIVOT_ORACLE = """
+SELECT user_id,
+       count(*) FILTER (WHERE event_type = 'click') AS n_click,
+       count(*) FILTER (WHERE event_type = 'error') AS n_error,
+       count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+       count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+       count(*) FILTER (WHERE event_type = 'view') AS n_view
+FROM events
+GROUP BY user_id
+"""
+
+
+# -- statistical aggregates --------------------------------------------
+
+
+def q_lineitem_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """corr / covariance / stddev per return flag, computed from EXACT
+    decimal sums via the closed forms — not the built-in floating
+    accumulators, whose partition-order-dependent rounding would break
+    cross-engine hashing. Both engines cast the same exact sums to
+    double and evaluate the same IEEE expression, so results match
+    bit-for-bit while staying one-pass/map-side-combinable at scale.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    x, y = _dec("l_quantity", "12,2"), _dec("l_extendedprice", "12,2")
+    g = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("_sx"),
+        F.sum(y).alias("_sy"),
+        F.sum(x * y).alias("_sxy"),
+        F.sum(x * x).alias("_sxx"),
+        F.sum(y * y).alias("_syy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("_sx").cast("double"), F.col("_sy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    sxx, syy = F.col("_sxx").cast("double"), F.col("_syy").cast("double")
+    return g.select(
+        "l_returnflag",
+        "n",
+        F.round((n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6).alias("corr_qty_price"),
+        F.round((n * sxy - sx * sy) / (n * (n - F.lit(1.0))), 6).alias("covar_qty_price"),
+        F.round(F.sqrt((n * syy - sy * sy) / (n * (n - F.lit(1.0)))), 6).alias("stddev_price"),
+        F.round(sx / n, 6).alias("avg_qty"),
+    )
+
+
+_LINEITEM_STATS_ORACLE = """
+WITH sums AS (
+  SELECT l_returnflag,
+         count(*) AS n,
+         CAST(count(*) AS DOUBLE) AS nd,
+         CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(l_quantity AS DECIMAL(12,2))
+                  * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy,
+         CAST(sum(CAST(l_quantity AS DECIMAL(12,2))
+                  * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                  * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       round((nd * sxy - sx * sy) / sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy)), 6)
+           AS corr_qty_price,
+       round((nd * sxy - sx * sy) / (nd * (nd - 1.0)), 6) AS covar_qty_price,
+       round(sqrt((nd * syy - sy * sy) / (nd * (nd - 1.0))), 6) AS stddev_price,
+       round(sx / nd, 6) AS avg_qty
+FROM sums
+"""
+
+
+# -- percentiles --------------------------------------------------------
+
+
+def q_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles of order totals per
+    status (`percentile` ≡ DuckDB `quantile_cont`). Exact percentiles
+    need the sorted multiset (a shuffle on the group key); at 100 TB
+    the approx_percentile sketch (t-digest, map-side mergeable) is the
+    drop-in scale path."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.25)"), 4).alias("p25"),
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.75)"), 4).alias("p75"),
+        F.round(F.expr("percentile(o_totalprice, 0.95)"), 4).alias("p95"),
+    )
+
+
+_PRICE_PERCENTILES_ORACLE = """
+SELECT o_orderstatus,
+       round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+       round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+       round(quantile_cont(o_totalprice, 0.95), 4) AS p95
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+# -- set op: union ------------------------------------------------------
+
+
+def q_priority_or_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) of two order subsets — the set-op family's
+    third member alongside intersect/except above."""
+    orders = load_table(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey", "o_custkey"
+    )
+    big = orders.filter(F.col("o_totalprice") > 400000.0).select(
+        "o_orderkey", "o_custkey"
+    )
+    return urgent.union(big).distinct()
+
+
+_PRIORITY_OR_BIG_ORACLE = """
+SELECT o_orderkey, o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+UNION
+SELECT o_orderkey, o_custkey FROM orders WHERE o_totalprice > 400000.0
+"""
+
+
 QUERIES = {
     "pricing_summary": QueryDef(q_pricing_summary, _PRICING_ORACLE),
     "shipping_priority": QueryDef(q_shipping_priority, _SHIPPING_ORACLE),
@@ -631,4 +813,13 @@ QUERIES = {
     "approx_distinct_parts": QueryDef(q_approx_distinct_parts, None),
     "events_json_stats": QueryDef(q_events_json_stats, _EVENTS_JSON_ORACLE),
     "customers_per_region": QueryDef(q_customers_per_region, _CUSTOMERS_PER_REGION_ORACLE),
+    "orders_grouping_sets": QueryDef(
+        q_orders_grouping_sets, _ORDERS_GROUPING_SETS_ORACLE
+    ),
+    "user_event_pivot": QueryDef(q_user_event_pivot, _USER_EVENT_PIVOT_ORACLE),
+    "lineitem_stats": QueryDef(q_lineitem_stats, _LINEITEM_STATS_ORACLE),
+    "price_percentiles": QueryDef(q_price_percentiles, _PRICE_PERCENTILES_ORACLE),
+    "priority_or_big_orders": QueryDef(
+        q_priority_or_big_orders, _PRIORITY_OR_BIG_ORACLE
+    ),
 }

@@ -63,7 +63,9 @@ def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> lis
                     f"{np.nanmax(np.abs(a - b)):.3e}"
                 )
         else:
-            eq = sv.to_numpy() == np.asarray(ov)
+            eq = (sv.to_numpy() == np.asarray(ov)) | (
+                pd.isna(sv).to_numpy() & pd.isna(o[c]).to_numpy()
+            )
             if not np.asarray(eq).all():
                 bad = int((~np.asarray(eq)).sum())
                 i = int(np.argmax(~np.asarray(eq)))
