@@ -20,7 +20,11 @@ from chroma_rs_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash,
 )
-from chroma_rs_spark.operators.multimodal import attach_payload, extract_media_features
+from chroma_rs_spark.operators.multimodal import (
+    attach_payload,
+    extract_media_features,
+    sample_frames,
+)
 from chroma_rs_spark.operators.similarity import (
     cosine_topk_pairs_blocked,
     signbucket_ann,
@@ -232,6 +236,35 @@ FROM documents
 """
 
 
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_frames(attach_payload(docs), frame_bytes=16, every_n=2)
+
+
+# frames are md5s over UPPERCASE HEX of the byte slices: DuckDB has no
+# blob substring/md5, but hex(payload) slices char-wise at 2 chars per
+# byte — both engines hash the identical string
+_FRAME_SAMPLE_ORACLE = """
+WITH base AS (
+  SELECT doc_id,
+         hex(encode(text)) AS h,
+         octet_length(encode(text)) % 30 + 1 AS n_frames
+  FROM documents
+),
+frames AS (
+  SELECT doc_id, h,
+         unnest(generate_series(0, CAST(n_frames - 1 AS BIGINT), 2)) AS i
+  FROM base
+)
+SELECT doc_id,
+       i AS frame_idx,
+       CAST(length(substr(h, CAST(i * 32 + 1 AS BIGINT), 32)) // 2 AS BIGINT)
+           AS frame_len,
+       md5(substr(h, CAST(i * 32 + 1 AS BIGINT), 32)) AS frame_md5
+FROM frames
+"""
+
+
 QUERIES = {
     "dedup_exact": QueryDef(q_dedup_exact, _DEDUP_EXACT_ORACLE),
     "dedup_minhash_lsh": QueryDef(q_dedup_minhash_lsh, _DEDUP_MINHASH_ORACLE),
@@ -240,4 +273,5 @@ QUERIES = {
     "embedding_near_dup": QueryDef(q_embedding_near_dup, _EMBEDDING_NEAR_DUP_ORACLE),
     "ann_signbucket": QueryDef(q_ann_signbucket, _ANN_SIGNBUCKET_ORACLE),
     "multimodal_features": QueryDef(q_multimodal_features, _MULTIMODAL_ORACLE),
+    "frame_sample": QueryDef(q_frame_sample, _FRAME_SAMPLE_ORACLE),
 }

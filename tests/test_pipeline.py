@@ -117,3 +117,39 @@ def test_multimodal_features_roundtrip(docs):
 def test_decode_image_real_is_explicit_stub():
     with pytest.raises(NotImplementedError):
         decode_image_real(b"\x89PNG...")
+
+
+def test_resize_media_normalizes_byte_len(docs):
+    from chroma_rs_spark.operators.multimodal import resize_media
+
+    out = resize_media(attach_payload(docs), target_bytes=64).collect()
+    assert len(out) == 4
+    for r in out:
+        assert r["byte_len"] == 64 and len(r["payload"]) == 64
+    # cycle-padding is deterministic: payload prefix == original text bytes
+    by_id = {r["doc_id"]: bytes(r["payload"]) for r in out}
+    assert by_id[1].startswith(b"the quick brown fox")
+    assert by_id[1] == by_id[2]  # identical docs -> identical resized payloads
+
+
+def test_sample_frames_stride_and_fingerprints(docs):
+    import hashlib
+
+    from chroma_rs_spark.operators.multimodal import sample_frames
+
+    rows = sample_frames(attach_payload(docs), frame_bytes=16, every_n=2).collect()
+    text1 = "the quick brown fox jumps over the lazy dog today"
+    b = text1.encode()
+    n_frames = len(b) % 30 + 1
+    got1 = sorted(
+        (r["frame_idx"], r["frame_len"], r["frame_md5"])
+        for r in rows
+        if r["doc_id"] == 1
+    )
+    expected1 = []
+    for i in range(0, n_frames, 2):
+        chunk = b[i * 16 : (i + 1) * 16]
+        expected1.append(
+            (i, len(chunk), hashlib.md5(chunk.hex().upper().encode()).hexdigest())
+        )
+    assert got1 == sorted(expected1)

@@ -61,3 +61,33 @@ def test_watermark_applied_on_stream_only(spark):
     assert "EventTimeWatermark" in wm._jdf.queryExecution().analyzed().toString()
     batch = tumbling_window_counts(load_table(spark, SF001_DIR, "events"))
     assert "EventTimeWatermark" not in batch._jdf.queryExecution().analyzed().toString()
+
+
+def test_stateful_running_totals_matches_batch(spark):
+    from chroma_rs_spark.streaming.stateful import running_user_totals
+
+    batch = (
+        load_table(spark, SF001_DIR, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+    )
+    expected = {r["user_id"]: (r["n_events"], r["total_value"]) for r in batch.collect()}
+
+    stream = running_user_totals(read_events_stream(spark, SF001_DIR))
+    assert stream.isStreaming
+    drain_to_memory(stream, "running_t", mode="update")
+    # update mode emits one row per (user, trigger); last row per user
+    # is the final cumulative state. Single input file -> one trigger,
+    # but don't rely on it: take max n_events per user.
+    rows = spark.sql(
+        "SELECT user_id, max_by(struct(n_events, total_value), n_events) s "
+        "FROM running_t GROUP BY user_id"
+    ).collect()
+    got = {r["user_id"]: (r["s"]["n_events"], r["s"]["total_value"]) for r in rows}
+    assert set(got) == set(expected)
+    for u, (n, tv) in expected.items():
+        assert got[u][0] == n
+        assert abs(got[u][1] - tv) < 1e-6
