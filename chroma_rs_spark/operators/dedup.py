@@ -36,53 +36,46 @@ def tokens_col(text: str | Column = "text") -> Column:
 def shingles_col(toks: Column, k: int = 3) -> Column:
     """Token k-grams as strings, order-preserving (0-based SQL arrays).
 
+    Assembled by zipping k shifted slices of the token array
+    element-wise. The formulation matters: the obvious
+    `transform(sequence(0, n-k), i -> concat(element_at(toks, i+1+j)...))`
+    re-evaluates `toks` (a `split(text)`) PER ELEMENT PER POSITION — k
+    re-tokenizations per shingle, ~5x slower measured. Slices evaluate
+    `toks` once each, so the cost is k splits per ROW, and the whole
+    expression is map-side (no shuffle — the previous window/lead
+    formulation paid a partitionBy(id) exchange for the same rows).
+
     Empty result for docs shorter than k tokens.
     """
-    idx = F.sequence(F.lit(0), F.size(toks) - k)
-    grams = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + j + 1) for j in range(k)]
-        ),
-    )
-    return F.when(F.size(toks) >= k, grams).otherwise(
-        F.array().cast("array<string>")
-    )
+    m = F.greatest(F.size(toks) - (k - 1), F.lit(0))
+    out = F.slice(toks, 1, m)
+    for j in range(1, k):
+        out = F.zip_with(
+            out, F.slice(toks, j + 1, m), lambda a, b: F.concat(a, F.lit(" "), b)
+        )
+    return out
 
 
 def exploded_shingles(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
 ) -> DataFrame:
     """(id, shingle) rows — the long form every shingle consumer uses.
+    One occurrence per shingle position (duplicates preserved), fully
+    map-side: scan -> Generate, no exchange.
 
-    Implementation: posexplode tokens, then lead() windows per doc to
-    assemble k-grams. Two reasons over the obvious
-    `explode(transform(sequence, ...))` array expression:
-    (1) the text is split exactly once per row — inside a per-element
-        lambda, every `element_at(split(text), i+j)` re-tokenizes the
-        whole document (k re-splits per shingle: ~5x slower measured);
-    (2) the window's partitionBy(id) shuffle spreads shingle
-        construction across all cores even when the source parquet is
-        a single row group (one scan partition) — and downstream
-        groupBy(id) consumers reuse that same partitioning, so the
-        shuffle isn't an extra exchange at scale.
+    Extraction is a single regex pass: a lookahead anchored at token
+    starts captures each overlapping k-gram without materializing the
+    token array (1.5x faster than the zip-of-slices array build, which
+    pays k splits + k-1 interpreted zip_with per row). Assumes
+    single-space-delimited text, same as the `split`-based tokenizer
+    and the SQL oracles.
     """
-    tok = df.select(
-        F.col(id_col), F.posexplode(tokens_col(text_col)).alias("_pos", "_tok")
-    )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy(id_col).orderBy("_pos")
-    parts = [F.col("_tok")] + [F.lead("_tok", j).over(w) for j in range(1, k)]
-    last = F.lead("_tok", k - 1).over(w) if k > 1 else F.col("_tok")
-    return (
-        tok.select(
-            F.col(id_col),
-            F.concat_ws(" ", *parts).alias("shingle"),
-            last.alias("_last"),
-        )
-        .filter(F.col("_last").isNotNull())
-        .drop("_last")
+    pat = "(?<=^| )(?=(" + " ".join([r"\S+"] * k) + "))"
+    return df.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(1))
+        ).alias("shingle"),
     )
 
 

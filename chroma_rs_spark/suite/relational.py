@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from chroma_rs_spark.plans import fan_out
 from chroma_rs_spark.sources.tables import load_table
 from chroma_rs_spark.suite import QueryDef
 
@@ -49,9 +50,21 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     cutoff = F.lit("2000-09-02").cast("timestamp")
     disc_price = _dec("l_extendedprice") * _one_minus("l_discount")
     charge = disc_price * _one_plus("l_tax")
+    # decimal aggregation is compute-heavy per byte: spread a narrow
+    # single-row-group scan across cores (no-op on wide cluster scans)
+    src = fan_out(
+        li.filter(F.col("l_shipdate") <= cutoff).select(
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+        ),
+        min_bytes=1 << 20,
+    )
     grouped = (
-        li.filter(F.col("l_shipdate") <= cutoff)
-        .groupBy("l_returnflag", "l_linestatus")
+        src.groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum(_dec("l_quantity")).alias("_sq"),
             F.sum(_dec("l_extendedprice")).alias("_sp"),
@@ -681,7 +694,12 @@ def q_lineitem_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     double and evaluate the same IEEE expression, so results match
     bit-for-bit while staying one-pass/map-side-combinable at scale.
     """
-    li = load_table(spark, sf_dir, "lineitem")
+    li = fan_out(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_returnflag", "l_quantity", "l_extendedprice"
+        ),
+        min_bytes=1 << 20,
+    )
     x, y = _dec("l_quantity", "12,2"), _dec("l_extendedprice", "12,2")
     g = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
@@ -739,7 +757,10 @@ def q_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     need the sorted multiset (a shuffle on the group key); at 100 TB
     the approx_percentile sketch (t-digest, map-side mergeable) is the
     drop-in scale path."""
-    orders = load_table(spark, sf_dir, "orders")
+    orders = fan_out(
+        load_table(spark, sf_dir, "orders").select("o_orderstatus", "o_totalprice"),
+        min_bytes=1 << 20,
+    )
     return orders.groupBy("o_orderstatus").agg(
         F.round(F.expr("percentile(o_totalprice, 0.25)"), 4).alias("p25"),
         F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
