@@ -151,8 +151,85 @@ def q_item_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.agg(F.count(F.lit(1)).alias("n"))
 
 
+IVF_CENTROIDS = 16
+IVF_PROBE = 4
+
+
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: 5 probe queries, deterministic lowest-id
+    centroids, cosine top-10 within the probed cells."""
+    from chroma_rs_spark.operators.ivf import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb,
+        k=TOP_K,
+        n_centroids=IVF_CENTROIDS,
+        n_probe=IVF_PROBE,
+        n_queries=N_PROBES,
+    )
+
+
+_COSINE_AC = (
+    "1.0 - list_dot_product(a.embedding::DOUBLE[], c.ce)"
+    " / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))"
+    " * sqrt(list_dot_product(c.ce, c.ce)))"
+)
+_COSINE_QC = (
+    "1.0 - list_dot_product(q.qe, c.ce)"
+    " / (sqrt(list_dot_product(q.qe, q.qe))"
+    " * sqrt(list_dot_product(c.ce, c.ce)))"
+)
+_COSINE_AQ = (
+    "1.0 - list_dot_product(a.embedding::DOUBLE[], p.qe)"
+    " / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))"
+    " * sqrt(list_dot_product(p.qe, p.qe)))"
+)
+
+_KNN_IVF_ORACLE = f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
+  FROM embeddings WHERE vec_id < {IVF_CENTROIDS}
+),
+assign AS (
+  SELECT vec_id, embedding, cid AS cell FROM (
+    SELECT a.vec_id, a.embedding, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                              ORDER BY ROUND(({_COSINE_AC}), 6), c.cid) AS rn
+    FROM embeddings a CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+  FROM embeddings WHERE vec_id < {N_PROBES}
+),
+probes AS (
+  SELECT query_id, qe, cid AS cell FROM (
+    SELECT q.query_id, q.qe, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+                              ORDER BY ROUND(({_COSINE_QC}), 6), c.cid) AS rn
+    FROM q CROSS JOIN cent c
+  ) WHERE rn <= {IVF_PROBE}
+),
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         ROUND(({_COSINE_AQ}), 6) AS distance
+  FROM probes p JOIN assign a ON a.cell = p.cell
+),
+ranked AS (
+  SELECT query_id, neighbor_id, distance,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY distance, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id, distance
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
 QUERIES = {
     "knn_cosine": QueryDef(q_knn_cosine, _knn_oracle(_COSINE_EXPR)),
+    "knn_ivf": QueryDef(q_knn_ivf, _KNN_IVF_ORACLE),
     "knn_l2": QueryDef(q_knn_l2, _knn_oracle(_L2_EXPR)),
     "knn_ip": QueryDef(q_knn_ip, _knn_oracle(_IP_EXPR)),
     "knn_cosine_scale": QueryDef(q_knn_cosine_scale, _knn_oracle(_COSINE_EXPR)),
