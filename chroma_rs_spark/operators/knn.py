@@ -47,9 +47,9 @@ METRICS = ("cosine", "l2", "ip")
 DIST_DECIMALS = 6  # rounding for deterministic cross-engine ranking
 
 
-def _distance_col(metric: str, item_emb, query_emb):
+def _distance_col(metric: str, item_emb, query_emb, item_norm=None):
     if metric == "cosine":
-        return cosine_distance(item_emb, query_emb)
+        return cosine_distance(item_emb, query_emb, a_norm=item_norm)
     if metric == "l2":
         return l2_distance(item_emb, query_emb)
     if metric == "ip":
@@ -66,25 +66,36 @@ def knn_exact(
     item_emb: str = "embedding",
     query_id: str = "query_id",
     query_emb: str = "query_embedding",
+    item_norm: str | None = None,
 ) -> DataFrame:
     """Exact top-k per query via broadcast cross join + window.
 
     Returns (query_id, rank, item_id, distance) with distance rounded
-    to DIST_DECIMALS.
+    to DIST_DECIMALS. For cosine, pass `item_norm` (a stored column
+    from `with_norm` — the add-time index build) to skip recomputing
+    each item's norm once per query vector; the stored value is the
+    same double `l2_norm` yields, so results are bit-identical.
     """
     q = queries.select(
         F.col(query_id).alias("__qid"), F.col(query_emb).alias("__qemb")
     )
+    item_cols = [F.col(item_id).alias("__iid"), F.col(item_emb).alias("__iemb")]
+    if item_norm is not None:
+        item_cols.append(F.col(item_norm).alias("__inorm"))
     # Distance evaluation is CPU-bound: fan a big-but-narrow scan out to
     # all cores first (no-op for tiny inputs and on wide cluster scans).
-    it = fan_out(
-        items.select(F.col(item_id).alias("__iid"), F.col(item_emb).alias("__iemb"))
-    )
+    it = fan_out(items.select(*item_cols))
     # Query sets are tiny relative to the collection: broadcast so the
     # cross product is computed map-side with zero pre-join shuffle.
     joined = it.crossJoin(F.broadcast(q))
     dist = F.round(
-        _distance_col(metric, F.col("__iemb"), F.col("__qemb")), DIST_DECIMALS
+        _distance_col(
+            metric,
+            F.col("__iemb"),
+            F.col("__qemb"),
+            F.col("__inorm") if item_norm is not None else None,
+        ),
+        DIST_DECIMALS,
     )
     scored = joined.select(
         F.col("__qid").alias(query_id),

@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from chroma_rs_spark.filters import column_resolver, compile_where, compile_where_document
 from chroma_rs_spark.functions.vector import l2_norm
-from chroma_rs_spark.operators.knn import knn_exact, knn_exact_local_topk
+from chroma_rs_spark.operators.knn import knn_exact, knn_exact_local_topk, with_norm
 from chroma_rs_spark.sources.tables import load_table
 from chroma_rs_spark.suite import QueryDef
 
@@ -33,8 +33,19 @@ def _probe_queries(emb: DataFrame) -> DataFrame:
 
 def _knn(spark: SparkSession, sf_dir: str, metric: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
+    norm_col = None
+    if metric == "cosine":
+        # use the add-time norm "index": same doubles, one norm per item
+        # instead of one per (item, query) pair
+        emb = with_norm(emb)
+        norm_col = "embedding_norm"
     res = knn_exact(
-        emb, _probe_queries(emb), k=TOP_K, metric=metric, item_id="vec_id"
+        emb,
+        _probe_queries(emb),
+        k=TOP_K,
+        metric=metric,
+        item_id="vec_id",
+        item_norm=norm_col,
     )
     return res.select(
         F.col("query_id").cast("long").alias("query_id"),

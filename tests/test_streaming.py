@@ -91,3 +91,47 @@ def test_stateful_running_totals_matches_batch(spark):
     for u, (n, tv) in expected.items():
         assert got[u][0] == n
         assert abs(got[u][1] - tv) < 1e-6
+
+
+def test_stream_add_ingests_and_dedups(spark, engine, tmp_path):
+    import pyspark.sql.functions as SF
+
+    from chroma_rs_spark.streaming.ingest import stream_add
+
+    src = tmp_path / "items_src"
+    src.mkdir()
+    df1 = spark.createDataFrame(
+        [("a", [1.0, 0.0], "doc a"), ("b", [0.0, 1.0], "doc b")],
+        "id STRING, embedding ARRAY<FLOAT>, document STRING",
+    )
+    df2 = spark.createDataFrame(
+        [("b", [0.0, 1.0], "doc b"), ("c", [1.0, 1.0], "doc c")],  # b repeats
+        "id STRING, embedding ARRAY<FLOAT>, document STRING",
+    )
+    # the file stream source lists flat files: extract the single part
+    # file from each batch write into the watched directory
+    import glob
+    import shutil
+
+    for i, df in enumerate((df1, df2)):
+        staging = tmp_path / f"staging{i}"
+        df.coalesce(1).write.parquet(str(staging))
+        part, = glob.glob(str(staging / "part-*.parquet"))
+        shutil.copy(part, str(src / f"f{i}.parquet"))
+
+    coll = engine.create_collection("streamed")
+    stream = (
+        spark.readStream.schema("id STRING, embedding ARRAY<FLOAT>, document STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = stream_add(engine, coll, stream, checkpoint_dir=str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    assert coll.count() == 3  # b ingested once despite appearing twice
+    got = {r["id"]: r["document"] for r in coll.get().collect()}
+    assert got == {"a": "doc a", "b": "doc b", "c": "doc c"}
+
+    # replay with a fresh checkpoint: anti-join makes it a no-op
+    q2 = stream_add(engine, coll, stream, checkpoint_dir=str(tmp_path / "ckpt2"))
+    q2.awaitTermination(120)
+    assert coll.count() == 3
