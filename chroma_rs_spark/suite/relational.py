@@ -613,6 +613,62 @@ GROUP BY r_name
 """
 
 
+# -- extended window functions -----------------------------------------
+
+
+def q_customer_spend_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The window-function long tail over each customer's order
+    history: ntile quartiles, percent_rank/cume_dist, first/last value
+    frames, and lead/lag deltas — one pass, one shuffle on o_custkey."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_all = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    price = _dec("o_totalprice")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.first(price).over(w_all).cast("double").alias("first_price"),
+        F.last(price).over(w_all).cast("double").alias("last_price"),
+        (price - F.lag(price).over(w)).cast("double").alias("delta_prev"),
+        (F.lead(price).over(w) - price).cast("double").alias("delta_next"),
+    ).select(
+        "o_custkey",
+        "o_orderkey",
+        "quartile",
+        "pct_rank",
+        "cume",
+        "first_price",
+        "last_price",
+        F.coalesce("delta_prev", F.lit(0.0)).alias("delta_prev"),
+        F.coalesce("delta_next", F.lit(0.0)).alias("delta_next"),
+    )
+
+
+_CUSTOMER_SPEND_WINDOWS_ORACLE = """
+SELECT o_custkey, o_orderkey,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume,
+       CAST(first_value(CAST(o_totalprice AS DECIMAL(15,2))) OVER wa AS DOUBLE)
+           AS first_price,
+       CAST(last_value(CAST(o_totalprice AS DECIMAL(15,2))) OVER wa AS DOUBLE)
+           AS last_price,
+       coalesce(CAST(CAST(o_totalprice AS DECIMAL(15,2))
+                     - lag(CAST(o_totalprice AS DECIMAL(15,2))) OVER w AS DOUBLE),
+                0.0) AS delta_prev,
+       coalesce(CAST(lead(CAST(o_totalprice AS DECIMAL(15,2))) OVER w
+                     - CAST(o_totalprice AS DECIMAL(15,2)) AS DOUBLE),
+                0.0) AS delta_next
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+       wa AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
 # -- grouping sets ------------------------------------------------------
 
 
@@ -834,6 +890,9 @@ QUERIES = {
     "approx_distinct_parts": QueryDef(q_approx_distinct_parts, None),
     "events_json_stats": QueryDef(q_events_json_stats, _EVENTS_JSON_ORACLE),
     "customers_per_region": QueryDef(q_customers_per_region, _CUSTOMERS_PER_REGION_ORACLE),
+    "customer_spend_windows": QueryDef(
+        q_customer_spend_windows, _CUSTOMER_SPEND_WINDOWS_ORACLE
+    ),
     "orders_grouping_sets": QueryDef(
         q_orders_grouping_sets, _ORDERS_GROUPING_SETS_ORACLE
     ),

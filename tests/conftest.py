@@ -8,11 +8,16 @@ SF01_DIR = "/root/testdata/sf0.01"
 
 
 @pytest.fixture(scope="session")
-def spark():
+def spark(tmp_path_factory):
     from chroma_rs_spark.session import get_spark
 
-    spark = get_spark(app_name="chroma_rs_spark_tests", master="local[8]",
-                      shuffle_partitions=8)
+    wh = str(tmp_path_factory.mktemp("spark-warehouse"))
+    spark = get_spark(
+        app_name="chroma_rs_spark_tests",
+        master="local[8]",
+        shuffle_partitions=8,
+        extra_conf={"spark.sql.warehouse.dir": wh},
+    )
     yield spark
 
 

@@ -77,3 +77,51 @@ def test_right_ts_collision_raises(sides):
     colliding = right.select("k", F.col("rts").alias("lid"), "payload")
     with pytest.raises(ValueError, match="collides"):
         asof_join(left, colliding, on="k", left_ts="ts", right_ts="lid")
+
+
+def test_asof_matches_pandas_merge_asof_on_random_data(spark):
+    """Property-style check on one large random instance: our
+    union+window as-of join must agree with pandas merge_asof
+    (backward direction) when right rows are unique per (key, ts)."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    n_l, n_r = 400, 300
+    left_pd = pd.DataFrame(
+        {
+            "lid": np.arange(n_l),
+            "ts": pd.to_datetime(rng.integers(0, 10_000, n_l), unit="s"),
+            "k": rng.integers(0, 5, n_l).astype(str),
+        }
+    )
+    right_pd = (
+        pd.DataFrame(
+            {
+                "rts": pd.to_datetime(rng.integers(0, 10_000, n_r), unit="s"),
+                "k": rng.integers(0, 5, n_r).astype(str),
+                "payload": np.arange(n_r),
+            }
+        )
+        .drop_duplicates(subset=["k", "rts"], keep="last")
+        .reset_index(drop=True)
+    )
+
+    expected = pd.merge_asof(
+        left_pd.sort_values("ts", kind="mergesort"),
+        right_pd.sort_values("rts", kind="mergesort"),
+        left_on="ts",
+        right_on="rts",
+        by="k",
+        direction="backward",
+    ).sort_values("lid")
+
+    left = spark.createDataFrame(left_pd)
+    right = spark.createDataFrame(right_pd)
+    got = {
+        r["lid"]: r["payload"]
+        for r in asof_join(left, right, on="k", left_ts="ts", right_ts="rts").collect()
+    }
+    for lid, want in zip(expected["lid"], expected["payload"]):
+        w = None if pd.isna(want) else int(want)
+        assert got[lid] == w, (lid, got[lid], w)

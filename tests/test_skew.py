@@ -1,0 +1,40 @@
+"""Skew helpers (plans/skew.py): equivalence with the naive plans on a
+deliberately hot-keyed dataset."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    # key 0 owns 80% of rows; values repeat so distinct < count
+    df = spark.range(10_000).select(
+        F.when(F.col("id") % 5 != 0, F.lit(0)).otherwise(F.col("id") % 7).alias("k"),
+        (F.col("id") % 97).alias("v"),
+    )
+    return df.cache()
+
+
+def test_count_distinct_twophase_matches_builtin(skewed):
+    from chroma_rs_spark.plans.skew import count_distinct_twophase
+
+    got = {
+        r["k"]: r["n_distinct"]
+        for r in count_distinct_twophase(skewed, "k", "v").collect()
+    }
+    want = {
+        r["k"]: r["n"]
+        for r in skewed.groupBy("k").agg(F.countDistinct("v").alias("n")).collect()
+    }
+    assert got == want
+
+
+def test_salted_join_matches_plain_join(spark, skewed):
+    from chroma_rs_spark.plans.skew import salted_join
+
+    dim = spark.range(7).select(
+        F.col("id").cast("long").alias("k"), F.concat(F.lit("name"), "id").alias("nm")
+    )
+    got = salted_join(skewed, dim, on="k", n_salt=4).groupBy("k", "nm").count()
+    want = skewed.join(dim, "k").groupBy("k", "nm").count()
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
