@@ -107,3 +107,43 @@ def doc_fingerprint(
     return sh.groupBy(id_col).agg(
         F.min(F.md5(F.col("shingle"))).alias("fingerprint")
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_size: int = 64,
+    overlap: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the
+    standard pre-embedding step of an LLM ingestion pipeline.
+
+    Chunk i covers tokens [i*stride, i*stride + chunk_size) with
+    stride = chunk_size - overlap; the last chunk may be short, and a
+    chunk fully contained in the previous one is never emitted.
+    Entirely map-side (Generate over a sequence of starts — no
+    shuffle); at 100 TB chunking is embarrassingly parallel and the
+    output feeds straight into `embedding_udf` + `add_df`.
+
+    Returns (id, chunk_idx, chunk_text, n_tokens).
+    """
+    if not 0 <= overlap < chunk_size:
+        raise ValueError("need 0 <= overlap < chunk_size")
+    stride = chunk_size - overlap
+    toks = tokens_col(text_col)
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.size(toks) - overlap, F.lit(1)) - 1,
+        F.lit(stride),
+    )
+    ch = df.select(
+        F.col(id_col), F.col(text_col), F.posexplode(starts).alias("chunk_idx", "_s")
+    )
+    piece = F.slice(tokens_col(text_col), F.col("_s") + 1, chunk_size)
+    return ch.select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+        F.size(piece).cast("long").alias("n_tokens"),
+    )

@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from chroma_rs_spark.operators.text import (
     STOPWORDS,
+    chunk_documents,
     doc_fingerprint,
     lang_id,
     quality_score,
@@ -110,7 +111,67 @@ FROM sh GROUP BY doc_id
 """
 
 
+
+
+CHUNK_SIZE = 32
+CHUNK_OVERLAP = 4
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return chunk_documents(
+        load_table(spark, sf_dir, "documents"),
+        chunk_size=CHUNK_SIZE,
+        overlap=CHUNK_OVERLAP,
+    )
+
+
+_CHUNK_STRIDE = CHUNK_SIZE - CHUNK_OVERLAP
+
+_CHUNK_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+starts AS (
+  SELECT doc_id, t,
+         unnest(generate_series(0,
+                CAST(greatest(len(t) - {CHUNK_OVERLAP}, 1) - 1 AS BIGINT),
+                {_CHUNK_STRIDE})) AS s
+  FROM toks
+)
+SELECT doc_id,
+       s // {_CHUNK_STRIDE} AS chunk_idx,
+       array_to_string(list_slice(t, s + 1, s + {CHUNK_SIZE}), ' ') AS chunk_text,
+       CAST(len(list_slice(t, s + 1, s + {CHUNK_SIZE})) AS BIGINT) AS n_tokens
+FROM starts
+"""
+
+
+def q_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level token frequency: explode -> count -> top 50."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token"))
+        .limit(50)
+    )
+
+
+_TOP_TOKENS_ORACLE = """
+SELECT t AS token, count(*) AS n
+FROM documents, unnest(string_split(text, ' ')) u(t)
+GROUP BY t
+ORDER BY n DESC, token
+LIMIT 50
+"""
+
+
 QUERIES = {
+    "chunk_documents": QueryDef(q_chunk_documents, _CHUNK_ORACLE),
+    "top_tokens": QueryDef(q_top_tokens, _TOP_TOKENS_ORACLE),
     "lang_id": QueryDef(q_lang_id, _LANG_ID_ORACLE),
     "token_stats": QueryDef(q_token_stats, _TOKEN_STATS_ORACLE),
     "quality_score": QueryDef(q_quality_score, _QUALITY_ORACLE),

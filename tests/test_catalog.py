@@ -86,3 +86,23 @@ def test_registry_df(engine):
     rows = df.collect()
     assert len(rows) == 1 and rows[0]["name"] == "a"
     assert rows[0]["metadata"]["k"] == "v"
+
+
+def test_collections_survive_engine_restart(spark, tmp_path):
+    from chroma_rs_spark.catalog import Engine
+
+    wh = str(tmp_path / "persist_wh")
+    e1 = Engine(spark, wh)
+    c = e1.create_collection("durable", {"hnsw:space": "l2"})
+    c.add(ids=["x", "y"], embeddings=[[1.0, 2.0], [3.0, 4.0]], documents=["dx", "dy"])
+
+    # a brand-new Engine over the same warehouse sees everything
+    e2 = Engine(spark, wh)
+    assert [col.name for col in e2.list_collections()] == ["durable"]
+    c2 = e2.get_collection("durable")
+    assert c2.id == c.id and c2.metadata == {"hnsw:space": "l2"}
+    assert c2.count() == 2
+    assert {r["id"]: r["document"] for r in c2.get().collect()} == {
+        "x": "dx",
+        "y": "dy",
+    }

@@ -1,0 +1,45 @@
+"""Collection export/import round-trips (sources/io.py) across
+parquet / json / csv."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from chroma_rs_spark.sources.io import export_collection, read_items
+
+
+@pytest.fixture()
+def coll(engine):
+    c = engine.create_collection("io_rt", {"hnsw:space": "cosine"})
+    c.add(
+        ids=["a", "b"],
+        embeddings=[[0.25, -1.5, 3.0], [1.0, 2.0, 4.5]],
+        documents=["hello world", None],
+        metadatas=[{"lang": "en", "n": "5"}, None],
+    )
+    return c
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "json", "csv"])
+def test_roundtrip(engine, coll, tmp_path, fmt):
+    path = str(tmp_path / f"export_{fmt}")
+    export_collection(engine, coll, path, fmt=fmt)
+    back = read_items(engine.spark, path, fmt=fmt)
+    rows = {r["id"]: r for r in back.collect()}
+    orig = {
+        r["id"]: r
+        for r in coll.get(include=["embeddings", "documents", "metadatas"]).collect()
+    }
+    assert set(rows) == {"a", "b"}
+    for i in rows:
+        assert rows[i]["embedding"] == orig[i]["embedding"], fmt
+        assert rows[i]["document"] == orig[i]["document"]
+        assert (rows[i]["metadata"] or {}) == (orig[i]["metadata"] or {})
+    # imported data is directly addable to a fresh collection
+    c2 = engine.create_collection(f"io_rt2_{fmt}")
+    c2.add_df(back.drop("embedding_norm"))
+    assert c2.count() == 2
+
+
+def test_bad_format_raises(engine, coll, tmp_path):
+    with pytest.raises(ValueError, match="unknown format"):
+        export_collection(engine, coll, str(tmp_path / "x"), fmt="xml")

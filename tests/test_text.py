@@ -52,3 +52,24 @@ def test_doc_fingerprint_deterministic(docs):
     b = {r["doc_id"]: r["fingerprint"] for r in doc_fingerprint(docs).collect()}
     assert a == b
     assert len(set(a.values())) == 3  # distinct docs -> distinct fingerprints
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    from chroma_rs_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(11))), (2, "a b")],
+        "doc_id LONG, text STRING",
+    )
+    rows = sorted(
+        (r["doc_id"], r["chunk_idx"], r["chunk_text"], r["n_tokens"])
+        for r in chunk_documents(df, chunk_size=8, overlap=2).collect()
+    )
+    # doc 1: 11 tokens, stride 6 -> chunks at 0 (8 toks) and 6 (5 toks)
+    assert rows == [
+        (1, 0, "t0 t1 t2 t3 t4 t5 t6 t7", 8),
+        (1, 1, "t6 t7 t8 t9 t10", 5),
+        (2, 0, "a b", 2),  # short doc: one chunk, no padding
+    ]
+    with __import__("pytest").raises(ValueError):
+        chunk_documents(df, chunk_size=4, overlap=4)
