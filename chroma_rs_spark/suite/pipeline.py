@@ -265,6 +265,45 @@ FROM frames
 """
 
 
+
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 scalar quantization of the embeddings table, fingerprinted
+    for hash comparison (arrays themselves don't hash portably)."""
+    from chroma_rs_spark.operators.quantize import quantize_embeddings
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = quantize_embeddings(emb)
+    return q.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale"),
+        F.md5(F.array_join(F.col("q_embedding").cast("array<string>"), ",")).alias(
+            "q_md5"
+        ),
+        F.round("recon_err", 6).alias("recon_err"),
+    )
+
+
+_EMBEDDING_QUANTIZE_ORACLE = """
+WITH s AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb,
+         list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0 AS scale
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id, scale, emb,
+         list_transform(emb, x -> CAST(floor(x / scale + 0.5) AS INT)) AS qv
+  FROM s
+)
+SELECT vec_id,
+       round(scale, 6) AS scale,
+       md5(array_to_string(qv, ',')) AS q_md5,
+       round(sqrt(list_sum(list_transform(list_zip(emb, qv),
+                                          p -> (p[1] - p[2] * scale) ** 2))), 6)
+           AS recon_err
+FROM q
+"""
+
+
 QUERIES = {
     "dedup_exact": QueryDef(q_dedup_exact, _DEDUP_EXACT_ORACLE),
     "dedup_minhash_lsh": QueryDef(q_dedup_minhash_lsh, _DEDUP_MINHASH_ORACLE),
@@ -274,4 +313,5 @@ QUERIES = {
     "ann_signbucket": QueryDef(q_ann_signbucket, _ANN_SIGNBUCKET_ORACLE),
     "multimodal_features": QueryDef(q_multimodal_features, _MULTIMODAL_ORACLE),
     "frame_sample": QueryDef(q_frame_sample, _FRAME_SAMPLE_ORACLE),
+    "embedding_quantize": QueryDef(q_embedding_quantize, _EMBEDDING_QUANTIZE_ORACLE),
 }

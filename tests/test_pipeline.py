@@ -153,3 +153,27 @@ def test_sample_frames_stride_and_fingerprints(docs):
             (i, len(chunk), hashlib.md5(chunk.hex().upper().encode()).hexdigest())
         )
     assert got1 == sorted(expected1)
+
+
+def test_quantize_embeddings_roundtrip_error_bounded(spark):
+    import math
+
+    from chroma_rs_spark.operators.quantize import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [(1, [0.5, -1.25, 3.75]), (2, [0.0, 0.5, -0.5])],
+        "vec_id LONG, embedding ARRAY<FLOAT>",
+    )
+    rows = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+    # row 1: reference arithmetic
+    scale = 3.75 / 127.0
+    qv = [math.floor(x / scale + 0.5) for x in (0.5, -1.25, 3.75)]
+    assert rows[1]["q_embedding"] == qv
+    assert abs(rows[1]["scale"] - scale) < 1e-9
+    # max per-coordinate error is scale/2
+    for vid, emb in ((1, [0.5, -1.25, 3.75]), (2, [0.0, 0.5, -0.5])):
+        r = rows[vid]
+        deq = [q * r["scale"] for q in r["q_embedding"]]
+        for orig, back in zip(emb, deq):
+            assert abs(orig - back) <= r["scale"] / 2 + 1e-9
+        assert r["recon_err"] <= r["scale"] / 2 * math.sqrt(len(emb)) + 1e-9
