@@ -41,7 +41,17 @@ def get_spark(
         # Keep parquet scans well-sized: at 100 TB this bounds task count
         # and keeps per-task memory predictable.
         .config("spark.sql.files.maxPartitionBytes", "128m")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local[N] runs everything in the driver JVM: size the heap for
+        # N concurrent tasks or GC pauses dominate small-query timings
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        # every distinct plan compiles its own codegen classes; a
+        # long-lived session running many queries fills the default
+        # 256m JIT code cache, after which HotSpot stops compiling and
+        # random queries run 5-10x slow. 1g + flushing keeps C2 alive.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+        )
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
