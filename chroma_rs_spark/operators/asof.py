@@ -59,6 +59,12 @@ def asof_join(
         raise ValueError(
             f"right_ts {right_ts!r} collides with a left column; alias it first"
         )
+    clash = sorted(set(payload_cols) & set(left.columns))
+    if clash:
+        raise ValueError(
+            f"right payload columns {clash} collide with left columns; "
+            "alias them first"
+        )
 
     rv = F.struct(
         F.col(right_ts).alias("__rts"), *[F.col(c) for c in payload_cols]

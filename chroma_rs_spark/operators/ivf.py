@@ -41,7 +41,15 @@ def assign_cells(
     item_emb: str = "embedding",
 ) -> DataFrame:
     """Append `cell` = id of the nearest centroid (cosine, ties to the
-    lower centroid id). Pure map-side column expression."""
+    lower centroid id). Pure map-side column expression.
+
+    The item's own norm appears once per centroid candidate; projecting
+    it as a separate column first would not help — CollapseProject
+    inlines single-use projections back into every consumer. The
+    redundancy is O(n_centroids * dim) flops per row, map-side; for
+    wide vectors or large centroid counts, move assignment into an
+    Arrow batch like knn_exact_local_topk.
+    """
     cands = [
         F.struct(
             _dist_to(F.col(item_emb), vec).alias("d"),

@@ -139,7 +139,7 @@ def sample_frames(
         for pdf in batches:
             ids, idxs, lens, md5s = [], [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                b = bytes(payload)
+                b = bytes(payload) if payload is not None else b""
                 n_frames = len(b) % 30 + 1
                 for i in range(0, n_frames, every_n):
                     chunk = b[i * frame_bytes : (i + 1) * frame_bytes]

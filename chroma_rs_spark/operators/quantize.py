@@ -27,7 +27,13 @@ def quantize_cols(emb: Column) -> tuple[Column, Column]:
     """(scale, quantized int array) for one embedding column."""
     embd = emb.cast("array<double>")
     scale = F.array_max(F.transform(embd, F.abs)) / float(QUANT_MAX)
-    qv = F.transform(embd, lambda x: F.floor(x / scale + 0.5).cast("int"))
+    # all-zero vector -> scale 0: quantize to zeros instead of x/0 NaN
+    qv = F.transform(
+        embd,
+        lambda x: F.when(scale == 0.0, F.lit(0))
+        .otherwise(F.floor(x / scale + 0.5).cast("int"))
+        .cast("int"),
+    )
     return scale, qv
 
 

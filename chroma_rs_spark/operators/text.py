@@ -137,10 +137,15 @@ def chunk_documents(
         F.greatest(F.size(toks) - overlap, F.lit(1)) - 1,
         F.lit(stride),
     )
+    # keep the token array as a Generate output attribute: split(text)
+    # evaluates once per document and the array value is carried to
+    # every chunk row, instead of re-tokenizing once per chunk
     ch = df.select(
-        F.col(id_col), F.col(text_col), F.posexplode(starts).alias("chunk_idx", "_s")
+        F.col(id_col),
+        toks.alias("_toks"),
+        F.posexplode(starts).alias("chunk_idx", "_s"),
     )
-    piece = F.slice(tokens_col(text_col), F.col("_s") + 1, chunk_size)
+    piece = F.slice(F.col("_toks"), F.col("_s") + 1, chunk_size)
     return ch.select(
         F.col(id_col),
         F.col("chunk_idx").cast("long").alias("chunk_idx"),

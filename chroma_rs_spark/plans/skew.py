@@ -29,7 +29,13 @@ def count_distinct_twophase(
 ) -> DataFrame:
     """Exact per-key distinct count, hot-key safe (see module doc)."""
     keys = [keys] if isinstance(keys, str) else list(keys)
-    dedup = df.select(*keys, value).distinct()  # shuffle on (keys, value)
+    # COUNT(DISTINCT v) ignores NULLs — drop them before the distinct or
+    # a key holding a null would count one extra
+    dedup = (
+        df.select(*keys, value)
+        .where(F.col(value).isNotNull())
+        .distinct()  # shuffle on (keys, value)
+    )
     return dedup.groupBy(*keys).agg(F.count(F.lit(1)).alias(out))
 
 
@@ -45,7 +51,15 @@ def salted_join(
     Row-to-salt assignment uses `rand(seed=0)` — deterministic per
     partition, and any assignment is correct (each big row joins its
     key's replicated small rows exactly once).
+
+    Only inner/left are supported: under right/full-outer semantics an
+    unmatched small-side row would surface once per salt replica.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'/'left', got {how!r}: outer "
+            "variants would duplicate unmatched replicated small-side rows"
+        )
     keys = [on] if isinstance(on, str) else list(on)
     b = big.withColumn("_salt", F.floor(F.rand(seed=0) * n_salt).cast("int"))
     s = small.withColumn(

@@ -5,8 +5,10 @@ Parquet is the native at-rest format (columnar, typed arrays); JSON
 and CSV are interchange formats: JSON keeps nested types via Spark's
 native encoder, CSV — which has no nested types — flattens the
 embedding to a `;`-joined string and the metadata map to a JSON
-string, and the importer reverses both losslessly (floats round-trip
-through repr).
+string, and the importer reverses both (floats round-trip through
+repr; multi-line documents survive via multiLine+escape). Known CSV
+caveat: an empty-string document reads back as NULL — CSV cannot
+distinguish the two; use parquet/json where that matters.
 
 All three paths are plain `df.write`/`spark.read` — distributed,
 partitioned, no driver materialization — so an export is usable as a
@@ -47,7 +49,14 @@ def export_collection(
             "document",
             F.to_json("metadata").alias("metadata"),
         )
-        df.write.mode("overwrite").option("header", "true").csv(path)
+        # escape=" matches the reader below so embedded quotes/newlines
+        # survive the round trip
+        (
+            df.write.mode("overwrite")
+            .option("header", "true")
+            .option("escape", '"')
+            .csv(path)
+        )
     else:
         df.write.mode("overwrite").format(fmt).save(path)
 
@@ -60,7 +69,12 @@ def read_items(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFram
         return spark.read.parquet(path)
     if fmt == "json":
         return spark.read.schema(ITEM_SCHEMA).json(path)
-    raw = spark.read.option("header", "true").csv(path)
+    raw = (
+        spark.read.option("header", "true")
+        .option("multiLine", "true")  # documents may contain newlines
+        .option("escape", '"')
+        .csv(path)
+    )
     return raw.select(
         "id",
         F.split("embedding", ";").cast("array<float>").alias("embedding"),

@@ -47,9 +47,18 @@ def stream_add(
 
     def write_batch(batch_df: DataFrame, _batch_id: int) -> None:
         existing = item_ops.items_df(engine, coll).select("id")
-        fresh = batch_df.join(existing, "id", "left_anti")
-        if fresh.take(1):
-            item_ops.add_df(engine, coll, fresh)
+        # dedup within the batch too — one trigger can deliver several
+        # files carrying the same id, and the anti-join only sees ids
+        # already persisted
+        fresh = batch_df.dropDuplicates(["id"]).join(existing, "id", "left_anti")
+        # cache: the emptiness probe and the append below would
+        # otherwise each run the anti-join against the collection scan
+        fresh.persist()
+        try:
+            if fresh.take(1):
+                item_ops.add_df(engine, coll, fresh)
+        finally:
+            fresh.unpersist()
 
     checkpoint = checkpoint_dir or os.path.join(
         engine.collection_dir(coll.id), "_ingest_checkpoint"

@@ -291,7 +291,9 @@ WITH s AS (
 ),
 q AS (
   SELECT vec_id, scale, emb,
-         list_transform(emb, x -> CAST(floor(x / scale + 0.5) AS INT)) AS qv
+         list_transform(emb, x -> CASE WHEN scale = 0 THEN 0
+                                       ELSE CAST(floor(x / scale + 0.5) AS INT)
+                                  END) AS qv
   FROM s
 )
 SELECT vec_id,

@@ -43,3 +43,17 @@ def test_roundtrip(engine, coll, tmp_path, fmt):
 def test_bad_format_raises(engine, coll, tmp_path):
     with pytest.raises(ValueError, match="unknown format"):
         export_collection(engine, coll, str(tmp_path / "x"), fmt="xml")
+
+
+def test_csv_roundtrip_multiline_document(engine, tmp_path):
+    c = engine.create_collection("io_ml")
+    c.add(
+        ids=["m"],
+        embeddings=[[1.0, 2.0]],
+        documents=['line1\nline2 "quoted"'],
+    )
+    path = str(tmp_path / "ml_csv")
+    export_collection(engine, c, path, fmt="csv")
+    back = read_items(engine.spark, path, fmt="csv").collect()
+    assert len(back) == 1
+    assert back[0]["document"] == 'line1\nline2 "quoted"'

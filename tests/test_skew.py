@@ -38,3 +38,23 @@ def test_salted_join_matches_plain_join(spark, skewed):
     got = salted_join(skewed, dim, on="k", n_salt=4).groupBy("k", "nm").count()
     want = skewed.join(dim, "k").groupBy("k", "nm").count()
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_count_distinct_twophase_ignores_nulls(spark):
+    from chroma_rs_spark.plans.skew import count_distinct_twophase
+
+    df = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, None), (1, None)], "k LONG, v LONG"
+    )
+    got = {r["k"]: r["n_distinct"] for r in count_distinct_twophase(df, "k", "v").collect()}
+    assert got == {0: 2}  # key 1 has only NULLs -> no row, like COUNT(DISTINCT)
+
+
+def test_salted_join_rejects_outer(spark):
+    import pytest as pt
+
+    from chroma_rs_spark.plans.skew import salted_join
+
+    df = spark.range(3).select(F.col("id").alias("k"))
+    with pt.raises(ValueError, match="inner"):
+        salted_join(df, df, on="k", how="full")

@@ -135,3 +135,29 @@ def test_stream_add_ingests_and_dedups(spark, engine, tmp_path):
     q2 = stream_add(engine, coll, stream, checkpoint_dir=str(tmp_path / "ckpt2"))
     q2.awaitTermination(120)
     assert coll.count() == 3
+
+
+def test_stream_add_dedups_within_batch(spark, engine, tmp_path):
+    from chroma_rs_spark.streaming.ingest import stream_add
+
+    src = tmp_path / "dup_src"
+    src.mkdir()
+    import glob
+    import shutil
+
+    df = spark.createDataFrame(
+        [("x", [1.0, 0.0], "one"), ("x", [1.0, 0.0], "one")],
+        "id STRING, embedding ARRAY<FLOAT>, document STRING",
+    )
+    staging = tmp_path / "dup_staging"
+    df.coalesce(1).write.parquet(str(staging))
+    part, = glob.glob(str(staging / "part-*.parquet"))
+    shutil.copy(part, str(src / "f.parquet"))
+
+    coll = engine.create_collection("dup_batch")
+    stream = spark.readStream.schema(
+        "id STRING, embedding ARRAY<FLOAT>, document STRING"
+    ).parquet(str(src))
+    q = stream_add(engine, coll, stream, checkpoint_dir=str(tmp_path / "dup_ckpt"))
+    q.awaitTermination(120)
+    assert coll.count() == 1
