@@ -1,0 +1,66 @@
+"""Deterministic sampling & dataset splits (SURVEY.md §2.3 [EXT] —
+training-data pipeline operators).
+
+Both operators key off a content-independent hash bucket
+(md5 of the id, first 8 hex chars, mod `buckets`), NOT `rand()`:
+
+* reproducible — the same row lands in the same sample/split on every
+  run, every engine, any partitioning (rand()-based sampling changes
+  under retries and repartitioning, and cannot be oracle-checked);
+* stable under growth — adding new rows never moves an existing row
+  between splits, so a training set stays fixed while the corpus
+  grows (the property curated-dataset pipelines actually need);
+* map-side only — no shuffle, filters push down around it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SAMPLE_BUCKETS = 10_000
+
+
+def hash_bucket(id_col: str | Column, buckets: int = SAMPLE_BUCKETS) -> Column:
+    """Uniform bucket in [0, buckets) from the row id — engine-portable
+    (md5 + hex parse, same construction as the minhash base hash)."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    h = F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast("long")
+    return (h % buckets).cast("int")
+
+
+def deterministic_sample(
+    df: DataFrame, fraction: float, id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep ~`fraction` of rows, chosen by id hash bucket."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    cutoff = int(round(fraction * SAMPLE_BUCKETS))
+    return df.filter(hash_bucket(id_col) < cutoff)
+
+
+def dataset_split(
+    df: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    out: str = "split",
+) -> DataFrame:
+    """Assign every row to a named split with ~`weights` proportions.
+
+    Weights must sum to 1 (±1e-9). Split boundaries are cumulative
+    bucket ranges, so splits are disjoint and exhaustive.
+    """
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1, got {total}")
+    bucket = hash_bucket(id_col)
+    expr = None
+    acc = 0.0
+    for name, w in weights.items():
+        acc += w
+        bound = int(round(acc * SAMPLE_BUCKETS))
+        cond = bucket < bound
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(
+            cond, F.lit(name)
+        )
+    return df.withColumn(out, expr)

@@ -306,6 +306,48 @@ FROM q
 """
 
 
+
+def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible 20% corpus sample by id hash bucket (map-side)."""
+    from chroma_rs_spark.operators.sampling import deterministic_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return deterministic_sample(docs, 0.2).select("doc_id", "lang", "source")
+
+
+_DETERMINISTIC_SAMPLE_ORACLE = """
+SELECT doc_id, lang, source
+FROM documents
+WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 10000
+      < 2000
+"""
+
+
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/val/test assignment, stable under corpus growth."""
+    from chroma_rs_spark.operators.sampling import dataset_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dataset_split(
+        docs, {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).select("doc_id", "split")
+
+
+_DATASET_SPLIT_ORACLE = """
+WITH b AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+             % 10000 AS bk
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN bk < 8000 THEN 'train'
+            WHEN bk < 9000 THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+"""
+
+
 QUERIES = {
     "dedup_exact": QueryDef(q_dedup_exact, _DEDUP_EXACT_ORACLE),
     "dedup_minhash_lsh": QueryDef(q_dedup_minhash_lsh, _DEDUP_MINHASH_ORACLE),
@@ -316,4 +358,6 @@ QUERIES = {
     "multimodal_features": QueryDef(q_multimodal_features, _MULTIMODAL_ORACLE),
     "frame_sample": QueryDef(q_frame_sample, _FRAME_SAMPLE_ORACLE),
     "embedding_quantize": QueryDef(q_embedding_quantize, _EMBEDDING_QUANTIZE_ORACLE),
+    "deterministic_sample": QueryDef(q_deterministic_sample, _DETERMINISTIC_SAMPLE_ORACLE),
+    "dataset_split": QueryDef(q_dataset_split, _DATASET_SPLIT_ORACLE),
 }

@@ -177,3 +177,25 @@ def test_quantize_embeddings_roundtrip_error_bounded(spark):
         for orig, back in zip(emb, deq):
             assert abs(orig - back) <= r["scale"] / 2 + 1e-9
         assert r["recon_err"] <= r["scale"] / 2 * math.sqrt(len(emb)) + 1e-9
+
+
+def test_dataset_split_disjoint_exhaustive_stable(spark):
+    from chroma_rs_spark.operators.sampling import dataset_split, deterministic_sample
+
+    base = spark.range(2000).select(F.col("id").alias("doc_id"))
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    assigned = {r["doc_id"]: r["split"] for r in dataset_split(base, w).collect()}
+    assert set(assigned.values()) <= {"train", "val", "test"}
+    assert len(assigned) == 2000  # exhaustive, one split each
+    frac = sum(1 for s in assigned.values() if s == "train") / 2000
+    assert 0.75 < frac < 0.85  # ~80%
+    # stability: growing the corpus never reassigns an existing row
+    bigger = spark.range(4000).select(F.col("id").alias("doc_id"))
+    assigned2 = {r["doc_id"]: r["split"] for r in dataset_split(bigger, w).collect()}
+    assert all(assigned2[i] == assigned[i] for i in assigned)
+    # sample is a subset-by-construction of any larger-fraction sample
+    s10 = {r["doc_id"] for r in deterministic_sample(base, 0.1).collect()}
+    s20 = {r["doc_id"] for r in deterministic_sample(base, 0.2).collect()}
+    assert s10 <= s20
+    with __import__("pytest").raises(ValueError):
+        dataset_split(base, {"a": 0.5, "b": 0.4})
