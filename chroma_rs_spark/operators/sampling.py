@@ -39,6 +39,32 @@ def deterministic_sample(
     return df.filter(hash_bucket(id_col) < cutoff)
 
 
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    strata_col: str,
+    id_col: str = "doc_id",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Keep a per-stratum fraction of rows (e.g. downsample dominant
+    languages while keeping all of a rare one). Same hash-bucket
+    construction as `deterministic_sample`, so it is reproducible,
+    growth-stable, and map-side (the per-stratum cutoff is a CASE
+    expression — no shuffle, no per-stratum pass)."""
+    for k, v in fractions.items():
+        if not 0.0 <= v <= 1.0:
+            raise ValueError(f"fraction for {k!r} must be in [0, 1], got {v}")
+    if not 0.0 <= default_fraction <= 1.0:
+        raise ValueError(f"default_fraction must be in [0, 1], got {default_fraction}")
+    strata = F.col(strata_col)
+    cutoff = F.lit(int(round(default_fraction * SAMPLE_BUCKETS)))
+    for k, v in fractions.items():
+        cutoff = F.when(strata == k, F.lit(int(round(v * SAMPLE_BUCKETS)))).otherwise(
+            cutoff
+        )
+    return df.filter(hash_bucket(id_col) < cutoff)
+
+
 def dataset_split(
     df: DataFrame,
     weights: dict[str, float],

@@ -348,6 +348,32 @@ FROM b
 """
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-rebalancing sample: keep 10% of en, 50% of fr, all zh
+    — the corpus-curation move (downweight dominant languages) as one
+    map-side CASE filter."""
+    from chroma_rs_spark.operators.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs, {"en": 0.1, "fr": 0.5, "zh": 1.0}, strata_col="lang"
+    ).select("doc_id", "lang")
+
+
+_STRATIFIED_SAMPLE_ORACLE = """
+WITH b AS (
+  SELECT doc_id, lang,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+             % 10000 AS bk
+  FROM documents
+)
+SELECT doc_id, lang
+FROM b
+WHERE bk < CASE lang WHEN 'en' THEN 1000 WHEN 'fr' THEN 5000
+                     WHEN 'zh' THEN 10000 ELSE 0 END
+"""
+
+
 QUERIES = {
     "dedup_exact": QueryDef(q_dedup_exact, _DEDUP_EXACT_ORACLE),
     "dedup_minhash_lsh": QueryDef(q_dedup_minhash_lsh, _DEDUP_MINHASH_ORACLE),
@@ -360,4 +386,5 @@ QUERIES = {
     "embedding_quantize": QueryDef(q_embedding_quantize, _EMBEDDING_QUANTIZE_ORACLE),
     "deterministic_sample": QueryDef(q_deterministic_sample, _DETERMINISTIC_SAMPLE_ORACLE),
     "dataset_split": QueryDef(q_dataset_split, _DATASET_SPLIT_ORACLE),
+    "stratified_sample": QueryDef(q_stratified_sample, _STRATIFIED_SAMPLE_ORACLE),
 }

@@ -859,7 +859,103 @@ SELECT o_orderkey, o_custkey FROM orders WHERE o_totalprice > 400000.0
 """
 
 
+def q_orders_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery pattern: orders pricier than the global average.
+
+    The 1-row aggregate is explicitly broadcast, so the fact table is
+    filtered map-side with zero shuffle — the plan a scalar subquery
+    should compile to at 100 TB. Average is exact-decimal-sum / count
+    (one identical double division in both engines).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    avg_row = orders.agg(
+        (F.sum(_dec("o_totalprice")).cast("double") / F.count("*")).alias("avg_price")
+    )
+    return (
+        orders.crossJoin(F.broadcast(avg_row))
+        .filter(F.col("o_totalprice") > F.col("avg_price"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+_ORDERS_ABOVE_AVG_ORACLE = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE o_totalprice > (
+    SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) / count(*)
+    FROM orders)
+"""
+
+
+def q_customers_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery pattern (acctbal > own nation's average),
+    decorrelated into a single window pass — one shuffle on the
+    correlation key instead of a per-row subquery."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    w = Window.partitionBy("c_nationkey")
+    nation_avg = (
+        F.sum(_dec("c_acctbal")).over(w).cast("double") / F.count("*").over(w)
+    )
+    return (
+        cust.withColumn("nation_avg", nation_avg)
+        .filter(F.col("c_acctbal") > F.col("nation_avg"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", "c_name", "n_name", "c_acctbal", "nation_avg")
+    )
+
+
+_CUSTOMERS_ABOVE_NATION_AVG_ORACLE = """
+WITH w AS (
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(15,2)))
+                    OVER (PARTITION BY c_nationkey) AS DOUBLE)
+               / count(*) OVER (PARTITION BY c_nationkey) AS nation_avg
+    FROM customer)
+SELECT c_custkey, c_name, n_name, c_acctbal, nation_avg
+FROM w JOIN nation ON c_nationkey = n_nationkey
+WHERE c_acctbal > nation_avg
+"""
+
+
+def q_high_revenue_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose revenue exceeds 1.2x the average
+    part's revenue (HAVING against a scalar aggregate). Both sides
+    reuse one per-part aggregate: the threshold is a second tiny agg
+    over it, broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = _dec("l_extendedprice") * _one_minus("l_discount")
+    per_part = li.groupBy("l_partkey").agg(F.sum(revenue).alias("_rev"))
+    total = per_part.agg(
+        (F.sum("_rev").cast("double") / F.count("*") * 1.2).alias("threshold")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("_rev").cast("double") > F.col("threshold"))
+        .select("l_partkey", F.col("_rev").cast("double").alias("part_revenue"))
+    )
+
+
+_HIGH_REVENUE_PARTS_ORACLE = """
+WITH per_part AS (
+    SELECT l_partkey,
+           sum(CAST(l_extendedprice AS DECIMAL(15,2))
+               * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS _rev
+    FROM lineitem
+    GROUP BY l_partkey)
+SELECT l_partkey, CAST(_rev AS DOUBLE) AS part_revenue
+FROM per_part
+WHERE CAST(_rev AS DOUBLE) >
+      (SELECT CAST(sum(_rev) AS DOUBLE) / count(*) * 1.2 FROM per_part)
+"""
+
+
 QUERIES = {
+    "orders_above_avg": QueryDef(q_orders_above_avg, _ORDERS_ABOVE_AVG_ORACLE),
+    "customers_above_nation_avg": QueryDef(
+        q_customers_above_nation_avg, _CUSTOMERS_ABOVE_NATION_AVG_ORACLE
+    ),
+    "high_revenue_parts": QueryDef(q_high_revenue_parts, _HIGH_REVENUE_PARTS_ORACLE),
     "pricing_summary": QueryDef(q_pricing_summary, _PRICING_ORACLE),
     "shipping_priority": QueryDef(q_shipping_priority, _SHIPPING_ORACLE),
     "local_supplier_volume": QueryDef(q_local_supplier_volume, _LOCAL_SUPPLIER_ORACLE),

@@ -199,3 +199,32 @@ def test_dataset_split_disjoint_exhaustive_stable(spark):
     assert s10 <= s20
     with __import__("pytest").raises(ValueError):
         dataset_split(base, {"a": 0.5, "b": 0.4})
+
+
+def test_stratified_sample_per_group_fractions(spark):
+    from chroma_rs_spark.operators.sampling import (
+        deterministic_sample,
+        stratified_sample,
+    )
+
+    base = spark.range(3000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "en")
+        .when(F.col("id") % 3 == 1, "fr")
+        .otherwise("zh")
+        .alias("lang"),
+    )
+    out = stratified_sample(base, {"en": 0.1, "zh": 1.0}, strata_col="lang")
+    counts = {r["lang"]: r["cnt"] for r in out.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    assert counts.get("fr", 0) == 0  # default_fraction=0 drops unlisted strata
+    assert counts["zh"] == 1000  # fraction 1.0 keeps everything
+    assert 50 < counts["en"] < 150  # ~10% of 1000
+    # per-stratum selection agrees with the flat sampler at the same fraction
+    flat = {
+        r["doc_id"]
+        for r in deterministic_sample(base.filter(F.col("lang") == "en"), 0.1).collect()
+    }
+    strat = {r["doc_id"] for r in out.filter(F.col("lang") == "en").collect()}
+    assert strat == flat
+    with __import__("pytest").raises(ValueError):
+        stratified_sample(base, {"en": 1.5}, strata_col="lang")
