@@ -8,33 +8,23 @@ q_i = floor(v_i/scale + 0.5) (explicit round-half-up — spelled as
 floor(x+0.5) so every engine computes the identical integer; bare
 `round` differs across engines on .5 ties and numpy rounds half-even).
 
-All JVM-side HOF expressions. NB the `scale` subexpression is inlined
-into the per-element lambdas by CollapseProject, so the array-max is
-recomputed per element — O(dim^2) float ops per row, negligible next
-to scan I/O for dim <= a few hundred; for very wide vectors move the
-same math into an Arrow batch (`mapInPandas`) like knn_exact_local_topk.
+All JVM-side HOF expressions, staged so each is O(dim) per row:
+`scale` and `q_embedding` are materialized as named columns in their
+own projections before the lambdas that consume them. Composing the
+raw Column objects instead would embed the array-max subtree inside
+every per-element lambda — O(dim^2) interpreted ops per row (HOF
+lambdas are not whole-stage-codegen'd) — and Catalyst has no
+cross-lambda common-subexpression elimination to undo that.
+CollapseProject keeps the staging: it does not re-inline a non-cheap
+alias referenced more than once.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 QUANT_MAX = 127  # int8 symmetric range
-
-
-def quantize_cols(emb: Column) -> tuple[Column, Column]:
-    """(scale, quantized int array) for one embedding column."""
-    embd = emb.cast("array<double>")
-    scale = F.array_max(F.transform(embd, F.abs)) / float(QUANT_MAX)
-    # all-zero vector -> scale 0: quantize to zeros instead of x/0 NaN
-    qv = F.transform(
-        embd,
-        lambda x: F.when(scale == 0.0, F.lit(0))
-        .otherwise(F.floor(x / scale + 0.5).cast("int"))
-        .cast("int"),
-    )
-    return scale, qv
 
 
 def quantize_embeddings(
@@ -45,17 +35,31 @@ def quantize_embeddings(
     and its dequantized form — the quality metric a pipeline would
     monitor before switching KNN to the compact representation."""
     embd = F.col(emb_col).cast("array<double>")
-    scale, qv = quantize_cols(F.col(emb_col))
+    staged = df.select(
+        F.col(id_col),
+        embd.alias("_embd"),
+        (F.array_max(F.transform(embd, F.abs)) / float(QUANT_MAX)).alias("scale"),
+    )
+    scale = F.col("scale")
+    # all-zero vector -> scale 0: quantize to zeros instead of x/0 NaN
+    qv = F.transform(
+        F.col("_embd"),
+        lambda x: F.when(scale == 0.0, F.lit(0))
+        .otherwise(F.floor(x / scale + 0.5).cast("int"))
+        .cast("int"),
+    )
+    staged = staged.select(F.col(id_col), "_embd", scale, qv.alias("q_embedding"))
     recon = F.sqrt(
         F.aggregate(
-            F.zip_with(embd, qv, lambda v, q: (v - q.cast("double") * scale) ** 2),
+            F.zip_with(
+                F.col("_embd"),
+                F.col("q_embedding"),
+                lambda v, q: (v - q.cast("double") * scale) ** 2,
+            ),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
     )
-    return df.select(
-        F.col(id_col),
-        scale.alias("scale"),
-        qv.alias("q_embedding"),
-        recon.alias("recon_err"),
+    return staged.select(
+        F.col(id_col), scale, F.col("q_embedding"), recon.alias("recon_err")
     )
