@@ -57,18 +57,94 @@ INCLUDE_COLS = {
     "metadatas": "metadata",
 }
 
+# Physical hive-partition column of a partitioned collection (value of
+# the registry's `partition_by` metadata key). Internal: never shown to
+# callers — read paths drop it after the pruning filter is applied.
+PARTITION_COL = "_part"
+
 
 # -- helpers ------------------------------------------------------------
 
 
-def items_df(engine: Engine, coll: Collection) -> DataFrame:
+def _partition_key(engine: Engine, coll: Collection) -> str | None:
+    return engine._registry_row(coll.id).get("partition_by")
+
+
+def _has_parquet(path: str) -> bool:
+    for _root, _dirs, files in os.walk(path):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False
+
+
+def items_df(
+    engine: Engine, coll: Collection, keep_partition_col: bool = False
+) -> DataFrame:
     """The collection's items as a DataFrame (empty if nothing added)."""
+    partitioned = _partition_key(engine, coll) is not None
+    # NB StructType.add mutates in place — build a fresh StructType
+    schema = (
+        T.StructType(
+            ITEM_SCHEMA.fields + [T.StructField(PARTITION_COL, T.StringType(), True)]
+        )
+        if partitioned
+        else ITEM_SCHEMA
+    )
     path = engine.data_path(coll.id)
-    if os.path.isdir(path) and any(
-        f.endswith(".parquet") for f in os.listdir(path)
-    ):
-        return engine.spark.read.schema(ITEM_SCHEMA).parquet(path)
-    return engine.spark.createDataFrame([], ITEM_SCHEMA)
+    if os.path.isdir(path) and _has_parquet(path):
+        df = engine.spark.read.schema(schema).parquet(path)
+    else:
+        df = engine.spark.createDataFrame([], schema)
+    if partitioned and not keep_partition_col:
+        df = df.drop(PARTITION_COL)
+    return df
+
+
+def _partition_pred(where: dict | None, key: str | None) -> Column | None:
+    """Partition-pruning conjunct implied by a `where` filter.
+
+    Conservative: only direct equality / $eq / $in on the partition
+    key (recursing through top-level $and, every branch of which must
+    hold) produce a prune; anything else scans all partitions. The
+    conjunct is redundant with the compiled metadata predicate — it
+    exists solely so Catalyst sees a filter on the partition column
+    and skips directories at file listing time.
+    """
+    if where is None or key is None:
+        return None
+    vals: list | None = None
+    v = where.get(key)
+    if isinstance(v, dict):
+        if set(v) == {"$eq"}:
+            vals = [v["$eq"]]
+        elif set(v) == {"$in"}:
+            vals = list(v["$in"])
+    elif isinstance(v, (str, int, float, bool)):
+        vals = [v]
+    if vals is None and "$and" in where:
+        for branch in where["$and"]:
+            p = _partition_pred(branch, key)
+            if p is not None:
+                return p
+    if vals is None:
+        return None
+    return F.col(PARTITION_COL).isin([str(x) for x in vals])
+
+
+def _write(
+    engine: Engine, coll: Collection, df: DataFrame, path: str, mode: str
+) -> None:
+    """Write items, partitioning the layout when the collection is
+    partitioned (the partition value is derived from the metadata map,
+    so data and layout cannot disagree)."""
+    key = _partition_key(engine, coll)
+    if key is None:
+        df.write.mode(mode).parquet(path)
+        return
+    if PARTITION_COL in df.columns:
+        df = df.drop(PARTITION_COL)
+    df = df.withColumn(PARTITION_COL, F.element_at(F.col("metadata"), F.lit(key)))
+    df.write.mode(mode).partitionBy(PARTITION_COL).parquet(path)
 
 
 def _items_from_args(
@@ -123,7 +199,7 @@ def _overwrite(engine: Engine, coll: Collection, df: DataFrame) -> None:
     """Read-modify-overwrite with temp-dir swap (non-transactional)."""
     path = engine.data_path(coll.id)
     tmp = path + ".__tmp"
-    df.write.mode("overwrite").parquet(tmp)
+    _write(engine, coll, df, tmp, "overwrite")
     old = path + ".__old"
     if os.path.isdir(path):
         os.replace(path, old)
@@ -171,7 +247,7 @@ def add(
     if dup:
         raise DuplicateIDError(f"{dup} ids already exist in collection")
     _check_dim(engine, coll, new)
-    new.write.mode("append").parquet(engine.data_path(coll.id))
+    _write(engine, coll, new, engine.data_path(coll.id), "append")
     return len(ids)
 
 
@@ -196,7 +272,7 @@ def add_df(engine: Engine, coll: Collection, df: DataFrame) -> None:
         ).alias("metadata"),
     )
     _check_dim(engine, coll, out)
-    out.write.mode("append").parquet(engine.data_path(coll.id))
+    _write(engine, coll, out, engine.data_path(coll.id), "append")
 
 
 def upsert(
@@ -262,6 +338,8 @@ def delete(
     if pred is None:
         raise InvalidFilterError("delete() requires ids and/or where/where_document")
     existing = items_df(engine, coll)
+    # NB delete keeps the complement, so the partition-pruning conjunct
+    # of `where` does NOT apply (~pred must scan every partition).
     _overwrite(engine, coll, existing.filter(~pred))
 
 
@@ -283,10 +361,14 @@ def get(
     Projection (`include`) happens first so Catalyst prunes Parquet
     columns; ordering by id makes pagination deterministic.
     """
-    df = items_df(engine, coll)
+    df = items_df(engine, coll, keep_partition_col=True)
     pred = _predicate(where, where_document, ids)
     if pred is not None:
         df = df.filter(pred)
+    ppred = _partition_pred(where, _partition_key(engine, coll))
+    if ppred is not None:
+        df = df.filter(ppred)
+    df = df.drop(PARTITION_COL)
     cols = ["id"] + [INCLUDE_COLS[i] for i in include if i in INCLUDE_COLS]
     df = df.select(*cols).orderBy("id")
     if offset:
@@ -321,10 +403,14 @@ def query(
     Returns (query_id, rank, id, distance[, document][, metadata]).
     """
     metric = (coll.metadata or {}).get("hnsw:space", "l2")
-    df = items_df(engine, coll)
+    df = items_df(engine, coll, keep_partition_col=True)
     pred = _predicate(where, where_document, None)
     if pred is not None:
         df = df.filter(pred)
+    ppred = _partition_pred(where, _partition_key(engine, coll))
+    if ppred is not None:
+        df = df.filter(ppred)
+    df = df.drop(PARTITION_COL)
     queries = engine.spark.createDataFrame(
         [(i, [float(x) for x in q]) for i, q in enumerate(query_embeddings)],
         "query_id INT, query_embedding ARRAY<DOUBLE>",

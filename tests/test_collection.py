@@ -93,3 +93,50 @@ def test_add_df_bulk(engine, spark):
     )
     c.add_df(df)
     assert c.count() == 50
+
+
+def test_partitioned_collection_prunes_and_roundtrips(engine):
+    c = engine.create_collection(
+        "parted", {"hnsw:space": "l2"}, partition_by="lang"
+    )
+    c.add(
+        ids=["a", "b", "c", "d"],
+        embeddings=[[1.0, 0.0], [0.0, 1.0], [1.0, 1.0], [2.0, 0.0]],
+        documents=["ein text", "one text", "deux mots", "zwei texte"],
+        metadatas=[
+            {"lang": "de"},
+            {"lang": "en"},
+            {"lang": "fr"},
+            {"lang": "de"},
+        ],
+    )
+    # layout: one hive directory per partition value
+    import os
+
+    data = engine.data_path(c.id)
+    assert sorted(d for d in os.listdir(data) if d.startswith("_part=")) == [
+        "_part=de",
+        "_part=en",
+        "_part=fr",
+    ]
+    # filtered get prunes partitions at the scan
+    got = c.get(where={"lang": "de"}, include=("metadatas",))
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "_part" in plan
+    assert {r["id"] for r in got.collect()} == {"a", "d"}
+    # $in and $and shapes prune too
+    p2 = c.get(where={"$and": [{"lang": {"$in": ["de", "fr"]}}, {"lang": {"$ne": "xx"}}]})
+    assert {r["id"] for r in p2.collect()} == {"a", "c", "d"}
+    # query under a partition filter returns the partition's neighbors
+    res = c.query([[1.0, 0.0]], n_results=2, where={"lang": "de"}).collect()
+    assert [r["id"] for r in res] == ["a", "d"]
+    # mutation keeps the partitioned layout consistent
+    c.upsert(ids=["e"], embeddings=[[3.0, 3.0]], metadatas=[{"lang": "en"}])
+    c.delete(where={"lang": "fr"})
+    assert c.count() == 4
+    assert {r["id"] for r in c.get(where={"lang": "en"}).collect()} == {"b", "e"}
+    assert not any(
+        d == "_part=fr" and os.listdir(os.path.join(data, d))
+        for d in os.listdir(data)
+        if d.startswith("_part=")
+    )
