@@ -161,3 +161,62 @@ def test_stream_add_dedups_within_batch(spark, engine, tmp_path):
     q = stream_add(engine, coll, stream, checkpoint_dir=str(tmp_path / "dup_ckpt"))
     q.awaitTermination(120)
     assert coll.count() == 1
+
+
+def test_watermark_drops_late_data_across_microbatches(spark, tmp_path):
+    """True late-data semantics, not just plan shape: a row arriving a
+    micro-batch after the watermark passed its window is dropped, so
+    the emitted (append-mode, finalized) window excludes it."""
+    import os
+    import time
+
+    import pandas as pd
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    base = pd.Timestamp("2024-01-01 10:00:00")
+    # write microsecond timestamps: the engine session reads ns-int64
+    # parquet as LONG (nanosAsLong), which would shadow TIMESTAMP here
+    mk = lambda *ts: pd.DataFrame(
+        {
+            "ts": pd.Series(
+                [base + pd.Timedelta(t) for t in ts], dtype="datetime64[us]"
+            ),
+            "event_type": ["click"] * len(ts),
+            "value": [1.0] * len(ts),
+        }
+    )
+    # batch 0: one row in [10:00,10:10), one at 10:59 that advances the
+    # max event time, hence (10-min watermark) the watermark to 10:49.
+    mk("5min", "59min").to_parquet(src / "f1.parquet", index=False)
+    # batch 1: on-time filler (the watermark a batch uses for dropping
+    # is the one committed before the batch starts, so the advance
+    # from batch 0 is in force from here on)
+    mk("55min").to_parquet(src / "f2.parquet", index=False)
+    # batch 2: a late row for [10:00,10:10) — behind the watermark.
+    mk("1min").to_parquet(src / "f3.parquet", index=False)
+    now = time.time()
+    for i, f in enumerate(["f1.parquet", "f2.parquet", "f3.parquet"]):
+        os.utime(src / f, (now - 100 + i, now - 100 + i))  # process in order
+
+    stream = (
+        spark.readStream.schema("ts TIMESTAMP, event_type STRING, value DOUBLE")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    agg = tumbling_window_counts(stream, width="10 minutes", watermark="10 minutes")
+    q = drain_to_memory(agg, "late_drop_t", mode="append")
+    dropped = sum(
+        p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        if p["stateOperators"]
+    )
+    assert dropped == 1
+    rows = {
+        r["window_start"]: r["n_events"]
+        for r in spark.sql("SELECT * FROM late_drop_t").collect()
+    }
+    first = base.to_pydatetime().replace(tzinfo=None)
+    # the finalized first window holds ONLY the on-time row; the late
+    # row would have made it 2 had the watermark not dropped it
+    assert rows[first] == 1
