@@ -114,11 +114,21 @@ class Engine:
 
     # -- registry I/O --------------------------------------------------
     def _read_registry(self) -> list[dict]:
+        """Registry rows, cached on the file's mtime: item ops consult
+        the registry several times per call (partition key, dim check),
+        and re-parsing the JSON each time is pointless driver I/O. The
+        mtime check keeps the cache correct under out-of-band edits."""
         path = self._registry_path()
         if not os.path.exists(path):
             return []
+        mtime = os.path.getmtime(path)
+        cached = getattr(self, "_registry_cache", None)
+        if cached is not None and cached[0] == mtime:
+            return cached[1]
         with open(path) as f:
-            return json.load(f)
+            rows = json.load(f)
+        self._registry_cache = (mtime, rows)
+        return rows
 
     def _write_registry(self, rows: list[dict]) -> None:
         path = self._registry_path()
@@ -126,6 +136,7 @@ class Engine:
         with open(tmp, "w") as f:
             json.dump(rows, f, indent=1)
         os.replace(tmp, path)
+        self._registry_cache = (os.path.getmtime(path), rows)
 
     def _preflight(self) -> None:
         """Fail-fast invariant check before each op (client.rs:37-52)."""
@@ -174,6 +185,16 @@ class Engine:
         for row in rows:
             if row["name"] == name:
                 if get_or_create:
+                    # metadata differences are tolerated (Chroma's
+                    # get_or_create semantics) but a partition-layout
+                    # mismatch is not: returning an unpartitioned
+                    # collection to a caller expecting pruned scans
+                    # would silently defeat the feature
+                    if partition_by is not None and row.get("partition_by") != partition_by:
+                        raise CollectionExistsError(
+                            f"collection {name!r} exists with partition_by="
+                            f"{row.get('partition_by')!r}, requested {partition_by!r}"
+                        )
                     return self._bind(row)
                 raise CollectionExistsError(f"collection {name!r} already exists")
         row = {

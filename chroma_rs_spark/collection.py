@@ -71,9 +71,21 @@ def _partition_key(engine: Engine, coll: Collection) -> str | None:
 
 
 def _has_parquet(path: str) -> bool:
-    for _root, _dirs, files in os.walk(path):
-        if any(f.endswith(".parquet") for f in files):
-            return True
+    """Any parquet file at the top level or inside one level of hive
+    partition directories (the only two layouts we write) — bounded
+    depth, so the driver-side check stays O(directories), not O(files
+    in the whole tree)."""
+    with os.scandir(path) as it:
+        subdirs = []
+        for e in it:
+            if e.is_file() and e.name.endswith(".parquet"):
+                return True
+            if e.is_dir() and e.name.startswith(f"{PARTITION_COL}="):
+                subdirs.append(e.path)
+    for d in subdirs:
+        with os.scandir(d) as it:
+            if any(e.is_file() and e.name.endswith(".parquet") for e in it):
+                return True
     return False
 
 
@@ -109,6 +121,11 @@ def _partition_pred(where: dict | None, key: str | None) -> Column | None:
     conjunct is redundant with the compiled metadata predicate — it
     exists solely so Catalyst sees a filter on the partition column
     and skips directories at file listing time.
+
+    Values that hive cannot round-trip (empty string — written as the
+    __HIVE_DEFAULT_PARTITION__ directory and read back as null — and
+    the sentinel itself) disable pruning rather than silently dropping
+    the rows the metadata predicate would match.
     """
     if where is None or key is None:
         return None
@@ -128,7 +145,10 @@ def _partition_pred(where: dict | None, key: str | None) -> Column | None:
                 return p
     if vals is None:
         return None
-    return F.col(PARTITION_COL).isin([str(x) for x in vals])
+    svals = [str(x) for x in vals]
+    if any(v in ("", "__HIVE_DEFAULT_PARTITION__") for v in svals):
+        return None
+    return F.col(PARTITION_COL).isin(svals)
 
 
 def _write(

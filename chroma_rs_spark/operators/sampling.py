@@ -18,15 +18,27 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from chroma_rs_spark.operators.dedup import base_hash32
+
 SAMPLE_BUCKETS = 10_000
 
 
 def hash_bucket(id_col: str | Column, buckets: int = SAMPLE_BUCKETS) -> Column:
     """Uniform bucket in [0, buckets) from the row id — engine-portable
-    (md5 + hex parse, same construction as the minhash base hash)."""
+    (the same md5-based hash the minhash family is built on).
+
+    Granularity is 1/buckets (default 1e-4): fractions are realized as
+    integer bucket cutoffs, so a nonzero fraction below half a bucket
+    is rounded up to one bucket rather than silently sampling nothing.
+    """
     c = F.col(id_col) if isinstance(id_col, str) else id_col
-    h = F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast("long")
-    return (h % buckets).cast("int")
+    return (base_hash32(c.cast("string")) % buckets).cast("int")
+
+
+def _cutoff(fraction: float) -> int:
+    if fraction <= 0.0:
+        return 0
+    return max(1, int(round(fraction * SAMPLE_BUCKETS)))
 
 
 def deterministic_sample(
@@ -35,8 +47,7 @@ def deterministic_sample(
     """Keep ~`fraction` of rows, chosen by id hash bucket."""
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
-    cutoff = int(round(fraction * SAMPLE_BUCKETS))
-    return df.filter(hash_bucket(id_col) < cutoff)
+    return df.filter(hash_bucket(id_col) < _cutoff(fraction))
 
 
 def stratified_sample(
@@ -57,11 +68,9 @@ def stratified_sample(
     if not 0.0 <= default_fraction <= 1.0:
         raise ValueError(f"default_fraction must be in [0, 1], got {default_fraction}")
     strata = F.col(strata_col)
-    cutoff = F.lit(int(round(default_fraction * SAMPLE_BUCKETS)))
+    cutoff = F.lit(_cutoff(default_fraction))
     for k, v in fractions.items():
-        cutoff = F.when(strata == k, F.lit(int(round(v * SAMPLE_BUCKETS)))).otherwise(
-            cutoff
-        )
+        cutoff = F.when(strata == k, F.lit(_cutoff(v))).otherwise(cutoff)
     return df.filter(hash_bucket(id_col) < cutoff)
 
 

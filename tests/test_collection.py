@@ -140,3 +140,25 @@ def test_partitioned_collection_prunes_and_roundtrips(engine):
         for d in os.listdir(data)
         if d.startswith("_part=")
     )
+
+
+def test_partitioned_empty_string_value_not_lost(engine):
+    from chroma_rs_spark.errors import CollectionExistsError
+    import pytest as _pt
+
+    c = engine.create_collection("parted_edge", partition_by="lang")
+    c.add(
+        ids=["a", "b"],
+        embeddings=[[1.0, 0.0], [0.0, 1.0]],
+        metadatas=[{"lang": ""}, {"lang": "en"}],
+    )
+    # hive writes "" as __HIVE_DEFAULT_PARTITION__ and reads it back as
+    # null; pruning must stand down so the metadata predicate still wins
+    assert {r["id"] for r in c.get(where={"lang": ""}).collect()} == {"a"}
+    assert {r["id"] for r in c.get(where={"lang": "en"}).collect()} == {"b"}
+    # layout mismatch on get_or_create is an error, not a silent downgrade
+    with _pt.raises(CollectionExistsError):
+        engine.create_collection("parted_edge", get_or_create=True, partition_by="source")
+    # same partition_by is idempotent
+    again = engine.create_collection("parted_edge", get_or_create=True, partition_by="lang")
+    assert again.id == c.id

@@ -228,3 +228,13 @@ def test_stratified_sample_per_group_fractions(spark):
     assert strat == flat
     with __import__("pytest").raises(ValueError):
         stratified_sample(base, {"en": 1.5}, strata_col="lang")
+
+
+def test_tiny_fraction_rounds_up_to_one_bucket(spark):
+    from chroma_rs_spark.operators.sampling import deterministic_sample
+
+    base = spark.range(100000).select(F.col("id").alias("doc_id"))
+    # below half a bucket: would round to an empty sample without the guard
+    tiny = deterministic_sample(base, 4e-5).count()
+    assert 0 < tiny < 50  # one bucket of 10k => ~10 rows expected
+    assert deterministic_sample(base, 0.0).count() == 0
