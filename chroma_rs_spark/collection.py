@@ -115,40 +115,56 @@ def items_df(
 def _partition_pred(where: dict | None, key: str | None) -> Column | None:
     """Partition-pruning conjunct implied by a `where` filter.
 
-    Conservative: only direct equality / $eq / $in on the partition
-    key (recursing through top-level $and, every branch of which must
-    hold) produce a prune; anything else scans all partitions. The
-    conjunct is redundant with the compiled metadata predicate — it
-    exists solely so Catalyst sees a filter on the partition column
-    and skips directories at file listing time.
+    Conservative: direct equality / $eq / $in on the partition key
+    produce a prune, recursing through $and (any one branch's value
+    set is a valid superset of the surviving rows) and $or (every
+    branch must constrain the key; the prune is the union of their
+    value sets). Anything else scans all partitions. The conjunct is
+    redundant with the compiled metadata predicate — it exists solely
+    so Catalyst sees a filter on the partition column and skips
+    directories at file listing time.
 
     Values that hive cannot round-trip (empty string — written as the
     __HIVE_DEFAULT_PARTITION__ directory and read back as null — and
     the sentinel itself) disable pruning rather than silently dropping
     the rows the metadata predicate would match.
     """
-    if where is None or key is None:
-        return None
-    vals: list | None = None
-    v = where.get(key)
-    if isinstance(v, dict):
-        if set(v) == {"$eq"}:
-            vals = [v["$eq"]]
-        elif set(v) == {"$in"}:
-            vals = list(v["$in"])
-    elif isinstance(v, (str, int, float, bool)):
-        vals = [v]
-    if vals is None and "$and" in where:
-        for branch in where["$and"]:
-            p = _partition_pred(branch, key)
-            if p is not None:
-                return p
-    if vals is None:
+    vals = _partition_values(where, key)
+    if not vals:
         return None
     svals = [str(x) for x in vals]
     if any(v in ("", "__HIVE_DEFAULT_PARTITION__") for v in svals):
         return None
     return F.col(PARTITION_COL).isin(svals)
+
+
+def _partition_values(where: dict | None, key: str | None) -> list | None:
+    """Value set the partition key is restricted to by `where`, or None
+    if the filter does not constrain it."""
+    if where is None or key is None:
+        return None
+    v = where.get(key)
+    if isinstance(v, dict):
+        if set(v) == {"$eq"}:
+            return [v["$eq"]]
+        if set(v) == {"$in"}:
+            return list(v["$in"])
+    elif isinstance(v, (str, int, float, bool)):
+        return [v]
+    if "$and" in where:
+        for branch in where["$and"]:
+            vals = _partition_values(branch, key)
+            if vals is not None:
+                return vals
+    if "$or" in where:
+        union: list = []
+        for branch in where["$or"]:
+            vals = _partition_values(branch, key)
+            if vals is None:
+                return None  # one unconstrained branch defeats the prune
+            union.extend(vals)
+        return union
+    return None
 
 
 def _write(

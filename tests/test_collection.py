@@ -162,3 +162,23 @@ def test_partitioned_empty_string_value_not_lost(engine):
     # same partition_by is idempotent
     again = engine.create_collection("parted_edge", get_or_create=True, partition_by="lang")
     assert again.id == c.id
+
+
+def test_partition_pruning_through_or(engine):
+    c = engine.create_collection("parted_or", partition_by="lang")
+    c.add(
+        ids=["a", "b", "c"],
+        embeddings=[[1.0, 0.0], [0.0, 1.0], [1.0, 1.0]],
+        documents=["x one", "y two", "z three"],
+        metadatas=[{"lang": "de"}, {"lang": "en"}, {"lang": "fr"}],
+    )
+    # $or of equalities on the key prunes to the union of values
+    got = c.get(where={"$or": [{"lang": "de"}, {"lang": {"$eq": "fr"}}]})
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "_part" in plan
+    assert {r["id"] for r in got.collect()} == {"a", "c"}
+    # an $or branch on a different field defeats the prune but not the result
+    got2 = c.get(where={"$or": [{"lang": "de"}, {"other": "zz"}]})
+    plan2 = got2._jdf.queryExecution().executedPlan().toString()
+    assert "_part IN" not in plan2 and "_part = " not in plan2.replace("isnotnull", "")
+    assert {r["id"] for r in got2.collect()} == {"a"}
