@@ -106,8 +106,12 @@ def ivf_topk(
     scored = joined.select(
         "query_id",
         F.col(item_id).alias("neighbor_id"),
-        F.round(
-            cosine_distance(F.col(item_emb), F.col("qemb")), DIST_DECIMALS
+        # +0.0 canonicalizes -0.0 after rounding (see operators/knn.py)
+        (
+            F.round(
+                cosine_distance(F.col(item_emb), F.col("qemb")), DIST_DECIMALS
+            )
+            + F.lit(0.0)
         ).alias("distance"),
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -88,6 +88,10 @@ def knn_exact(
     # Query sets are tiny relative to the collection: broadcast so the
     # cross product is computed map-side with zero pre-join shuffle.
     joined = it.crossJoin(F.broadcast(q))
+    # `+ 0.0` canonicalizes IEEE -0.0 to +0.0 after rounding (self-match
+    # rows produce tiny negatives that round to -0.0 on some engines but
+    # +0.0 on others; -0.0 + 0.0 == +0.0 bit-wise everywhere). The DuckDB
+    # oracles apply the same `ROUND(...) + 0.0` so hashes are bit-stable.
     dist = F.round(
         _distance_col(
             metric,
@@ -96,7 +100,7 @@ def knn_exact(
             F.col("__inorm") if item_norm is not None else None,
         ),
         DIST_DECIMALS,
-    )
+    ) + F.lit(0.0)
     scored = joined.select(
         F.col("__qid").alias(query_id),
         F.col("__iid").alias(item_id),
@@ -159,7 +163,7 @@ def knn_exact_local_topk(
             else:  # cosine
                 inorm = np.linalg.norm(emb, axis=1)
                 d = 1.0 - (emb @ qmat.T) / (inorm[:, None] * qnorm[None, :])
-            d = np.round(d, DIST_DECIMALS)  # (n, nq)
+            d = np.round(d, DIST_DECIMALS) + 0.0  # (n, nq); +0.0 folds -0.0 → +0.0
             ids = pdf[item_id].to_numpy()
             kk = min(k, d.shape[0])
             # partial-select then stable sort: per-query local top-k

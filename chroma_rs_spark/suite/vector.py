@@ -63,7 +63,7 @@ WITH q AS (
 ),
 scored AS (
   SELECT q.query_id, e.vec_id AS neighbor_id,
-         ROUND(({metric_expr}), 6) AS distance
+         ROUND(({metric_expr}), 6) + 0.0 AS distance
   FROM embeddings e CROSS JOIN q
 ),
 ranked AS (
@@ -206,7 +206,7 @@ assign AS (
   SELECT vec_id, embedding, cid AS cell FROM (
     SELECT a.vec_id, a.embedding, c.cid,
            ROW_NUMBER() OVER (PARTITION BY a.vec_id
-                              ORDER BY ROUND(({_COSINE_AC}), 6), c.cid) AS rn
+                              ORDER BY ROUND(({_COSINE_AC}), 6) + 0.0, c.cid) AS rn
     FROM embeddings a CROSS JOIN cent c
   ) WHERE rn = 1
 ),
@@ -218,13 +218,13 @@ probes AS (
   SELECT query_id, qe, cid AS cell FROM (
     SELECT q.query_id, q.qe, c.cid,
            ROW_NUMBER() OVER (PARTITION BY q.query_id
-                              ORDER BY ROUND(({_COSINE_QC}), 6), c.cid) AS rn
+                              ORDER BY ROUND(({_COSINE_QC}), 6) + 0.0, c.cid) AS rn
     FROM q CROSS JOIN cent c
   ) WHERE rn <= {IVF_PROBE}
 ),
 scored AS (
   SELECT p.query_id, a.vec_id AS neighbor_id,
-         ROUND(({_COSINE_AQ}), 6) AS distance
+         ROUND(({_COSINE_AQ}), 6) + 0.0 AS distance
   FROM probes p JOIN assign a ON a.cell = p.cell
 ),
 ranked AS (

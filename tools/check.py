@@ -53,9 +53,11 @@ def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> lis
     for c in s.columns:
         sv, ov = s[c], o[c].astype(s[c].dtype, errors="ignore") if hasattr(o[c], "astype") else o[c]
         if np.issubdtype(sv.dtype, np.floating) or np.issubdtype(np.asarray(ov).dtype, np.floating):
-            a, b = np.asarray(sv, dtype=float), np.asarray(ov, dtype=float)
+            a, b = np.asarray(sv, dtype=np.float64), np.asarray(ov, dtype=np.float64)
             both_nan = np.isnan(a) & np.isnan(b)
-            eq = (a == b) | both_nan
+            # bit-level equality, mirroring the driver's value-hash:
+            # -0.0 vs +0.0 must FAIL here even though -0.0 == 0.0
+            eq = (a.view(np.int64) == b.view(np.int64)) | both_nan
             if not eq.all():
                 bad = (~eq).sum()
                 problems.append(
