@@ -30,8 +30,12 @@ def all_queries() -> dict[str, QueryDef]:
         vector,
     )
 
+    # Registration order is also the driver's correctness-check order;
+    # the small families go first so every family sits inside any
+    # bounded checking window (round 1 checked exactly the first 50 and
+    # the text/streaming/temporal tail went unverified).
     merged: dict[str, QueryDef] = {}
-    for mod in (vector, relational, pipeline, text, streaming, temporal):
+    for mod in (vector, text, streaming, temporal, pipeline, relational):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {sorted(overlap)}")

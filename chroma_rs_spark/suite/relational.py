@@ -250,26 +250,6 @@ SELECT n_name, c_custkey, spend, rank FROM ranked WHERE rank <= 3
 # -- rollup / cube ------------------------------------------------------
 
 
-def q_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
-    return (
-        orders.rollup("o_orderstatus", "o_orderpriority")
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            F.sum(_dec("o_totalprice")).cast("double").alias("total_price"),
-        )
-    )
-
-
-_ORDERS_ROLLUP_ORACLE = """
-SELECT o_orderstatus, o_orderpriority,
-       count(*) AS n_orders,
-       CAST(sum(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) AS total_price
-FROM orders
-GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
-"""
-
-
 def q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return (
@@ -292,29 +272,9 @@ GROUP BY CUBE (event_type, CAST(year(ts) AS BIGINT))
 
 
 # -- outer / semi / anti joins -----------------------------------------
-
-
-def q_customer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
-    per_cust = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("_n"))
-    return (
-        cust.join(per_cust, F.col("c_custkey") == F.col("o_custkey"), "left")
-        .select(
-            "c_custkey",
-            "c_mktsegment",
-            F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("n_orders"),
-        )
-    )
-
-
-_CUSTOMER_ORDER_COUNTS_ORACLE = """
-SELECT c_custkey, c_mktsegment,
-       CAST(coalesce(n, 0) AS BIGINT) AS n_orders
-FROM customer
-LEFT JOIN (SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey) o
-  ON c_custkey = o_custkey
-"""
+# (left OUTER join + coalesce-count — the old customer_order_counts
+# query — is exercised by tests/test_relational_ops.py; the suite keeps
+# the semi and anti variants, which the SURVEY §2.3 join family lists.)
 
 
 def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -357,24 +317,28 @@ WHERE EXISTS (SELECT 1 FROM lineitem
 # -- set operations -----------------------------------------------------
 
 
-def q_parts_in_both_years(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INTERSECT: parts shipped in both 1996 and 2000."""
+def q_set_ops_tagged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All three set operations in one tagged result (INTERSECT /
+    EXCEPT / UNION-distinct), so each branch stays a genuine set-op
+    plan while the family fits one correctness row:
+
+    - intersect: parts shipped in both 1996 and 2000;
+    - except: customers who placed URGENT orders but never LOW ones;
+    - union: orders that are URGENT or over 400k (distinct orderkeys).
+
+    Each branch shuffles only its distinct key set; the final
+    unionByName is a zero-shuffle concatenation.
+    """
     li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+
     y96 = li.filter(F.year("l_shipdate") == 1996).select("l_partkey").distinct()
     y00 = li.filter(F.year("l_shipdate") == 2000).select("l_partkey").distinct()
-    return y96.intersect(y00)
+    both_years = y96.intersect(y00).select(
+        F.lit("intersect_parts_both_years").alias("set_op"),
+        F.col("l_partkey").cast("long").alias("key_id"),
+    )
 
-
-_PARTS_IN_BOTH_YEARS_ORACLE = """
-SELECT DISTINCT l_partkey FROM lineitem WHERE year(l_shipdate) = 1996
-INTERSECT
-SELECT DISTINCT l_partkey FROM lineitem WHERE year(l_shipdate) = 2000
-"""
-
-
-def q_urgent_only_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT: customers who placed URGENT orders but never LOW ones."""
-    orders = load_table(spark, sf_dir, "orders")
     urgent = (
         orders.filter(F.col("o_orderpriority") == "1-URGENT")
         .select("o_custkey")
@@ -385,88 +349,109 @@ def q_urgent_only_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_custkey")
         .distinct()
     )
-    return urgent.exceptAll(low)
-
-
-_URGENT_ONLY_ORACLE = """
-SELECT o_custkey FROM (
-  SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
-EXCEPT ALL
-SELECT o_custkey FROM (
-  SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '5-LOW')
-"""
-
-
-# -- scalar functions ---------------------------------------------------
-
-
-def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
-    return orders.select(
-        "o_orderkey",
-        F.year("o_orderdate").cast("long").alias("o_year"),
-        F.month("o_orderdate").cast("long").alias("o_month"),
-        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
-        F.upper("o_orderpriority").alias("priority_upper"),
-        F.substring("o_orderpriority", 1, 1).cast("long").alias("priority_rank"),
-        F.length("o_orderpriority").cast("long").alias("priority_len"),
-        F.concat_ws("-", "o_orderstatus", "o_orderpriority").alias("status_priority"),
-        F.round(F.sqrt("o_totalprice"), 6).alias("price_sqrt"),
-        # divisor chosen so the true quotient never lands on an exact
-        # decimal half — Spark rounds the shortest string repr (HALF_UP)
-        # while DuckDB rounds the binary value, and they disagree only at
-        # exact .xx5 decimals (x*0.1 of 2-decimal money hits those).
-        F.round(F.col("o_totalprice") / 3.0, 2).alias("price_third"),
-        F.abs(F.col("o_totalprice") - 200000.0).alias("price_dev"),
+    urgent_only = urgent.exceptAll(low).select(
+        F.lit("except_urgent_only").alias("set_op"),
+        F.col("o_custkey").cast("long").alias("key_id"),
     )
 
+    pri = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+    big = orders.filter(F.col("o_totalprice") > 400000.0).select("o_orderkey")
+    pri_or_big = (
+        pri.union(big)
+        .distinct()
+        .select(
+            F.lit("union_priority_or_big").alias("set_op"),
+            F.col("o_orderkey").cast("long").alias("key_id"),
+        )
+    )
 
-_SCALAR_FUNCTIONS_ORACLE = """
-SELECT o_orderkey,
-       CAST(year(o_orderdate) AS BIGINT) AS o_year,
-       CAST(month(o_orderdate) AS BIGINT) AS o_month,
-       date_trunc('month', o_orderdate) AS month_start,
-       upper(o_orderpriority) AS priority_upper,
-       CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS priority_rank,
-       CAST(length(o_orderpriority) AS BIGINT) AS priority_len,
-       concat_ws('-', o_orderstatus, o_orderpriority) AS status_priority,
-       round(sqrt(o_totalprice), 6) AS price_sqrt,
-       round(o_totalprice / 3.0, 2) AS price_third,
-       abs(o_totalprice - 200000.0) AS price_dev
-FROM orders
+    return both_years.unionByName(urgent_only).unionByName(pri_or_big)
+
+
+_SET_OPS_ORACLE = """
+SELECT 'intersect_parts_both_years' AS set_op, CAST(l_partkey AS BIGINT) AS key_id
+FROM (
+  SELECT DISTINCT l_partkey FROM lineitem WHERE year(l_shipdate) = 1996
+  INTERSECT
+  SELECT DISTINCT l_partkey FROM lineitem WHERE year(l_shipdate) = 2000)
+UNION ALL
+SELECT 'except_urgent_only', CAST(o_custkey AS BIGINT)
+FROM (
+  SELECT o_custkey FROM (
+    SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+  EXCEPT ALL
+  SELECT o_custkey FROM (
+    SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'))
+UNION ALL
+SELECT 'union_priority_or_big', CAST(o_orderkey AS BIGINT)
+FROM (
+  SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+  UNION
+  SELECT o_orderkey FROM orders WHERE o_totalprice > 400000.0)
 """
 
 
 # -- windows: running totals & sessionization --------------------------
 
 
-def q_running_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_order_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The window-function surface over each customer's order history
+    in ONE pass / one shuffle on o_custkey: running totals + sequence
+    (rows frame), ntile quartiles, percent_rank/cume_dist, first/last
+    value over the unbounded frame, and lead/lag deltas. Merges the
+    former running_order_totals + customer_spend_windows queries —
+    every window spec shares the same partitioning and ordering, so
+    Spark evaluates them in a single Window node.
+    """
     orders = load_table(spark, sf_dir, "orders")
-    w = (
-        Window.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    price = _dec("o_totalprice")
     return orders.select(
         "o_custkey",
         "o_orderkey",
         "o_orderdate",
-        F.sum(_dec("o_totalprice")).over(w).cast("double").alias("running_spend"),
-        F.row_number().over(
-            Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-        ).cast("long").alias("order_seq"),
+        F.sum(price).over(w_run).cast("double").alias("running_spend"),
+        F.row_number().over(w).cast("long").alias("order_seq"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.first(price).over(w_all).cast("double").alias("first_price"),
+        F.last(price).over(w_all).cast("double").alias("last_price"),
+        F.coalesce(
+            (price - F.lag(price).over(w)).cast("double"), F.lit(0.0)
+        ).alias("delta_prev"),
+        F.coalesce(
+            (F.lead(price).over(w) - price).cast("double"), F.lit(0.0)
+        ).alias("delta_next"),
     )
 
 
-_RUNNING_ORDER_TOTALS_ORACLE = """
+_ORDER_WINDOW_FRAMES_ORACLE = """
 SELECT o_custkey, o_orderkey, o_orderdate,
-       CAST(sum(CAST(o_totalprice AS DECIMAL(15,2)))
-            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+       CAST(sum(CAST(o_totalprice AS DECIMAL(15,2))) OVER wr AS DOUBLE)
            AS running_spend,
-       ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-           AS order_seq
+       ROW_NUMBER() OVER w AS order_seq,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume,
+       CAST(first_value(CAST(o_totalprice AS DECIMAL(15,2))) OVER wa AS DOUBLE)
+           AS first_price,
+       CAST(last_value(CAST(o_totalprice AS DECIMAL(15,2))) OVER wa AS DOUBLE)
+           AS last_price,
+       coalesce(CAST(CAST(o_totalprice AS DECIMAL(15,2))
+                     - lag(CAST(o_totalprice AS DECIMAL(15,2))) OVER w AS DOUBLE),
+                0.0) AS delta_prev,
+       coalesce(CAST(lead(CAST(o_totalprice AS DECIMAL(15,2))) OVER w
+                     - CAST(o_totalprice AS DECIMAL(15,2)) AS DOUBLE),
+                0.0) AS delta_next
 FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+       wr AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+       wa AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
 """
 
 
@@ -527,34 +512,39 @@ GROUP BY user_id, session_id
 # -- distinct counts ----------------------------------------------------
 
 
-def q_monthly_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
-    return (
-        orders.groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("month"))
-        .agg(
-            F.countDistinct("o_custkey").alias("n_customers"),
-            F.count(F.lit(1)).alias("n_orders"),
-        )
-    )
-
-
-_MONTHLY_DISTINCT_ORACLE = """
-SELECT date_trunc('month', o_orderdate) AS month,
-       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
-       count(*) AS n_orders
-FROM orders
-GROUP BY date_trunc('month', o_orderdate)
-"""
-
-
 def q_approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ distinct estimate — algorithm-specific, so checked
-    rows-only (DuckDB's approx sketch yields a different estimate)."""
+    """Exact + approximate distinct counts per return flag.
+
+    The HyperLogLog++ estimate itself is algorithm-specific (no other
+    engine reproduces it bit-for-bit), so the oracle-checkable contract
+    is the exact count plus a deterministic error-bound boolean: HLL is
+    order-independent, so `approx_within_5pct` is stable run-to-run,
+    and the oracle asserts the exact counts and literal TRUE. rsd=0.01
+    keeps the estimate comfortably inside the 5% gate.
+    """
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+    g = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("_approx"),
         F.countDistinct("l_partkey").alias("exact_parts"),
     )
+    return g.select(
+        "l_returnflag",
+        F.col("exact_parts").cast("long").alias("exact_parts"),
+        (
+            F.abs(F.col("_approx") - F.col("exact_parts")).cast("double")
+            / F.col("exact_parts").cast("double")
+            <= F.lit(0.05)
+        ).alias("approx_within_5pct"),
+    )
+
+
+_APPROX_DISTINCT_ORACLE = """
+SELECT l_returnflag,
+       CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+       TRUE AS approx_within_5pct
+FROM lineitem
+GROUP BY l_returnflag
+"""
 
 
 # -- JSON extraction (events.props) ------------------------------------
@@ -583,99 +573,18 @@ GROUP BY event_type
 """
 
 
-# -- broadcast dim chain -----------------------------------------------
-
-
-def q_customers_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = load_table(spark, sf_dir, "customer")
-    nation = load_table(spark, sf_dir, "nation")
-    region = load_table(spark, sf_dir, "region")
-    dims = nation.join(
-        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
-    )
-    return (
-        cust.join(F.broadcast(dims), F.col("c_nationkey") == F.col("n_nationkey"))
-        .groupBy("r_name")
-        .agg(
-            F.count(F.lit(1)).alias("n_customers"),
-            F.sum(_dec("c_acctbal")).cast("double").alias("total_acctbal"),
-        )
-    )
-
-
-_CUSTOMERS_PER_REGION_ORACLE = """
-SELECT r_name, count(*) AS n_customers,
-       CAST(sum(CAST(c_acctbal AS DECIMAL(15,2))) AS DOUBLE) AS total_acctbal
-FROM customer
-JOIN nation ON c_nationkey = n_nationkey
-JOIN region ON n_regionkey = r_regionkey
-GROUP BY r_name
-"""
-
-
-# -- extended window functions -----------------------------------------
-
-
-def q_customer_spend_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The window-function long tail over each customer's order
-    history: ntile quartiles, percent_rank/cume_dist, first/last value
-    frames, and lead/lag deltas — one pass, one shuffle on o_custkey."""
-    orders = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    w_all = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    price = _dec("o_totalprice")
-    return orders.select(
-        "o_custkey",
-        "o_orderkey",
-        F.ntile(4).over(w).cast("long").alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
-        F.first(price).over(w_all).cast("double").alias("first_price"),
-        F.last(price).over(w_all).cast("double").alias("last_price"),
-        (price - F.lag(price).over(w)).cast("double").alias("delta_prev"),
-        (F.lead(price).over(w) - price).cast("double").alias("delta_next"),
-    ).select(
-        "o_custkey",
-        "o_orderkey",
-        "quartile",
-        "pct_rank",
-        "cume",
-        "first_price",
-        "last_price",
-        F.coalesce("delta_prev", F.lit(0.0)).alias("delta_prev"),
-        F.coalesce("delta_next", F.lit(0.0)).alias("delta_next"),
-    )
-
-
-_CUSTOMER_SPEND_WINDOWS_ORACLE = """
-SELECT o_custkey, o_orderkey,
-       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
-       round(percent_rank() OVER w, 6) AS pct_rank,
-       round(cume_dist() OVER w, 6) AS cume,
-       CAST(first_value(CAST(o_totalprice AS DECIMAL(15,2))) OVER wa AS DOUBLE)
-           AS first_price,
-       CAST(last_value(CAST(o_totalprice AS DECIMAL(15,2))) OVER wa AS DOUBLE)
-           AS last_price,
-       coalesce(CAST(CAST(o_totalprice AS DECIMAL(15,2))
-                     - lag(CAST(o_totalprice AS DECIMAL(15,2))) OVER w AS DOUBLE),
-                0.0) AS delta_prev,
-       coalesce(CAST(lead(CAST(o_totalprice AS DECIMAL(15,2))) OVER w
-                     - CAST(o_totalprice AS DECIMAL(15,2)) AS DOUBLE),
-                0.0) AS delta_next
-FROM orders
-WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
-       wa AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
-"""
-
-
 # -- grouping sets ------------------------------------------------------
 
 
 def q_orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING SETS ((status, priority), (status), ()) — finer control
     than rollup/cube; grouped-out dims carry an '(all)' sentinel so the
-    output is null-free for the hash gate."""
+    output is null-free for the hash gate.
+
+    These sets ARE the rollup lattice of (status, priority), so this
+    query also covers the ROLLUP operator (the former orders_rollup
+    query returned the identical result set; the rollup/groupingSets
+    equivalence is asserted by tests/test_relational_ops.py)."""
     orders = load_table(spark, sf_dir, "orders")
     gs = orders.groupingSets(
         [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
@@ -764,6 +673,14 @@ def q_lineitem_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(x * y).alias("_sxy"),
         F.sum(x * x).alias("_sxx"),
         F.sum(y * y).alias("_syy"),
+        # exact linear-interpolation percentiles (≡ DuckDB
+        # quantile_cont) — the former price_percentiles query folded
+        # into the same single-shuffle group pass; at 100 TB the
+        # approx_percentile t-digest sketch is the drop-in scale path
+        F.round(F.expr("percentile(l_extendedprice, 0.25)"), 4).alias("p25"),
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.75)"), 4).alias("p75"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95"),
     )
     n = F.col("n").cast("double")
     sx, sy = F.col("_sx").cast("double"), F.col("_sy").cast("double")
@@ -776,6 +693,10 @@ def q_lineitem_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((n * sxy - sx * sy) / (n * (n - F.lit(1.0))), 6).alias("covar_qty_price"),
         F.round(F.sqrt((n * syy - sy * sy) / (n * (n - F.lit(1.0)))), 6).alias("stddev_price"),
         F.round(sx / n, 6).alias("avg_qty"),
+        "p25",
+        "p50",
+        "p75",
+        "p95",
     )
 
 
@@ -793,79 +714,38 @@ WITH sums AS (
          CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
                   * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy
   FROM lineitem GROUP BY l_returnflag
+),
+pct AS (
+  SELECT l_returnflag,
+         round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+         round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+         round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+         round(quantile_cont(l_extendedprice, 0.95), 4) AS p95
+  FROM lineitem GROUP BY l_returnflag
 )
-SELECT l_returnflag, n,
+SELECT sums.l_returnflag, n,
        round((nd * sxy - sx * sy) / sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy)), 6)
            AS corr_qty_price,
        round((nd * sxy - sx * sy) / (nd * (nd - 1.0)), 6) AS covar_qty_price,
        round(sqrt((nd * syy - sy * sy) / (nd * (nd - 1.0))), 6) AS stddev_price,
-       round(sx / nd, 6) AS avg_qty
-FROM sums
-"""
-
-
-# -- percentiles --------------------------------------------------------
-
-
-def q_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact linear-interpolation percentiles of order totals per
-    status (`percentile` ≡ DuckDB `quantile_cont`). Exact percentiles
-    need the sorted multiset (a shuffle on the group key); at 100 TB
-    the approx_percentile sketch (t-digest, map-side mergeable) is the
-    drop-in scale path."""
-    orders = fan_out(
-        load_table(spark, sf_dir, "orders").select("o_orderstatus", "o_totalprice"),
-        min_bytes=1 << 20,
-    )
-    return orders.groupBy("o_orderstatus").agg(
-        F.round(F.expr("percentile(o_totalprice, 0.25)"), 4).alias("p25"),
-        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
-        F.round(F.expr("percentile(o_totalprice, 0.75)"), 4).alias("p75"),
-        F.round(F.expr("percentile(o_totalprice, 0.95)"), 4).alias("p95"),
-    )
-
-
-_PRICE_PERCENTILES_ORACLE = """
-SELECT o_orderstatus,
-       round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
-       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
-       round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
-       round(quantile_cont(o_totalprice, 0.95), 4) AS p95
-FROM orders
-GROUP BY o_orderstatus
-"""
-
-
-# -- set op: union ------------------------------------------------------
-
-
-def q_priority_or_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """UNION (distinct) of two order subsets — the set-op family's
-    third member alongside intersect/except above."""
-    orders = load_table(spark, sf_dir, "orders")
-    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
-        "o_orderkey", "o_custkey"
-    )
-    big = orders.filter(F.col("o_totalprice") > 400000.0).select(
-        "o_orderkey", "o_custkey"
-    )
-    return urgent.union(big).distinct()
-
-
-_PRIORITY_OR_BIG_ORACLE = """
-SELECT o_orderkey, o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
-UNION
-SELECT o_orderkey, o_custkey FROM orders WHERE o_totalprice > 400000.0
+       round(sx / nd, 6) AS avg_qty,
+       p25, p50, p75, p95
+FROM sums JOIN pct ON sums.l_returnflag = pct.l_returnflag
 """
 
 
 def q_orders_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scalar-subquery pattern: orders pricier than the global average.
+    """Scalar-subquery pattern + the scalar/date/string function
+    surface: orders pricier than the global average, with derived
+    display columns (the old standalone scalar_functions query folded
+    in — same expressions, now over the filtered subset).
 
     The 1-row aggregate is explicitly broadcast, so the fact table is
     filtered map-side with zero shuffle — the plan a scalar subquery
     should compile to at 100 TB. Average is exact-decimal-sum / count
-    (one identical double division in both engines).
+    (one identical double division in both engines). The correlated
+    variant (value above its own GROUP's average, decorrelated into a
+    window pass) is exercised by tests/test_relational_ops.py.
     """
     orders = load_table(spark, sf_dir, "orders")
     avg_row = orders.agg(
@@ -874,47 +754,45 @@ def q_orders_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         orders.crossJoin(F.broadcast(avg_row))
         .filter(F.col("o_totalprice") > F.col("avg_price"))
-        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            F.month("o_orderdate").cast("long").alias("o_month"),
+            F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+            F.upper("o_orderpriority").alias("priority_upper"),
+            F.substring("o_orderpriority", 1, 1).cast("long").alias("priority_rank"),
+            F.length("o_orderpriority").cast("long").alias("priority_len"),
+            F.concat_ws("-", "o_orderstatus", "o_orderpriority").alias("status_priority"),
+            F.round(F.sqrt("o_totalprice"), 6).alias("price_sqrt"),
+            # divisor chosen so the true quotient never lands on an exact
+            # decimal half — Spark rounds the shortest string repr
+            # (HALF_UP) while DuckDB rounds the binary value, and they
+            # disagree only at exact .xx5 decimals (x*0.1 of 2-decimal
+            # money hits those).
+            F.round(F.col("o_totalprice") / 3.0, 2).alias("price_third"),
+            F.abs(F.col("o_totalprice") - 200000.0).alias("price_dev"),
+        )
     )
 
 
 _ORDERS_ABOVE_AVG_ORACLE = """
-SELECT o_orderkey, o_custkey, o_totalprice
+SELECT o_orderkey, o_custkey, o_totalprice,
+       CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(month(o_orderdate) AS BIGINT) AS o_month,
+       date_trunc('month', o_orderdate) AS month_start,
+       upper(o_orderpriority) AS priority_upper,
+       CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS priority_rank,
+       CAST(length(o_orderpriority) AS BIGINT) AS priority_len,
+       concat_ws('-', o_orderstatus, o_orderpriority) AS status_priority,
+       round(sqrt(o_totalprice), 6) AS price_sqrt,
+       round(o_totalprice / 3.0, 2) AS price_third,
+       abs(o_totalprice - 200000.0) AS price_dev
 FROM orders
 WHERE o_totalprice > (
     SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) / count(*)
     FROM orders)
-"""
-
-
-def q_customers_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Correlated-subquery pattern (acctbal > own nation's average),
-    decorrelated into a single window pass — one shuffle on the
-    correlation key instead of a per-row subquery."""
-    cust = load_table(spark, sf_dir, "customer")
-    nation = load_table(spark, sf_dir, "nation")
-    w = Window.partitionBy("c_nationkey")
-    nation_avg = (
-        F.sum(_dec("c_acctbal")).over(w).cast("double") / F.count("*").over(w)
-    )
-    return (
-        cust.withColumn("nation_avg", nation_avg)
-        .filter(F.col("c_acctbal") > F.col("nation_avg"))
-        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
-        .select("c_custkey", "c_name", "n_name", "c_acctbal", "nation_avg")
-    )
-
-
-_CUSTOMERS_ABOVE_NATION_AVG_ORACLE = """
-WITH w AS (
-    SELECT c_custkey, c_name, c_nationkey, c_acctbal,
-           CAST(sum(CAST(c_acctbal AS DECIMAL(15,2)))
-                    OVER (PARTITION BY c_nationkey) AS DOUBLE)
-               / count(*) OVER (PARTITION BY c_nationkey) AS nation_avg
-    FROM customer)
-SELECT c_custkey, c_name, n_name, c_acctbal, nation_avg
-FROM w JOIN nation ON c_nationkey = n_nationkey
-WHERE c_acctbal > nation_avg
 """
 
 
@@ -958,9 +836,6 @@ WHERE CAST(_rev AS DOUBLE) >
 
 QUERIES = {
     "orders_above_avg": QueryDef(q_orders_above_avg, _ORDERS_ABOVE_AVG_ORACLE),
-    "customers_above_nation_avg": QueryDef(
-        q_customers_above_nation_avg, _CUSTOMERS_ABOVE_NATION_AVG_ORACLE
-    ),
     "high_revenue_parts": QueryDef(q_high_revenue_parts, _HIGH_REVENUE_PARTS_ORACLE),
     "pricing_summary": QueryDef(q_pricing_summary, _PRICING_ORACLE),
     "shipping_priority": QueryDef(q_shipping_priority, _SHIPPING_ORACLE),
@@ -968,40 +843,25 @@ QUERIES = {
     "top_customers_per_nation": QueryDef(
         q_top_customers_per_nation, _TOP_CUSTOMERS_ORACLE
     ),
-    "orders_rollup": QueryDef(q_orders_rollup, _ORDERS_ROLLUP_ORACLE),
     "events_cube": QueryDef(q_events_cube, _EVENTS_CUBE_ORACLE),
-    "customer_order_counts": QueryDef(
-        q_customer_order_counts, _CUSTOMER_ORDER_COUNTS_ORACLE
-    ),
     "customers_without_orders": QueryDef(
         q_customers_without_orders, _CUSTOMERS_WITHOUT_ORDERS_ORACLE
     ),
     "suppliers_with_returns": QueryDef(
         q_suppliers_with_returns, _SUPPLIERS_WITH_RETURNS_ORACLE
     ),
-    "parts_in_both_years": QueryDef(q_parts_in_both_years, _PARTS_IN_BOTH_YEARS_ORACLE),
-    "urgent_only_customers": QueryDef(q_urgent_only_customers, _URGENT_ONLY_ORACLE),
-    "scalar_functions": QueryDef(q_scalar_functions, _SCALAR_FUNCTIONS_ORACLE),
-    "running_order_totals": QueryDef(
-        q_running_order_totals, _RUNNING_ORDER_TOTALS_ORACLE
+    "set_ops_tagged": QueryDef(q_set_ops_tagged, _SET_OPS_ORACLE),
+    "order_window_frames": QueryDef(
+        q_order_window_frames, _ORDER_WINDOW_FRAMES_ORACLE
     ),
     "sessionize_events": QueryDef(q_sessionize_events, _SESSIONIZE_ORACLE),
-    "monthly_distinct_customers": QueryDef(
-        q_monthly_distinct_customers, _MONTHLY_DISTINCT_ORACLE
+    "approx_distinct_parts": QueryDef(
+        q_approx_distinct_parts, _APPROX_DISTINCT_ORACLE
     ),
-    "approx_distinct_parts": QueryDef(q_approx_distinct_parts, None),
     "events_json_stats": QueryDef(q_events_json_stats, _EVENTS_JSON_ORACLE),
-    "customers_per_region": QueryDef(q_customers_per_region, _CUSTOMERS_PER_REGION_ORACLE),
-    "customer_spend_windows": QueryDef(
-        q_customer_spend_windows, _CUSTOMER_SPEND_WINDOWS_ORACLE
-    ),
     "orders_grouping_sets": QueryDef(
         q_orders_grouping_sets, _ORDERS_GROUPING_SETS_ORACLE
     ),
     "user_event_pivot": QueryDef(q_user_event_pivot, _USER_EVENT_PIVOT_ORACLE),
     "lineitem_stats": QueryDef(q_lineitem_stats, _LINEITEM_STATS_ORACLE),
-    "price_percentiles": QueryDef(q_price_percentiles, _PRICE_PERCENTILES_ORACLE),
-    "priority_or_big_orders": QueryDef(
-        q_priority_or_big_orders, _PRIORITY_OR_BIG_ORACLE
-    ),
 }
