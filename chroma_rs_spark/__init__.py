@@ -20,6 +20,7 @@ from chroma_rs_spark.errors import (
     DimensionMismatchError,
     DuplicateIDError,
     EngineError,
+    IDNotFoundError,
     InvalidFilterError,
     ResetDisabledError,
 )
@@ -34,5 +35,6 @@ __all__ = [
     "InvalidFilterError",
     "DimensionMismatchError",
     "DuplicateIDError",
+    "IDNotFoundError",
     "ResetDisabledError",
 ]

@@ -35,6 +35,7 @@ from chroma_rs_spark.errors import (
     DimensionMismatchError,
     DuplicateIDError,
     EngineError,
+    IDNotFoundError,
     InvalidFilterError,
 )
 from chroma_rs_spark.filters import compile_where, compile_where_document
@@ -132,6 +133,13 @@ def _partition_pred(where: dict | None, key: str | None) -> Column | None:
     vals = _partition_values(where, key)
     if not vals:
         return None
+    # Non-string comparands stand down: the stored directory name comes
+    # from the map's string value (str(3) -> '3') while str() of the
+    # comparand may differ (str(3.0) -> '3.0'), and the compiled
+    # metadata predicate compares after a numeric CAST — a mismatched
+    # prune conjunct would silently drop matching rows.
+    if any(not isinstance(x, str) for x in vals):
+        return None
     svals = [str(x) for x in vals]
     if any(v in ("", "__HIVE_DEFAULT_PARTITION__") for v in svals):
         return None
@@ -183,6 +191,17 @@ def _write(
     df.write.mode(mode).partitionBy(PARTITION_COL).parquet(path)
 
 
+def _meta_str(v: object) -> str:
+    """Canonical string form for a metadata value — the same form the
+    where-DSL compiler coerces comparands to (filters._coerce), so
+    stored values and filter literals always meet in one encoding."""
+    if v is True:
+        return "true"
+    if v is False:
+        return "false"
+    return str(v)
+
+
 def _items_from_args(
     engine: Engine,
     ids: Sequence[str],
@@ -202,7 +221,11 @@ def _items_from_args(
             [float(x) for x in e] if e is not None else None,
             None,
             d,
-            {k: str(v) for k, v in m.items()} if m else None,
+            # metadata is stored as map<string,string>; booleans MUST
+            # serialize as the same lowercase form compile_where's
+            # _coerce produces (filters.py), or where={'flag': True}
+            # would silently match nothing against a stored 'True'
+            {k: _meta_str(v) for k, v in m.items()} if m else None,
         )
         for i, e, d, m in zip(ids, embeddings, documents, metadatas)
     ]
@@ -336,9 +359,25 @@ def update(
     documents: Sequence[str] | None = None,
     metadatas: Sequence[dict] | None = None,
 ) -> int:
-    """Patch columns by id (A3): column-wise coalesce of new over old."""
+    """Patch columns by id (A3): column-wise coalesce of new over old.
+
+    Raises IDNotFoundError if any patch id is absent — the left join
+    below silently drops such patch rows, so without the check a
+    caller could not tell a no-op from a successful update.
+    """
     patch = _items_from_args(engine, ids, embeddings, documents, metadatas)
     existing = items_df(engine, coll)
+    missing = [
+        r["id"]
+        for r in patch.select("id")
+        .join(existing.select("id"), "id", "left_anti")
+        .collect()
+    ]
+    if missing:
+        raise IDNotFoundError(
+            f"update() ids not in collection: {sorted(missing)[:10]}"
+            + ("..." if len(missing) > 10 else "")
+        )
     p = patch.select(
         F.col("id"),
         F.col("embedding").alias("_e"),
@@ -458,6 +497,10 @@ def query(
         metric=metric,
         item_id="id",
         item_emb="embedding",
+        # the add-time norm "index" (maintained by update/upsert):
+        # one stored norm per item instead of one recompute per
+        # (item, query) pair; same doubles, bit-identical results
+        item_norm="embedding_norm" if metric == "cosine" else None,
     )
     out_cols = ["query_id", "rank", "id"]
     if "distances" in include:

@@ -44,3 +44,9 @@ class DuplicateIDError(EngineError):
 
 class ResetDisabledError(EngineError):
     """reset() called without allow_reset=True (client.rs:261-282)."""
+
+
+class IDNotFoundError(EngineError):
+    """`update` with ids that don't exist in the collection (A3) —
+    a silent no-op patch would otherwise be indistinguishable from a
+    successful one."""

@@ -82,9 +82,14 @@ def knn_exact(
     item_cols = [F.col(item_id).alias("__iid"), F.col(item_emb).alias("__iemb")]
     if item_norm is not None:
         item_cols.append(F.col(item_norm).alias("__inorm"))
+    # Items without an embedding (doc-only add, upsert without vectors)
+    # can't be scored; without this filter their NULL distance would
+    # sort NULLS FIRST into rank 1..n and push out real neighbors.
     # Distance evaluation is CPU-bound: fan a big-but-narrow scan out to
     # all cores first (no-op for tiny inputs and on wide cluster scans).
-    it = fan_out(items.select(*item_cols))
+    it = fan_out(
+        items.filter(F.col(item_emb).isNotNull()).select(*item_cols)
+    )
     # Query sets are tiny relative to the collection: broadcast so the
     # cross product is computed map-side with zero pre-join shuffle.
     joined = it.crossJoin(F.broadcast(q))
@@ -182,7 +187,10 @@ def knn_exact_local_topk(
                 )
             yield pd.concat(rows, ignore_index=True)
 
-    src = fan_out(items.select(item_id, item_emb))
+    # null embeddings are unscorable — see knn_exact
+    src = fan_out(
+        items.filter(F.col(item_emb).isNotNull()).select(item_id, item_emb)
+    )
     candidates = src.mapInPandas(local_topk, schema=out_schema)
     w = Window.partitionBy(query_id).orderBy(
         F.col("distance").asc(), F.col(item_id).asc()

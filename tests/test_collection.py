@@ -182,3 +182,59 @@ def test_partition_pruning_through_or(engine):
     plan2 = got2._jdf.queryExecution().executedPlan().toString()
     assert "_part IN" not in plan2 and "_part = " not in plan2.replace("isnotnull", "")
     assert {r["id"] for r in got2.collect()} == {"a"}
+
+
+def test_boolean_metadata_roundtrip(engine):
+    """add(metadatas={'flag': True}) must be matchable by
+    where={'flag': True} — storage and filter coercion use the same
+    lowercase boolean encoding (ADVICE r1)."""
+    c = engine.create_collection("boolmeta")
+    c.add(
+        ids=["t", "f"],
+        embeddings=[[1.0, 0.0], [0.0, 1.0]],
+        metadatas=[{"flag": True}, {"flag": False}],
+    )
+    assert [r["id"] for r in c.get(where={"flag": True}).collect()] == ["t"]
+    assert [r["id"] for r in c.get(where={"flag": False}).collect()] == ["f"]
+    res = c.query([[1.0, 0.0]], n_results=2, where={"flag": True}).collect()
+    assert [r["id"] for r in res] == ["t"]
+
+
+def test_query_skips_null_embedding_items(coll):
+    """Doc-only items (no embedding) must not occupy top ranks with
+    NULL distances (ADVICE r1)."""
+    coll.add(ids=["doconly"], documents=["no vector here"])
+    res = coll.query([[1.0, 0.1]], n_results=4).collect()
+    ids = [r["id"] for r in res]
+    assert "doconly" not in ids
+    assert ids == ["a", "c", "b"]
+    assert all(r["distance"] is not None for r in res)
+
+
+def test_update_missing_id_raises(coll):
+    from chroma_rs_spark.errors import IDNotFoundError
+
+    with pytest.raises(IDNotFoundError):
+        coll.update(ids=["nope"], documents=["ghost"])
+    # existing ids still update fine after the guard
+    coll.update(ids=["a"], documents=["alpha v3"])
+    got = {r["id"]: r["document"] for r in coll.get().collect()}
+    assert got["a"] == "alpha v3"
+
+
+def test_numeric_partition_value_not_dropped(engine):
+    """Partition pruning must stand down for non-string comparands:
+    stored map value str(3) lands in _part=3 but a numeric where
+    comparand would prune to _part IN ('3.0') (ADVICE r1)."""
+    c = engine.create_collection(
+        "numpart", {"partition_by": "v"}
+    )
+    c.add(
+        ids=["x", "y"],
+        embeddings=[[1.0, 0.0], [0.0, 1.0]],
+        metadatas=[{"v": 3}, {"v": 4}],
+    )
+    got = c.get(where={"v": 3.0}).collect()
+    assert [r["id"] for r in got] == ["x"]
+    got = c.get(where={"v": 3}).collect()
+    assert [r["id"] for r in got] == ["x"]
