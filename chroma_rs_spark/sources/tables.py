@@ -30,9 +30,25 @@ TABLES = (
 BROADCAST_TABLES = frozenset({"region", "nation"})
 
 
+# (session, sf_dir, table) -> DataFrame. DataFrames are immutable plan
+# handles, so sharing one scan relation across queries is safe and
+# skips the parquet footer read + relation resolution that otherwise
+# repeats per query (the dominant share of driver-side plan-build
+# time when a suite runs many queries against the same tables).
+# Keyed on the SparkSession object itself: a stopped session's entries
+# simply go stale and a new session builds fresh scans.
+# The value keeps a strong reference to the session so its id() can
+# never be recycled onto a different live session.
+_SCAN_CACHE: dict[tuple[int, str, str], tuple[SparkSession, DataFrame]] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    key = (id(spark), os.path.abspath(sf_dir), name)
+    cached = _SCAN_CACHE.get(key)
+    if cached is not None and cached[0] is spark:
+        return cached[1]
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
@@ -40,13 +56,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # microseconds — the same ns->us truncation DuckDB's reader does,
         # so event-time values stay oracle-comparable.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
+        raw = spark.read.parquet(path)
         from pyspark.sql import functions as F
 
         # integer `div` (not `/`): ns values exceed 2^53, double division
         # would lose precision
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return spark.read.parquet(path)
+        df = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        df = spark.read.parquet(path)
+    _SCAN_CACHE[key] = (spark, df)
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
