@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from chroma_rs_spark.plans import fan_out
+
 
 def tokens_col(text: str | Column = "text") -> Column:
     c = F.col(text) if isinstance(text, str) else text
@@ -71,7 +73,11 @@ def exploded_shingles(
     and the SQL oracles.
     """
     pat = "(?<=^| )(?=(" + " ".join([r"\S+"] * k) + "))"
-    return df.select(
+    # The regex pass is CPU-bound and a small single-row-group corpus
+    # scans as ONE task — fan it out (low gate: text is dense per byte;
+    # a wide cluster scan makes this a no-op, see plans/partitioning.py)
+    src = fan_out(df.select(id_col, text_col), min_bytes=1 << 19)
+    return src.select(
         F.col(id_col),
         F.explode(
             F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(1))

@@ -26,13 +26,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from chroma_rs_spark.functions.vector import cosine_distance
+from chroma_rs_spark.functions.vector import dot_product, l2_norm
 from chroma_rs_spark.operators.knn import DIST_DECIMALS
 
 
-def _dist_to(emb_col, vec: list[float]):
-    lit_vec = F.array(*[F.lit(float(x)) for x in vec]).cast("array<double>")
-    return F.round(cosine_distance(emb_col, lit_vec), DIST_DECIMALS)
+def _seq_norm(vec: list[float]) -> float:
+    """L2 norm with strict left-to-right accumulation — the exact
+    double `l2_norm` (aggregate HOF) produces, so a driver-computed
+    centroid norm is interchangeable with the JVM-computed one."""
+    import math
+
+    acc = 0.0
+    for x in vec:
+        acc = acc + float(x) * float(x)
+    return math.sqrt(acc)
 
 
 def assign_cells(
@@ -43,21 +50,38 @@ def assign_cells(
     """Append `cell` = id of the nearest centroid (cosine, ties to the
     lower centroid id). Pure map-side column expression.
 
-    The item's own norm appears once per centroid candidate; projecting
-    it as a separate column first would not help — CollapseProject
-    inlines single-use projections back into every consumer. The
-    redundancy is O(n_centroids * dim) flops per row, map-side; for
-    wide vectors or large centroid counts, move assignment into an
-    Arrow batch like knn_exact_local_topk.
+    Cost discipline: HOF lambdas evaluate interpreted (outside
+    whole-stage codegen), so the expression computes the item norm
+    ONCE per row (not once per centroid) and takes each centroid's
+    norm as a driver-computed literal — one dot product per centroid
+    per row is the irreducible work. Same doubles as the naive form
+    (norms accumulate in the same order), ~3x less interpreted work.
+    For wide vectors or large centroid counts, the Arrow-batch path
+    (knn_exact_local_topk's matmul) is the next gear.
     """
-    cands = [
-        F.struct(
-            _dist_to(F.col(item_emb), vec).alias("d"),
-            F.lit(int(cid)).alias("c"),
+    norm_col = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                F.col(item_emb),
+                F.col(item_emb),
+                lambda x, y: x.cast("double") * y.cast("double"),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
         )
-        for cid, vec in centroids
-    ]
-    return items.withColumn("cell", F.least(*cands).getField("c"))
+    )
+    with_norm = items.withColumn("_inorm", norm_col)
+    cands = []
+    for cid, vec in centroids:
+        lit_vec = F.array(*[F.lit(float(x)) for x in vec]).cast("array<double>")
+        dist = F.round(
+            F.lit(1.0)
+            - dot_product(F.col(item_emb), lit_vec)
+            / (F.col("_inorm") * F.lit(_seq_norm(vec))),
+            DIST_DECIMALS,
+        )
+        cands.append(F.struct(dist.alias("d"), F.lit(int(cid)).alias("c")))
+    return with_norm.withColumn("cell", F.least(*cands).getField("c"))
 
 
 def ivf_topk(
@@ -98,7 +122,8 @@ def ivf_topk(
 
     spark = items.sparkSession
     probes = spark.createDataFrame(
-        probe_rows, f"query_id long, cell long, qemb array<double>"
+        [(qid, cell, qv, _seq_norm(qv)) for qid, cell, qv in probe_rows],
+        "query_id long, cell long, qemb array<double>, qnorm double",
     )
 
     assigned = assign_cells(items, centroids, item_emb)
@@ -106,10 +131,15 @@ def ivf_topk(
     scored = joined.select(
         "query_id",
         F.col(item_id).alias("neighbor_id"),
+        # item norm reused from assignment, query norm precomputed on
+        # the driver (same sequential accumulation = same doubles);
         # +0.0 canonicalizes -0.0 after rounding (see operators/knn.py)
         (
             F.round(
-                cosine_distance(F.col(item_emb), F.col("qemb")), DIST_DECIMALS
+                F.lit(1.0)
+                - dot_product(F.col(item_emb), F.col("qemb"))
+                / (F.col("_inorm") * F.col("qnorm")),
+                DIST_DECIMALS,
             )
             + F.lit(0.0)
         ).alias("distance"),
