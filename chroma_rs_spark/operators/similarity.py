@@ -115,6 +115,83 @@ def cosine_topk_pairs_blocked(
     return cand.orderBy(F.col("cosine_sim").desc(), "id_a", "id_b").limit(top_n)
 
 
+def cosine_pairs_bucketed(
+    df: DataFrame,
+    threshold: float = 0.8,
+    n_planes: int = 8,
+    bands: int = 4,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    top_n: int | None = None,
+) -> DataFrame:
+    """Near-dup pair mining with NO driver-side collect — the 100 TB
+    path `cosine_topk_pairs_blocked` documents as its successor beyond
+    ~1M vectors.
+
+    LSH banding for cosine: each vector gets `bands` bucket keys (the
+    sign pattern of a disjoint slice of `n_planes` dimensions per
+    band); candidate pairs meet only inside a (band, bucket) group, so
+    the shuffle is keyed on the bucket — no cross product, no
+    broadcast matrix. Candidates are exactly rescored (round-6 cosine,
+    same contract as the exact operators) and thresholded; two vectors
+    are candidates if ANY band agrees, so recall grows with `bands`
+    while cost stays |same-bucket pairs|.
+
+    Returns (id_a, id_b, cosine_sim) with id_a < id_b — a SUBSET of
+    the exact threshold pairs (pinned by test_similarity_bucketed).
+    """
+    src = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(emb_col).alias("_emb"),
+        l2_norm(F.col(emb_col)).alias("_norm"),
+    )
+    band_keys = F.array(
+        *[
+            F.concat(
+                F.lit(f"{b}:"),
+                *[
+                    F.when(
+                        F.element_at(F.col("_emb"), b * n_planes + i + 1) >= 0,
+                        F.lit("1"),
+                    ).otherwise(F.lit("0"))
+                    for i in range(n_planes)
+                ],
+            )
+            for b in range(bands)
+        ]
+    )
+    keyed = src.select("_id", "_emb", "_norm", F.explode(band_keys).alias("_bk"))
+    a = keyed.select(
+        F.col("_bk"),
+        F.col("_id").alias("id_a"),
+        F.col("_emb").alias("_ea"),
+        F.col("_norm").alias("_na"),
+    )
+    b = keyed.select(
+        F.col("_bk"),
+        F.col("_id").alias("id_b"),
+        F.col("_emb").alias("_eb"),
+        F.col("_norm").alias("_nb"),
+    )
+    sim = F.round(
+        dot_product(F.col("_ea"), F.col("_eb")) / (F.col("_na") * F.col("_nb")),
+        6,
+    )
+    pairs = (
+        a.join(b, ["_bk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim.alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= F.lit(threshold))
+        # a pair can agree in several bands — dedup on the pair key
+        .distinct()
+    )
+    if top_n is not None:
+        pairs = pairs.orderBy(
+            F.col("cosine_sim").desc(), "id_a", "id_b"
+        ).limit(top_n)
+    return pairs
+
+
 def sign_bucket(emb_col, n_planes: int = 8):
     """Bucket key: sign pattern of the first `n_planes` dimensions."""
     return F.concat(

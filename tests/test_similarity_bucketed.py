@@ -1,0 +1,94 @@
+"""cosine_pairs_bucketed (the no-collect near-dup scale path):
+soundness against the exact all-pairs baseline on the driver table,
+recall on synthetic true near-duplicates (the workload the banding is
+tuned for — sign-LSH collision probability rises with similarity, so
+recall is measured at near-dup similarity, not at arbitrary
+thresholds)."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from chroma_rs_spark.functions.vector import dot_product, l2_norm
+from chroma_rs_spark.operators.similarity import cosine_pairs_bucketed
+from chroma_rs_spark.sources.tables import load_table
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+THRESHOLD = 0.35
+
+
+def _exact_pairs(df):
+    a = df.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("ea"),
+        l2_norm(F.col("embedding")).alias("na"),
+    )
+    b = df.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("eb"),
+        l2_norm(F.col("embedding")).alias("nb"),
+    )
+    sim = F.round(
+        dot_product(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim.alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= THRESHOLD)
+    )
+
+
+def test_bucketed_pairs_sound_on_driver_table(spark):
+    """Every reported pair is a real threshold pair with the bit-same
+    rounded similarity (subset contract)."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    exact = {
+        (r["id_a"], r["id_b"]): r["cosine_sim"]
+        for r in _exact_pairs(emb).collect()
+    }
+    assert exact, "test data must contain pairs above the threshold"
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine_sim"]
+        for r in cosine_pairs_bucketed(emb, threshold=THRESHOLD).collect()
+    }
+    for k, v in got.items():
+        assert k in exact and exact[k] == v
+
+
+def test_bucketed_recall_on_true_near_dups(spark):
+    """Planted near-duplicates (cosine ≥ ~0.99) must be recovered:
+    sign-LSH per-plane agreement ≈ 0.97 at that similarity, so with 4
+    bands of 8 planes the expected pair recall is >0.99."""
+    rng = np.random.default_rng(7)
+    base = rng.normal(0.0, 1.0, size=(40, 64))
+    rows = []
+    dup_pairs = set()
+    for i, v in enumerate(base):
+        rows.append((2 * i, [float(x) for x in v]))
+        noisy = v + rng.normal(0.0, 0.02, size=64)  # sim ≈ 0.999
+        rows.append((2 * i + 1, [float(x) for x in noisy]))
+        dup_pairs.add((2 * i, 2 * i + 1))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_pairs_bucketed(df, threshold=0.98).collect()
+    }
+    found = dup_pairs & got
+    recall = len(found) / len(dup_pairs)
+    assert recall >= 0.9, f"recall {recall:.2f} on planted near-dups"
+
+
+def test_more_bands_never_lose_pairs(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    few = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_pairs_bucketed(emb, threshold=THRESHOLD, bands=2).collect()
+    }
+    more = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_pairs_bucketed(emb, threshold=THRESHOLD, bands=4).collect()
+    }
+    assert few <= more
