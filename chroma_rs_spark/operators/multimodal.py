@@ -15,6 +15,10 @@ signature, partitioning) is real and tested, and so is image decode:
 * `extract_media_features` keeps a deterministic fake decode (pure
   arithmetic on byte length) so the oracle hash-gate has an
   engine-independent twin.
+* audio: `decode_wav` (stdlib `wave`, PCM 8/16-bit) +
+  `extract_audio_features` (channels / rate / duration / RMS / peak)
+  run the same distributed shape; mp3/flac without a codec lib remain
+  explicit NotImplementedError sites.
 
 At scale this is the pattern for media feature extraction: binary
 parquet columns, `mapInPandas` with bounded Arrow batches
@@ -299,3 +303,70 @@ def sample_frames(
             )
 
     return src.mapInPandas(frames, schema=FRAME_SCHEMA)
+
+
+AUDIO_FEATURE_SCHEMA = (
+    "doc_id long, n_channels long, sample_rate long, n_samples long,"
+    " duration_sec double, rms double, peak long"
+)
+
+
+def decode_wav(payload: bytes) -> dict:
+    """Real audio decode via the stdlib `wave` module (RIFF/WAVE PCM):
+    returns {n_channels, sample_rate, n_samples, samples} with 16-bit
+    signed samples (8-bit unsigned rescaled to signed 16 for a uniform
+    downstream contract)."""
+    import io
+    import struct
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        n_channels = w.getnchannels()
+        width = w.getsampwidth()
+        rate = w.getframerate()
+        n = w.getnframes()
+        raw = w.readframes(n)
+    if width == 2:
+        samples = list(struct.unpack(f"<{n * n_channels}h", raw))
+    elif width == 1:
+        samples = [(b - 128) << 8 for b in raw]
+    else:
+        raise NotImplementedError(f"{8 * width}-bit WAV unsupported (8/16 only)")
+    return {
+        "n_channels": n_channels,
+        "sample_rate": rate,
+        "n_samples": n,
+        "samples": samples,
+    }
+
+
+def extract_audio_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Distributed REAL audio decode: mapInPandas over (id, payload)
+    Arrow batches decoding WAV payloads into channel count, sample
+    rate, duration, RMS amplitude and peak. Same batch shape as the
+    image path; an mp3/flac codec would plug into the same slot."""
+    import math
+
+    src = df.select(F.col(id_col).alias("doc_id"), "payload")
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                a = decode_wav(bytes(payload))
+                xs = a["samples"]
+                rms = math.sqrt(sum(x * x for x in xs) / len(xs)) if xs else 0.0
+                rows.append(
+                    {
+                        "doc_id": did,
+                        "n_channels": a["n_channels"],
+                        "sample_rate": a["sample_rate"],
+                        "n_samples": a["n_samples"],
+                        "duration_sec": a["n_samples"] / a["sample_rate"],
+                        "rms": rms,
+                        "peak": max((abs(x) for x in xs), default=0),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return src.mapInPandas(decode, schema=AUDIO_FEATURE_SCHEMA)

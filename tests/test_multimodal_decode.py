@@ -112,3 +112,49 @@ def test_extract_image_features_distributed(spark):
         for r in extract_image_features(df).collect()
     }
     assert out == expected
+
+
+def make_wav(n_channels=1, rate=8000, samples=None):
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(n_channels)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    return buf.getvalue()
+
+
+def test_decode_wav_roundtrip():
+    from chroma_rs_spark.operators.multimodal import decode_wav
+
+    samples = [0, 1000, -1000, 32767, -32768, 5]
+    a = decode_wav(make_wav(1, 8000, samples))
+    assert a["n_channels"] == 1 and a["sample_rate"] == 8000
+    assert a["samples"] == samples
+    # stereo: frames interleave channels
+    st = decode_wav(make_wav(2, 16000, samples))
+    assert st["n_channels"] == 2 and st["n_samples"] == 3
+    assert st["samples"] == samples
+
+
+def test_extract_audio_features_distributed(spark):
+    import math
+
+    from chroma_rs_spark.operators.multimodal import extract_audio_features
+
+    s0 = [0, 3000, -3000, 3000]
+    s1 = [100] * 8
+    df = spark.createDataFrame(
+        [(0, make_wav(1, 8000, s0)), (1, make_wav(2, 16000, s1))],
+        "doc_id long, payload binary",
+    )
+    out = {r["doc_id"]: r for r in extract_audio_features(df).collect()}
+    assert out[0]["n_samples"] == 4 and out[0]["duration_sec"] == 4 / 8000
+    assert out[0]["peak"] == 3000
+    assert abs(out[0]["rms"] - math.sqrt(sum(x * x for x in s0) / len(s0))) < 1e-9
+    assert out[1]["n_channels"] == 2 and out[1]["n_samples"] == 4
+    assert out[1]["rms"] == 100.0 and out[1]["peak"] == 100
