@@ -114,8 +114,10 @@ def test_multimodal_features_roundtrip(docs):
         assert feats[d]["n_frames"] == n % 30 + 1
 
 
-def test_decode_image_real_is_explicit_stub():
-    with pytest.raises(NotImplementedError):
+def test_decode_image_real_rejects_truncated_payload():
+    """The decode path is real now (see test_multimodal_decode.py);
+    malformed payloads fail loudly, not silently."""
+    with pytest.raises(ValueError):
         decode_image_real(b"\x89PNG...")
 
 
