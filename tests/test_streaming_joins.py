@@ -1,0 +1,118 @@
+"""Stream-stream interval join and streaming dedup: the streaming
+results must match the batch twins once the stream is drained."""
+
+import glob
+import os
+import shutil
+import time
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from chroma_rs_spark.sources.tables import load_table
+from chroma_rs_spark.streaming.events import read_events_stream
+from chroma_rs_spark.streaming.joins import (
+    click_purchase_interval_join,
+    dedup_events,
+)
+from tests.conftest import SF001_DIR
+from tests.test_streaming import drain_to_memory
+
+
+def _split(ev):
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    return clicks, purchases
+
+
+def test_interval_join_batch_matches_manual(spark):
+    ev = load_table(spark, SF001_DIR, "events")
+    got = click_purchase_interval_join(*_split(ev))
+    assert not got.isStreaming
+    manual = spark.sql(
+        """
+        SELECT p.user_id, p.event_id AS purchase_id, p.ts AS purchase_ts,
+               p.value AS purchase_value, c.event_id AS click_id, c.ts AS click_ts
+        FROM (SELECT * FROM {ev} WHERE event_type = 'purchase') p
+        JOIN (SELECT * FROM {ev} WHERE event_type = 'click') c
+          ON p.user_id = c.user_id
+         AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+        """,
+        ev=ev,
+    )
+    a = sorted(map(tuple, got.collect()))
+    b = sorted(map(tuple, manual.collect()))
+    assert a == b
+    assert len(a) > 0
+
+
+def test_interval_join_stream_matches_batch(spark):
+    batch = click_purchase_interval_join(
+        *_split(load_table(spark, SF001_DIR, "events"))
+    )
+    expected = sorted(
+        (r["purchase_id"], r["click_id"]) for r in batch.collect()
+    )
+    stream = click_purchase_interval_join(
+        *_split(read_events_stream(spark, SF001_DIR))
+    )
+    assert stream.isStreaming
+    drain_to_memory(stream, "ssjoin_t", mode="append")
+    got = sorted(
+        (r["purchase_id"], r["click_id"])
+        for r in spark.sql("SELECT * FROM ssjoin_t").collect()
+    )
+    # inner stream-stream joins emit eagerly on match; with a single
+    # availableNow drain every on-time pair is emitted
+    assert got == expected
+
+
+def _write_stream_files(spark, tmp_path, dfs, dirname):
+    src = tmp_path / dirname
+    src.mkdir()
+    now = time.time()
+    for i, df in enumerate(dfs):
+        staging = tmp_path / f"{dirname}_staging{i}"
+        df.coalesce(1).write.parquet(str(staging))
+        (part,) = glob.glob(str(staging / "part-*.parquet"))
+        dst = src / f"f{i}.parquet"
+        shutil.copy(part, str(dst))
+        os.utime(dst, (now - 100 + i, now - 100 + i))
+    return src
+
+
+def test_dedup_stream_suppresses_cross_batch_duplicates(spark, tmp_path):
+    base = pd.Timestamp("2024-01-01 10:00:00")
+    schema = "event_id LONG, ts TIMESTAMP, user_id LONG, value DOUBLE"
+    mk = lambda rows: spark.createDataFrame(
+        [(i, (base + pd.Timedelta(minutes=m)).to_pydatetime(), u, v)
+         for (i, m, u, v) in rows],
+        schema,
+    )
+    # event 1 repeats within the same batch AND again in the next batch,
+    # both within the 1h watermark horizon of its first occurrence
+    src = _write_stream_files(
+        spark,
+        tmp_path,
+        [
+            mk([(1, 0, 10, 1.0), (1, 1, 10, 1.0), (2, 2, 11, 2.0)]),
+            mk([(1, 3, 10, 1.0), (3, 4, 12, 3.0)]),
+        ],
+        "dedup_src",
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = dedup_events(stream, keys=["event_id"], watermark="1 hour")
+    assert out.isStreaming
+    drain_to_memory(out, "dedup_t", mode="append")
+    rows = spark.sql("SELECT event_id FROM dedup_t").collect()
+    assert sorted(r["event_id"] for r in rows) == [1, 2, 3]
+
+
+def test_dedup_batch_twin(spark):
+    ev = load_table(spark, SF001_DIR, "events")
+    doubled = ev.unionByName(ev)
+    assert dedup_events(doubled).count() == ev.select("event_id").distinct().count()
