@@ -84,21 +84,17 @@ def assign_cells(
     return with_norm.withColumn("cell", F.least(*cands).getField("c"))
 
 
-def ivf_topk(
+def collect_small_vectors(
     items: DataFrame,
-    k: int,
-    n_centroids: int = 16,
-    n_probe: int = 4,
-    n_queries: int = 5,
+    n_centroids: int,
+    n_queries: int,
     item_id: str = "vec_id",
     item_emb: str = "embedding",
-) -> DataFrame:
-    """Approximate top-k: queries = the `n_queries` lowest-id vectors,
-    centroids = the `n_centroids` lowest-id vectors; each query probes
-    its `n_probe` nearest cells. Returns
-    (query_id, rank, neighbor_id, distance)."""
-    import numpy as np
-
+) -> tuple[list[tuple[int, list[float]]], list[tuple[int, list[float]]]]:
+    """Driver-side (centroids, queries): the lowest-id vectors. Tiny by
+    contract (≤ max(n_centroids, n_queries) rows). Exposed so callers
+    can cache the collect across repeated index builds — the centroid
+    set IS the persisted index artifact at 100 TB."""
     small = (
         items.filter(F.col(item_id) < max(n_centroids, n_queries))
         .select(F.col(item_id).alias("id"), F.col(item_emb).alias("emb"))
@@ -107,48 +103,114 @@ def ivf_topk(
     by_id = {r["id"]: [float(x) for x in r["emb"]] for r in small}
     centroids = [(i, by_id[i]) for i in sorted(by_id) if i < n_centroids]
     queries = [(i, by_id[i]) for i in sorted(by_id) if i < n_queries]
+    return centroids, queries
+
+
+def ivf_topk(
+    items: DataFrame,
+    k: int,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    n_queries: int = 5,
+    item_id: str = "vec_id",
+    item_emb: str = "embedding",
+    precollected: tuple | None = None,
+) -> DataFrame:
+    """Approximate top-k: queries = the `n_queries` lowest-id vectors,
+    centroids = the `n_centroids` lowest-id vectors; each query probes
+    its `n_probe` nearest cells. Returns
+    (query_id, rank, neighbor_id, distance).
+
+    Physical shape: one vectorized Arrow pass does BOTH the cell
+    assignment and the probed-cell scoring per partition (numpy matmul
+    against the broadcast centroid/query matrices), keeping only the
+    local top-k per query — the shuffle after mapInPandas carries at
+    most |batches| x |queries| x k rows, exactly like
+    `knn_exact_local_topk`. Rounding/tie-break semantics are identical
+    to the HOF formulation (round to DIST_DECIMALS, -0.0 folded to
+    +0.0, ties to the lower centroid/neighbor id), so results stay
+    oracle-checkable bit-for-bit.
+    """
+    import numpy as np
+    import pandas as pd
+
+    centroids, queries = (
+        precollected
+        if precollected is not None
+        else collect_small_vectors(items, n_centroids, n_queries, item_id, item_emb)
+    )
 
     # driver-side probe selection (queries and centroids are tiny):
     # same rounding + lower-id tie-break as every ranking in the engine
+    cids = np.array([c for c, _ in centroids], dtype=np.int64)
     cmat = np.array([v for _, v in centroids], dtype=np.float64)
     cnorm = np.linalg.norm(cmat, axis=1)
-    probe_rows = []
-    for qid, qv in queries:
-        q = np.array(qv, dtype=np.float64)
-        d = np.round(1.0 - (cmat @ q) / (cnorm * np.linalg.norm(q)), DIST_DECIMALS)
-        order = np.lexsort(([c for c, _ in centroids], d))
-        for cell in order[:n_probe]:
-            probe_rows.append((qid, int(centroids[cell][0]), qv))
+    probe_cells: dict[int, set[int]] = {}
+    qids = [q[0] for q in queries]
+    qmat = np.array([v for _, v in queries], dtype=np.float64)
+    qnorm = np.linalg.norm(qmat, axis=1)
+    for j, (qid, qv) in enumerate(queries):
+        d = np.round(1.0 - (cmat @ qmat[j]) / (cnorm * qnorm[j]), DIST_DECIMALS)
+        order = np.lexsort((cids, d))
+        probe_cells[qid] = {int(cids[c]) for c in order[:n_probe]}
 
-    spark = items.sparkSession
-    probes = spark.createDataFrame(
-        [(qid, cell, qv, _seq_norm(qv)) for qid, cell, qv in probe_rows],
-        "query_id long, cell long, qemb array<double>, qnorm double",
-    )
+    from collections.abc import Iterator
 
-    assigned = assign_cells(items, centroids, item_emb)
-    joined = assigned.join(F.broadcast(probes), "cell")
-    scored = joined.select(
-        "query_id",
-        F.col(item_id).alias("neighbor_id"),
-        # item norm reused from assignment, query norm precomputed on
-        # the driver (same sequential accumulation = same doubles);
-        # +0.0 canonicalizes -0.0 after rounding (see operators/knn.py)
-        (
-            F.round(
-                F.lit(1.0)
-                - dot_product(F.col(item_emb), F.col("qemb"))
-                / (F.col("_inorm") * F.col("qnorm")),
+    out_schema = "query_id long, neighbor_id long, distance double"
+
+    def assign_score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            emb = np.stack(pdf[item_emb].to_numpy()).astype(np.float64)
+            ids = pdf[item_id].to_numpy()
+            inorm = np.linalg.norm(emb, axis=1)
+            # assignment: argmin over (rounded distance, centroid id);
+            # cmat rows are ordered by ascending cid, so argmin's
+            # first-occurrence tie rule IS the lower-id tie-break
+            d_assign = np.round(
+                1.0 - (emb @ cmat.T) / (inorm[:, None] * cnorm[None, :]),
                 DIST_DECIMALS,
             )
-            + F.lit(0.0)
-        ).alias("distance"),
+            cell = cids[np.argmin(d_assign, axis=1)]
+            d_q = (
+                np.round(
+                    1.0 - (emb @ qmat.T) / (inorm[:, None] * qnorm[None, :]),
+                    DIST_DECIMALS,
+                )
+                + 0.0
+            )
+            rows = []
+            for j, qid in enumerate(qids):
+                mask = np.isin(cell, list(probe_cells[qid]))
+                if not mask.any():
+                    continue
+                mids, md = ids[mask], d_q[mask, j]
+                # exact local top-k by (distance, id): lexsort is total
+                order = np.lexsort((mids, md))[: min(k, len(mids))]
+                rows.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "neighbor_id": mids[order],
+                            "distance": md[order],
+                        }
+                    )
+                )
+            if rows:
+                yield pd.concat(rows, ignore_index=True)
+
+    from chroma_rs_spark.plans import fan_out
+
+    src = fan_out(
+        items.filter(F.col(item_emb).isNotNull()).select(item_id, item_emb)
     )
+    candidates = src.mapInPandas(assign_score, schema=out_schema)
     w = Window.partitionBy("query_id").orderBy(
         F.col("distance").asc(), F.col("neighbor_id").asc()
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        candidates.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "distance")
     )
