@@ -51,17 +51,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         return cached[1]
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-        # reader rejects; read the raw int64 nanos and truncate to
-        # microseconds — the same ns->us truncation DuckDB's reader does,
-        # so event-time values stay oracle-comparable.
+        # events.ts has shipped as either parquet TIMESTAMP(NANOS) or
+        # TIMESTAMP(MICROS, isAdjustedToUTC=false) across testdata
+        # generations; normalize both to session-tz TIMESTAMP so the
+        # column always carries the same microsecond instants DuckDB
+        # reads (session tz is UTC, so the NTZ->LTZ cast is value-
+        # preserving).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         raw = spark.read.parquet(path)
         from pyspark.sql import functions as F
 
-        # integer `div` (not `/`): ns values exceed 2^53, double division
-        # would lose precision
-        df = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = dict(raw.dtypes).get("ts")
+        if ts_type == "bigint":
+            # nanos-as-long: integer `div` (not `/`) — ns values exceed
+            # 2^53, double division would lose precision
+            df = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        else:
+            df = raw.withColumn("ts", F.col("ts").cast("timestamp"))
     else:
         df = spark.read.parquet(path)
     _SCAN_CACHE[key] = (spark, df)

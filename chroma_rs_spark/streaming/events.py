@@ -24,21 +24,28 @@ from pyspark.sql import functions as F
 def read_events_stream(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1
 ) -> DataFrame:
-    """`events` as a file-source stream (same ns->us handling as batch)."""
+    """`events` as a file-source stream (same ts normalization as batch).
+
+    The stream schema is taken from the batch reader so the source
+    adapts to whichever physical ts type (ns-int64 or us-timestamp)
+    this testdata generation shipped with.
+    """
+    import os
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = (
-        "event_id LONG, ts LONG, user_id LONG, event_type STRING, "
-        "value DOUBLE, props STRING"
-    )
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
     # the file stream source requires a directory; glob-filter the
     # events file(s) out of the scale-factor dir
     raw = (
-        spark.readStream.schema(schema)
+        spark.readStream.schema(raw_schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = dict(raw.dtypes).get("ts")
+    if ts_type == "bigint":
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def _maybe_watermark(df: DataFrame, watermark: str | None) -> DataFrame:
