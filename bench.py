@@ -73,11 +73,27 @@ def main() -> int:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
     warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    from chroma_rs_spark.suite import all_queries
+
+    qdefs = all_queries()
     timings: dict[str, float] = {}
     plan_build = 0.0
-    for name, fn in se.queries().items():
+    for name, qd in qdefs.items():
+        fn = qd.fn
         if os.path.isdir(warm_dir) and warm_dir != sf_dir:
             fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
+        if qd.iterative:
+            # fn() itself runs Spark jobs (fixpoint iteration): charge
+            # the whole build+run to the query so nothing hides in
+            # plan_build_sec.
+            best = None
+            for _ in range(3):
+                r0 = time.time()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                dt = time.time() - r0
+                best = dt if best is None or dt < best else best
+            timings[name] = round(best, 3)
+            continue
         # plan construction (py4j DataFrame assembly) is timed apart
         # from execution: it is scale-independent driver-side work — a
         # prepared query on a cluster builds its plan once, then runs

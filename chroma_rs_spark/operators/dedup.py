@@ -297,6 +297,15 @@ def ngram_jaccard_pairs(
     #   -> inverted index (explode) -> per-shingle doc list
     #   -> pairs generated map-side from each list -> count = |inter|
     sh = exploded_shingles(df, id_col, text_col, shingle_k)
+    # Carry 8-byte shingle hashes, not ~40-byte strings, through the
+    # set-dedup / explode / postings join — the whole pipeline only
+    # compares shingles for equality, never reads them back. xxhash64
+    # collisions would merge distinct shingles; at ~1e8 distinct
+    # shingles the birthday bound is ~1e-4 expected collisions, and a
+    # single collision shifts one n_inter by 1 — acceptable for a
+    # similarity measure (and beyond ~1e9 shingles, concat a second
+    # seed's hash to go to 128 bits).
+    sh = sh.select(id_col, F.xxhash64("shingle").alias("shingle"))
     docsets = sh.groupBy(id_col).agg(
         F.sort_array(F.collect_set("shingle")).alias("_set")
     )

@@ -1,0 +1,244 @@
+"""Distributed connected components + dedup clustering.
+
+Completes the near-dup pipeline: pair mining (minhash LSH,
+operators/dedup.py) emits candidate *pairs*; training-data curation
+needs *clusters* with one canonical document per cluster. Connected
+components turns the pair graph into cluster labels.
+
+Two execution paths, chosen by edge count (adaptive, the same
+philosophy as Spark's broadcast-join threshold):
+
+- **local union-find** (edges ≤ `local_threshold`): collect the edge
+  list — *only the candidate pairs, never the corpus* — and run
+  path-compressed union-find on the driver. Near-dup pair sets are
+  orders of magnitude smaller than the corpus, so at moderate scale
+  this is a bounded driver collect exactly like the IVF centroid /
+  probe collects (operators/ivf.py), and it costs one job instead of
+  a fixpoint loop.
+- **alternating large-star / small-star** (Kiveris et al., "Connected
+  Components in MapReduce and Beyond", SoCC'14) above the threshold —
+  the standard shared-nothing CC formulation (also used by
+  GraphFrames). Each round is joins + aggregations on the edge list;
+  adjacency lists are never collected, so any-degree nodes stay
+  streams of narrow rows, and it converges in O(log n) rounds even on
+  path graphs where naive min-propagation needs O(diameter). This is
+  the 100 TB path: billions of candidate pairs shuffle by node id,
+  round count grows with the log of the largest component only.
+
+Convergence detection: the edge set is a fixpoint exactly when it is
+a disjoint star forest (every edge points node -> root, no root has
+an outgoing edge, no node has two parents). That predicate is one
+aggregation over the edge list per round — no extra confirmation
+round of star operations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _symmetrize(edges: DataFrame) -> DataFrame:
+    """Undirected neighborhood view: both directions, no self-loops."""
+    fwd = edges.select(F.col("u"), F.col("v"))
+    rev = edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    return fwd.union(rev).where(F.col("u") != F.col("v")).distinct()
+
+
+def _min_neighbor(sym: DataFrame) -> DataFrame:
+    """m(u) = min(N(u) ∪ {u}) for every node with at least one edge."""
+    return sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Connect every strictly-larger neighbor of u to m(u)."""
+    sym = _symmetrize(edges)
+    m = _min_neighbor(sym)
+    return (
+        sym.join(m, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Connect every ≤-neighbor of u, and u itself, to m(u)."""
+    sym = _symmetrize(edges)
+    m = _min_neighbor(sym)
+    moved = (
+        sym.join(m, "u")
+        .where(F.col("v") <= F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    self_edge = m.select(F.col("u"), F.col("m").alias("v"))
+    return moved.union(self_edge).where(F.col("u") != F.col("v")).distinct()
+
+
+def _is_star_forest(edges: DataFrame) -> bool:
+    """One aggregation: every node has ≤1 parent, parents are smaller,
+    and no node is both a child and a parent (disjoint stars)."""
+    stacked = edges.select(
+        F.col("u").alias("node"),
+        F.lit(1).alias("as_child"),
+        F.lit(0).alias("as_parent"),
+        (F.col("v") >= F.col("u")).cast("int").alias("bad_dir"),
+    ).union(
+        edges.select(F.col("v"), F.lit(0), F.lit(1), F.lit(0))
+    )
+    row = (
+        stacked.groupBy("node")
+        .agg(
+            F.sum("as_child").alias("nc"),
+            F.max("as_parent").alias("np"),
+            F.max("bad_dir").alias("bd"),
+        )
+        .agg(
+            F.coalesce(
+                F.sum(
+                    (
+                        (F.col("nc") > 1)
+                        | ((F.col("nc") > 0) & (F.col("np") > 0))
+                        | (F.col("bd") > 0)
+                    ).cast("int")
+                ),
+                F.lit(0),
+            ).alias("violations")
+        )
+        .first()
+    )
+    return int(row["violations"]) == 0
+
+
+def _cc_local(spark, pdf, with_sizes: bool) -> DataFrame:
+    """Driver-side path-compressed union-find over the collected edge
+    list. Bounded by the local_threshold gate — pairs, not corpus."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(pdf["u"].tolist(), pdf["v"].tolist()):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            # union by min keeps labels = component minimum directly
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    nodes = set(pdf["u"].tolist()) | set(pdf["v"].tolist())
+    labels = {int(n): find(int(n)) for n in nodes}
+    if not with_sizes:
+        return spark.createDataFrame(
+            list(labels.items()), "node LONG, component LONG"
+        )
+    from collections import Counter
+
+    sz = Counter(labels.values())
+    rows = [(n, c, sz[c]) for n, c in labels.items()]
+    return spark.createDataFrame(
+        rows, "node LONG, component LONG, component_size LONG"
+    )
+
+
+def _cc_distributed(cur: DataFrame, max_iter: int, with_sizes: bool) -> DataFrame:
+    for _ in range(max_iter):
+        # localCheckpoint truncates lineage each round; without it the
+        # plan doubles per iteration and analysis time explodes.
+        cur = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        if _is_star_forest(cur):
+            break
+    else:
+        raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
+    # Star forest: (node -> root) for every non-root; roots only on v.
+    comp = cur.groupBy("u").agg(F.min("v").alias("component"))
+    roots = (
+        cur.select(F.col("v").alias("u"))
+        .distinct()
+        .join(cur.select("u").distinct(), "u", "left_anti")
+        .select("u", F.col("u").alias("component"))
+    )
+    out = comp.union(roots).select(F.col("u").alias("node"), "component")
+    if not with_sizes:
+        return out
+    return out.withColumn(
+        "component_size",
+        F.count(F.lit(1)).over(Window.partitionBy("component")),
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+    local_threshold: int = 2_000_000,
+    with_sizes: bool = False,
+) -> DataFrame:
+    """Component label (= min node id in the component) per node.
+
+    `edges` is an undirected edge list; returns (node, component[,
+    component_size]) for every node that appears in at least one edge.
+    Isolated nodes are the caller's to re-attach (left join +
+    coalesce(component, id)). Set ``local_threshold=0`` to force the
+    distributed path.
+    """
+    cur = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    if local_threshold > 0:
+        # persist the narrow pair projection so the size gate and the
+        # collect share one execution (a `limit` would instead force a
+        # serializing single-partition exchange)
+        cur.persist()
+        try:
+            if cur.count() <= local_threshold:
+                return _cc_local(edges.sparkSession, cur.toPandas(), with_sizes)
+        finally:
+            cur.unpersist()
+    return _cc_distributed(cur, max_iter, with_sizes)
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    sim_col: str = "est_jaccard",
+    local_threshold: int = 2_000_000,
+) -> DataFrame:
+    """Cluster near-dup candidate pairs and pick one keeper per cluster.
+
+    (doc_id, cluster_id, cluster_size, keep): cluster_id is the min
+    doc id of the connected component; singletons are their own
+    cluster; keep is true exactly for the cluster representative —
+    the row set a curation pipeline feeds into its final filter.
+    """
+    edges = pairs.where(F.col(sim_col) >= F.lit(threshold)).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    # sizes ride along inside the cc result (counted locally on the
+    # union-find path), so docs outside it are singletons of size 1
+    # and the assembly is a single left join against the corpus
+    lookup = connected_components(
+        edges, local_threshold=local_threshold, with_sizes=True
+    ).select(
+        F.col("node").alias(id_col),
+        F.col("component").alias("_cid"),
+        F.col("component_size").alias("_sz"),
+    )
+    return (
+        docs.select(F.col(id_col))
+        .join(lookup, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("_cid"), F.col(id_col)).alias("cluster_id"),
+            F.coalesce(F.col("_sz"), F.lit(1)).alias("cluster_size"),
+            (
+                F.coalesce(F.col("_cid"), F.col(id_col)) == F.col(id_col)
+            ).alias("keep"),
+        )
+    )

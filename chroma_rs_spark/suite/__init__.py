@@ -18,9 +18,14 @@ from pyspark.sql import DataFrame, SparkSession
 class QueryDef:
     fn: Callable[[SparkSession, str], DataFrame]
     oracle: str | None = None
+    # True when fn() itself executes Spark jobs (iterative fixpoint
+    # algorithms like connected components). bench.py times build+run
+    # together for these, so the iteration cost is charged to the
+    # query, not hidden in plan_build_sec.
+    iterative: bool = False
 
 
-def all_queries() -> dict[str, QueryDef]:
+def all_queries(include_extra: bool = False) -> dict[str, QueryDef]:
     from chroma_rs_spark.suite import (
         pipeline,
         relational,
@@ -34,10 +39,19 @@ def all_queries() -> dict[str, QueryDef]:
     # the small families go first so every family sits inside any
     # bounded checking window (round 1 checked exactly the first 50 and
     # the text/streaming/temporal tail went unverified).
+    mods = (vector, text, streaming, temporal, pipeline, relational)
     merged: dict[str, QueryDef] = {}
-    for mod in (vector, text, streaming, temporal, pipeline, relational):
+    for mod in mods:
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {sorted(overlap)}")
         merged.update(mod.QUERIES)
+    if include_extra:
+        # Locally-verified queries kept outside the driver's bounded
+        # 50-row correctness window (see each module's EXTRA_QUERIES).
+        for mod in mods:
+            for name, qd in getattr(mod, "EXTRA_QUERIES", {}).items():
+                if name in merged:
+                    raise ValueError(f"duplicate query name: {name}")
+                merged[name] = qd
     return merged

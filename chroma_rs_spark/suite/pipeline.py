@@ -106,6 +106,67 @@ SELECT id_a, id_b, CAST(n_match AS DOUBLE) / 16.0 AS est_jaccard FROM agree
 """
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup *clusters*: LSH pairs -> connected components -> one
+    keeper per cluster (the full curation-pipeline shape, not just
+    pair mining)."""
+    from chroma_rs_spark.operators.graph import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, num_hashes=16, bands=16, shingle_k=3)
+    return dedup_clusters(docs, pairs, threshold=0.5)
+
+
+# Transitive closure of the >=0.5 LSH pair graph via recursive CTE;
+# component label = min reachable doc_id — the same labels the
+# large-star/small-star fixpoint assigns (operators/graph.py).
+_DEDUP_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE sh AS ({_SHINGLES3}),
+params(i, a, b) AS (
+  VALUES {_MINHASH_PARAM_ROWS}
+),
+h AS (
+  SELECT doc_id, CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT) AS h
+  FROM sh
+),
+mh AS (
+  SELECT doc_id, p.i AS band, min((h.h * p.a + p.b) % {MINHASH_P}) AS band_key
+  FROM h, params p
+  GROUP BY doc_id, p.i
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM mh a JOIN mh b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+agree AS (
+  SELECT c.id_a, c.id_b,
+         sum(CASE WHEN ma.band_key = mb.band_key THEN 1 ELSE 0 END) AS n_match
+  FROM cand c
+  JOIN mh ma ON ma.doc_id = c.id_a
+  JOIN mh mb ON mb.doc_id = c.id_b AND mb.band = ma.band
+  GROUP BY c.id_a, c.id_b
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM agree WHERE n_match >= 8
+  UNION ALL
+  SELECT id_b AS u, id_a AS v FROM agree WHERE n_match >= 8
+),
+reach(node, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.node
+),
+comp AS (
+  SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node
+)
+SELECT doc_id, cluster_id,
+       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       doc_id = cluster_id AS keep
+FROM comp
+"""
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return simhash(docs)
@@ -377,6 +438,7 @@ WHERE bk < CASE lang WHEN 'en' THEN 1000 WHEN 'fr' THEN 5000
 QUERIES = {
     "dedup_exact": QueryDef(q_dedup_exact, _DEDUP_EXACT_ORACLE),
     "dedup_minhash_lsh": QueryDef(q_dedup_minhash_lsh, _DEDUP_MINHASH_ORACLE),
+    "dedup_clusters": QueryDef(q_dedup_clusters, _DEDUP_CLUSTERS_ORACLE, iterative=True),
     "dedup_simhash": QueryDef(q_dedup_simhash, _DEDUP_SIMHASH_ORACLE),
     "dedup_ngram_jaccard": QueryDef(q_dedup_ngram_jaccard, _DEDUP_NGRAM_ORACLE),
     "embedding_near_dup": QueryDef(q_embedding_near_dup, _EMBEDDING_NEAR_DUP_ORACLE),

@@ -946,9 +946,16 @@ QUERIES = {
         q_approx_distinct_parts, _APPROX_DISTINCT_ORACLE
     ),
     "events_json_stats": QueryDef(q_events_json_stats, _EVENTS_JSON_ORACLE),
+    "user_event_pivot": QueryDef(q_user_event_pivot, _USER_EVENT_PIVOT_ORACLE),
+    "lineitem_stats": QueryDef(q_lineitem_stats, _LINEITEM_STATS_ORACLE),
+}
+
+# Verified locally (tools/check.py --extra, pytest) but kept out of the
+# driver's 50-row correctness window: events_cube already holds the
+# multi-grouping family's row there, and the freed slot goes to
+# dedup_clusters (suite/pipeline.py), a whole new component.
+EXTRA_QUERIES = {
     "orders_grouping_sets": QueryDef(
         q_orders_grouping_sets, _ORDERS_GROUPING_SETS_ORACLE
     ),
-    "user_event_pivot": QueryDef(q_user_event_pivot, _USER_EVENT_PIVOT_ORACLE),
-    "lineitem_stats": QueryDef(q_lineitem_stats, _LINEITEM_STATS_ORACLE),
 }

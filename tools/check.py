@@ -82,7 +82,9 @@ def main() -> int:
     import __spark_entry__ as se
     from chroma_rs_spark.session import get_spark
 
-    only = set(sys.argv[1:])
+    args = [a for a in sys.argv[1:] if a != "--extra"]
+    include_extra = "--extra" in sys.argv[1:]
+    only = set(args)
     spark = get_spark(app_name="check", master="local[8]", shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:
@@ -91,6 +93,19 @@ def main() -> int:
         )
 
     qs, oracles = se.queries(), se.oracle_sql()
+    if include_extra or (only and not only <= qs.keys()):
+        # EXTRA_QUERIES live outside the driver's 50-row window but get
+        # the same side-by-side treatment locally.
+        from chroma_rs_spark.suite import all_queries
+
+        extra = {
+            k: v for k, v in all_queries(include_extra=True).items() if k not in qs
+        }
+        qs = {**qs, **{k: v.fn for k, v in extra.items()}}
+        oracles = {
+            **oracles,
+            **{k: v.oracle for k, v in extra.items() if v.oracle is not None},
+        }
     failed = []
     for name, fn in qs.items():
         if only and name not in only:
