@@ -331,8 +331,13 @@ def ngram_jaccard_pairs(
             )
         ).alias("p")
     ).select("p.*")
-    inter = pairs.groupBy("id_a", "id_b", "size_a", "size_b").agg(
-        F.count(F.lit(1)).alias("n_inter")
+    # group on the 2-long pair key only; sizes are functionally
+    # determined by the ids, so they ride through as first() — cheaper
+    # hashing than a 4-column key on the million-row pair set
+    inter = pairs.groupBy("id_a", "id_b").agg(
+        F.count(F.lit(1)).alias("n_inter"),
+        F.first("size_a").alias("size_a"),
+        F.first("size_b").alias("size_b"),
     )
     jac = inter.select(
         "id_a",

@@ -450,3 +450,84 @@ QUERIES = {
     "dataset_split": QueryDef(q_dataset_split, _DATASET_SPLIT_ORACLE),
     "stratified_sample": QueryDef(q_stratified_sample, _STRATIFIED_SAMPLE_ORACLE),
 }
+
+
+# -- centroid family (EXTRA: locally verified, outside the driver's
+# -- 50-row correctness window; see suite/__init__.all_queries) --------
+
+
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chroma_rs_spark.operators.centroids import label_centroids
+
+    return label_centroids(load_table(spark, sf_dir, "embeddings"))
+
+
+_EMB_LONG = """
+  SELECT label, i - 1 AS pos, embedding[i] AS val
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+"""
+
+_LABEL_CENTROIDS_ORACLE = f"""
+WITH e AS ({_EMB_LONG}),
+g AS (
+  SELECT label, pos,
+         sum(CAST(round(CAST(val AS DOUBLE) * 1000000.0) AS HUGEINT)) AS s,
+         count(*) AS n_vectors
+  FROM e GROUP BY label, pos
+)
+SELECT label, pos,
+       round(CAST(s AS DOUBLE) / (n_vectors * 1000000.0), 6) + 0.0 AS centroid,
+       n_vectors
+FROM g
+"""
+
+
+def q_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chroma_rs_spark.operators.centroids import (
+        assign_nearest_centroid,
+        label_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return assign_nearest_centroid(emb, label_centroids(emb))
+
+
+_CENTROID_ASSIGN_ORACLE = f"""
+WITH e AS ({_EMB_LONG}),
+g AS (
+  SELECT label, pos,
+         sum(CAST(round(CAST(val AS DOUBLE) * 1000000.0) AS HUGEINT)) AS s,
+         count(*) AS n_vectors
+  FROM e GROUP BY label, pos
+),
+cent AS (
+  SELECT label, pos,
+         round(CAST(s AS DOUBLE) / (n_vectors * 1000000.0), 6) + 0.0 AS centroid
+  FROM g
+),
+cm AS (
+  SELECT label, list(centroid ORDER BY pos) AS cvec FROM cent GROUP BY label
+),
+sc AS (
+  -- in-order list fold, the same sequential sum Spark's aggregate()
+  -- HOF computes, so sq_dist is bit-identical before rounding
+  SELECT v.vec_id, m.label,
+         round(list_sum(list_transform(range(1, len(v.embedding) + 1),
+               i -> (CAST(v.embedding[i] AS DOUBLE) - m.cvec[i])
+                  * (CAST(v.embedding[i] AS DOUBLE) - m.cvec[i]))), 6) + 0.0
+           AS sq_dist
+  FROM embeddings v CROSS JOIN cm m
+),
+r AS (
+  SELECT vec_id, label, sq_dist,
+         row_number() OVER (PARTITION BY vec_id ORDER BY sq_dist, label) AS rn
+  FROM sc
+)
+SELECT vec_id, label AS assigned_label, sq_dist FROM r WHERE rn = 1
+"""
+
+
+EXTRA_QUERIES = {
+    "label_centroids": QueryDef(q_label_centroids, _LABEL_CENTROIDS_ORACLE),
+    "centroid_assign": QueryDef(q_centroid_assign, _CENTROID_ASSIGN_ORACLE),
+}

@@ -1,0 +1,65 @@
+"""Label centroids + nearest-centroid assignment (operators/centroids.py)."""
+
+import duckdb
+import pytest
+
+from chroma_rs_spark.operators.centroids import (
+    assign_nearest_centroid,
+    label_centroids,
+)
+
+from tests.conftest import SF001_DIR
+
+
+def test_label_centroids_known_means(spark):
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 2.0], 0),
+            (2, [3.0, 4.0], 0),
+            (3, [10.0, -2.0], 1),
+        ],
+        "vec_id LONG, embedding ARRAY<FLOAT>, label INT",
+    )
+    rows = {
+        (r["label"], r["pos"]): (r["centroid"], r["n_vectors"])
+        for r in label_centroids(emb).collect()
+    }
+    assert rows == {
+        (0, 0): (2.0, 2),
+        (0, 1): (3.0, 2),
+        (1, 0): (10.0, 1),
+        (1, 1): (-2.0, 1),
+    }
+
+
+def test_assign_nearest_centroid_roundtrip(spark):
+    # vectors tightly clustered around their own label's mean must be
+    # assigned back to that label
+    data = []
+    for vid, (x, y, lab) in enumerate(
+        [(0.0, 0.1, 0), (0.1, -0.1, 0), (5.0, 5.1, 1), (4.9, 5.0, 1)]
+    ):
+        data.append((vid, [x, y], lab))
+    emb = spark.createDataFrame(data, "vec_id LONG, embedding ARRAY<FLOAT>, label INT")
+    cents = label_centroids(emb)
+    got = {
+        r["vec_id"]: r["assigned_label"]
+        for r in assign_nearest_centroid(emb, cents).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 1, 3: 1}
+
+
+@pytest.mark.parametrize("qname", ["label_centroids", "centroid_assign"])
+def test_centroid_suite_queries_match_oracle(spark, qname):
+    from chroma_rs_spark.suite.pipeline import EXTRA_QUERIES
+
+    qd = EXTRA_QUERIES[qname]
+    got = sorted(tuple(r) for r in qd.fn(spark, SF001_DIR).collect())
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW embeddings AS "
+        f"SELECT * FROM read_parquet('{SF001_DIR}/embeddings.parquet')"
+    )
+    want = sorted(tuple(r) for r in con.sql(qd.oracle).fetchall())
+    assert len(got) == len(want)
+    assert got == want
