@@ -152,3 +152,66 @@ def chunk_documents(
         F.concat_ws(" ", piece).alias("chunk_text"),
         F.size(piece).cast("long").alias("n_tokens"),
     )
+
+
+def bm25_scores(
+    df: DataFrame,
+    terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 relevance of every document against a fixed term set.
+
+    Shuffle-minimal by construction: term frequencies and document
+    length are per-row HOFs over the token array (no explode), corpus
+    statistics (N, avgdl, per-term document frequencies) are ONE
+    global aggregation row broadcast back, and the score is a fixed
+    expression tree summed in literal term order — so the double
+    arithmetic is order-deterministic and engine-reproducible. At
+    100 TB: one map pass + one scalar agg + one broadcast, no
+    corpus-wide shuffle at any step.
+    """
+    toks = F.split(F.col(text_col), " ")
+
+    def _tf(term: str):
+        # closure, not a default arg: pyspark derives the HOF lambda's
+        # arity from the signature, so an extra default would be bound
+        # to the element index
+        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+
+    tf_cols = [_tf(t).alias(f"_tf{i}") for i, t in enumerate(terms)]
+    per_doc = df.select(
+        F.col(id_col), F.size(toks).alias("_dl"), *tf_cols
+    )
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("_N"),
+        F.sum("_dl").alias("_sdl"),
+        *[
+            F.sum((F.col(f"_tf{i}") > 0).cast("long")).alias(f"_df{i}")
+            for i in range(len(terms))
+        ],
+    )
+    avgdl = F.col("_sdl").cast("double") / F.col("_N")
+    score = None
+    for i in range(len(terms)):
+        idf = F.log(
+            (F.col("_N") - F.col(f"_df{i}") + F.lit(0.5))
+            / (F.col(f"_df{i}") + F.lit(0.5))
+            + F.lit(1.0)
+        )
+        tf = F.col(f"_tf{i}").cast("double")
+        part = idf * (
+            tf
+            * F.lit(k1 + 1.0)
+            / (tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("_dl") / avgdl))
+        )
+        score = part if score is None else score + part
+    return (
+        per_doc.crossJoin(F.broadcast(stats))
+        .select(
+            id_col,
+            (F.round(score, 6) + F.lit(0.0)).alias("bm25"),
+        )
+    )

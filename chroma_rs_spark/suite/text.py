@@ -177,3 +177,64 @@ QUERIES = {
     "quality_score": QueryDef(q_quality_score, _QUALITY_ORACLE),
     "doc_fingerprint": QueryDef(q_doc_fingerprint, _FINGERPRINT_ORACLE),
 }
+
+
+# -- BM25 (EXTRA: locally verified, outside the driver's 50-row
+# -- correctness window; see suite/__init__.all_queries) ---------------
+
+_BM25_TERMS = ["vector", "hash", "scan"]
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chroma_rs_spark.operators.text import bm25_scores
+
+    return bm25_scores(
+        load_table(spark, sf_dir, "documents"),
+        _BM25_TERMS,
+        k1=_BM25_K1,
+        b=_BM25_B,
+    )
+
+
+def _bm25_oracle() -> str:
+    # literals interpolated via repr() from the SAME Python floats the
+    # Spark side uses, and every expression kept in the same
+    # association order, so both engines run identical IEEE ops
+    k1, b = _BM25_K1, _BM25_B
+    tfs = ",\n         ".join(
+        f"len(list_filter(string_split(text, ' '), x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    dfs = ",\n         ".join(
+        f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    parts = "\n    + ".join(
+        f"ln((N - df{i} + 0.5) / (df{i} + 0.5) + 1.0)"
+        f" * (tf{i} * {k1 + 1.0!r}"
+        f" / (tf{i} + {k1!r} * ({1.0 - b!r} + {b!r} * dl"
+        " / (CAST(sdl AS DOUBLE) / N))))"
+        for i in range(len(_BM25_TERMS))
+    )
+    return f"""
+WITH per_doc AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS dl,
+         {tfs}
+  FROM documents
+),
+stats AS (
+  SELECT count(*) AS N, sum(dl) AS sdl,
+         {dfs}
+  FROM per_doc
+)
+SELECT doc_id,
+       round({parts}, 6) + 0.0 AS bm25
+FROM per_doc CROSS JOIN stats
+"""
+
+
+EXTRA_QUERIES = {
+    "bm25_scores": QueryDef(q_bm25_scores, _bm25_oracle()),
+}

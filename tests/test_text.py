@@ -9,6 +9,8 @@ from chroma_rs_spark.operators.text import (
     token_stats,
 )
 
+from tests.conftest import SF001_DIR
+
 
 @pytest.fixture(scope="module")
 def docs(spark):
@@ -73,3 +75,30 @@ def test_chunk_documents_windows_and_overlap(spark):
     ]
     with __import__("pytest").raises(ValueError):
         chunk_documents(df, chunk_size=4, overlap=4)
+
+
+def test_bm25_scores_match_oracle_sf0001(spark):
+    import duckdb
+
+    from chroma_rs_spark.suite.text import EXTRA_QUERIES
+
+    qd = EXTRA_QUERIES["bm25_scores"]
+    got = sorted((r["doc_id"], r["bm25"]) for r in qd.fn(spark, SF001_DIR).collect())
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{SF001_DIR}/documents.parquet')"
+    )
+    want = sorted((int(a), float(b)) for a, b in con.sql(qd.oracle).fetchall())
+    assert got == want
+    # scores are meaningful: common terms hit most docs
+    assert sum(1 for _, s in got if s > 0) > len(got) * 0.5
+
+
+def test_bm25_zero_for_absent_terms(spark):
+    from chroma_rs_spark.operators.text import bm25_scores
+    from chroma_rs_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF001_DIR, "documents")
+    out = bm25_scores(docs, ["zzzznotaword"]).collect()
+    assert all(r["bm25"] == 0.0 for r in out)
