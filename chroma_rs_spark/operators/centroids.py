@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 MICRO = 1_000_000.0
 
@@ -106,3 +107,69 @@ def assign_nearest_centroid(
         F.col("_b.assigned_label").alias("assigned_label"),
         F.col("_b.sq_dist").alias("sq_dist"),
     )
+
+
+def kmeans(
+    emb: DataFrame,
+    k: int = 8,
+    max_iter: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """DataFrame-native Lloyd's k-means built from the two primitives
+    above: E-step = assign_nearest_centroid (broadcast, shuffle-free),
+    M-step = label_centroids (map-side-combinable fixed-point mean).
+
+    Deterministic: seeds are the k rows with the smallest
+    md5(id) — a uniform, data-independent draw that any engine can
+    reproduce — and every later step is deterministic by construction.
+    Stops early when an iteration reassigns no vector (one count per
+    round, the same bounded-action pattern as connected_components).
+
+    Returns (assignment, centroids): (vec_id, assigned_label, sq_dist)
+    and the long-form (label, pos, centroid, n_vectors).
+
+    At 100 TB: per iteration the E-step broadcasts k×dim doubles and
+    never shuffles the corpus; the M-step pays one id-keyed corpus
+    join (co-locatable via bucketing on id) plus the
+    |labels|×dim×partitions partial-sum shuffle.
+    """
+    seeds = (
+        emb.select(id_col, vec_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(k)
+    )
+    # label seeds 0..k-1 in seed order
+    w = Window.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+    seeded = seeds.select(
+        (F.row_number().over(w) - 1).alias("label"), F.col(vec_col)
+    )
+    cents = label_centroids(
+        seeded, label_col="label", vec_col=vec_col
+    ).localCheckpoint(eager=True)
+    assign = None
+    prev_sig = None
+    for _ in range(max_iter):
+        assign = assign_nearest_centroid(
+            emb, cents, id_col=id_col, vec_col=vec_col
+        ).localCheckpoint(eager=True)
+        sig = (
+            assign.agg(
+                F.coalesce(
+                    F.bit_xor(
+                        F.xxhash64(F.col(id_col), F.col("assigned_label"))
+                    ),
+                    F.lit(0),
+                ).alias("s")
+            ).first()["s"]
+        )
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+        # label_centroids already aliases label_col to "label"
+        cents = label_centroids(
+            emb.join(assign.select(id_col, "assigned_label"), id_col),
+            label_col="assigned_label",
+            vec_col=vec_col,
+        ).localCheckpoint(eager=True)
+    return assign, cents

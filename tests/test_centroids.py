@@ -63,3 +63,36 @@ def test_centroid_suite_queries_match_oracle(spark, qname):
     want = sorted(tuple(r) for r in con.sql(qd.oracle).fetchall())
     assert len(got) == len(want)
     assert got == want
+
+
+def test_kmeans_separable_clusters(spark):
+    from chroma_rs_spark.operators.centroids import kmeans
+
+    # two well-separated blobs; k=2 must split them exactly
+    rows = []
+    for i in range(20):
+        rows.append((i, [0.0 + (i % 5) * 0.01, 0.0 + (i % 3) * 0.01]))
+    for i in range(20, 40):
+        rows.append((i, [9.0 + (i % 5) * 0.01, 9.0 + (i % 3) * 0.01]))
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    assign, cents = kmeans(emb, k=2, max_iter=10)
+    got = {r["vec_id"]: r["assigned_label"] for r in assign.collect()}
+    lo = {got[i] for i in range(20)}
+    hi = {got[i] for i in range(20, 40)}
+    assert len(lo) == 1 and len(hi) == 1 and lo != hi
+    c = {(r["label"], r["pos"]): r["centroid"] for r in cents.collect()}
+    # centroid of the low blob ~0.02 avg, high blob ~9.02
+    lo_lab, hi_lab = lo.pop(), hi.pop()
+    assert abs(c[(lo_lab, 0)] - 0.02) < 0.05
+    assert abs(c[(hi_lab, 0)] - 9.02) < 0.05
+
+
+def test_kmeans_deterministic(spark):
+    from chroma_rs_spark.operators.centroids import kmeans
+
+    from chroma_rs_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF001_DIR, "embeddings")
+    a1, _ = kmeans(emb, k=4, max_iter=3)
+    a2, _ = kmeans(emb, k=4, max_iter=3)
+    assert sorted(map(tuple, a1.collect())) == sorted(map(tuple, a2.collect()))
