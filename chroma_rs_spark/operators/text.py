@@ -215,3 +215,54 @@ def bm25_scores(
             (F.round(score, 6) + F.lit(0.0)).alias("bm25"),
         )
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int = 2048,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Concat-and-chop sequence packing: lay each group's documents
+    end-to-end in a deterministic order and cut fixed token budgets —
+    the standard pretraining batch-packing layout.
+
+    Returns (doc_id, grp, n_tokens, start_offset, bin, offset_in_bin,
+    fits): `bin` is the budget window the document STARTS in,
+    `offset_in_bin` its position there, and `fits` whether it ends
+    inside that window (false = it straddles the chop boundary).
+
+    All-integer window arithmetic (one running-sum per group, ordered
+    by id) — deterministic, engine-reproducible, and one shuffle keyed
+    on the group column. At 100 TB the group is a date/source shard, so
+    the running sum parallelizes across shards; a single giant group
+    would need a range-partitioned two-pass rank (same pattern as the
+    distributed percentile note in suite/relational.py).
+    """
+    from pyspark.sql.window import Window as W
+
+    toks = F.size(F.split(F.col(text_col), " "))
+    w = (
+        W.partitionBy("grp")
+        .orderBy(id_col)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    base = df.select(
+        F.col(id_col),
+        F.col(group_col).alias("grp"),
+        toks.cast("long").alias("n_tokens"),
+    )
+    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    out = base.withColumn("start_offset", start).select(
+        id_col,
+        "grp",
+        "n_tokens",
+        "start_offset",
+        F.floor(F.col("start_offset") / budget).cast("long").alias("bin"),
+        (F.col("start_offset") % budget).alias("offset_in_bin"),
+        (
+            (F.col("start_offset") % budget) + F.col("n_tokens") <= budget
+        ).alias("fits"),
+    )
+    return out

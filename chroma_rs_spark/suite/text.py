@@ -235,6 +235,37 @@ FROM per_doc CROSS JOIN stats
 """
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chroma_rs_spark.operators.text import pack_sequences
+
+    return pack_sequences(
+        load_table(spark, sf_dir, "documents"), budget=2048, group_col="source"
+    )
+
+
+# all-integer window arithmetic — no float hazards to mirror
+_PACK_SEQUENCES_ORACLE = """
+WITH base AS (
+  SELECT doc_id, source AS grp,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+s AS (
+  SELECT doc_id, grp, n_tokens,
+         coalesce(sum(n_tokens) OVER (PARTITION BY grp ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS start_offset
+  FROM base
+)
+SELECT doc_id, grp, n_tokens, start_offset,
+       CAST(floor(start_offset / 2048) AS BIGINT) AS bin,
+       start_offset % 2048 AS offset_in_bin,
+       (start_offset % 2048) + n_tokens <= 2048 AS fits
+FROM s
+"""
+
+
 EXTRA_QUERIES = {
     "bm25_scores": QueryDef(q_bm25_scores, _bm25_oracle()),
+    "pack_sequences": QueryDef(q_pack_sequences, _PACK_SEQUENCES_ORACLE),
 }

@@ -102,3 +102,43 @@ def test_bm25_zero_for_absent_terms(spark):
     docs = load_table(spark, SF001_DIR, "documents")
     out = bm25_scores(docs, ["zzzznotaword"]).collect()
     assert all(r["bm25"] == 0.0 for r in out)
+
+
+def test_pack_sequences_basic(spark):
+    from chroma_rs_spark.operators.text import pack_sequences
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c", "s1"),          # 3 tokens, start 0
+            (2, "d e f g", "s1"),        # 4 tokens, start 3
+            (3, "h i j k l m", "s1"),    # 6 tokens, start 7 -> straddles 8
+            (4, "x y", "s2"),            # independent group
+        ],
+        "doc_id LONG, text STRING, source STRING",
+    )
+    rows = {
+        r["doc_id"]: (r["start_offset"], r["bin"], r["offset_in_bin"], r["fits"])
+        for r in pack_sequences(docs, budget=8, group_col="source").collect()
+    }
+    assert rows == {
+        1: (0, 0, 0, True),
+        2: (3, 0, 3, True),
+        3: (7, 0, 7, False),  # starts in bin 0 at offset 7, crosses into bin 1
+        4: (0, 0, 0, True),
+    }
+
+
+def test_pack_sequences_matches_oracle(spark):
+    import duckdb
+
+    from chroma_rs_spark.suite.text import EXTRA_QUERIES
+
+    qd = EXTRA_QUERIES["pack_sequences"]
+    got = sorted(tuple(r) for r in qd.fn(spark, SF001_DIR).collect())
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{SF001_DIR}/documents.parquet')"
+    )
+    want = sorted(tuple(r) for r in con.sql(qd.oracle).fetchall())
+    assert got == want
