@@ -99,3 +99,36 @@ def dataset_split(
             cond, F.lit(name)
         )
     return df.withColumn(out, expr)
+
+
+def split_contamination(
+    df: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    train_split: str = "train",
+) -> DataFrame:
+    """Decontamination check: documents in any non-train split whose
+    content fingerprint also occurs in the train split — the overlap a
+    training pipeline must strip before an eval set means anything.
+
+    Content identity is doc_fingerprint (min shingle hash,
+    operators/text.py), so near-identical copies are caught, not just
+    byte-equal ones. Plan shape: the split assignment is map-side
+    (hash-bucket), the fingerprint is one groupBy(doc), and the leak
+    test is a semi join keyed on fingerprint — at 100 TB that is one
+    hash shuffle of (fingerprint) pairs, no corpus^2 anything.
+
+    Returns (doc_id, split, fingerprint) for contaminated eval docs.
+    """
+    from chroma_rs_spark.operators.text import doc_fingerprint
+
+    sp = dataset_split(df, weights, id_col=id_col)
+    fp = doc_fingerprint(df, id_col=id_col, text_col=text_col)
+    j = sp.join(fp, id_col).select(id_col, "split", "fingerprint")
+    train_fps = j.where(F.col("split") == train_split).select("fingerprint")
+    return (
+        j.where(F.col("split") != train_split)
+        .join(train_fps, "fingerprint", "left_semi")
+        .select(id_col, "split", "fingerprint")
+    )

@@ -527,7 +527,52 @@ SELECT vec_id, label AS assigned_label, sq_dist FROM r WHERE rn = 1
 """
 
 
+def q_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chroma_rs_spark.operators.sampling import split_contamination
+
+    return split_contamination(
+        load_table(spark, sf_dir, "documents"),
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+    )
+
+
+# split CTE ≡ _DATASET_SPLIT_ORACLE; fingerprint CTE ≡ the 5-gram
+# min-md5 of suite/text._FINGERPRINT_ORACLE — the leak test is a plain
+# fingerprint semi join
+_SPLIT_CONTAMINATION_ORACLE = """
+WITH sh AS (
+  SELECT doc_id,
+         concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3], toks[i+4])
+             AS shingle
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 3)) AS i
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
+),
+fp AS (SELECT doc_id, min(md5(shingle)) AS fingerprint FROM sh GROUP BY doc_id),
+b AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+             % 10000 AS bk
+  FROM documents
+),
+sp AS (
+  SELECT doc_id,
+         CASE WHEN bk < 8000 THEN 'train'
+              WHEN bk < 9000 THEN 'val'
+              ELSE 'test' END AS split
+  FROM b
+),
+j AS (SELECT sp.doc_id, sp.split, fp.fingerprint FROM sp JOIN fp USING (doc_id))
+SELECT doc_id, split, fingerprint
+FROM j
+WHERE split <> 'train'
+  AND fingerprint IN (SELECT fingerprint FROM j WHERE split = 'train')
+"""
+
+
 EXTRA_QUERIES = {
     "label_centroids": QueryDef(q_label_centroids, _LABEL_CENTROIDS_ORACLE),
     "centroid_assign": QueryDef(q_centroid_assign, _CENTROID_ASSIGN_ORACLE),
+    "split_contamination": QueryDef(
+        q_split_contamination, _SPLIT_CONTAMINATION_ORACLE
+    ),
 }

@@ -3,6 +3,8 @@
 import pytest
 from pyspark.sql import functions as F
 
+from tests.conftest import SF001_DIR
+
 from chroma_rs_spark.operators.dedup import (
     exact_dedup,
     minhash_lsh_pairs,
@@ -240,3 +242,54 @@ def test_tiny_fraction_rounds_up_to_one_bucket(spark):
     tiny = deterministic_sample(base, 4e-5).count()
     assert 0 < tiny < 50  # one bucket of 10k => ~10 rows expected
     assert deterministic_sample(base, 0.0).count() == 0
+
+
+def test_split_contamination_finds_known_leak(spark):
+    from chroma_rs_spark.operators.sampling import split_contamination
+
+    # two byte-identical docs hashed into different splits by id: the
+    # one landing outside train must be reported. Every other doc's
+    # tokens are doc-unique, so no shared shingles (a shared filler
+    # phrase would legitimately merge fingerprints — that's the
+    # operator's point, not a bug).
+    def unique_text(i):
+        return " ".join(f"w{i}x{j}" for j in range(12))
+
+    from chroma_rs_spark.operators.sampling import dataset_split
+
+    docs = spark.createDataFrame(
+        [(i, unique_text(i)) for i in range(40)], "doc_id LONG, text STRING"
+    )
+    sp = {
+        r["doc_id"]: r["split"]
+        for r in dataset_split(
+            docs, {"train": 0.8, "val": 0.1, "test": 0.1}
+        ).collect()
+    }
+    train_id = next(i for i, s in sp.items() if s == "train")
+    eval_id = next(i for i, s in sp.items() if s != "train")
+    dup_text = "this exact document leaked across the split boundary again"
+    rows = [
+        (i, dup_text if i in (train_id, eval_id) else unique_text(i))
+        for i in range(40)
+    ]
+    docs2 = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = split_contamination(docs2, {"train": 0.8, "val": 0.1, "test": 0.1}).collect()
+    assert [r["doc_id"] for r in out] == [eval_id]
+    assert out[0]["split"] == sp[eval_id]
+
+
+def test_split_contamination_suite_matches_oracle(spark):
+    import duckdb
+
+    from chroma_rs_spark.suite.pipeline import EXTRA_QUERIES
+
+    qd = EXTRA_QUERIES["split_contamination"]
+    got = sorted(tuple(r) for r in qd.fn(spark, SF001_DIR).collect())
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{SF001_DIR}/documents.parquet')"
+    )
+    want = sorted(tuple(r) for r in con.sql(qd.oracle).fetchall())
+    assert got == want
