@@ -134,6 +134,8 @@ def kmeans(
     join (co-locatable via bucketing on id) plus the
     |labels|×dim×partitions partial-sum shuffle.
     """
+    if max_iter < 1:
+        raise ValueError("kmeans: max_iter must be >= 1")
     seeds = (
         emb.select(id_col, vec_col)
         .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))

@@ -125,6 +125,10 @@ def _cc_local(spark, pdf, with_sizes: bool) -> DataFrame:
             parent[x], x = root, parent[x]
         return root
 
+    # drop self-loops so both paths agree: _symmetrize erases them on
+    # the distributed side, so a node with ONLY self-loops is treated
+    # as isolated everywhere
+    pdf = pdf[pdf["u"] != pdf["v"]]
     for a, b in zip(pdf["u"].tolist(), pdf["v"].tolist()):
         ra, rb = find(int(a)), find(int(b))
         if ra != rb:
@@ -183,10 +187,11 @@ def connected_components(
     """Component label (= min node id in the component) per node.
 
     `edges` is an undirected edge list; returns (node, component[,
-    component_size]) for every node that appears in at least one edge.
-    Isolated nodes are the caller's to re-attach (left join +
-    coalesce(component, id)). Set ``local_threshold=0`` to force the
-    distributed path.
+    component_size]) for every node that appears in at least one
+    NON-SELF edge (self-loops are dropped on both paths, so a node
+    with only self-loops counts as isolated). Isolated nodes are the
+    caller's to re-attach (left join + coalesce(component, id)). Set
+    ``local_threshold=0`` to force the distributed path.
     """
     cur = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     if local_threshold > 0:
@@ -216,6 +221,11 @@ def dedup_clusters(
     doc id of the connected component; singletons are their own
     cluster; keep is true exactly for the cluster representative —
     the row set a curation pipeline feeds into its final filter.
+
+    Precondition: every id in `pairs` must exist in `docs` (true by
+    construction when pairs are mined from the same relation, as every
+    caller here does). An id present only in `pairs` would leave its
+    cluster without a keeper row when it is the component minimum.
     """
     edges = pairs.where(F.col(sim_col) >= F.lit(threshold)).select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")

@@ -121,14 +121,31 @@ def split_contamination(
 
     Returns (doc_id, split, fingerprint) for contaminated eval docs.
     """
+    from pyspark.sql.window import Window
+
     from chroma_rs_spark.operators.text import doc_fingerprint
 
+    # dataset_split keeps the input columns, so text rides along
     sp = dataset_split(df, weights, id_col=id_col)
     fp = doc_fingerprint(df, id_col=id_col, text_col=text_col)
-    j = sp.join(fp, id_col).select(id_col, "split", "fingerprint")
-    train_fps = j.where(F.col("split") == train_split).select("fingerprint")
+    # LEFT join + md5(text) fallback: docs too short to produce a
+    # 5-gram shingle have no min-shingle fingerprint and an inner join
+    # would silently exempt them from the leak check
+    j = sp.join(fp, id_col, "left").select(
+        id_col,
+        "split",
+        F.coalesce(F.col("fingerprint"), F.md5(F.col(text_col))).alias(
+            "fingerprint"
+        ),
+    )
+    # one window over the fingerprint instead of a second corpus-wide
+    # aggregation + semi join: the shingle/fingerprint subtree is
+    # evaluated once
+    has_train = F.max(
+        (F.col("split") == F.lit(train_split)).cast("int")
+    ).over(Window.partitionBy("fingerprint"))
     return (
-        j.where(F.col("split") != train_split)
-        .join(train_fps, "fingerprint", "left_semi")
+        j.withColumn("_ht", has_train)
+        .where((F.col("split") != F.lit(train_split)) & (F.col("_ht") == 1))
         .select(id_col, "split", "fingerprint")
     )

@@ -173,6 +173,8 @@ def bm25_scores(
     100 TB: one map pass + one scalar agg + one broadcast, no
     corpus-wide shuffle at any step.
     """
+    if not terms:
+        raise ValueError("bm25_scores: terms must be a non-empty list")
     toks = F.split(F.col(text_col), " ")
 
     def _tf(term: str):

@@ -561,11 +561,20 @@ sp AS (
               ELSE 'test' END AS split
   FROM b
 ),
-j AS (SELECT sp.doc_id, sp.split, fp.fingerprint FROM sp JOIN fp USING (doc_id))
-SELECT doc_id, split, fingerprint
-FROM j
-WHERE split <> 'train'
-  AND fingerprint IN (SELECT fingerprint FROM j WHERE split = 'train')
+j AS (
+  SELECT sp.doc_id, sp.split,
+         coalesce(fp.fingerprint, md5(d.text)) AS fingerprint
+  FROM sp
+  LEFT JOIN fp ON fp.doc_id = sp.doc_id
+  JOIN documents d ON d.doc_id = sp.doc_id
+),
+h AS (
+  SELECT doc_id, split, fingerprint,
+         max(CASE WHEN split = 'train' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY fingerprint) AS ht
+  FROM j
+)
+SELECT doc_id, split, fingerprint FROM h WHERE split <> 'train' AND ht = 1
 """
 
 

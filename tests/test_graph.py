@@ -133,3 +133,10 @@ def test_dedup_clusters_suite_query_matches_oracle(spark):
     assert got == want
     # sanity: clustering actually merged something on real data
     assert any(size > 1 for _, _, size, _ in got)
+
+
+def test_cc_self_loop_only_node_consistent_across_paths(spark):
+    # a node whose only edges are self-loops is isolated on BOTH paths
+    edges = [(7, 7), (1, 2)]
+    assert _cc(spark, edges) == {1: 1, 2: 1}
+    assert _cc(spark, edges, local_threshold=0) == {1: 1, 2: 1}

@@ -293,3 +293,26 @@ def test_split_contamination_suite_matches_oracle(spark):
     )
     want = sorted(tuple(r) for r in con.sql(qd.oracle).fetchall())
     assert got == want
+
+
+def test_split_contamination_catches_short_docs(spark):
+    from chroma_rs_spark.operators.sampling import dataset_split, split_contamination
+
+    # 3-token docs produce no 5-gram fingerprint; the md5(text)
+    # fallback must still catch a byte-identical cross-split pair
+    docs = spark.createDataFrame(
+        [(i, f"short doc {i}") for i in range(40)], "doc_id LONG, text STRING"
+    )
+    sp = {
+        r["doc_id"]: r["split"]
+        for r in dataset_split(docs, {"train": 0.8, "val": 0.1, "test": 0.1}).collect()
+    }
+    train_id = next(i for i, s in sp.items() if s == "train")
+    eval_id = next(i for i, s in sp.items() if s != "train")
+    rows = [
+        (i, "dup tiny" if i in (train_id, eval_id) else f"short doc {i}")
+        for i in range(40)
+    ]
+    docs2 = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = split_contamination(docs2, {"train": 0.8, "val": 0.1, "test": 0.1}).collect()
+    assert [r["doc_id"] for r in out] == [eval_id]

@@ -142,3 +142,11 @@ def test_pack_sequences_matches_oracle(spark):
     )
     want = sorted(tuple(r) for r in con.sql(qd.oracle).fetchall())
     assert got == want
+
+
+def test_bm25_empty_terms_raises(spark):
+    from chroma_rs_spark.operators.text import bm25_scores
+    from chroma_rs_spark.sources.tables import load_table
+
+    with pytest.raises(ValueError, match="non-empty"):
+        bm25_scores(load_table(spark, SF001_DIR, "documents"), [])
