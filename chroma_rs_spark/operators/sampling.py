@@ -116,8 +116,8 @@ def split_contamination(
     operators/text.py), so near-identical copies are caught, not just
     byte-equal ones. Plan shape: the split assignment is map-side
     (hash-bucket), the fingerprint is one groupBy(doc), and the leak
-    test is a semi join keyed on fingerprint — at 100 TB that is one
-    hash shuffle of (fingerprint) pairs, no corpus^2 anything.
+    test is one window keyed on fingerprint — at 100 TB that is a
+    single hash shuffle of (fingerprint) rows, no corpus^2 anything.
 
     Returns (doc_id, split, fingerprint) for contaminated eval docs.
     """
@@ -149,3 +149,72 @@ def split_contamination(
         .where((F.col("split") != F.lit(train_split)) & (F.col("_ht") == 1))
         .select(id_col, "split", "fingerprint")
     )
+
+
+def temperature_mixture_sample(
+    df: DataFrame,
+    total_fraction: float,
+    alpha: float = 0.5,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-rebalanced mixture sampling: keep ~`total_fraction`
+    of the corpus with per-source rates chosen so the SAMPLED source
+    distribution follows p_s ∝ n_s^alpha — the standard pretraining
+    trick that upsamples small sources (alpha < 1 flattens the mix;
+    alpha = 1 is proportional, i.e. plain uniform sampling).
+
+    Per-source keep-rate: f_s = total_fraction * N * p_s / n_s, capped
+    at 1. Selection reuses the deterministic id-hash buckets
+    (hash_bucket), so membership is stable under corpus growth and
+    engine-reproducible. The per-source stats are ONE aggregation
+    broadcast back; the filter itself is map-side.
+
+    The default alpha=0.5 computes n^alpha via sqrt, which is
+    IEEE-correctly-rounded on every engine; arbitrary alpha uses pow,
+    where a last-ulp difference between engines could flip a rate
+    rounded exactly at a bucket boundary (rates are rounded to bucket
+    granularity on both sides to make that window tiny).
+    """
+    if not 0.0 < total_fraction <= 1.0:
+        raise ValueError("total_fraction must be in (0, 1]")
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError("alpha must be in (0, 1]")
+    stats = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("_ns"))
+    if alpha == 0.5:
+        pw = F.sqrt(F.col("_ns").cast("double"))
+    else:
+        pw = F.pow(F.col("_ns").cast("double"), F.lit(alpha))
+    # _z folds in source-sorted order (not F.sum over doubles, whose
+    # partial-agg order is engine/partitioning-dependent in the last
+    # ulp) so the cutoff arithmetic is bit-reproducible
+    tot = stats.agg(
+        F.sum("_ns").alias("_n"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct(F.col(source_col).alias("s"), pw.alias("p")))
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["p"],
+        ).alias("_z"),
+    )
+    # f_s = F * N * (ns^a / Z) / ns, as one fixed expression; cutoff in
+    # integer buckets like deterministic_sample
+    rates = stats.crossJoin(F.broadcast(tot)).select(
+        source_col,
+        F.least(
+            F.round(
+                F.lit(total_fraction)
+                * F.col("_n").cast("double")
+                * (
+                    (pw / F.col("_z"))
+                    / F.col("_ns").cast("double")
+                )
+                * F.lit(float(SAMPLE_BUCKETS))
+            ).cast("int"),
+            F.lit(SAMPLE_BUCKETS),
+        ).alias("_cutoff"),
+    )
+    return df.join(F.broadcast(rates), source_col).where(
+        hash_bucket(id_col) < F.col("_cutoff")
+    ).drop("_cutoff")

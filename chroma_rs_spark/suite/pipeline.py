@@ -578,10 +578,54 @@ SELECT doc_id, split, fingerprint FROM h WHERE split <> 'train' AND ht = 1
 """
 
 
+def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chroma_rs_spark.operators.sampling import temperature_mixture_sample
+
+    return temperature_mixture_sample(
+        load_table(spark, sf_dir, "documents").select("doc_id", "source"),
+        total_fraction=0.2,
+        alpha=0.5,
+    ).select("doc_id", "source")
+
+
+# mirrors the operator's arithmetic exactly: sqrt (correctly rounded
+# on both engines), the same expression association, the in-order _z
+# fold, and the same integer bucket cutoff
+_TEMPERATURE_MIXTURE_ORACLE = """
+WITH stats AS (
+  SELECT source, count(*) AS ns FROM documents GROUP BY source
+),
+tot AS (
+  SELECT sum(ns) AS n,
+         list_sum(list(sqrt(CAST(ns AS DOUBLE)) ORDER BY source)) AS z
+  FROM stats
+),
+rates AS (
+  SELECT source,
+         least(
+           CAST(round(
+             0.2 * CAST(n AS DOUBLE)
+             * ((sqrt(CAST(ns AS DOUBLE)) / z) / CAST(ns AS DOUBLE))
+             * 10000.0
+           ) AS INT),
+           10000
+         ) AS cutoff
+  FROM stats CROSS JOIN tot
+)
+SELECT d.doc_id, d.source
+FROM documents d JOIN rates r USING (source)
+WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+      % 10000 < r.cutoff
+"""
+
+
 EXTRA_QUERIES = {
     "label_centroids": QueryDef(q_label_centroids, _LABEL_CENTROIDS_ORACLE),
     "centroid_assign": QueryDef(q_centroid_assign, _CENTROID_ASSIGN_ORACLE),
     "split_contamination": QueryDef(
         q_split_contamination, _SPLIT_CONTAMINATION_ORACLE
+    ),
+    "temperature_mixture": QueryDef(
+        q_temperature_mixture, _TEMPERATURE_MIXTURE_ORACLE
     ),
 }

@@ -316,3 +316,44 @@ def test_split_contamination_catches_short_docs(spark):
     docs2 = spark.createDataFrame(rows, "doc_id LONG, text STRING")
     out = split_contamination(docs2, {"train": 0.8, "val": 0.1, "test": 0.1}).collect()
     assert [r["doc_id"] for r in out] == [eval_id]
+
+
+def test_temperature_mixture_flattens_sources(spark):
+    from chroma_rs_spark.operators.sampling import temperature_mixture_sample
+
+    # 1000-doc dominant source vs 100-doc rare source: alpha=0.5 must
+    # keep the rare source at a HIGHER per-source rate than the
+    # dominant one (flattened mix), with overall size ~ total_fraction
+    rows = [(i, "big") for i in range(1000)] + [
+        (i, "small") for i in range(1000, 1100)
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, source STRING")
+    out = temperature_mixture_sample(df, total_fraction=0.3, alpha=0.5)
+    got = out.groupBy("source").count().collect()
+    by_src = {r["source"]: r["count"] for r in got}
+    rate_big = by_src.get("big", 0) / 1000
+    rate_small = by_src.get("small", 0) / 100
+    assert rate_small > rate_big * 2  # sqrt weighting: ~3.16x
+    total = sum(by_src.values())
+    assert 0.2 < total / 1100 < 0.4
+
+    with pytest.raises(ValueError):
+        temperature_mixture_sample(df, total_fraction=0.0)
+    with pytest.raises(ValueError):
+        temperature_mixture_sample(df, total_fraction=0.5, alpha=1.5)
+
+
+def test_temperature_mixture_suite_matches_oracle(spark):
+    import duckdb
+
+    from chroma_rs_spark.suite.pipeline import EXTRA_QUERIES
+
+    qd = EXTRA_QUERIES["temperature_mixture"]
+    got = sorted(tuple(r) for r in qd.fn(spark, SF001_DIR).collect())
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{SF001_DIR}/documents.parquet')"
+    )
+    want = sorted(tuple(r) for r in con.sql(qd.oracle).fetchall())
+    assert got == want and len(got) > 0
