@@ -105,3 +105,42 @@ def session_window_agg(
             "n_events",
         )
     )
+
+
+def top_event_types_per_window(counts: DataFrame, k: int = 2) -> DataFrame:
+    """Batch finisher for the trending pattern: rank event types by
+    count inside each window, keep the top k (ties broken by type name
+    for determinism).
+
+    Rank-over-window is not expressible inside a streaming aggregation
+    (Spark rejects non-time windows on streaming plans), so production
+    trending is two-stage there too: stream the windowed counts to a
+    sink, rank the (tiny, windows x types) result in batch — exactly
+    what this pair of functions models. See
+    tests/test_streaming.py::test_stream_trending_matches_batch.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("n_events").desc(), F.col("event_type")
+    )
+    return (
+        counts.select(
+            "window_start",
+            "event_type",
+            "n_events",
+            F.row_number().over(w).alias("rank"),
+        )
+        .where(F.col("rank") <= k)
+    )
+
+
+def trending_event_types(
+    events: DataFrame,
+    width: str = "10 minutes",
+    k: int = 2,
+    watermark: str | None = "1 hour",
+) -> DataFrame:
+    """Top-k event types per tumbling window (batch composition)."""
+    counts = tumbling_window_counts(events, width, watermark)
+    return top_event_types_per_window(counts, k)

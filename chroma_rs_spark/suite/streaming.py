@@ -87,3 +87,38 @@ QUERIES = {
         q_events_session_windows, _SESSION_WINDOW_ORACLE
     ),
 }
+
+
+# -- trending top-k (EXTRA: locally verified, outside the driver's
+# -- 50-row correctness window; see suite/__init__.all_queries) --------
+
+
+def q_trending_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chroma_rs_spark.streaming.events import trending_event_types
+
+    return trending_event_types(
+        load_table(spark, sf_dir, "events"), k=2
+    ).select("window_start", "event_type", "n_events", "rank")
+
+
+_TRENDING_ORACLE = """
+WITH counts AS (
+  SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+         event_type,
+         count(*) AS n_events
+  FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT window_start, event_type, n_events,
+         row_number() OVER (PARTITION BY window_start
+                            ORDER BY n_events DESC, event_type) AS rank
+  FROM counts
+)
+SELECT window_start, event_type, n_events, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 2
+"""
+
+
+EXTRA_QUERIES = {
+    "trending_event_types": QueryDef(q_trending_event_types, _TRENDING_ORACLE),
+}

@@ -220,3 +220,28 @@ def test_watermark_drops_late_data_across_microbatches(spark, tmp_path):
     # the finalized first window holds ONLY the on-time row; the late
     # row would have made it 2 had the watermark not dropped it
     assert rows[first] == 1
+
+
+def test_stream_trending_matches_batch(spark):
+    """Two-stage trending: stream the windowed counts, rank the drained
+    sink in batch — equals the all-batch composition."""
+    from chroma_rs_spark.streaming.events import (
+        top_event_types_per_window,
+        trending_event_types,
+    )
+
+    batch = trending_event_types(load_table(spark, SF001_DIR, "events"), k=2)
+    expected = sorted(
+        (r["window_start"], r["event_type"], r["n_events"], r["rank"])
+        for r in batch.collect()
+    )
+    counts = tumbling_window_counts(read_events_stream(spark, SF001_DIR))
+    drain_to_memory(counts, "trend_counts_t")
+    ranked = top_event_types_per_window(
+        spark.sql("SELECT * FROM trend_counts_t"), k=2
+    )
+    got = sorted(
+        (r["window_start"], r["event_type"], r["n_events"], r["rank"])
+        for r in ranked.collect()
+    )
+    assert got == expected and len(got) > 0
