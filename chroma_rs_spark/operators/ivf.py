@@ -214,3 +214,40 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "distance")
     )
+
+
+def train_centroids_kmeans(
+    items: DataFrame,
+    n_centroids: int = 16,
+    max_iter: int = 5,
+    item_id: str = "vec_id",
+    item_emb: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """k-means-trained IVF centroids — the real index-build step the
+    lowest-id placeholder stands in for (see module docstring).
+
+    Runs the DataFrame-native Lloyd's loop (operators/centroids.py)
+    and collects the resulting k x dim centroid matrix — the same tiny
+    driver artifact `collect_small_vectors` produces, so the
+    assignment/probe/search plan is unchanged: pass the result as
+    `ivf_topk(..., precollected=(trained, queries))`. At 100 TB this
+    runs once at index-build time and the matrix persists next to the
+    collection.
+    """
+    from chroma_rs_spark.operators.centroids import kmeans
+
+    _, cents = kmeans(
+        items.select(item_id, item_emb),
+        k=n_centroids,
+        max_iter=max_iter,
+        id_col=item_id,
+        vec_col=item_emb,
+    )
+    by_label: dict[int, dict[int, float]] = {}
+    for r in cents.collect():
+        by_label.setdefault(int(r["label"]), {})[int(r["pos"])] = float(
+            r["centroid"]
+        )
+    return [
+        (lab, [d[p] for p in sorted(d)]) for lab, d in sorted(by_label.items())
+    ]

@@ -45,3 +45,44 @@ def test_ivf_recall_vs_exact(emb):
         assert (qid, qid) in got
     recall = len(got & want) / len(want)
     assert recall >= 0.5, recall  # probing 4/16 cells keeps most true neighbors
+
+
+def test_ivf_with_trained_centroids(emb):
+    """The kmeans-trained centroid path (the documented swap-in for
+    the lowest-id placeholder) plugs into the same search plan and
+    keeps recall in the same band as the placeholder."""
+    from chroma_rs_spark.operators.ivf import (
+        collect_small_vectors,
+        ivf_topk,
+        train_centroids_kmeans,
+    )
+
+    trained = train_centroids_kmeans(emb, n_centroids=8, max_iter=4)
+    assert len(trained) == 8
+    assert all(len(v) == 64 for _, v in trained)
+    _, queries = collect_small_vectors(emb, 8, 5)
+    res = ivf_topk(
+        emb, k=10, n_probe=4, precollected=(trained, queries)
+    ).collect()
+    # 5 queries x 10 neighbors, rank-1 self-match at distance 0
+    assert len(res) == 50
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rows in by_q.items():
+        top = min(rows, key=lambda r: r["rank"])
+        assert top["neighbor_id"] == qid and top["distance"] == 0.0
+
+    # recall vs exact cosine on the same probes stays in the IVF band
+    from chroma_rs_spark.operators.knn import knn_exact
+    from pyspark.sql import functions as F
+
+    probes = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_embedding"),
+    )
+    exact = knn_exact(emb, probes, k=10, metric="cosine", item_id="vec_id")
+    want = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    got = {(r["query_id"], r["neighbor_id"]) for r in res}
+    recall = len(got & want) / len(want)
+    assert recall >= 0.5, recall
