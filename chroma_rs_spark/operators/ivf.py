@@ -248,6 +248,15 @@ def train_centroids_kmeans(
         by_label.setdefault(int(r["label"]), {})[int(r["pos"])] = float(
             r["centroid"]
         )
+    if len(by_label) < n_centroids:
+        # a cluster emptied during Lloyd's iterations (degenerate /
+        # heavily duplicated data); fail loudly rather than hand back
+        # an index with fewer cells than the caller asked for
+        raise ValueError(
+            f"train_centroids_kmeans: only {len(by_label)} of "
+            f"{n_centroids} clusters survived training; lower "
+            "n_centroids or deduplicate the input"
+        )
     return [
         (lab, [d[p] for p in sorted(d)]) for lab, d in sorted(by_label.items())
     ]

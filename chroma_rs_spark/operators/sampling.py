@@ -180,7 +180,11 @@ def temperature_mixture_sample(
         raise ValueError("total_fraction must be in (0, 1]")
     if not 0.0 < alpha <= 1.0:
         raise ValueError("alpha must be in (0, 1]")
-    stats = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("_ns"))
+    # NULL sources form their own stratum instead of silently vanishing
+    # at the equi-join (an inner join never matches NULL = NULL)
+    src_key = F.coalesce(F.col(source_col).cast("string"), F.lit("\x00null"))
+    df = df.withColumn("_src", src_key)
+    stats = df.groupBy("_src").agg(F.count(F.lit(1)).alias("_ns"))
     if alpha == 0.5:
         pw = F.sqrt(F.col("_ns").cast("double"))
     else:
@@ -192,29 +196,36 @@ def temperature_mixture_sample(
         F.sum("_ns").alias("_n"),
         F.aggregate(
             F.array_sort(
-                F.collect_list(F.struct(F.col(source_col).alias("s"), pw.alias("p")))
+                F.collect_list(F.struct(F.col("_src").alias("s"), pw.alias("p")))
             ),
             F.lit(0.0),
             lambda acc, x: acc + x["p"],
         ).alias("_z"),
     )
     # f_s = F * N * (ns^a / Z) / ns, as one fixed expression; cutoff in
-    # integer buckets like deterministic_sample
+    # integer buckets like deterministic_sample, with the same
+    # round-up-to-one-bucket floor (a mathematically nonzero rate must
+    # never silently sample nothing — the hash_bucket contract)
     rates = stats.crossJoin(F.broadcast(tot)).select(
-        source_col,
+        "_src",
         F.least(
-            F.round(
-                F.lit(total_fraction)
-                * F.col("_n").cast("double")
-                * (
-                    (pw / F.col("_z"))
-                    / F.col("_ns").cast("double")
-                )
-                * F.lit(float(SAMPLE_BUCKETS))
-            ).cast("int"),
+            F.greatest(
+                F.round(
+                    F.lit(total_fraction)
+                    * F.col("_n").cast("double")
+                    * (
+                        (pw / F.col("_z"))
+                        / F.col("_ns").cast("double")
+                    )
+                    * F.lit(float(SAMPLE_BUCKETS))
+                ).cast("int"),
+                F.lit(1),
+            ),
             F.lit(SAMPLE_BUCKETS),
         ).alias("_cutoff"),
     )
-    return df.join(F.broadcast(rates), source_col).where(
-        hash_bucket(id_col) < F.col("_cutoff")
-    ).drop("_cutoff")
+    return (
+        df.join(F.broadcast(rates), "_src")
+        .where(hash_bucket(id_col) < F.col("_cutoff"))
+        .drop("_cutoff", "_src")
+    )

@@ -603,11 +603,14 @@ tot AS (
 rates AS (
   SELECT source,
          least(
-           CAST(round(
-             0.2 * CAST(n AS DOUBLE)
-             * ((sqrt(CAST(ns AS DOUBLE)) / z) / CAST(ns AS DOUBLE))
-             * 10000.0
-           ) AS INT),
+           greatest(
+             CAST(round(
+               0.2 * CAST(n AS DOUBLE)
+               * ((sqrt(CAST(ns AS DOUBLE)) / z) / CAST(ns AS DOUBLE))
+               * 10000.0
+             ) AS INT),
+             1
+           ),
            10000
          ) AS cutoff
   FROM stats CROSS JOIN tot

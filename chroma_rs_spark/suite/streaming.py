@@ -96,9 +96,15 @@ QUERIES = {
 def q_trending_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     from chroma_rs_spark.streaming.events import trending_event_types
 
+    from pyspark.sql import functions as F
+
+    # rank cast to long: the suite-wide convention so Spark dtypes
+    # match the DuckDB oracle's BIGINT exactly
     return trending_event_types(
         load_table(spark, sf_dir, "events"), k=2
-    ).select("window_start", "event_type", "n_events", "rank")
+    ).select(
+        "window_start", "event_type", "n_events", F.col("rank").cast("long").alias("rank")
+    )
 
 
 _TRENDING_ORACLE = """

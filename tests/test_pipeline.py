@@ -357,3 +357,27 @@ def test_temperature_mixture_suite_matches_oracle(spark):
     )
     want = sorted(tuple(r) for r in con.sql(qd.oracle).fetchall())
     assert got == want and len(got) > 0
+
+
+def test_temperature_mixture_null_source_and_floor(spark):
+    from chroma_rs_spark.operators.sampling import temperature_mixture_sample
+
+    # NULL sources form their own stratum instead of vanishing
+    rows = [(i, "a") for i in range(100)] + [(i, None) for i in range(100, 200)]
+    df = spark.createDataFrame(rows, "doc_id LONG, source STRING")
+    out = temperature_mixture_sample(df, total_fraction=0.5, alpha=0.5)
+    srcs = {r["source"] for r in out.collect()}
+    assert None in srcs and "a" in srcs
+
+    # 1-bucket floor: a tiny but valid fraction keeps a nonzero
+    # per-source rate (bucket granularity means the corpus must span
+    # enough ids for bucket 0 to be hit — same property as
+    # deterministic_sample)
+    big = spark.range(30000).select(
+        F.col("id").alias("doc_id"), F.lit("a").alias("source")
+    )
+    # 1e-5 * 10000 buckets = 0.1 -> round() alone would give cutoff 0
+    tiny = temperature_mixture_sample(big, total_fraction=1e-5, alpha=0.5)
+    n = tiny.count()
+    assert n > 0  # floor: never silently empty on a real corpus
+    assert n < 300  # and still a tiny sample
