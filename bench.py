@@ -117,17 +117,36 @@ def main() -> int:
     duck = _duckdb_timings(se.oracle_sql(), sf_dir)
     total = round(sum(timings.values()), 3)
     duck_total = round(sum(duck.values()), 3)
+    payload = {
+        "metric": "suite_total_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "duckdb_queries": duck,
+        "duckdb_total_sec": duck_total,
+        "plan_build_sec": round(plan_build, 3),
+        "sf": sf,
+    }
+    # the full per-query JSON is one very long line that a tail-capture
+    # can truncate mid-object (BENCH_r02.json recorded parsed: null);
+    # persist it to a file AND print a short self-contained summary
+    # line LAST so any tail window still gets a parseable record
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json")
+    with open(out_path, "w") as fh:
+        json.dump(payload, fh, indent=1)
+        fh.write("\n")
+    print(json.dumps(payload))
     print(
         json.dumps(
             {
                 "metric": "suite_total_wall_sec",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "duckdb_queries": duck,
                 "duckdb_total_sec": duck_total,
                 "plan_build_sec": round(plan_build, 3),
                 "sf": sf,
+                "n_queries": len(timings),
+                "full_json": "BENCH_LOCAL.json",
             }
         )
     )

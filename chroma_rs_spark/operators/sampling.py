@@ -125,6 +125,14 @@ def split_contamination(
 
     from chroma_rs_spark.operators.text import doc_fingerprint
 
+    if train_split not in weights:
+        # an empty result must mean "no leaks", never a typo'd split
+        # name silently matching nothing
+        raise ValueError(
+            f"train_split {train_split!r} is not a split name; "
+            f"weights define {sorted(weights)}"
+        )
+
     # dataset_split keeps the input columns, so text rides along
     sp = dataset_split(df, weights, id_col=id_col)
     fp = doc_fingerprint(df, id_col=id_col, text_col=text_col)

@@ -73,18 +73,37 @@ def dedup_events(
     events: DataFrame,
     keys: list[str] | None = None,
     watermark: str = "1 hour",
+    event_time: str = "ts",
+    order_id: str = "event_id",
 ) -> DataFrame:
     """Exactly-once event delivery by key.
 
-    Batch: `dropDuplicates(keys)`. Streaming:
-    `dropDuplicatesWithinWatermark(keys)` — duplicates arriving within
-    the watermark horizon of the first occurrence are suppressed while
-    state stays bounded (the batch-mode unbounded-memory variant of
-    streaming dropDuplicates is exactly what this avoids at scale).
+    Streaming: `dropDuplicatesWithinWatermark(keys)` — duplicates
+    arriving within the watermark horizon of the first occurrence are
+    suppressed while state stays bounded (the batch-mode
+    unbounded-memory variant of streaming dropDuplicates is exactly
+    what this avoids at scale).
+
+    Batch twin: keep the EARLIEST row per key by (event_time,
+    order_id) — deterministic, unlike `dropDuplicates(keys)` which
+    keeps an arbitrary partition-order-dependent row, and the faithful
+    batch reading of the stream's first-arrival-wins semantics (in
+    event-time replay the earliest event IS the first arrival). One
+    key-partitioned window shuffle; at 100 TB this is the same
+    hash-shuffle-on-key shape as the streaming state store.
     """
     keys = keys or ["event_id"]
     if events.isStreaming:
-        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        return events.withWatermark(event_time, watermark).dropDuplicatesWithinWatermark(
             keys
         )
-    return events.dropDuplicates(keys)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(event_time).asc(), F.col(order_id).asc()
+    )
+    return (
+        events.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

@@ -26,6 +26,7 @@ from chroma_rs_spark.operators.multimodal import (
     sample_frames,
 )
 from chroma_rs_spark.operators.similarity import (
+    cosine_pairs_bucketed,
     cosine_topk_pairs_blocked,
     signbucket_ann,
 )
@@ -230,6 +231,62 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 ORDER BY cosine_sim DESC, id_a, id_b
 LIMIT 20
+"""
+
+
+_NEAR_DUP_THRESHOLD = 0.3
+_NEAR_DUP_PLANES = 8
+_NEAR_DUP_BANDS = 4
+
+
+def q_near_dup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB near-dup path in the hard gate: LSH-banded pair
+    mining with NO driver-side collect (operators/similarity.py:
+    cosine_pairs_bucketed). Candidates meet only inside a (band,
+    sign-bucket) group, are exactly rescored, and thresholded — the
+    scale successor to `embedding_near_dup`'s ≤1M broadcast baseline.
+    The 0.3 threshold exercises the tail of this corpus's similarity
+    distribution (the synthetic embeddings carry no planted dups; the
+    highest sim at sf0.01 is ~0.44)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_pairs_bucketed(
+        emb,
+        threshold=_NEAR_DUP_THRESHOLD,
+        n_planes=_NEAR_DUP_PLANES,
+        bands=_NEAR_DUP_BANDS,
+    )
+
+
+def _near_dup_bucketed_oracle(
+    threshold: float = _NEAR_DUP_THRESHOLD,
+    n_planes: int = _NEAR_DUP_PLANES,
+    bands: int = _NEAR_DUP_BANDS,
+) -> str:
+    """Exact replay of the banded miner: same band keys (sign pattern
+    of each disjoint `n_planes`-dim slice), candidates = pairs agreeing
+    in ANY band, same round-6 cosine rescoring and threshold."""
+    band_cols = []
+    for b in range(bands):
+        bits = ", ".join(
+            f"CASE WHEN embedding[{b * n_planes + i + 1}] >= 0"
+            " THEN '1' ELSE '0' END"
+            for i in range(n_planes)
+        )
+        band_cols.append(f"concat({bits}) AS b{b}")
+    agree = " OR ".join(f"a.b{b} = x.b{b}" for b in range(bands))
+    return f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm,
+         {", ".join(band_cols)}
+  FROM embeddings
+),
+cand AS (
+  SELECT a.vec_id AS id_a, x.vec_id AS id_b,
+         round(list_dot_product(a.e, x.e) / (a.nrm * x.nrm), 6) AS cosine_sim
+  FROM v a JOIN v x ON a.vec_id < x.vec_id AND ({agree})
+)
+SELECT id_a, id_b, cosine_sim FROM cand WHERE cosine_sim >= {threshold!r}
 """
 
 
@@ -441,10 +498,9 @@ QUERIES = {
     "dedup_clusters": QueryDef(q_dedup_clusters, _DEDUP_CLUSTERS_ORACLE, iterative=True),
     "dedup_simhash": QueryDef(q_dedup_simhash, _DEDUP_SIMHASH_ORACLE),
     "dedup_ngram_jaccard": QueryDef(q_dedup_ngram_jaccard, _DEDUP_NGRAM_ORACLE),
-    "embedding_near_dup": QueryDef(q_embedding_near_dup, _EMBEDDING_NEAR_DUP_ORACLE),
+    "near_dup_bucketed": QueryDef(q_near_dup_bucketed, _near_dup_bucketed_oracle()),
     "ann_signbucket": QueryDef(q_ann_signbucket, _ANN_SIGNBUCKET_ORACLE),
     "multimodal_features": QueryDef(q_multimodal_features, _MULTIMODAL_ORACLE),
-    "frame_sample": QueryDef(q_frame_sample, _FRAME_SAMPLE_ORACLE),
     "embedding_quantize": QueryDef(q_embedding_quantize, _EMBEDDING_QUANTIZE_ORACLE),
     "deterministic_sample": QueryDef(q_deterministic_sample, _DETERMINISTIC_SAMPLE_ORACLE),
     "dataset_split": QueryDef(q_dataset_split, _DATASET_SPLIT_ORACLE),
@@ -452,8 +508,8 @@ QUERIES = {
 }
 
 
-# -- centroid family (EXTRA: locally verified, outside the driver's
-# -- 50-row correctness window; see suite/__init__.all_queries) --------
+# -- centroid / curation family (promoted into the declared 50 in
+# -- round 3 so the driver's correctness gate sees them) ---------------
 
 
 def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -588,25 +644,42 @@ def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source")
 
 
-# mirrors the operator's arithmetic exactly: sqrt (correctly rounded
-# on both engines), the same expression association, the in-order _z
-# fold, and the same integer bucket cutoff
-_TEMPERATURE_MIXTURE_ORACLE = """
-WITH stats AS (
-  SELECT source, count(*) AS ns FROM documents GROUP BY source
+def _temperature_mixture_oracle(
+    total_fraction: float = 0.2, alpha: float = 0.5
+) -> str:
+    """Mirrors the operator's arithmetic exactly: n^alpha via sqrt when
+    alpha == 0.5 (correctly rounded on both engines) and pow otherwise
+    (the operator's own special-case), the same expression association,
+    the in-order _z fold, the same integer bucket cutoff — and the same
+    NULL-source sentinel stratum (chr(0) || 'null' ≡ the operator's
+    '\\x00null'), so NULL-source docs are sampled, not dropped at the
+    equi-join."""
+    pw = (
+        "sqrt(CAST(ns AS DOUBLE))"
+        if alpha == 0.5
+        else f"pow(CAST(ns AS DOUBLE), {alpha!r})"
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id, source,
+         coalesce(source, chr(0) || 'null') AS src
+  FROM documents
+),
+stats AS (
+  SELECT src, count(*) AS ns FROM d GROUP BY src
 ),
 tot AS (
   SELECT sum(ns) AS n,
-         list_sum(list(sqrt(CAST(ns AS DOUBLE)) ORDER BY source)) AS z
+         list_sum(list({pw} ORDER BY src)) AS z
   FROM stats
 ),
 rates AS (
-  SELECT source,
+  SELECT src,
          least(
            greatest(
              CAST(round(
-               0.2 * CAST(n AS DOUBLE)
-               * ((sqrt(CAST(ns AS DOUBLE)) / z) / CAST(ns AS DOUBLE))
+               {total_fraction!r} * CAST(n AS DOUBLE)
+               * (({pw} / z) / CAST(ns AS DOUBLE))
                * 10000.0
              ) AS INT),
              1
@@ -616,19 +689,36 @@ rates AS (
   FROM stats CROSS JOIN tot
 )
 SELECT d.doc_id, d.source
-FROM documents d JOIN rates r USING (source)
+FROM d JOIN rates r USING (src)
 WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
       % 10000 < r.cutoff
 """
 
 
+_TEMPERATURE_MIXTURE_ORACLE = _temperature_mixture_oracle()
+
+
+QUERIES.update(
+    {
+        "label_centroids": QueryDef(q_label_centroids, _LABEL_CENTROIDS_ORACLE),
+        "centroid_assign": QueryDef(q_centroid_assign, _CENTROID_ASSIGN_ORACLE),
+        "split_contamination": QueryDef(
+            q_split_contamination, _SPLIT_CONTAMINATION_ORACLE
+        ),
+        "temperature_mixture": QueryDef(
+            q_temperature_mixture, _TEMPERATURE_MIXTURE_ORACLE
+        ),
+    }
+)
+
+
+# Verified locally (tools/check.py --extra, pytest) but rotated out of
+# the driver's 50-row window in round 3: embedding_near_dup's checked
+# plan is the driver-collect exact baseline (documented good to ~1M
+# vectors) — near_dup_bucketed now carries the family's hard signal
+# with the no-collect 100 TB plan; frame_sample's multimodal plumbing
+# stays covered by multimodal_features.
 EXTRA_QUERIES = {
-    "label_centroids": QueryDef(q_label_centroids, _LABEL_CENTROIDS_ORACLE),
-    "centroid_assign": QueryDef(q_centroid_assign, _CENTROID_ASSIGN_ORACLE),
-    "split_contamination": QueryDef(
-        q_split_contamination, _SPLIT_CONTAMINATION_ORACLE
-    ),
-    "temperature_mixture": QueryDef(
-        q_temperature_mixture, _TEMPERATURE_MIXTURE_ORACLE
-    ),
+    "embedding_near_dup": QueryDef(q_embedding_near_dup, _EMBEDDING_NEAR_DUP_ORACLE),
+    "frame_sample": QueryDef(q_frame_sample, _FRAME_SAMPLE_ORACLE),
 }

@@ -80,17 +80,43 @@ GROUP BY user_id, session_id
 """
 
 
+def q_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming first-arrival dedup
+    (streaming/joins.py:dedup_events): the earliest event per
+    (user_id, event_type) key. Stream-mode execution of the same
+    function (dropDuplicatesWithinWatermark) is covered rows-only by
+    tests/test_streaming_joins.py — see COVERAGE.md."""
+    from chroma_rs_spark.streaming.joins import dedup_events
+
+    return dedup_events(
+        load_table(spark, sf_dir, "events"), keys=["user_id", "event_type"]
+    )
+
+
+_DEDUP_EVENTS_ORACLE = """
+SELECT event_id, ts, user_id, event_type, value, props
+FROM (
+  SELECT *,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+)
+WHERE rn = 1
+"""
+
+
 QUERIES = {
     "events_tumbling": QueryDef(q_events_tumbling, _TUMBLING_ORACLE),
     "events_sliding": QueryDef(q_events_sliding, _SLIDING_ORACLE),
     "events_session_windows": QueryDef(
         q_events_session_windows, _SESSION_WINDOW_ORACLE
     ),
+    "dedup_events": QueryDef(q_dedup_events, _DEDUP_EVENTS_ORACLE),
 }
 
 
-# -- trending top-k (EXTRA: locally verified, outside the driver's
-# -- 50-row correctness window; see suite/__init__.all_queries) --------
+# -- trending top-k (promoted into the declared 50 in round 3 so the
+# -- driver's correctness gate sees it) --------------------------------
 
 
 def q_trending_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -125,6 +151,6 @@ FROM ranked WHERE rank <= 2
 """
 
 
-EXTRA_QUERIES = {
-    "trending_event_types": QueryDef(q_trending_event_types, _TRENDING_ORACLE),
-}
+QUERIES["trending_event_types"] = QueryDef(
+    q_trending_event_types, _TRENDING_ORACLE
+)

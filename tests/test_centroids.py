@@ -51,9 +51,9 @@ def test_assign_nearest_centroid_roundtrip(spark):
 
 @pytest.mark.parametrize("qname", ["label_centroids", "centroid_assign"])
 def test_centroid_suite_queries_match_oracle(spark, qname):
-    from chroma_rs_spark.suite.pipeline import EXTRA_QUERIES
+    from chroma_rs_spark.suite.pipeline import QUERIES
 
-    qd = EXTRA_QUERIES[qname]
+    qd = QUERIES[qname]
     got = sorted(tuple(r) for r in qd.fn(spark, SF001_DIR).collect())
     con = duckdb.connect()
     con.sql(

@@ -116,3 +116,29 @@ def test_dedup_batch_twin(spark):
     ev = load_table(spark, SF001_DIR, "events")
     doubled = ev.unionByName(ev)
     assert dedup_events(doubled).count() == ev.select("event_id").distinct().count()
+
+
+def test_dedup_batch_keeps_earliest_and_is_order_independent(spark):
+    # batch first-arrival semantics: the keeper per key is the row with
+    # the smallest (ts, event_id) — identical no matter how the input
+    # is partitioned or ordered (dropDuplicates would not be)
+    from datetime import datetime
+
+    def t(h):
+        return datetime(2026, 1, 1, h)
+
+    rows = [
+        (10, t(10), 1, "click", 1.0),
+        (11, t(9), 1, "click", 2.0),  # earliest -> keeper
+        (12, t(9), 1, "click", 3.0),  # same ts, higher id
+        (13, t(8), 2, "click", 4.0),
+        (14, t(12), 1, "buy", 5.0),
+    ]
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    fwd = spark.createDataFrame(rows, schema)
+    rev = spark.createDataFrame(list(reversed(rows)), schema).repartition(5)
+    keys = ["user_id", "event_type"]
+    got_f = sorted(tuple(r) for r in dedup_events(fwd, keys=keys).collect())
+    got_r = sorted(tuple(r) for r in dedup_events(rev, keys=keys).collect())
+    assert got_f == got_r
+    assert sorted(r[0] for r in got_f) == [11, 13, 14]
