@@ -5,10 +5,13 @@ Spark-side plumbing (schema, Arrow batch shape, mapInPandas UDF
 signature, partitioning) is real and tested, and so is image decode:
 
 * `decode_image_real` uses PIL when importable (any format) and
-  otherwise a pure-stdlib PNG decoder (`decode_png`: zlib inflate +
-  scanline unfilter per the public PNG spec) — no NotImplementedError
-  in the default path; JPEG/video without PIL remain explicit
-  NotImplementedError sites.
+  otherwise dispatches on magic bytes to a pure-stdlib PNG decoder
+  (`decode_png`: zlib inflate + scanline unfilter per the public PNG
+  spec) or a stdlib+numpy baseline JPEG decoder (`decode_jpeg`:
+  Huffman + dequant + IDCT + chroma upsample per public ITU T.81) —
+  no NotImplementedError in the default path for the two formats a
+  real corpus mostly holds; progressive JPEG / video without PIL
+  remain explicit NotImplementedError sites.
 * `extract_image_features` runs the real decode distributed
   (mapInPandas, Arrow binary batches); pytest drives it over
   synthetic in-test PNGs (tests/test_multimodal_decode.py).
@@ -138,9 +141,287 @@ def decode_png(payload: bytes) -> dict:
     }
 
 
+JPEG_SOI = b"\xff\xd8"
+
+# zigzag scan order (ITU T.81 figure 5): index in scan order -> index
+# in row-major 8x8 order
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over the entropy-coded segment, undoing
+    0xFF00 byte stuffing and stopping at markers (T.81 section B.1.1.5).
+    """
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.bits = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        b = self.data[self.pos]
+        self.pos += 1
+        if b == 0xFF:
+            nxt = self.data[self.pos]
+            if nxt == 0x00:
+                self.pos += 1  # stuffed byte
+            elif 0xD0 <= nxt <= 0xD7:
+                # restart marker: the caller resets us between
+                # intervals; hitting one mid-read means corrupt data
+                raise ValueError("unexpected restart marker in entropy data")
+            else:
+                # reached the next real marker — pad with 1-bits per
+                # spec so trailing EOB reads still complete
+                self.pos -= 1
+                self.bits = (self.bits << 8) | 0xFF
+                self.nbits += 8
+                return
+        self.bits = (self.bits << 8) | b
+        self.nbits += 8
+
+    def read(self, n: int) -> int:
+        while self.nbits < n:
+            self._fill()
+        self.nbits -= n
+        out = (self.bits >> self.nbits) & ((1 << n) - 1)
+        self.bits &= (1 << self.nbits) - 1
+        return out
+
+    def align_to_marker(self) -> None:
+        """Drop partial bits and consume a restart marker."""
+        self.bits = 0
+        self.nbits = 0
+        while self.data[self.pos] != 0xFF or not (
+            0xD0 <= self.data[self.pos + 1] <= 0xD7
+        ):
+            self.pos += 1
+        self.pos += 2
+
+
+def _build_huffman(bits: list[int], values: bytes) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol map from the DHT BITS/HUFFVAL lists
+    (T.81 annex C code assignment)."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = values[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _huff_decode(reader: _JpegBitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.read(1)
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code in entropy data")
+
+
+def _extend(v: int, t: int) -> int:
+    """DC/AC magnitude-category sign extension (T.81 F.2.2.1)."""
+    return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def _idct_block(coef):
+    """Float 2-D inverse DCT of one dequantized 8x8 block (numpy)."""
+    import numpy as np
+
+    if not hasattr(_idct_block, "_basis"):
+        x = np.arange(8)
+        u = np.arange(8)
+        c = np.where(u == 0, 1.0 / np.sqrt(2.0), 1.0)
+        # basis[u, x] = c(u)/2 * cos((2x+1) u pi / 16)
+        _idct_block._basis = (
+            c[:, None] / 2.0 * np.cos((2 * x[None, :] + 1) * u[:, None] * np.pi / 16)
+        )
+    a = _idct_block._basis
+    return a.T @ coef @ a
+
+
+def decode_jpeg(payload: bytes) -> dict:
+    """Pure stdlib+numpy baseline JPEG decode (ITU T.81 is public):
+    sequential DCT, 8-bit, Huffman-coded, greyscale or YCbCr with any
+    1/2x chroma subsampling, restart intervals. Returns
+    {width, height, channels, pixels} with interleaved RGB (or grey)
+    bytes — the same contract as `decode_png`. Progressive (SOF2),
+    arithmetic coding, and 12-bit precision raise NotImplementedError.
+    """
+    import struct
+
+    import numpy as np
+
+    if not payload.startswith(JPEG_SOI):
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qtables: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict] = {}  # (class 0=DC/1=AC, id) -> table
+    comps: list[dict] = []
+    width = height = None
+    restart_interval = 0
+    scan_order: list[dict] = []
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("bad marker alignment")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack(">H", payload[pos : pos + 2])
+        seg = payload[pos + 2 : pos + seglen]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                prec, tid = seg[p] >> 4, seg[p] & 0x0F
+                p += 1
+                if prec == 0:
+                    qtables[tid] = list(seg[p : p + 64])
+                    p += 64
+                else:
+                    qtables[tid] = list(
+                        struct.unpack(f">{64}H", seg[p : p + 128])
+                    )
+                    p += 128
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                cls, tid = seg[p] >> 4, seg[p] & 0x0F
+                bits = list(seg[p + 1 : p + 17])
+                n = sum(bits)
+                huff[(cls, tid)] = _build_huffman(
+                    bits, seg[p + 17 : p + 17 + n]
+                )
+                p += 17 + n
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            prec, height, width, ncomp = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise NotImplementedError("only 8-bit JPEG supported")
+            comps = []
+            for i in range(ncomp):
+                cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
+                )
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"non-baseline JPEG (SOF marker 0x{marker:02x}) unsupported"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            scan_order = []
+            for i in range(ns):
+                cs, tdta = seg[1 + 2 * i : 3 + 2 * i]
+                comp = next(c for c in comps if c["id"] == cs)
+                scan_order.append(
+                    {**comp, "td": tdta >> 4, "ta": tdta & 0x0F}
+                )
+            pos += seglen
+            break
+        pos += seglen
+    if width is None or not scan_order:
+        raise ValueError("truncated JPEG (missing SOF or SOS)")
+
+    hmax = max(c["h"] for c in scan_order)
+    vmax = max(c["v"] for c in scan_order)
+    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+    planes = {
+        c["id"]: np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8), dtype=np.float64)
+        for c in scan_order
+    }
+    reader = _JpegBitReader(payload, pos)
+    preds = {c["id"]: 0 for c in scan_order}
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                reader.align_to_marker()
+                preds = {c["id"]: 0 for c in scan_order}
+            mcu_count += 1
+            for c in scan_order:
+                q = qtables[c["tq"]]
+                dc_t = huff[(0, c["td"])]
+                ac_t = huff[(1, c["ta"])]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        zz = [0] * 64
+                        t = _huff_decode(reader, dc_t)
+                        diff = _extend(reader.read(t), t) if t else 0
+                        preds[c["id"]] += diff
+                        zz[0] = preds[c["id"]] * q[0]
+                        k = 1
+                        while k < 64:
+                            rs = _huff_decode(reader, ac_t)
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 15:  # ZRL: 16 zeros
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC run past end of block")
+                            zz[k] = _extend(reader.read(s), s) * q[k]
+                            k += 1
+                        coef = np.zeros(64)
+                        coef[_ZIGZAG] = zz
+                        blk = _idct_block(coef.reshape(8, 8)) + 128.0
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        planes[c["id"]][y0 : y0 + 8, x0 : x0 + 8] = blk
+
+    # upsample each component to full resolution and crop
+    full = []
+    for c in scan_order:
+        p = planes[c["id"]]
+        p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
+        full.append(p[:height, :width])
+    if len(full) == 1:
+        out = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+        return {
+            "width": width,
+            "height": height,
+            "channels": 1,
+            "pixels": out.tobytes(),
+        }
+    if len(full) != 3:
+        raise NotImplementedError("only 1- or 3-component JPEG supported")
+    y, cb, cr = full
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack(
+        [np.clip(np.round(ch), 0, 255).astype(np.uint8) for ch in (r, g, b)],
+        axis=-1,
+    )
+    return {
+        "width": width,
+        "height": height,
+        "channels": 3,
+        "pixels": rgb.tobytes(),
+    }
+
+
 def decode_image_real(payload: bytes) -> dict:
     """Real decode: PIL when available (any format), else the
-    pure-stdlib PNG path. Returns {width, height, channels, pixels}."""
+    pure-stdlib PNG or baseline-JPEG path by magic bytes. Returns
+    {width, height, channels, pixels}."""
     try:
         import io
 
@@ -154,6 +435,8 @@ def decode_image_real(payload: bytes) -> dict:
             "pixels": img.tobytes(),
         }
     except ImportError:
+        if payload.startswith(JPEG_SOI):
+            return decode_jpeg(payload)
         return decode_png(payload)
 
 

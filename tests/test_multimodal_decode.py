@@ -158,3 +158,266 @@ def test_extract_audio_features_distributed(spark):
     assert abs(out[0]["rms"] - math.sqrt(sum(x * x for x in s0) / len(s0))) < 1e-9
     assert out[1]["n_channels"] == 2 and out[1]["n_samples"] == 4
     assert out[1]["rms"] == 100.0 and out[1]["peak"] == 100
+
+
+# ---------------------------------------------------------------------
+# JPEG: minimal in-test baseline encoder (ITU T.81 public spec) so the
+# decoder is exercised against ground-truth pixels with no media lib.
+
+# standard luminance/chrominance Huffman tables (T.81 annex K.3)
+_DC_LUM_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_LUM_VALS = list(range(12))
+_AC_LUM_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_LUM_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+_ZZ = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def _enc_huff_codes(bits, vals):
+    codes = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (length, code)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, length, code):
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.n = 0
+
+    def flush(self):
+        while self.n:
+            self.write(1, 1)  # pad with 1-bits per spec
+        return bytes(self.out)
+
+
+def _fdct(block):
+    import numpy as np
+
+    x = np.arange(8)
+    u = np.arange(8)
+    c = np.where(u == 0, 1.0 / np.sqrt(2.0), 1.0)
+    a = c[:, None] / 2.0 * np.cos((2 * x[None, :] + 1) * u[:, None] * np.pi / 16)
+    return a @ block @ a.T
+
+
+def _cat(v):
+    t = 0
+    a = abs(v)
+    while a:
+        t += 1
+        a >>= 1
+    return t
+
+
+def make_jpeg_grey(pixels, width, height):
+    """Baseline greyscale JPEG with all-ones quant table (near-lossless
+    — only FDCT/IDCT float rounding survives)."""
+    import struct
+
+    import numpy as np
+
+    dc_codes = _enc_huff_codes(_DC_LUM_BITS, _DC_LUM_VALS)
+    ac_codes = _enc_huff_codes(_AC_LUM_BITS, _AC_LUM_VALS)
+    img = np.asarray(pixels, dtype=np.float64).reshape(height, width)
+    mcux = (width + 7) // 8
+    mcuy = (height + 7) // 8
+    padded = np.empty((mcuy * 8, mcux * 8))
+    padded[:height, :width] = img
+    padded[height:, :width] = img[-1:, :]
+    padded[:, width:] = padded[:, width - 1 : width]
+    w = _BitWriter()
+    pred = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            blk = padded[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] - 128.0
+            coef = np.round(_fdct(blk)).astype(int)
+            zz = [int(coef.flat[_ZZ[i]]) for i in range(64)]
+            diff = zz[0] - pred
+            pred = zz[0]
+            t = _cat(diff)
+            w.write(*dc_codes[t])
+            if t:
+                w.write(t, diff if diff >= 0 else diff + (1 << t) - 1)
+            run = 0
+            last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+            for k in range(1, last_nz + 1):
+                if zz[k] == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    w.write(*ac_codes[0xF0])  # ZRL
+                    run -= 16
+                s = _cat(zz[k])
+                w.write(*ac_codes[(run << 4) | s])
+                w.write(s, zz[k] if zz[k] >= 0 else zz[k] + (1 << s) - 1)
+                run = 0
+            if last_nz < 63:
+                w.write(*ac_codes[0x00])  # EOB
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    dqt = seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    sof = seg(0xC0, struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0]))
+    dht = seg(0xC4, bytes([0x00]) + bytes(_DC_LUM_BITS) + bytes(_DC_LUM_VALS)) + seg(
+        0xC4, bytes([0x10]) + bytes(_AC_LUM_BITS) + bytes(_AC_LUM_VALS)
+    )
+    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    return b"\xff\xd8" + dqt + sof + dht + sos + w.flush() + b"\xff\xd9"
+
+
+def test_decode_jpeg_flat_grey():
+    from chroma_rs_spark.operators.multimodal import decode_jpeg
+
+    img = make_jpeg_grey([200] * (8 * 8), 8, 8)
+    out = decode_jpeg(img)
+    assert (out["width"], out["height"], out["channels"]) == (8, 8, 1)
+    assert set(out["pixels"]) == {200}
+
+
+def test_decode_jpeg_gradient_roundtrip():
+    import numpy as np
+
+    from chroma_rs_spark.operators.multimodal import decode_jpeg
+
+    rng = np.random.default_rng(7)
+    # 20x13 forces MCU padding + cropping; smooth gradient + noise
+    # exercises AC runs, ZRL-free paths, sign extension
+    base = np.fromfunction(lambda y, x: 6 * x + 3 * y, (13, 20))
+    pix = np.clip(base + rng.integers(0, 40, size=(13, 20)), 0, 255).astype(int)
+    out = decode_jpeg(make_jpeg_grey(pix.ravel().tolist(), 20, 13))
+    assert (out["width"], out["height"], out["channels"]) == (20, 13, 1)
+    got = np.frombuffer(out["pixels"], dtype=np.uint8).reshape(13, 20)
+    # all-ones quant: only FDCT round + IDCT round survive
+    assert np.abs(got.astype(int) - pix).max() <= 2
+
+
+def test_decode_image_real_dispatches_jpeg():
+    from chroma_rs_spark.operators.multimodal import decode_image_real
+
+    out = decode_image_real(make_jpeg_grey([64] * 64, 8, 8))
+    assert out["channels"] == 1 and set(out["pixels"]) == {64}
+
+
+def test_decode_jpeg_rejects_progressive():
+    import struct
+
+    from chroma_rs_spark.operators.multimodal import decode_jpeg
+
+    sof2 = bytes([0xFF, 0xC2]) + struct.pack(">H", 11) + struct.pack(
+        ">BHHB", 8, 8, 8, 1
+    ) + bytes([1, 0x11, 0])
+    with pytest.raises(NotImplementedError, match="non-baseline"):
+        decode_jpeg(b"\xff\xd8" + sof2 + b"\xff\xd9")
+
+
+def make_jpeg_flat_color_420(ycc, width=16, height=16):
+    """Solid-color 3-component baseline JPEG with 4:2:0 subsampling:
+    one MCU layer of four Y blocks + one Cb + one Cr, all flat, so
+    every block is a DC-only code. `ycc` = (Y, Cb, Cr) ints."""
+    import struct
+
+    dc_codes = _enc_huff_codes(_DC_LUM_BITS, _DC_LUM_VALS)
+    ac_codes = _enc_huff_codes(_AC_LUM_BITS, _AC_LUM_VALS)
+    mcux = (width + 15) // 16
+    mcuy = (height + 15) // 16
+    w = _BitWriter()
+    preds = [0, 0, 0]
+
+    def put_block(ci, val):
+        dc = round(8 * (val - 128.0))
+        diff = dc - preds[ci]
+        preds[ci] = dc
+        t = _cat(diff)
+        w.write(*dc_codes[t])
+        if t:
+            w.write(t, diff if diff >= 0 else diff + (1 << t) - 1)
+        w.write(*ac_codes[0x00])  # EOB (all AC zero)
+
+    for _ in range(mcuy * mcux):
+        for _ in range(4):
+            put_block(0, ycc[0])
+        put_block(1, ycc[1])
+        put_block(2, ycc[2])
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    dqt = seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    sof = seg(
+        0xC0,
+        struct.pack(">BHHB", 8, height, width, 3)
+        + bytes([1, 0x22, 0])  # Y: 2x2 sampling
+        + bytes([2, 0x11, 0])  # Cb
+        + bytes([3, 0x11, 0]),  # Cr
+    )
+    dht = seg(0xC4, bytes([0x00]) + bytes(_DC_LUM_BITS) + bytes(_DC_LUM_VALS)) + seg(
+        0xC4, bytes([0x10]) + bytes(_AC_LUM_BITS) + bytes(_AC_LUM_VALS)
+    )
+    sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+    return b"\xff\xd8" + dqt + sof + dht + sos + w.flush() + b"\xff\xd9"
+
+
+def test_decode_jpeg_color_420_flat():
+    import numpy as np
+
+    from chroma_rs_spark.operators.multimodal import decode_jpeg
+
+    y, cb, cr = 120, 90, 180
+    out = decode_jpeg(make_jpeg_flat_color_420((y, cb, cr)))
+    assert (out["width"], out["height"], out["channels"]) == (16, 16, 3)
+    got = np.frombuffer(out["pixels"], dtype=np.uint8).reshape(16, 16, 3)
+    # flat blocks with q=1 reconstruct Y/Cb/Cr exactly; expected RGB is
+    # the standard JFIF conversion of those exact values
+    exp = np.clip(
+        np.round(
+            [
+                y + 1.402 * (cr - 128.0),
+                y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0),
+                y + 1.772 * (cb - 128.0),
+            ]
+        ),
+        0,
+        255,
+    ).astype(np.uint8)
+    assert (got == exp[None, None, :]).all()
