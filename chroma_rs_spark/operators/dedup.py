@@ -296,6 +296,12 @@ def ngram_jaccard_pairs(
     #   shingles -> per-doc shingle sets (set size attached)
     #   -> inverted index (explode) -> per-shingle doc list
     #   -> pairs generated map-side from each list -> count = |inter|
+    # (A map-side set build — array_distinct(transform(regex_array,
+    # xxhash64)) with no groupBy(doc) shuffle — was measured SLOWER
+    # here, 2.3 s vs 1.6 s at sf0.1: Spark evaluates higher-order
+    # lambdas interpreted, so the per-element hash + distinct costs
+    # more CPU than the codegen explode/hash/collect_set path pays in
+    # shuffle. Revisit if HOFs ever reach whole-stage codegen.)
     sh = exploded_shingles(df, id_col, text_col, shingle_k)
     # Carry 8-byte shingle hashes, not ~40-byte strings, through the
     # set-dedup / explode / postings join — the whole pipeline only
@@ -304,7 +310,9 @@ def ngram_jaccard_pairs(
     # shingles the birthday bound is ~1e-4 expected collisions, and a
     # single collision shifts one n_inter by 1 — acceptable for a
     # similarity measure (and beyond ~1e9 shingles, concat a second
-    # seed's hash to go to 128 bits).
+    # seed's hash to go to 128 bits). The DuckDB oracle compares string
+    # shingles (hash-domain note: a collision could in principle flip a
+    # threshold pair; none occurs in the driver corpora).
     sh = sh.select(id_col, F.xxhash64("shingle").alias("shingle"))
     docsets = sh.groupBy(id_col).agg(
         F.sort_array(F.collect_set("shingle")).alias("_set")

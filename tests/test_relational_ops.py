@@ -96,3 +96,51 @@ def test_decorrelated_window_subquery(spark):
         .select("c_custkey")
     )
     assert _rows(via_window) == _rows(via_join)
+
+
+def test_percentile_formulations_agree(spark):
+    """The window rank-select and the cent-histogram percentile
+    formulations must produce identical values — the histogram path is
+    the no-group-sized-sort variant for groups too large to sort in
+    one task (suite/relational.py docstrings)."""
+    from chroma_rs_spark.suite.relational import (
+        _rank_select_percentiles,
+        percentiles_cent_histogram,
+    )
+
+    ps = (0.25, 0.5, 0.75, 0.95)
+    names = ("p25", "p50", "p75", "p95")
+    li = load_table(spark, SF_DIR, "lineitem")
+    a = {
+        r["l_returnflag"]: tuple(r[n] for n in names)
+        for r in _rank_select_percentiles(
+            li, "l_returnflag", "l_extendedprice", ps, names
+        ).collect()
+    }
+    b = {
+        r["l_returnflag"]: tuple(r[n] for n in names)
+        for r in percentiles_cent_histogram(
+            li, "l_returnflag", "l_extendedprice", ps, names
+        ).collect()
+    }
+    assert a == b and len(a) == 3
+
+    # skewed synthetic with heavy ties + a single-row group: bucket
+    # boundaries and floor==ceil rank collapses must not diverge
+    rows = (
+        [("a", 10.0)] * 50
+        + [("a", 10.01)] * 3
+        + [("a", 99999.99)] * 7
+        + [("b", 0.01 * i) for i in range(101)]
+        + [("c", 42.42)]
+    )
+    df = spark.createDataFrame(rows, "g string, v double")
+    a2 = {
+        r["g"]: tuple(r[n] for n in names)
+        for r in _rank_select_percentiles(df, "g", "v", ps, names).collect()
+    }
+    b2 = {
+        r["g"]: tuple(r[n] for n in names)
+        for r in percentiles_cent_histogram(df, "g", "v", ps, names).collect()
+    }
+    assert a2 == b2 and len(a2) == 3
