@@ -464,6 +464,74 @@ def peek(engine: Engine, coll: Collection, limit: int = 10) -> DataFrame:
 # -- A8 query (KNN) -----------------------------------------------------
 
 
+IVF_INDEX_DIR = "ivf_index"
+
+
+def build_ivf_index(
+    engine: Engine,
+    coll: Collection,
+    n_centroids: int = 16,
+    max_iter: int = 5,
+) -> str:
+    """Train and PERSIST the collection's IVF centroid index: k-means
+    over the stored embeddings (operators/ivf.py:train_centroids_kmeans
+    — deterministic: md5-ordered seeds, fixed-point M-step), written as
+    a tiny (label, pos, centroid) parquet next to the collection data.
+    This is the index-build-once contract: `query(index="ivf")` reads
+    the persisted matrix instead of training per query. Raises
+    ValueError when fewer than `n_centroids` clusters survive training
+    (degenerate/duplicated data) — never hands back a smaller index
+    than asked for.
+
+    Item-to-cell assignment is NOT persisted: queries assign rows to
+    cells at search time (one vectorized Arrow pass, operators/ivf.py),
+    so items added after the build remain searchable — a stale index
+    only degrades cell balance/recall, never drops data. At 100 TB
+    you would additionally persist the assignment as a bucketing
+    column; the centroid artifact and search plan stay identical.
+    """
+    from chroma_rs_spark.operators.ivf import train_centroids_kmeans
+
+    df = items_df(engine, coll).filter(F.col("embedding").isNotNull())
+    cents = train_centroids_kmeans(
+        df,
+        n_centroids=n_centroids,
+        max_iter=max_iter,
+        item_id="id",
+        item_emb="embedding",
+    )
+    rows = [
+        (int(lab), int(pos), float(v))
+        for lab, vec in cents
+        for pos, v in enumerate(vec)
+    ]
+    path = os.path.join(engine.collection_dir(coll.id), IVF_INDEX_DIR)
+    (
+        engine.spark.createDataFrame(rows, "label INT, pos INT, centroid DOUBLE")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return path
+
+
+def _load_ivf_index(
+    engine: Engine, coll: Collection
+) -> list[tuple[int, list[float]]] | None:
+    path = os.path.join(engine.collection_dir(coll.id), IVF_INDEX_DIR)
+    if not (os.path.isdir(path) and _has_parquet(path)):
+        return None
+    # k x dim rows — tiny by contract (the persisted index artifact)
+    by_label: dict[int, dict[int, float]] = {}
+    for r in engine.spark.read.parquet(path).collect():
+        by_label.setdefault(int(r["label"]), {})[int(r["pos"])] = float(
+            r["centroid"]
+        )
+    return [
+        (lab, [d[p] for p in sorted(d)]) for lab, d in sorted(by_label.items())
+    ]
+
+
 def query(
     engine: Engine,
     coll: Collection,
@@ -472,8 +540,18 @@ def query(
     where: dict | None = None,
     where_document: dict | None = None,
     include: Sequence[str] = ("documents", "metadatas", "distances"),
+    index: str = "exact",
+    n_probe: int = 4,
 ) -> DataFrame:
     """Batch KNN over the collection under its `hnsw:space` metric.
+
+    `index="exact"` (default) scans every item — exact results under
+    l2/ip/cosine. `index="ivf"` (cosine collections only) searches the
+    `n_probe` nearest cells of the persisted IVF centroid index
+    (`build_ivf_index`), training a transient index on the fly when
+    none is persisted; approximate by design — recall grows with
+    n_probe. Both paths share the filter pushdown (where /
+    where_document / partition pruning run before the distance work).
 
     Returns (query_id, rank, id, distance[, document][, metadata]).
     """
@@ -486,22 +564,54 @@ def query(
     if ppred is not None:
         df = df.filter(ppred)
     df = df.drop(PARTITION_COL)
-    queries = engine.spark.createDataFrame(
-        [(i, [float(x) for x in q]) for i, q in enumerate(query_embeddings)],
-        "query_id INT, query_embedding ARRAY<DOUBLE>",
-    )
-    result = knn_exact(
-        df,
-        queries,
-        k=n_results,
-        metric=metric,
-        item_id="id",
-        item_emb="embedding",
-        # the add-time norm "index" (maintained by update/upsert):
-        # one stored norm per item instead of one recompute per
-        # (item, query) pair; same doubles, bit-identical results
-        item_norm="embedding_norm" if metric == "cosine" else None,
-    )
+    if index == "ivf":
+        if metric != "cosine":
+            raise EngineError(
+                f"index='ivf' supports cosine collections only; this "
+                f"collection's hnsw:space is {metric!r}"
+            )
+        from chroma_rs_spark.operators.ivf import ivf_topk
+
+        cents = _load_ivf_index(engine, coll)
+        if cents is None:
+            build_ivf_index(engine, coll)
+            cents = _load_ivf_index(engine, coll)
+        qlist = [
+            (i, [float(x) for x in q]) for i, q in enumerate(query_embeddings)
+        ]
+        result = ivf_topk(
+            df,
+            k=n_results,
+            n_probe=n_probe,
+            item_id="id",
+            item_emb="embedding",
+            precollected=(cents, qlist),
+            item_id_type="string",
+        ).select(
+            F.col("query_id").cast("int").alias("query_id"),
+            "rank",
+            F.col("neighbor_id").alias("id"),
+            "distance",
+        )
+    elif index != "exact":
+        raise EngineError(f"unknown index {index!r}; use 'exact' or 'ivf'")
+    else:
+        queries = engine.spark.createDataFrame(
+            [(i, [float(x) for x in q]) for i, q in enumerate(query_embeddings)],
+            "query_id INT, query_embedding ARRAY<DOUBLE>",
+        )
+        result = knn_exact(
+            df,
+            queries,
+            k=n_results,
+            metric=metric,
+            item_id="id",
+            item_emb="embedding",
+            # the add-time norm "index" (maintained by update/upsert):
+            # one stored norm per item instead of one recompute per
+            # (item, query) pair; same doubles, bit-identical results
+            item_norm="embedding_norm" if metric == "cosine" else None,
+        )
     out_cols = ["query_id", "rank", "id"]
     if "distances" in include:
         out_cols.append("distance")

@@ -115,11 +115,15 @@ def ivf_topk(
     item_id: str = "vec_id",
     item_emb: str = "embedding",
     precollected: tuple | None = None,
+    item_id_type: str = "long",
 ) -> DataFrame:
     """Approximate top-k: queries = the `n_queries` lowest-id vectors,
     centroids = the `n_centroids` lowest-id vectors; each query probes
     its `n_probe` nearest cells. Returns
-    (query_id, rank, neighbor_id, distance).
+    (query_id, rank, neighbor_id, distance). `item_id_type` is the
+    Spark type of the id column (`long` for the driver tables,
+    `string` for collection ids — string ties break lexicographically,
+    the collection ordering contract).
 
     Physical shape: one vectorized Arrow pass does BOTH the cell
     assignment and the probed-cell scoring per partition (numpy matmul
@@ -156,7 +160,7 @@ def ivf_topk(
 
     from collections.abc import Iterator
 
-    out_schema = "query_id long, neighbor_id long, distance double"
+    out_schema = f"query_id long, neighbor_id {item_id_type}, distance double"
 
     def assign_score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -164,6 +168,10 @@ def ivf_topk(
                 continue
             emb = np.stack(pdf[item_emb].to_numpy()).astype(np.float64)
             ids = pdf[item_id].to_numpy()
+            if ids.dtype == object:
+                # string ids: numpy U-strings lexsort (object arrays
+                # don't); code-point order == Spark's string ordering
+                ids = ids.astype(str)
             inorm = np.linalg.norm(emb, axis=1)
             # assignment: argmin over (rounded distance, centroid id);
             # cmat rows are ordered by ascending cid, so argmin's
