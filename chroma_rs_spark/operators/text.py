@@ -268,3 +268,182 @@ def pack_sequences(
         ).alias("fits"),
     )
     return out
+
+
+def repetition_signals(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition quality signals per document (public
+    rules from the Gopher/MassiveText filtering literature): repeated
+    content is the strongest single signal of boilerplate/spam in web
+    corpora.
+
+    Returns (doc_id, n_tokens, dup_token_frac, top_token_frac,
+    dup_bigram_frac, top_bigram_char_frac):
+    * dup_token_frac — fraction of token OCCURRENCES beyond each
+      token's first (1 - |distinct|/|tokens|);
+    * top_token_frac — fraction of occurrences held by the most
+      frequent token (ties: lexicographically smallest);
+    * dup_bigram_frac — same construction over 2-gram shingles;
+    * top_bigram_char_frac — fraction of DOCUMENT CHARACTERS covered
+      by occurrences of the most frequent 2-gram (len(bigram) x count
+      / len(text) — the Gopher formulation).
+
+    The doc-level scalars are map-side; the two frequency tables are
+    (doc, term)- and (doc, bigram)-keyed aggregations whose top-1 rows
+    come from a row_number window — all counting, no floats until the
+    final round-6 division, so every rate is engine-reproducible.
+    """
+    from pyspark.sql.window import Window as W
+
+    toks = tokens_col(text_col)
+    scalars = df.select(
+        F.col(id_col),
+        F.length(F.col(text_col)).cast("long").alias("_chars"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("_uniq"),
+    )
+    bg_long = df.select(
+        F.col(id_col),
+        F.explode(shingles_col(tokens_col(text_col), 2)).alias("_bg"),
+    )
+    per_bg = bg_long.groupBy(id_col, "_bg").agg(F.count(F.lit(1)).alias("_bc"))
+    bg_sums = per_bg.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("_nbg_distinct"),
+        F.sum("_bc").alias("_nbg"),
+    )
+    wbg = W.partitionBy(id_col).orderBy(F.col("_bc").desc(), F.col("_bg").asc())
+    top_bg = (
+        per_bg.withColumn("_rk", F.row_number().over(wbg))
+        .filter(F.col("_rk") == 1)
+        .select(
+            id_col,
+            F.col("_bc").alias("_top_bc"),
+            F.length("_bg").cast("long").alias("_top_len"),
+        )
+    )
+    tok_long = df.select(
+        F.col(id_col), F.explode(tokens_col(text_col)).alias("_t")
+    )
+    per_tok = tok_long.groupBy(id_col, "_t").agg(F.count(F.lit(1)).alias("_tc"))
+    wtt = W.partitionBy(id_col).orderBy(F.col("_tc").desc(), F.col("_t").asc())
+    top_tok = (
+        per_tok.withColumn("_rk", F.row_number().over(wtt))
+        .filter(F.col("_rk") == 1)
+        .select(id_col, F.col("_tc").alias("_top_tc"))
+    )
+
+    def r6(c: Column) -> Column:
+        return F.round(c, 6) + F.lit(0.0)
+
+    return (
+        scalars.join(bg_sums, id_col)
+        .join(top_bg, id_col)
+        .join(top_tok, id_col)
+        .select(
+            id_col,
+            "n_tokens",
+            r6(
+                F.lit(1.0)
+                - F.col("_uniq").cast("double") / F.col("n_tokens").cast("double")
+            ).alias("dup_token_frac"),
+            r6(
+                F.col("_top_tc").cast("double") / F.col("n_tokens").cast("double")
+            ).alias("top_token_frac"),
+            r6(
+                F.lit(1.0)
+                - F.col("_nbg_distinct").cast("double") / F.col("_nbg").cast("double")
+            ).alias("dup_bigram_frac"),
+            r6(
+                (F.col("_top_len") * F.col("_top_bc")).cast("double")
+                / F.col("_chars").cast("double")
+            ).alias("top_bigram_char_frac"),
+        )
+    )
+
+
+# portable regexes: character classes + bounded quantifiers only, so
+# Java regex (Spark) and RE2 (DuckDB) agree on every match
+PII_EMAIL_REGEX = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+PII_LONG_DIGITS_REGEX = "[0-9]{6,}"
+
+
+def pii_scrub(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Redact emails and long digit runs (phone/account/ID numbers) —
+    the baseline PII pass every training-data pipeline runs before
+    anything ships. Returns (doc_id, n_emails, n_long_digits,
+    scrubbed_md5, changed): counts of redactions, an md5 fingerprint
+    of the scrubbed text (hash-comparable without shipping the text
+    back), and whether anything changed.
+
+    Pure map-side regexp column expressions — no shuffle, no Python.
+    The patterns avoid lookaround/backreferences so Java regex and
+    DuckDB's RE2 produce identical matches.
+    """
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col(text_col), PII_EMAIL_REGEX, "<EMAIL>"),
+        PII_LONG_DIGITS_REGEX,
+        "<NUM>",
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(PII_EMAIL_REGEX), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(
+            F.regexp_extract_all(
+                F.col(text_col), F.lit(PII_LONG_DIGITS_REGEX), F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("n_long_digits"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+        (scrubbed != F.col(text_col)).alias("changed"),
+    )
+
+
+def tfidf_topk(
+    df: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k terms per document by smoothed TF-IDF (the sklearn
+    formulation, public: idf = ln((1 + N) / (1 + df)) + 1) — the
+    classic salient-term extractor for corpus exploration and keyword
+    labeling. Returns (doc_id, rank, term, tfidf) with round-6 scores
+    and (score desc, term asc) determinism.
+
+    Shape: one explode -> per-(doc, term) counts; df per term is a
+    second small aggregation broadcast back (|vocabulary| rows — the
+    classic scale risk is a giant vocabulary, at which point the join
+    flips to sort-merge on term; Catalyst/AQE makes that call). ln is
+    cross-engine-stable only to 1 ulp (tests/test_rounding_boundaries
+    .py), so scores are rounded to 6 dp before ranking, like every
+    score in the engine.
+    """
+    from pyspark.sql.window import Window as W
+
+    tok = df.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("term"))
+    tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("_tf"))
+    # corpus size as a broadcast 1-row aggregate, not a driver action —
+    # the plan stays lazy and the scalar rides into the idf expression
+    n_docs = df.agg(F.countDistinct(id_col).alias("_n"))
+    docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+    idf = F.log(
+        (F.lit(1.0) + F.col("_n").cast("double"))
+        / (F.lit(1.0) + F.col("_df").cast("double"))
+    ) + F.lit(1.0)
+    scored = tf.join(docfreq, "term").crossJoin(F.broadcast(n_docs)).select(
+        id_col,
+        "term",
+        (F.round(F.col("_tf").cast("double") * idf, 6) + F.lit(0.0)).alias("tfidf"),
+    )
+    w = W.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, F.col("rank").cast("long").alias("rank"), "term", "tfidf")
+    )

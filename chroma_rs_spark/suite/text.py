@@ -271,3 +271,135 @@ QUERIES.update(
         "pack_sequences": QueryDef(q_pack_sequences, _PACK_SEQUENCES_ORACLE),
     }
 )
+
+
+# -- round-3 curation additions (EXTRA: locally verified via
+# -- tools/check.py --extra; the declared suite stays at exactly 50) ---
+
+
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chroma_rs_spark.operators.text import repetition_signals
+
+    return repetition_signals(load_table(spark, sf_dir, "documents"))
+
+
+_REPETITION_ORACLE = """
+WITH base AS (
+  SELECT doc_id, text, length(text) AS chars,
+         string_split(text, ' ') AS toks
+  FROM documents
+),
+scal AS (
+  SELECT doc_id, chars, len(toks) AS n_tokens,
+         len(list_distinct(toks)) AS uniq
+  FROM base
+),
+bg AS (
+  SELECT doc_id, concat_ws(' ', toks[i], toks[i+1]) AS bgr
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM base)
+),
+per_bg AS (SELECT doc_id, bgr, count(*) AS bc FROM bg GROUP BY 1, 2),
+bg_sums AS (
+  SELECT doc_id, count(*) AS nbgd, sum(bc) AS nbg FROM per_bg GROUP BY 1
+),
+top_bg AS (
+  SELECT doc_id, bc AS top_bc, CAST(length(bgr) AS BIGINT) AS top_len
+  FROM (SELECT doc_id, bgr, bc,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY bc DESC, bgr) AS rk
+        FROM per_bg)
+  WHERE rk = 1
+),
+per_tok AS (
+  SELECT doc_id, t, count(*) AS tc
+  FROM (SELECT doc_id, unnest(toks) AS t FROM base)
+  GROUP BY 1, 2
+),
+top_tok AS (
+  SELECT doc_id, tc AS top_tc
+  FROM (SELECT doc_id, tc,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY tc DESC, t) AS rk
+        FROM per_tok)
+  WHERE rk = 1
+)
+SELECT s.doc_id,
+       CAST(s.n_tokens AS BIGINT) AS n_tokens,
+       round(1.0 - CAST(s.uniq AS DOUBLE) / CAST(s.n_tokens AS DOUBLE), 6) + 0.0
+           AS dup_token_frac,
+       round(CAST(tt.top_tc AS DOUBLE) / CAST(s.n_tokens AS DOUBLE), 6) + 0.0
+           AS top_token_frac,
+       round(1.0 - CAST(g.nbgd AS DOUBLE) / CAST(g.nbg AS DOUBLE), 6) + 0.0
+           AS dup_bigram_frac,
+       round(CAST(tb.top_len * tb.top_bc AS DOUBLE) / CAST(s.chars AS DOUBLE), 6) + 0.0
+           AS top_bigram_char_frac
+FROM scal s
+JOIN bg_sums g USING (doc_id)
+JOIN top_bg tb USING (doc_id)
+JOIN top_tok tt USING (doc_id)
+"""
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chroma_rs_spark.operators.text import pii_scrub
+
+    return pii_scrub(load_table(spark, sf_dir, "documents"))
+
+
+def _pii_oracle() -> str:
+    from chroma_rs_spark.operators.text import (
+        PII_EMAIL_REGEX,
+        PII_LONG_DIGITS_REGEX,
+    )
+
+    e, d = PII_EMAIL_REGEX, PII_LONG_DIGITS_REGEX
+    scrub = (
+        f"regexp_replace(regexp_replace(text, '{e}', '<EMAIL>', 'g'),"
+        f" '{d}', '<NUM>', 'g')"
+    )
+    return f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{e}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{d}')) AS BIGINT) AS n_long_digits,
+       md5({scrub}) AS scrubbed_md5,
+       {scrub} <> text AS changed
+FROM documents
+"""
+
+
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chroma_rs_spark.operators.text import tfidf_topk
+
+    return tfidf_topk(load_table(spark, sf_dir, "documents"), k=3)
+
+
+_TFIDF_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, t AS term
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       unnest(toks) u(t)
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+nd AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tfidf FROM (
+  SELECT tf.doc_id, tf.term,
+         round(CAST(tf.tf AS DOUBLE)
+               * (ln((1.0 + CAST(nd.n AS DOUBLE)) / (1.0 + CAST(dfq.df AS DOUBLE)))
+                  + 1.0), 6) + 0.0 AS tfidf,
+         row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY round(CAST(tf.tf AS DOUBLE)
+                    * (ln((1.0 + CAST(nd.n AS DOUBLE)) / (1.0 + CAST(dfq.df AS DOUBLE)))
+                       + 1.0), 6) + 0.0 DESC, tf.term) AS rank
+  FROM tf JOIN dfq USING (term) CROSS JOIN nd
+)
+WHERE rank <= 3
+"""
+
+
+EXTRA_QUERIES = {
+    "repetition_signals": QueryDef(q_repetition_signals, _REPETITION_ORACLE),
+    "pii_scrub": QueryDef(q_pii_scrub, _pii_oracle()),
+    "tfidf_topk": QueryDef(q_tfidf_topk, _TFIDF_ORACLE),
+}

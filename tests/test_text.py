@@ -150,3 +150,72 @@ def test_bm25_empty_terms_raises(spark):
 
     with pytest.raises(ValueError, match="non-empty"):
         bm25_scores(load_table(spark, SF001_DIR, "documents"), [])
+
+
+def test_repetition_signals_detects_boilerplate(spark):
+    from chroma_rs_spark.operators.text import repetition_signals
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),                 # one token repeated
+            (2, "alpha beta gamma delta"),              # all unique
+            (3, "buy now buy now buy now"),             # repeated bigram
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in repetition_signals(docs).collect()}
+    assert out[1]["dup_token_frac"] == 0.75 and out[1]["top_token_frac"] == 1.0
+    assert out[2]["dup_token_frac"] == 0.0 and out[2]["dup_bigram_frac"] == 0.0
+    # 5 bigrams, 2 distinct ("buy now", "now buy") -> dup 1 - 2/5;
+    # char coverage = len("buy now")=7 x3 / 23 chars
+    assert out[3]["dup_bigram_frac"] == round(1 - 2 / 5, 6)
+    assert out[3]["top_bigram_char_frac"] == round(7 * 3 / 23, 6)
+    # a spam doc scores strictly worse than a clean one on every signal
+    assert out[1]["top_token_frac"] > out[2]["top_token_frac"]
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    from chroma_rs_spark.operators.text import pii_scrub
+
+    docs = spark.createDataFrame(
+        [
+            (1, "contact alice.smith+x@example.co.uk or call 5551234567"),
+            (2, "clean text with short 12345 number"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in pii_scrub(docs).collect()}
+    assert out[1]["n_emails"] == 1 and out[1]["n_long_digits"] == 1
+    assert out[1]["changed"] is True
+    import hashlib
+
+    exp = "contact <EMAIL> or call <NUM>"
+    assert out[1]["scrubbed_md5"] == hashlib.md5(exp.encode()).hexdigest()
+    # 5-digit run is below the 6+ threshold: untouched
+    assert out[2]["n_long_digits"] == 0 and out[2]["changed"] is False
+
+
+def test_tfidf_topk_ranks_rare_terms(spark):
+    from chroma_rs_spark.operators.text import tfidf_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "shared shared unique1"),
+            (2, "shared unique2 unique2"),
+            (3, "shared other words"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_topk(docs, k=2).collect()
+    top = {r["doc_id"]: r["term"] for r in out if r["rank"] == 1}
+    import math
+
+    # idf(shared, df=3) = ln(4/4)+1 = 1; idf(unique, df=1) = ln(2)+1.
+    # doc 1: tf(shared)=2 -> 2.0 beats unique1's 1.693; doc 2:
+    # tf(unique2)=2 -> 3.386 beats shared's 1.0
+    assert top[1] == "shared" and top[2] == "unique2"
+    r1 = next(r for r in out if r["doc_id"] == 1 and r["rank"] == 1)
+    assert r1["tfidf"] == 2.0
+    r1b = next(r for r in out if r["doc_id"] == 1 and r["rank"] == 2)
+    assert r1b["term"] == "unique1"
+    assert r1b["tfidf"] == round(1.0 * (math.log((1 + 3) / (1 + 1)) + 1.0), 6)
