@@ -111,3 +111,74 @@ QUERIES = {
         q_error_prior_clicks, _ERROR_PRIOR_CLICKS_ORACLE
     ),
 }
+
+
+# -- round-3 direction variants (EXTRA: locally verified via
+# -- tools/check.py --extra; declared suite stays at exactly 50) -------
+
+
+def q_asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of: each click attributed to the next purchase by the
+    same user at or after it (time-to-conversion shape). Exercises
+    asof_join(direction="forward")."""
+    ev = load_table(spark, sf_dir, "events")
+    # one purchase per (user, ts): deterministic tie-winner = max id
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.col("ts").alias("purchase_ts"))
+        .agg(F.max("event_id").alias("purchase_id"))
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "ts", "user_id"
+    )
+    joined = asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        left_ts="ts",
+        right_ts="purchase_ts",
+        direction="forward",
+    )
+    return joined.select(
+        "event_id",
+        "ts",
+        "user_id",
+        F.coalesce(
+            "purchase_ts", F.lit("1970-01-01 00:00:00").cast("timestamp")
+        ).alias("purchase_ts"),
+        F.coalesce("purchase_id", F.lit(-1)).alias("purchase_id"),
+    )
+
+
+# forward as-of has no native DuckDB spelling (ASOF JOIN is >= only):
+# the oracle is the definitional window twin — smallest purchase_ts at
+# or after each click, ties to the smaller (purchase_ts, purchase_id)
+# struct exactly like the operator's first-over-rv-asc frame
+_ASOF_FORWARD_ORACLE = """
+WITH purchases AS (
+  SELECT user_id, ts AS purchase_ts, max(event_id) AS purchase_id
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id, ts
+),
+clicks AS (
+  SELECT event_id, ts, user_id FROM events WHERE event_type = 'click'
+),
+ranked AS (
+  SELECT c.event_id, c.ts, c.user_id, p.purchase_ts, p.purchase_id,
+         row_number() OVER (
+           PARTITION BY c.event_id
+           ORDER BY p.purchase_ts, p.purchase_id) AS rn
+  FROM clicks c
+  LEFT JOIN purchases p
+    ON p.user_id = c.user_id AND p.purchase_ts >= c.ts
+)
+SELECT event_id, ts, user_id,
+       coalesce(purchase_ts, TIMESTAMP '1970-01-01 00:00:00') AS purchase_ts,
+       coalesce(purchase_id, -1) AS purchase_id
+FROM ranked WHERE rn = 1
+"""
+
+
+EXTRA_QUERIES = {
+    "asof_next_purchase": QueryDef(q_asof_next_purchase, _ASOF_FORWARD_ORACLE),
+}

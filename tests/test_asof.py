@@ -125,3 +125,68 @@ def test_asof_matches_pandas_merge_asof_on_random_data(spark):
     for lid, want in zip(expected["lid"], expected["payload"]):
         w = None if pd.isna(want) else int(want)
         assert got[lid] == w, (lid, got[lid], w)
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+def test_asof_directions_match_pandas(spark, direction):
+    """pandas merge_asof is the independent oracle for all three
+    directions, including tolerance and the ties-to-backward rule."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(20260814)
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, 4, 60),
+            "lts": rng.integers(0, 500, 60).astype("datetime64[s]"),
+            "lid": np.arange(60),
+        }
+    ).sort_values(["lts", "lid"], kind="mergesort")
+    right = pd.DataFrame(
+        {
+            "k": rng.integers(0, 4, 40),
+            "rts": rng.integers(0, 500, 40).astype("datetime64[s]"),
+            "pay": np.arange(40) * 10,
+        }
+    )
+    # one right row per (k, rts): the operator's documented tie
+    # contract differs from pandas' for duplicate right keys
+    right = right.groupby(["k", "rts"], as_index=False).agg(pay=("pay", "max"))
+    right = right.sort_values(["rts", "k"], kind="mergesort")
+
+    exp = pd.merge_asof(
+        left.sort_values("lts", kind="mergesort"),
+        right.sort_values("rts", kind="mergesort"),
+        left_on="lts",
+        right_on="rts",
+        by="k",
+        direction=direction,
+        tolerance=pd.Timedelta(seconds=60),
+    )
+    got = asof_join(
+        spark.createDataFrame(left),
+        spark.createDataFrame(right),
+        on="k",
+        left_ts="lts",
+        right_ts="rts",
+        tolerance=F.expr("INTERVAL 60 SECONDS"),
+        direction=direction,
+    ).toPandas()
+    g = got.sort_values("lid", kind="mergesort").reset_index(drop=True)
+    e = exp.sort_values("lid", kind="mergesort").reset_index(drop=True)
+    assert len(g) == len(e) == 60
+    for i in range(60):
+        ge, ee = g.iloc[i], e.iloc[i]
+        assert ge["lid"] == ee["lid"]
+        if pd.isna(ee["pay"]):
+            assert pd.isna(ge["pay"]), (direction, i, ge, ee)
+        else:
+            assert ge["pay"] == ee["pay"], (direction, i, ge, ee)
+            assert ge["rts"] == ee["rts"]
+
+
+def test_asof_bad_direction_raises(spark):
+    df = spark.createDataFrame([(1, 1)], "k long, ts long")
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(df, df.withColumnRenamed("ts", "rts"), on="k",
+                  left_ts="ts", right_ts="rts", direction="sideways")
