@@ -1057,7 +1057,130 @@ QUERIES = {
 # high_revenue_parts, multi-grouping via orders_grouping_sets (the
 # richer grouping-sets superset of events_cube), pivot/conditional
 # aggregation via events_json_stats, percentiles via lineitem_stats.
+FUNNEL_WINDOW_US = 30 * 60 * 1_000_000  # 30 minutes, microseconds
+
+
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded ordered funnel (view -> click within 30 min ->
+    purchase within 30 min of that click): how many users reached each
+    stage. Running-epoch windows carry "latest view ts" and "latest
+    qualifying click ts" per user — one shuffle on user_id, no
+    self-joins; the stage test is integer microsecond arithmetic, and
+    ties resolve by (ts, event_id) so both engines see the same order.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("_us"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    last_view = F.max(
+        F.when(F.col("event_type") == "view", F.col("_us"))
+    ).over(w)
+    f1 = ev.withColumn("_lv", last_view)
+    good_click = (
+        (F.col("event_type") == "click")
+        & (F.col("_lv").isNotNull())
+        & (F.col("_us") - F.col("_lv") <= F.lit(FUNNEL_WINDOW_US))
+    )
+    last_click = F.max(F.when(good_click, F.col("_us"))).over(w)
+    f2 = f1.withColumn("_lc", last_click)
+    good_purchase = (
+        (F.col("event_type") == "purchase")
+        & (F.col("_lc").isNotNull())
+        & (F.col("_us") - F.col("_lc") <= F.lit(FUNNEL_WINDOW_US))
+    )
+    per_user = f2.groupBy("user_id").agg(
+        F.max((F.col("_lv").isNotNull()).cast("int")).alias("_s1"),
+        F.max(good_click.cast("int")).alias("_s2"),
+        F.max(good_purchase.cast("int")).alias("_s3"),
+    )
+    stage = (F.col("_s1") + F.col("_s2") + F.col("_s3")).alias("funnel_stage")
+    return (
+        per_user.select(stage)
+        .groupBy("funnel_stage")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+_EVENT_FUNNEL_ORACLE = f"""
+WITH ev AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+),
+f1 AS (
+  SELECT user_id, event_id, event_type, us,
+         max(CASE WHEN event_type = 'view' THEN us END)
+           OVER (PARTITION BY user_id ORDER BY us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lv
+  FROM ev
+),
+f2 AS (
+  SELECT user_id, event_id, event_type, us, lv,
+         max(CASE WHEN event_type = 'click' AND lv IS NOT NULL
+                       AND us - lv <= {FUNNEL_WINDOW_US} THEN us END)
+           OVER (PARTITION BY user_id ORDER BY us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lc
+  FROM f1
+),
+per_user AS (
+  SELECT user_id,
+         max(CASE WHEN lv IS NOT NULL THEN 1 ELSE 0 END) AS s1,
+         max(CASE WHEN event_type = 'click' AND lv IS NOT NULL
+                       AND us - lv <= {FUNNEL_WINDOW_US} THEN 1 ELSE 0 END) AS s2,
+         max(CASE WHEN event_type = 'purchase' AND lc IS NOT NULL
+                       AND us - lc <= {FUNNEL_WINDOW_US} THEN 1 ELSE 0 END) AS s3
+  FROM f2 GROUP BY user_id
+)
+SELECT s1 + s2 + s3 AS funnel_stage, count(*) AS n_users
+FROM per_user GROUP BY 1
+"""
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by the week of their
+    first event; for each (cohort_week, week_offset), how many of them
+    were active. Two aggregations — first-event week per user, then
+    distinct (user, active week) — both keyed shuffles that scale as
+    |users| and |user-weeks|, never |events|^2."""
+    ev = load_table(spark, sf_dir, "events")
+    wk = F.date_trunc("week", F.col("ts"))
+    first = ev.groupBy("user_id").agg(F.min(wk).alias("cohort_week"))
+    active = ev.select("user_id", wk.alias("_aw")).distinct()
+    j = active.join(first, "user_id").select(
+        "cohort_week",
+        (F.datediff(F.col("_aw"), F.col("cohort_week")) / 7)
+        .cast("long")
+        .alias("week_offset"),
+    )
+    return j.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+
+
+_COHORT_ORACLE = """
+WITH first AS (
+  SELECT user_id, min(date_trunc('week', ts)) AS cohort_week
+  FROM events GROUP BY user_id
+),
+active AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS aw FROM events
+)
+SELECT f.cohort_week,
+       CAST(date_diff('day', f.cohort_week, a.aw) // 7 AS BIGINT) AS week_offset,
+       count(*) AS n_users
+FROM active a JOIN first f USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 EXTRA_QUERIES = {
+    "event_funnel": QueryDef(q_event_funnel, _EVENT_FUNNEL_ORACLE),
+    "cohort_retention": QueryDef(q_cohort_retention, _COHORT_ORACLE),
     "orders_above_avg": QueryDef(q_orders_above_avg, _ORDERS_ABOVE_AVG_ORACLE),
     "events_cube": QueryDef(q_events_cube, _EVENTS_CUBE_ORACLE),
     "customers_without_orders": QueryDef(

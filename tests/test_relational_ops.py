@@ -144,3 +144,76 @@ def test_percentile_formulations_agree(spark):
         for r in percentiles_cent_histogram(df, "g", "v", ps, names).collect()
     }
     assert a2 == b2 and len(a2) == 3
+
+
+def test_event_funnel_time_bounds_and_order(spark):
+    from datetime import datetime
+
+    from chroma_rs_spark.suite.relational import q_event_funnel
+
+    # build a tiny events table and monkey-point load_table at it via a
+    # temp view? q_event_funnel reads parquet — instead test the same
+    # logic inline through the suite function on a written parquet dir
+    import tempfile
+
+    def t(m):
+        return datetime(2026, 1, 1, 10, m)
+
+    rows = [
+        # u1: view -> click 10 min later -> purchase 10 min after that
+        (1, t(0), 1, "view", 0.0, "{}"),
+        (2, t(10), 1, "click", 0.0, "{}"),
+        (3, t(20), 1, "purchase", 5.0, "{}"),
+        # u2: view -> click 40 min later (outside the 30-min window)
+        (4, t(0), 2, "view", 0.0, "{}"),
+        (5, t(40), 2, "click", 0.0, "{}"),
+        # u3: click BEFORE any view -> stage 1 only
+        (6, t(0), 3, "click", 0.0, "{}"),
+        (7, t(5), 3, "view", 0.0, "{}"),
+        # u4: purchase without qualifying click -> stage 1
+        (8, t(0), 4, "view", 0.0, "{}"),
+        (9, t(5), 4, "purchase", 9.0, "{}"),
+    ]
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+        f"{d}/events.parquet"
+    )
+    got = {
+        r["funnel_stage"]: r["n_users"]
+        for r in q_event_funnel(spark, d).collect()
+    }
+    # u1 completes (3); u2/u3/u4 stop at view-only (1)
+    assert got == {3: 1, 1: 3}
+
+
+def test_cohort_retention_offsets(spark):
+    from datetime import datetime
+
+    from chroma_rs_spark.suite.relational import q_cohort_retention
+    import tempfile
+
+    rows = [
+        # u1 first active week of Jan 5 (Mon), active again wk+2
+        (1, datetime(2026, 1, 7), 1, "view", 0.0, "{}"),
+        (2, datetime(2026, 1, 22), 1, "view", 0.0, "{}"),
+        # u2 same cohort, only week 0 (two events, one distinct week)
+        (3, datetime(2026, 1, 5), 2, "view", 0.0, "{}"),
+        (4, datetime(2026, 1, 9), 2, "click", 0.0, "{}"),
+    ]
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+        f"{d}/events.parquet"
+    )
+    got = {
+        (str(r["cohort_week"])[:10], r["week_offset"]): r["n_users"]
+        for r in q_cohort_retention(spark, d).collect()
+    }
+    assert got == {("2026-01-05", 0): 2, ("2026-01-05", 2): 1}
