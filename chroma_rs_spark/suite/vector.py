@@ -199,8 +199,11 @@ def _trained_centroids(
 
     if sf_dir not in _TRAINED_CENT_CACHE:
         emb = load_table(spark, sf_dir, "embeddings")
+        # strict=False: if a cluster ever empties on a regenerated
+        # corpus, search the surviving cells — exactly what the SQL
+        # oracle's unrolled replay does, so the row stays checkable
         _TRAINED_CENT_CACHE[sf_dir] = train_centroids_kmeans(
-            emb, n_centroids=IVF_CENTROIDS, max_iter=KMEANS_ITERS
+            emb, n_centroids=IVF_CENTROIDS, max_iter=KMEANS_ITERS, strict=False
         )
     return _TRAINED_CENT_CACHE[sf_dir]
 

@@ -86,3 +86,24 @@ def test_ivf_with_trained_centroids(emb):
     got = {(r["query_id"], r["neighbor_id"]) for r in res}
     recall = len(got & want) / len(want)
     assert recall >= 0.5, recall
+
+
+def test_kmeans_train_collapse_strict_vs_tolerant(spark):
+    from chroma_rs_spark.operators.ivf import ivf_topk, train_centroids_kmeans
+
+    # every vector identical: k=4 seeds all converge to one point, so
+    # 3 clusters MUST empty during Lloyd's iterations
+    df = spark.createDataFrame(
+        [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="survived"):
+        train_centroids_kmeans(df, n_centroids=4, max_iter=3)
+    cents = train_centroids_kmeans(df, n_centroids=4, max_iter=3, strict=False)
+    assert 1 <= len(cents) < 4
+    # the surviving-cluster index still searches end-to-end
+    res = ivf_topk(
+        df, k=3, n_probe=1, n_queries=1,
+        precollected=(cents, [(0, [1.0, 2.0, 3.0, 4.0])]),
+    ).collect()
+    assert len(res) == 3 and res[0]["distance"] == 0.0
