@@ -718,7 +718,76 @@ QUERIES.update(
 # vectors) — near_dup_bucketed now carries the family's hard signal
 # with the no-collect 100 TB plan; frame_sample's multimodal plumbing
 # stays covered by multimodal_features.
+def q_fuzzy_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy dedup: MinHash-LSH candidate pairs rescored with exact
+    Levenshtein distance on the documents' 64-char prefixes — the
+    two-stage pattern (cheap banded candidates -> exact edit-distance
+    verification on the survivors) that makes string-level fuzzy dedup
+    tractable at corpus scale. All-integer output: edit distance is an
+    exact DP both engines implement identically (unit costs), so there
+    is no float hazard anywhere in this query."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, num_hashes=16, bands=16, shingle_k=3)
+    pre = docs.select(
+        "doc_id", F.substring("text", 1, 64).alias("_prefix")
+    )
+    a = pre.select(
+        F.col("doc_id").alias("id_a"), F.col("_prefix").alias("_pa")
+    )
+    b = pre.select(
+        F.col("doc_id").alias("id_b"), F.col("_prefix").alias("_pb")
+    )
+    return (
+        pairs.filter(F.col("est_jaccard") >= 0.5)
+        .join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("_pa", "_pb").cast("long").alias("prefix_edit_dist"),
+        )
+    )
+
+
+_FUZZY_DEDUP_ORACLE = f"""
+WITH sh AS ({_SHINGLES3}),
+params(i, a, b) AS (
+  VALUES {_MINHASH_PARAM_ROWS}
+),
+h AS (
+  SELECT doc_id, CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT) AS h
+  FROM sh
+),
+mh AS (
+  SELECT doc_id, p.i AS band, min((h.h * p.a + p.b) % {MINHASH_P}) AS band_key
+  FROM h, params p
+  GROUP BY doc_id, p.i
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM mh a JOIN mh b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+agree AS (
+  SELECT c.id_a, c.id_b,
+         sum(CASE WHEN ma.band_key = mb.band_key THEN 1 ELSE 0 END) AS n_match
+  FROM cand c
+  JOIN mh ma ON ma.doc_id = c.id_a
+  JOIN mh mb ON mb.doc_id = c.id_b AND mb.band = ma.band
+  GROUP BY c.id_a, c.id_b
+)
+SELECT g.id_a, g.id_b,
+       CAST(levenshtein(substr(da.text, 1, 64), substr(db.text, 1, 64)) AS BIGINT)
+           AS prefix_edit_dist
+FROM agree g
+JOIN documents da ON da.doc_id = g.id_a
+JOIN documents db ON db.doc_id = g.id_b
+WHERE CAST(g.n_match AS DOUBLE) / 16.0 >= 0.5
+"""
+
+
 EXTRA_QUERIES = {
+    "fuzzy_dedup_pairs": QueryDef(q_fuzzy_dedup_pairs, _FUZZY_DEDUP_ORACLE),
     "embedding_near_dup": QueryDef(q_embedding_near_dup, _EMBEDDING_NEAR_DUP_ORACLE),
     "frame_sample": QueryDef(q_frame_sample, _FRAME_SAMPLE_ORACLE),
 }

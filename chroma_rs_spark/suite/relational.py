@@ -1178,9 +1178,120 @@ GROUP BY 1, 2
 """
 
 
+def q_price_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score outliers: lineitem rows whose extended price
+    is >2.5 sample standard deviations from their return flag's mean —
+    the basic numeric data-quality screen. Mean/std come from the SAME
+    exact two-limb int64 sums as lineitem_stats (one map-side-
+    combinable aggregation broadcast back), so the flag is a
+    deterministic function of the data; the z itself is one double
+    expression, rounded to 6 dp on both engines."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        "l_extendedprice",
+        money.int_scaled("l_extendedprice").alias("_y"),
+    )
+    y = F.col("_y")
+    g = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("_n"),
+        *money.split_sum_aggs(y, "sy"),
+        *money.split_sum_aggs(y * y, "syy"),
+    )
+    n = F.col("_n").cast("double")
+    sy = money.combine_double("sy", 2)
+    syy = money.combine_double("syy", 4)
+    stats = g.select(
+        "l_returnflag",
+        (sy / n).alias("_mean"),
+        F.sqrt((n * syy - sy * sy) / (n * (n - F.lit(1.0)))).alias("_std"),
+    )
+    z = (F.col("l_extendedprice") - F.col("_mean")) / F.col("_std")
+    return (
+        li.join(F.broadcast(stats), "l_returnflag")
+        .withColumn("z", F.round(z, 6) + F.lit(0.0))
+        # uniform-ish price distributions cap |z| at ~sqrt(3), so the
+        # classic 3-sigma screen selects nothing on this corpus; 1.6
+        # keeps the tails (~7%) while exercising the whole plan
+        .filter(F.abs(F.col("z")) > 1.6)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_returnflag",
+            "l_extendedprice",
+            "z",
+        )
+    )
+
+
+_PRICE_OUTLIERS_ORACLE = """
+WITH s AS (
+  SELECT l_returnflag,
+         CAST(count(*) AS DOUBLE) AS nd,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                  * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy
+  FROM lineitem GROUP BY l_returnflag
+),
+st AS (
+  SELECT l_returnflag, sy / nd AS mean,
+         sqrt((nd * syy - sy * sy) / (nd * (nd - 1.0))) AS std
+  FROM s
+)
+SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag, l.l_extendedprice,
+       round((l.l_extendedprice - st.mean) / st.std, 6) + 0.0 AS z
+FROM lineitem l JOIN st USING (l_returnflag)
+WHERE abs(round((l.l_extendedprice - st.mean) / st.std, 6) + 0.0) > 1.6
+"""
+
+
+HIST_LO, HIST_HI, HIST_BINS = 0.0, 600000.0, 20
+
+
+def q_order_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bin histogram of order totals over a data-independent
+    [0, 600k) domain in 20 bins — the one-pass, map-side-combinable
+    shape of every monitoring histogram (the same family as
+    percentiles_cent_histogram's phase 1). The bucket expression is
+    spelled out identically on both engines (DuckDB has no
+    width_bucket; and spelling it out pins the boundary arithmetic:
+    floor(v / step) + 1 with a literal step, clamped to [0, bins+1]).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    step = (HIST_HI - HIST_LO) / HIST_BINS
+    b = F.least(
+        F.lit(HIST_BINS + 1),
+        F.greatest(
+            F.lit(0),
+            (F.floor((F.col("o_totalprice") - F.lit(HIST_LO)) / F.lit(step)) + 1).cast("int"),
+        ),
+    )
+    return (
+        orders.select(b.cast("long").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+_HIST_STEP = (HIST_HI - HIST_LO) / HIST_BINS
+
+_PRICE_HISTOGRAM_ORACLE = f"""
+SELECT CAST(least({HIST_BINS + 1},
+            greatest(0, CAST(floor((o_totalprice - {HIST_LO!r}) / {_HIST_STEP!r})
+                             AS INT) + 1)) AS BIGINT) AS bucket,
+       count(*) AS n_orders
+FROM orders GROUP BY 1
+"""
+
+
 EXTRA_QUERIES = {
     "event_funnel": QueryDef(q_event_funnel, _EVENT_FUNNEL_ORACLE),
     "cohort_retention": QueryDef(q_cohort_retention, _COHORT_ORACLE),
+    "price_outliers": QueryDef(q_price_outliers, _PRICE_OUTLIERS_ORACLE),
+    "order_price_histogram": QueryDef(
+        q_order_price_histogram, _PRICE_HISTOGRAM_ORACLE
+    ),
     "orders_above_avg": QueryDef(q_orders_above_avg, _ORDERS_ABOVE_AVG_ORACLE),
     "events_cube": QueryDef(q_events_cube, _EVENTS_CUBE_ORACLE),
     "customers_without_orders": QueryDef(

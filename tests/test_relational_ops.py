@@ -217,3 +217,37 @@ def test_cohort_retention_offsets(spark):
         for r in q_cohort_retention(spark, d).collect()
     }
     assert got == {("2026-01-05", 0): 2, ("2026-01-05", 2): 1}
+
+
+def test_price_histogram_bucket_boundaries(spark):
+    import tempfile
+
+    from chroma_rs_spark.suite.relational import (
+        HIST_BINS,
+        HIST_HI,
+        HIST_LO,
+        q_order_price_histogram,
+    )
+
+    step = (HIST_HI - HIST_LO) / HIST_BINS
+    rows = [
+        (1, 1, "O", -5.0, None, "a"),        # below lo -> clamped to 0
+        (2, 1, "O", 0.0, None, "a"),         # lo edge -> bucket 1
+        (3, 1, "O", step, None, "a"),        # first internal edge -> 2
+        (4, 1, "O", HIST_HI - 0.01, None, "a"),  # last in-range -> BINS
+        (5, 1, "O", HIST_HI, None, "a"),     # hi edge -> clamped BINS+1
+        (6, 1, "O", HIST_HI * 2, None, "a"),  # far above -> BINS+1
+    ]
+    schema = (
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string"
+    )
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+        f"{d}/orders.parquet"
+    )
+    got = {
+        r["bucket"]: r["n_orders"]
+        for r in q_order_price_histogram(spark, d).collect()
+    }
+    assert got == {0: 1, 1: 1, 2: 1, HIST_BINS: 1, HIST_BINS + 1: 2}
