@@ -102,3 +102,9 @@ def test_ivf_requires_cosine_and_known_index(engine):
         c.query([[1.0, 0.0]], index="ivf")
     with pytest.raises(EngineError, match="unknown index"):
         c.query([[1.0, 0.0]], index="hnsw")
+
+
+def test_build_ivf_index_empty_collection_raises_loudly(engine):
+    c = engine.create_collection("ivf_empty", {"hnsw:space": "cosine"})
+    with pytest.raises(ValueError, match="survived"):
+        c.build_ivf_index(n_centroids=4)
