@@ -1285,7 +1285,36 @@ FROM orders GROUP BY 1
 """
 
 
+_REVENUE_BY_NATION_SQL = """
+SELECT n_name,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(15,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
+            AS DOUBLE) AS revenue,
+       count(*) AS n_lineitems
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_sql_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The spark.sql(...) surface: the SAME ANSI string runs on both
+    engines (registered temp views on the Spark side, parquet views on
+    the DuckDB side) — demonstrating that SQL-authored queries get the
+    identical Catalyst treatment (broadcast dims, pushed filters,
+    partial aggs) as the DataFrame-authored suite."""
+    from chroma_rs_spark.sources.tables import register_temp_views
+
+    register_temp_views(spark, sf_dir)
+    return spark.sql(_REVENUE_BY_NATION_SQL)
+
+
 EXTRA_QUERIES = {
+    "sql_revenue_by_nation": QueryDef(
+        q_sql_revenue_by_nation, _REVENUE_BY_NATION_SQL
+    ),
     "event_funnel": QueryDef(q_event_funnel, _EVENT_FUNNEL_ORACLE),
     "cohort_retention": QueryDef(q_cohort_retention, _COHORT_ORACLE),
     "price_outliers": QueryDef(q_price_outliers, _PRICE_OUTLIERS_ORACLE),
