@@ -278,18 +278,18 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits:
     return bit_df.select(F.col(id_col), F.expr(fingerprint).alias("simhash"))
 
 
-def ngram_jaccard_pairs(
+def shingle_pair_intersections(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_k: int = 3,
-    top_n: int | None = 20,
 ) -> DataFrame:
-    """Exact n-gram Jaccard via inverted-index self-join.
-
-    The join is keyed on the shingle (the inverted index), so only
-    documents sharing a shingle ever meet — at 100 TB this is the
-    difference between |pairs-sharing-content| and |all-pairs|.
+    """(id_a, id_b, n_inter, size_a, size_b) for every document pair
+    sharing at least one k-gram shingle — the inverted-index core that
+    Jaccard and containment scoring both consume. The join is keyed on
+    the shingle, so only documents sharing content ever meet — at
+    100 TB this is the difference between |pairs-sharing-content| and
+    |all-pairs|.
     """
     # Single linear pipeline — the shingle stage is computed once and
     # set sizes ride along through the inverted index, instead of a
@@ -344,11 +344,23 @@ def ngram_jaccard_pairs(
     # group on the 2-long pair key only; sizes are functionally
     # determined by the ids, so they ride through as first() — cheaper
     # hashing than a 4-column key on the million-row pair set
-    inter = pairs.groupBy("id_a", "id_b").agg(
+    return pairs.groupBy("id_a", "id_b").agg(
         F.count(F.lit(1)).alias("n_inter"),
         F.first("size_a").alias("size_a"),
         F.first("size_b").alias("size_b"),
     )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    top_n: int | None = 20,
+) -> DataFrame:
+    """Exact n-gram Jaccard over the shingle-intersection core
+    (shingle_pair_intersections — see its docstring for the plan)."""
+    inter = shingle_pair_intersections(df, id_col, text_col, shingle_k)
     jac = inter.select(
         "id_a",
         "id_b",
@@ -363,3 +375,74 @@ def ngram_jaccard_pairs(
             F.col("jaccard").desc(), F.col("id_a"), F.col("id_b")
         ).limit(top_n)
     return jac
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Shingle CONTAINMENT near-dup pairs: C(A in B) = |A ∩ B| / |A|.
+
+    Symmetric Jaccard misses the doc-inside-doc case (a short document
+    wholly quoted inside a long one scores low Jaccard but containment
+    ~1) — the curation screen for boilerplate-wrapped and
+    quote-inflated duplicates. Returns pairs where EITHER direction's
+    containment reaches `threshold`, with both directions reported
+    (round-6 doubles). Same inverted-index core as Jaccard: no
+    all-pairs anywhere.
+    """
+    inter = shingle_pair_intersections(df, id_col, text_col, shingle_k)
+    ca = F.round(
+        F.col("n_inter").cast("double") / F.col("size_a").cast("double"), 6
+    )
+    cb = F.round(
+        F.col("n_inter").cast("double") / F.col("size_b").cast("double"), 6
+    )
+    return (
+        inter.select(
+            "id_a",
+            "id_b",
+            ca.alias("containment_a"),
+            cb.alias("containment_b"),
+        )
+        .filter(
+            (F.col("containment_a") >= F.lit(threshold))
+            | (F.col("containment_b") >= F.lit(threshold))
+        )
+    )
+
+
+# portable normalization: lowercase, non-alphanumeric -> space,
+# collapse runs, trim — character classes only, identical in Java
+# regex and RE2
+_NORM_PATTERN = "[^a-z0-9]+"
+
+
+def normalized_text(text_col: str | Column = "text") -> Column:
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.trim(F.regexp_replace(F.lower(c), _NORM_PATTERN, " "))
+
+
+def exact_dedup_normalized(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """exact_dedup over NORMALIZED text (lowercase, punctuation and
+    whitespace runs folded to single spaces): catches the
+    trivially-reformatted copies byte-exact hashing misses — the first
+    escalation step of every dedup ladder (exact -> normalized ->
+    near-dup). Same one-shuffle plan as exact_dedup."""
+    hashed = df.select(
+        F.col(id_col), F.sha2(normalized_text(text_col), 256).alias("norm_sha")
+    )
+    groups = hashed.groupBy("norm_sha").agg(
+        F.count(F.lit(1)).alias("n_copies"), F.min(id_col).alias("_keep_id")
+    )
+    return hashed.join(groups, "norm_sha").select(
+        id_col,
+        "norm_sha",
+        "n_copies",
+        (F.col(id_col) == F.col("_keep_id")).alias("keep"),
+    )

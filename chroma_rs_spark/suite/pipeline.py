@@ -786,7 +786,67 @@ WHERE CAST(g.n_match AS DOUBLE) / 16.0 >= 0.5
 """
 
 
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment near-dup pairs: C(A in B) = |shingles(A) ∩
+    shingles(B)| / |shingles(A)| — catches doc-inside-doc duplication
+    (a short doc wholly quoted in a long one scores ~1 here but low
+    symmetric Jaccard). Same inverted-index core as the Jaccard row."""
+    from chroma_rs_spark.operators.dedup import containment_pairs
+
+    return containment_pairs(
+        load_table(spark, sf_dir, "documents"), shingle_k=3, threshold=0.5
+    )
+
+
+_DEDUP_CONTAINMENT_ORACLE = f"""
+WITH sh AS (SELECT DISTINCT doc_id, shingle FROM ({_SHINGLES3})),
+sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       round(CAST(n_inter AS DOUBLE) / CAST(sa.set_size AS DOUBLE), 6)
+           AS containment_a,
+       round(CAST(n_inter AS DOUBLE) / CAST(sb.set_size AS DOUBLE), 6)
+           AS containment_b
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE round(CAST(n_inter AS DOUBLE) / CAST(sa.set_size AS DOUBLE), 6) >= 0.5
+   OR round(CAST(n_inter AS DOUBLE) / CAST(sb.set_size AS DOUBLE), 6) >= 0.5
+"""
+
+
+def q_dedup_exact_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """exact_dedup over normalized text (lowercase, punctuation and
+    whitespace runs folded): the first escalation of the dedup ladder
+    beyond byte-exact hashing."""
+    from chroma_rs_spark.operators.dedup import exact_dedup_normalized
+
+    return exact_dedup_normalized(load_table(spark, sf_dir, "documents"))
+
+
+_DEDUP_EXACT_NORM_ORACLE = """
+WITH hashed AS (
+  SELECT doc_id,
+         sha256(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+             AS norm_sha
+  FROM documents
+),
+groups AS (
+  SELECT norm_sha, count(*) AS n_copies, min(doc_id) AS keep_id
+  FROM hashed GROUP BY norm_sha
+)
+SELECT h.doc_id, h.norm_sha, g.n_copies, h.doc_id = g.keep_id AS keep
+FROM hashed h JOIN groups g USING (norm_sha)
+"""
+
+
 EXTRA_QUERIES = {
+    "dedup_containment": QueryDef(q_dedup_containment, _DEDUP_CONTAINMENT_ORACLE),
+    "dedup_exact_norm": QueryDef(q_dedup_exact_norm, _DEDUP_EXACT_NORM_ORACLE),
     "fuzzy_dedup_pairs": QueryDef(q_fuzzy_dedup_pairs, _FUZZY_DEDUP_ORACLE),
     "embedding_near_dup": QueryDef(q_embedding_near_dup, _EMBEDDING_NEAR_DUP_ORACLE),
     "frame_sample": QueryDef(q_frame_sample, _FRAME_SAMPLE_ORACLE),

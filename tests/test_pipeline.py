@@ -381,3 +381,37 @@ def test_temperature_mixture_null_source_and_floor(spark):
     n = tiny.count()
     assert n > 0  # floor: never silently empty on a real corpus
     assert n < 300  # and still a tiny sample
+
+
+def test_containment_catches_doc_inside_doc(spark):
+    from chroma_rs_spark.operators.dedup import containment_pairs
+
+    short = "alpha beta gamma delta epsilon zeta"
+    long = "prefix words here " + short + " and a long suffix tail of text"
+    other = "completely different content with no overlap at all ok"
+    docs = spark.createDataFrame(
+        [(1, long), (2, short), (3, other)], "doc_id long, text string"
+    )
+    out = containment_pairs(docs, shingle_k=3, threshold=0.8).collect()
+    assert len(out) == 1
+    r = out[0]
+    # every 3-gram of the short doc appears in the long one
+    assert (r["id_a"], r["id_b"]) == (1, 2)
+    assert r["containment_b"] == 1.0 and r["containment_a"] < 0.5
+
+
+def test_exact_dedup_normalized_folds_formatting(spark):
+    from chroma_rs_spark.operators.dedup import exact_dedup_normalized
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Hello, World!  Good   morning."),
+            (2, "hello world good morning"),
+            (3, "entirely different"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in exact_dedup_normalized(docs).collect()}
+    assert out[1]["norm_sha"] == out[2]["norm_sha"]
+    assert out[1]["n_copies"] == 2 and out[1]["keep"] is True
+    assert out[2]["keep"] is False and out[3]["n_copies"] == 1
