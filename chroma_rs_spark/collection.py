@@ -548,9 +548,9 @@ def query(
     `index="exact"` (default) scans every item — exact results under
     l2/ip/cosine. `index="ivf"` (cosine collections only) searches the
     `n_probe` nearest cells of the persisted IVF centroid index
-    (`build_ivf_index`), training a transient index on the fly when
-    none is persisted; approximate by design — recall grows with
-    n_probe. Both paths share the filter pushdown (where /
+    (`build_ivf_index`), training a transient in-memory index when
+    none is persisted (reads never write; call build_ivf_index to
+    persist); approximate by design — recall grows with n_probe. Both paths share the filter pushdown (where /
     where_document / partition pruning run before the distance work).
 
     Returns (query_id, rank, id, distance[, document][, metadata]).
@@ -570,12 +570,21 @@ def query(
                 f"index='ivf' supports cosine collections only; this "
                 f"collection's hnsw:space is {metric!r}"
             )
-        from chroma_rs_spark.operators.ivf import ivf_topk
+        from chroma_rs_spark.operators.ivf import ivf_topk, train_centroids_kmeans
 
         cents = _load_ivf_index(engine, coll)
         if cents is None:
-            build_ivf_index(engine, coll)
-            cents = _load_ivf_index(engine, coll)
+            # genuinely TRANSIENT: train in memory, do NOT write — a
+            # read path must not mutate collection storage (concurrent
+            # first queries would race the overwrite, and read-only
+            # storage would fail a plain query). Persisting is the
+            # caller's explicit build_ivf_index call.
+            cents = train_centroids_kmeans(
+                items_df(engine, coll).filter(F.col("embedding").isNotNull()),
+                item_id="id",
+                item_emb="embedding",
+                strict=False,
+            )
         qlist = [
             (i, [float(x) for x in q]) for i, q in enumerate(query_embeddings)
         ]

@@ -165,6 +165,8 @@ class _JpegBitReader:
         self.nbits = 0
 
     def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise ValueError("truncated JPEG entropy data")
         b = self.data[self.pos]
         self.pos += 1
         if b == 0xFF:
@@ -197,9 +199,13 @@ class _JpegBitReader:
         """Drop partial bits and consume a restart marker."""
         self.bits = 0
         self.nbits = 0
-        while self.data[self.pos] != 0xFF or not (
-            0xD0 <= self.data[self.pos + 1] <= 0xD7
-        ):
+        while True:
+            if self.pos + 1 >= len(self.data):
+                raise ValueError("truncated JPEG entropy data")
+            if self.data[self.pos] == 0xFF and (
+                0xD0 <= self.data[self.pos + 1] <= 0xD7
+            ):
+                break
             self.pos += 1
         self.pos += 2
 
@@ -336,6 +342,14 @@ def decode_jpeg(payload: bytes) -> dict:
         pos += seglen
     if width is None or not scan_order:
         raise ValueError("truncated JPEG (missing SOF or SOS)")
+    if len(scan_order) != len(comps):
+        # legal baseline JPEGs may split components across several
+        # scans; this decoder handles only one interleaved scan —
+        # refuse loudly rather than decode the first scan as the image
+        raise NotImplementedError(
+            f"multi-scan JPEG unsupported (first scan has "
+            f"{len(scan_order)} of {len(comps)} components)"
+        )
 
     hmax = max(c["h"] for c in scan_order)
     vmax = max(c["v"] for c in scan_order)

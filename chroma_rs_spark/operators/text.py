@@ -336,9 +336,14 @@ def repetition_signals(
     def r6(c: Column) -> Column:
         return F.round(c, 6) + F.lit(0.0)
 
+    # LEFT joins + zero defaults for the bigram signals: a doc with
+    # fewer than 2 tokens produces no bigram rows, and an inner join
+    # would drop it from the output entirely — exactly the degenerate
+    # junk a curation screen most needs to see (token signals always
+    # exist: split() yields >= 1 token even for empty text)
     return (
-        scalars.join(bg_sums, id_col)
-        .join(top_bg, id_col)
+        scalars.join(bg_sums, id_col, "left")
+        .join(top_bg, id_col, "left")
         .join(top_tok, id_col)
         .select(
             id_col,
@@ -350,13 +355,20 @@ def repetition_signals(
             r6(
                 F.col("_top_tc").cast("double") / F.col("n_tokens").cast("double")
             ).alias("top_token_frac"),
-            r6(
-                F.lit(1.0)
-                - F.col("_nbg_distinct").cast("double") / F.col("_nbg").cast("double")
+            F.coalesce(
+                r6(
+                    F.lit(1.0)
+                    - F.col("_nbg_distinct").cast("double")
+                    / F.col("_nbg").cast("double")
+                ),
+                F.lit(0.0),
             ).alias("dup_bigram_frac"),
-            r6(
-                (F.col("_top_len") * F.col("_top_bc")).cast("double")
-                / F.col("_chars").cast("double")
+            F.coalesce(
+                r6(
+                    (F.col("_top_len") * F.col("_top_bc")).cast("double")
+                    / F.col("_chars").cast("double")
+                ),
+                F.lit(0.0),
             ).alias("top_bigram_char_frac"),
         )
     )
@@ -382,19 +394,20 @@ def pii_scrub(
     The patterns avoid lookaround/backreferences so Java regex and
     DuckDB's RE2 produce identical matches.
     """
-    scrubbed = F.regexp_replace(
-        F.regexp_replace(F.col(text_col), PII_EMAIL_REGEX, "<EMAIL>"),
-        PII_LONG_DIGITS_REGEX,
-        "<NUM>",
-    )
+    email_scrubbed = F.regexp_replace(F.col(text_col), PII_EMAIL_REGEX, "<EMAIL>")
+    scrubbed = F.regexp_replace(email_scrubbed, PII_LONG_DIGITS_REGEX, "<NUM>")
     return df.select(
         F.col(id_col),
         F.size(F.regexp_extract_all(F.col(text_col), F.lit(PII_EMAIL_REGEX), F.lit(0)))
         .cast("long")
         .alias("n_emails"),
+        # count digit runs on the email-scrubbed INTERMEDIATE, so every
+        # counted run corresponds to a <NUM> token in the output (a run
+        # inside an email is already consumed by <EMAIL> and must not
+        # be double-counted)
         F.size(
             F.regexp_extract_all(
-                F.col(text_col), F.lit(PII_LONG_DIGITS_REGEX), F.lit(0)
+                email_scrubbed, F.lit(PII_LONG_DIGITS_REGEX), F.lit(0)
             )
         )
         .cast("long")

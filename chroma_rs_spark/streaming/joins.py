@@ -97,6 +97,13 @@ def dedup_events(
         return events.withWatermark(event_time, watermark).dropDuplicatesWithinWatermark(
             keys
         )
+    missing = [c for c in (event_time, order_id) if c not in events.columns]
+    if missing:
+        raise ValueError(
+            f"dedup_events batch mode keeps the earliest row per key and "
+            f"needs the ordering columns {missing} (pass event_time=/"
+            f"order_id= to point at your frame's columns)"
+        )
     from pyspark.sql.window import Window
 
     w = Window.partitionBy(*keys).orderBy(

@@ -685,7 +685,7 @@ def _rank_select_percentiles(
     value_col: str,
     ps: tuple[float, ...],
     names: tuple[str, ...],
-) -> Column:
+) -> DataFrame:
     """Exact linear-interpolation percentiles via rank selection: one
     in-group sort (parallel across groups), keep only the floor/ceil
     ranks of each target position pos = (n-1)*p, and interpolate
@@ -740,7 +740,7 @@ def percentiles_cent_histogram(
     ps: tuple[float, ...],
     names: tuple[str, ...],
     shift: int = 10,
-) -> Column:
+) -> DataFrame:
     """Exact linear-interpolation percentiles via a CENT-HISTOGRAM +
     targeted rank selection — the definition `percentile` / DuckDB
     quantile_cont computes, with no group-sized sort anywhere in the

@@ -329,13 +329,14 @@ SELECT s.doc_id,
            AS dup_token_frac,
        round(CAST(tt.top_tc AS DOUBLE) / CAST(s.n_tokens AS DOUBLE), 6) + 0.0
            AS top_token_frac,
-       round(1.0 - CAST(g.nbgd AS DOUBLE) / CAST(g.nbg AS DOUBLE), 6) + 0.0
-           AS dup_bigram_frac,
-       round(CAST(tb.top_len * tb.top_bc AS DOUBLE) / CAST(s.chars AS DOUBLE), 6) + 0.0
-           AS top_bigram_char_frac
+       coalesce(round(1.0 - CAST(g.nbgd AS DOUBLE) / CAST(g.nbg AS DOUBLE), 6) + 0.0,
+                0.0) AS dup_bigram_frac,
+       coalesce(round(CAST(tb.top_len * tb.top_bc AS DOUBLE)
+                      / CAST(s.chars AS DOUBLE), 6) + 0.0,
+                0.0) AS top_bigram_char_frac
 FROM scal s
-JOIN bg_sums g USING (doc_id)
-JOIN top_bg tb USING (doc_id)
+LEFT JOIN bg_sums g USING (doc_id)
+LEFT JOIN top_bg tb USING (doc_id)
 JOIN top_tok tt USING (doc_id)
 """
 
@@ -353,14 +354,12 @@ def _pii_oracle() -> str:
     )
 
     e, d = PII_EMAIL_REGEX, PII_LONG_DIGITS_REGEX
-    scrub = (
-        f"regexp_replace(regexp_replace(text, '{e}', '<EMAIL>', 'g'),"
-        f" '{d}', '<NUM>', 'g')"
-    )
+    escrub = f"regexp_replace(text, '{e}', '<EMAIL>', 'g')"
+    scrub = f"regexp_replace({escrub}, '{d}', '<NUM>', 'g')"
     return f"""
 SELECT doc_id,
        CAST(len(regexp_extract_all(text, '{e}')) AS BIGINT) AS n_emails,
-       CAST(len(regexp_extract_all(text, '{d}')) AS BIGINT) AS n_long_digits,
+       CAST(len(regexp_extract_all({escrub}, '{d}')) AS BIGINT) AS n_long_digits,
        md5({scrub}) AS scrubbed_md5,
        {scrub} <> text AS changed
 FROM documents

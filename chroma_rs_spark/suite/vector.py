@@ -34,14 +34,23 @@ _SMALL_VEC_CACHE: dict[str, tuple] = {}
 
 def _small_vectors(spark: SparkSession, sf_dir: str, n: int) -> list[tuple[int, list[float]]]:
     """The `n` lowest-id embedding vectors as (id, list[float]), via a
-    cached single collect of the largest set any caller needs."""
+    cached single collect of the largest set any caller needs. Cache
+    key includes the parquet mtime (same staleness discipline as
+    _trained_centroids) so a regenerated corpus is re-collected."""
+    import os
+
     from chroma_rs_spark.operators.ivf import collect_small_vectors
 
     n_max = max(IVF_CENTROIDS, N_PROBES)
-    if sf_dir not in _SMALL_VEC_CACHE:
+    try:
+        mtime = os.path.getmtime(os.path.join(sf_dir, "embeddings.parquet"))
+    except OSError:
+        mtime = -1.0
+    key = f"{sf_dir}@{mtime}"
+    if key not in _SMALL_VEC_CACHE:
         emb = load_table(spark, sf_dir, "embeddings")
-        _SMALL_VEC_CACHE[sf_dir] = collect_small_vectors(emb, n_max, n_max)
-    centroids, _ = _SMALL_VEC_CACHE[sf_dir]
+        _SMALL_VEC_CACHE[key] = collect_small_vectors(emb, n_max, n_max)
+    centroids, _ = _SMALL_VEC_CACHE[key]
     return [(i, v) for i, v in centroids if i < n]
 
 
@@ -195,17 +204,27 @@ _TRAINED_CENT_CACHE: dict[str, list[tuple[int, list[float]]]] = {}
 def _trained_centroids(
     spark: SparkSession, sf_dir: str
 ) -> list[tuple[int, list[float]]]:
+    import os
+
     from chroma_rs_spark.operators.ivf import train_centroids_kmeans
 
-    if sf_dir not in _TRAINED_CENT_CACHE:
+    # cache key includes the parquet mtime so a regenerated corpus
+    # under the same path retrains instead of serving stale centroids
+    # (the oracle always replays k-means from the CURRENT parquet)
+    try:
+        mtime = os.path.getmtime(os.path.join(sf_dir, "embeddings.parquet"))
+    except OSError:
+        mtime = -1.0
+    key = f"{sf_dir}@{mtime}"
+    if key not in _TRAINED_CENT_CACHE:
         emb = load_table(spark, sf_dir, "embeddings")
         # strict=False: if a cluster ever empties on a regenerated
         # corpus, search the surviving cells — exactly what the SQL
         # oracle's unrolled replay does, so the row stays checkable
-        _TRAINED_CENT_CACHE[sf_dir] = train_centroids_kmeans(
+        _TRAINED_CENT_CACHE[key] = train_centroids_kmeans(
             emb, n_centroids=IVF_CENTROIDS, max_iter=KMEANS_ITERS, strict=False
         )
-    return _TRAINED_CENT_CACHE[sf_dir]
+    return _TRAINED_CENT_CACHE[key]
 
 
 def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:

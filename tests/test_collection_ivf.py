@@ -85,9 +85,18 @@ def test_ivf_transient_when_unbuilt_and_stale_items_searchable(engine):
     ids, vecs = _clustered(rng, 12, [[1.0, 0.0], [0.0, 1.0]])
     c = engine.create_collection("ivf_fresh", {"hnsw:space": "cosine"})
     c.add(ids=ids, embeddings=vecs)
-    # no persisted index: query trains (and persists) one on the fly
+    # no persisted index: query trains a TRANSIENT one (reads never
+    # write — no index directory may appear as a side effect)
     res = c.query([vecs[0]], n_results=3, index="ivf", n_probe=1)
     assert res.collect()[0]["id"] == ids[0]
+    import os
+
+    from chroma_rs_spark.collection import IVF_INDEX_DIR
+
+    idx_dir = os.path.join(
+        c._engine.collection_dir(c.id), IVF_INDEX_DIR
+    )
+    assert not os.path.isdir(idx_dir)
     # items added AFTER the build are assigned to cells at query time
     c.build_ivf_index(n_centroids=2)
     c.add(ids=["late"], embeddings=[[0.97, 0.01]])

@@ -421,3 +421,13 @@ def test_decode_jpeg_color_420_flat():
         255,
     ).astype(np.uint8)
     assert (got == exp[None, None, :]).all()
+
+
+def test_decode_jpeg_truncated_entropy_raises_valueerror():
+    from chroma_rs_spark.operators.multimodal import decode_jpeg
+
+    full = make_jpeg_grey([100] * 64, 8, 8)
+    # cut inside the entropy-coded segment (after SOS, before EOI)
+    truncated = full[: len(full) - 4]
+    with pytest.raises(ValueError):
+        decode_jpeg(truncated)

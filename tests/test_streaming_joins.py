@@ -7,6 +7,7 @@ import shutil
 import time
 
 import pandas as pd
+import pytest
 from pyspark.sql import functions as F
 
 from chroma_rs_spark.sources.tables import load_table
@@ -142,3 +143,9 @@ def test_dedup_batch_keeps_earliest_and_is_order_independent(spark):
     got_r = sorted(tuple(r) for r in dedup_events(rev, keys=keys).collect())
     assert got_f == got_r
     assert sorted(r[0] for r in got_f) == [11, 13, 14]
+
+
+def test_dedup_batch_missing_order_columns_raises_clearly(spark):
+    df = spark.createDataFrame([(1, "click")], "user_id long, event_type string")
+    with pytest.raises(ValueError, match="ordering columns"):
+        dedup_events(df, keys=["user_id", "event_type"])

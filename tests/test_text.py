@@ -219,3 +219,37 @@ def test_tfidf_topk_ranks_rare_terms(spark):
     r1b = next(r for r in out if r["doc_id"] == 1 and r["rank"] == 2)
     assert r1b["term"] == "unique1"
     assert r1b["tfidf"] == round(1.0 * (math.log((1 + 3) / (1 + 1)) + 1.0), 6)
+
+
+def test_repetition_signals_keeps_short_docs(spark):
+    from chroma_rs_spark.operators.text import repetition_signals
+
+    docs = spark.createDataFrame(
+        [(1, "solo"), (2, ""), (3, "two tokens")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in repetition_signals(docs).collect()}
+    # sub-bigram docs must still get a row, with zeroed bigram signals
+    assert set(out) == {1, 2, 3}
+    assert out[1]["dup_bigram_frac"] == 0.0
+    assert out[1]["top_bigram_char_frac"] == 0.0
+    assert out[2]["n_tokens"] == 1  # split('') -> ['']
+    assert out[3]["dup_bigram_frac"] == 0.0
+
+
+def test_pii_scrub_counts_reconcile_with_redactions(spark):
+    from chroma_rs_spark.operators.text import pii_scrub
+
+    docs = spark.createDataFrame(
+        [(1, "mail me at user1234567@example.com please")],
+        "doc_id long, text string",
+    )
+    r = pii_scrub(docs).collect()[0]
+    # the digit run lives inside the email: it is consumed by <EMAIL>
+    # and must NOT be double-counted as a <NUM> redaction
+    assert r["n_emails"] == 1 and r["n_long_digits"] == 0
+    import hashlib
+
+    assert r["scrubbed_md5"] == hashlib.md5(
+        b"mail me at <EMAIL> please"
+    ).hexdigest()
