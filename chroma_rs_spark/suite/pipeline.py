@@ -844,7 +844,61 @@ FROM hashed h JOIN groups g USING (norm_sha)
 """
 
 
+def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion of a BM25 text query
+    and a cosine vector query (operators/hybrid.py) — top-10 docs by
+    fused score. The query vector is probe 0's embedding (the cached
+    tiny collect every vector query shares); terms are the BM25 suite
+    terms, so both modalities reuse their established oracles."""
+    from chroma_rs_spark.operators.hybrid import hybrid_search_rrf
+    from chroma_rs_spark.suite.text import _BM25_B, _BM25_K1, _BM25_TERMS
+    from chroma_rs_spark.suite.vector import _small_vectors
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    (qvec,) = [v for i, v in _small_vectors(spark, sf_dir, 1)]
+    return hybrid_search_rrf(
+        docs, emb, _BM25_TERMS, qvec, k=10, k1=_BM25_K1, b=_BM25_B
+    )
+
+
+def _hybrid_rrf_oracle() -> str:
+    from chroma_rs_spark.suite.text import _bm25_oracle
+
+    bm25 = _bm25_oracle().strip().rstrip()
+    return f"""
+WITH bm AS ({bm25}),
+bm_ranked AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY bm25 DESC, doc_id) AS bm25_rank
+  FROM bm
+),
+qv AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+vec_ranked AS (
+  SELECT vec_id AS doc_id,
+         row_number() OVER (ORDER BY d, vec_id) AS vec_rank
+  FROM (
+    SELECT e.vec_id,
+           round(1.0 - list_dot_product(e.embedding::DOUBLE[], qv.qe)
+                 / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(qv.qe, qv.qe))), 6) + 0.0 AS d
+    FROM embeddings e CROSS JOIN qv
+    WHERE e.embedding IS NOT NULL
+  )
+)
+SELECT b.doc_id,
+       CAST(b.bm25_rank AS BIGINT) AS bm25_rank,
+       CAST(v.vec_rank AS BIGINT) AS vec_rank,
+       round(1.0 / (60.0 + b.bm25_rank) + 1.0 / (60.0 + v.vec_rank), 6) + 0.0
+           AS rrf
+FROM bm_ranked b JOIN vec_ranked v USING (doc_id)
+ORDER BY rrf DESC, doc_id
+LIMIT 10
+"""
+
+
 EXTRA_QUERIES = {
+    "hybrid_search_rrf": QueryDef(q_hybrid_search_rrf, _hybrid_rrf_oracle()),
     "dedup_containment": QueryDef(q_dedup_containment, _DEDUP_CONTAINMENT_ORACLE),
     "dedup_exact_norm": QueryDef(q_dedup_exact_norm, _DEDUP_EXACT_NORM_ORACLE),
     "fuzzy_dedup_pairs": QueryDef(q_fuzzy_dedup_pairs, _FUZZY_DEDUP_ORACLE),

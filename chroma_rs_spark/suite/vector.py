@@ -489,7 +489,59 @@ WHERE contains(text, 'scan') AND NOT contains(text, 'hash')
 # build), knn_cosine_scale duplicates knn_cosine's semantics via the
 # bounded-shuffle path, and get_page's pagination family stays covered
 # by where_filter/where_document.
+def q_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-FILTERED exact KNN — the vector-DB pattern where a
+    `where` predicate restricts the candidate set BEFORE the distance
+    work (pre-filtered search, not post-filtering the top-k, which can
+    starve the result): items are semi-joined to the allowed documents
+    (lang en/de), then scored. The filter prunes at the scan and the
+    semi join never widens rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    allowed = docs.filter(F.col("lang").isin("en", "de")).select(
+        F.col("doc_id").alias("vec_id")
+    )
+    items = with_norm(emb).join(allowed, "vec_id", "left_semi")
+    res = knn_exact(
+        items,
+        _probe_queries(emb),
+        k=TOP_K,
+        metric="cosine",
+        item_id="vec_id",
+        item_norm="embedding_norm",
+    )
+    return res.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("vec_id").cast("long").alias("neighbor_id"),
+        F.col("distance"),
+    )
+
+
+_KNN_FILTERED_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+  FROM embeddings WHERE vec_id < {N_PROBES}
+),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         ROUND(({_COSINE_EXPR}), 6) + 0.0 AS distance
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id IN (SELECT doc_id FROM documents WHERE lang IN ('en', 'de'))
+),
+ranked AS (
+  SELECT query_id, neighbor_id, distance,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY distance, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id, distance
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
 EXTRA_QUERIES = {
+    "knn_filtered": QueryDef(q_knn_filtered, _KNN_FILTERED_ORACLE),
     "knn_ivf": QueryDef(q_knn_ivf, _KNN_IVF_ORACLE),
     "knn_cosine_scale": QueryDef(q_knn_cosine_scale, _knn_oracle(_COSINE_EXPR)),
     "get_page": QueryDef(

@@ -415,3 +415,42 @@ def test_exact_dedup_normalized_folds_formatting(spark):
     assert out[1]["norm_sha"] == out[2]["norm_sha"]
     assert out[1]["n_copies"] == 2 and out[1]["keep"] is True
     assert out[2]["keep"] is False and out[3]["n_copies"] == 1
+
+
+def test_hybrid_rrf_fuses_modalities(spark):
+    from chroma_rs_spark.operators.hybrid import hybrid_search_rrf
+
+    docs = spark.createDataFrame(
+        [
+            (0, "query term here and filler words extra pad tokens"),
+            (1, "term term term term strong text match here pad"),
+            (2, "no lexical overlap at all just filler pad words"),
+            (3, "term appears once here with other pad filler words"),
+        ],
+        "doc_id long, text string",
+    )
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),   # the query vector itself
+            (1, [0.0, 1.0, 0.0]),   # orthogonal: worst vector rank
+            (2, [0.9, 0.1, 0.0]),   # near the query: best non-self
+            (3, [0.5, 0.5, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = hybrid_search_rrf(docs, emb, ["term"], [1.0, 0.0, 0.0], k=4).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    # doc 1: best text rank, worst vector rank; doc 2: best vector
+    # (after self), no text signal — fusion must place doc 0 (good at
+    # both: self-vector + has 'term') first
+    assert out[0]["doc_id"] == 0
+    assert by_id[1]["bm25_rank"] == 1 and by_id[1]["vec_rank"] == 4
+    assert by_id[2]["vec_rank"] == 2
+    import math
+
+    for r in out:
+        assert r["rrf"] == round(
+            1.0 / (60 + r["bm25_rank"]) + 1.0 / (60 + r["vec_rank"]), 6
+        )
+    with pytest.raises(ValueError, match="non-empty"):
+        hybrid_search_rrf(docs, emb, [], [1.0, 0.0, 0.0])
