@@ -259,23 +259,52 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits:
         id_col,
         F.conv(F.substring(F.md5("_t"), 1, 8), 16, 10).cast("long").alias("_h"),
     )
-    # the 32 bit-sums and the fingerprint recombine are built as SQL
+    # the bit-sums and the fingerprint recombine are built as SQL
     # expression STRINGS (one py4j parse each) instead of composed
     # Column trees (hundreds of py4j round-trips) — measured ~1.2 s of
     # driver-side plan-build for the tree form vs ~0.1 s parsed; the
-    # analyzed plans are identical
+    # analyzed plans are identical.
+    #
+    # Bit-count packing: instead of one sum() aggregate per bit (32
+    # buffers updated per token — the round-3 hot spot, 10x its DuckDB
+    # twin), pack FOUR per-bit one-counts into 16-bit fields of a
+    # single long, so the aggregate maintains bits/4 sums + one count.
+    # Fields never carry into each other while every per-field count
+    # stays < 2^16, i.e. documents up to 65,535 tokens — far above any
+    # real document (enforce upstream chunking before hashing longer
+    # blobs). The sign test sum(±1) > 0 is equivalently
+    # 2*ones - n > 0, recovered per bit from the packed fields.
+    ngroups = (bits + 3) // 4
+    packs = [
+        F.expr(
+            "sum("
+            + " + ".join(
+                f"((shiftright(_h, {4 * g + f}) & 1) << {16 * f})"
+                for f in range(4)
+                if 4 * g + f < bits
+            )
+            + ")"
+        ).alias(f"_p{g}")
+        for g in range(ngroups)
+    ]
     bit_df = hashed.groupBy(id_col).agg(
-        *[
-            F.expr(f"sum((shiftright(_h, {j}) & 1) * 2 - 1)").alias(f"_b{j}")
-            for j in range(bits)
-        ]
+        F.count(F.lit(1)).alias("_n"), *packs
     )
     fingerprint = " + ".join(
-        f"(CASE WHEN _b{j} > 0 THEN CAST({1 << j} AS BIGINT)"
+        f"(CASE WHEN 2 * (shiftrightunsigned(_p{j // 4}, {16 * (j % 4)})"
+        f" & 65535) > _n THEN CAST({1 << j} AS BIGINT)"
         " ELSE CAST(0 AS BIGINT) END)"
         for j in range(bits)
     )
     return bit_df.select(F.col(id_col), F.expr(fingerprint).alias("simhash"))
+
+
+# Default document-frequency cutoff for the shingle inverted index:
+# a shingle appearing in more than this many documents is treated as
+# boilerplate and excluded from PAIR GENERATION (set sizes still count
+# it). Bounds the per-shingle pair blowup at max_df^2/2; mirrored
+# verbatim into the DuckDB oracles that check the consumers.
+SHINGLE_MAX_DF = 1000
 
 
 def shingle_pair_intersections(
@@ -283,13 +312,23 @@ def shingle_pair_intersections(
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_k: int = 3,
+    max_df: int | None = SHINGLE_MAX_DF,
 ) -> DataFrame:
     """(id_a, id_b, n_inter, size_a, size_b) for every document pair
-    sharing at least one k-gram shingle — the inverted-index core that
-    Jaccard and containment scoring both consume. The join is keyed on
-    the shingle, so only documents sharing content ever meet — at
-    100 TB this is the difference between |pairs-sharing-content| and
-    |all-pairs|.
+    sharing at least one k-gram shingle with document frequency
+    <= max_df — the inverted-index core that Jaccard and containment
+    scoring both consume. The join is keyed on the shingle, so only
+    documents sharing content ever meet — at 100 TB this is the
+    difference between |pairs-sharing-content| and |all-pairs|.
+
+    The `max_df` cutoff (None disables) is the standard boilerplate
+    guard: one hot shingle ("click here to subscribe") otherwise emits
+    |postings|^2/2 pairs from a single aggregation group — the
+    quadratic skew-killer at corpus scale. Set sizes are computed
+    BEFORE the cutoff, so n_inter counts only low-df shared shingles
+    while size_a/size_b remain the true shingle-set sizes (the
+    conservative direction: scores can only drop for pairs whose
+    overlap is boilerplate).
     """
     # Single linear pipeline — the shingle stage is computed once and
     # set sizes ride along through the inverted index, instead of a
@@ -324,13 +363,15 @@ def shingle_pair_intersections(
         F.size("_set").alias("sz"),
         F.explode("_set").alias("shingle"),
     )
-    # Per-shingle postings list -> all (a<b) pairs, both sizes attached.
-    # Skew note: at 100 TB a doc-frequency cutoff (drop boilerplate
-    # shingles with huge postings lists) bounds the quadratic blowup;
-    # the driver tables have max df ~ tens so none is applied here.
+    # Per-shingle postings list -> all (a<b) pairs, both sizes attached;
+    # postings longer than max_df are dropped before pair explosion
+    # (the driver tables have max df ~ tens, so the default cutoff
+    # changes nothing there while still bounding the worst case).
     bysh = inv.groupBy("shingle").agg(
         F.sort_array(F.collect_list(F.struct("id", "sz"))).alias("xs")
     )
+    if max_df is not None:
+        bysh = bysh.filter(F.size("xs") <= max_df)
     pairs = bysh.select(
         F.explode(
             F.expr(
@@ -357,10 +398,12 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     shingle_k: int = 3,
     top_n: int | None = 20,
+    max_df: int | None = SHINGLE_MAX_DF,
 ) -> DataFrame:
     """Exact n-gram Jaccard over the shingle-intersection core
-    (shingle_pair_intersections — see its docstring for the plan)."""
-    inter = shingle_pair_intersections(df, id_col, text_col, shingle_k)
+    (shingle_pair_intersections — see its docstring for the plan and
+    the max_df boilerplate cutoff)."""
+    inter = shingle_pair_intersections(df, id_col, text_col, shingle_k, max_df)
     jac = inter.select(
         "id_a",
         "id_b",
@@ -383,6 +426,7 @@ def containment_pairs(
     text_col: str = "text",
     shingle_k: int = 3,
     threshold: float = 0.8,
+    max_df: int | None = SHINGLE_MAX_DF,
 ) -> DataFrame:
     """Shingle CONTAINMENT near-dup pairs: C(A in B) = |A ∩ B| / |A|.
 
@@ -394,7 +438,7 @@ def containment_pairs(
     (round-6 doubles). Same inverted-index core as Jaccard: no
     all-pairs anywhere.
     """
-    inter = shingle_pair_intersections(df, id_col, text_col, shingle_k)
+    inter = shingle_pair_intersections(df, id_col, text_col, shingle_k, max_df)
     ca = F.round(
         F.col("n_inter").cast("double") / F.col("size_a").cast("double"), 6
     )

@@ -9,11 +9,15 @@ arithmetic is engine-exact: ranks are integers, each term is one
 double division, and the sum is two terms in a fixed order — so the
 fused score replays bit-for-bit in SQL.
 
-Scale shape: both input rankings are global top-ranked lists. Computed
-here as corpus-wide windows (fine at suite scale); at 100 TB each
-system produces its top-m per partition first and only |partitions|*m
-candidates meet the global window — the standard top-k merge, same
-pattern as knn_exact_local_topk.
+Scale shape: RRF in the literature fuses bounded candidate LISTS, not
+whole-corpus rankings — each system contributes its top-`depth`. That
+is also exactly the scalable plan: `orderBy(...).limit(depth)` lowers
+to TakeOrderedAndProject (per-partition partial top-depth, then a
+single bounded merge of ≤ depth rows per partition), so no corpus-wide
+single-partition sort ever runs. Ranks are then assigned on the
+≤ depth surviving rows — identical to the global rank for every row
+that survives, because a row in the global top-depth is necessarily in
+its partition's top-depth under the same total order.
 """
 
 from __future__ import annotations
@@ -25,6 +29,20 @@ from chroma_rs_spark.functions.vector import cosine_distance
 from chroma_rs_spark.operators.text import bm25_scores
 
 RRF_K0 = 60  # the standard damping constant from the RRF literature
+RRF_DEPTH = 1000  # default per-system candidate-list depth
+
+
+def _ranked_topn(df: DataFrame, order: list[Column], depth: int, out: str) -> DataFrame:
+    """Global top-`depth` rows under `order`, with their exact global
+    rank in `out`. The limit lowers to TakeOrderedAndProject (bounded
+    partial top-k merge); the row_number window then runs over at most
+    `depth` rows — partitioned on a constant so the partition spec is
+    non-empty (same single bounded partition, but no corpus-scale
+    "No Partition Defined" hazard: the input is already ≤ depth rows).
+    """
+    top = df.orderBy(*order).limit(depth)
+    w = Window.partitionBy(F.lit(0)).orderBy(*order)
+    return top.withColumn(out, F.row_number().over(w))
 
 
 def hybrid_search_rrf(
@@ -36,6 +54,7 @@ def hybrid_search_rrf(
     k0: int = RRF_K0,
     k1: float = 1.2,
     b: float = 0.75,
+    depth: int = RRF_DEPTH,
     doc_id: str = "doc_id",
     vec_id: str = "vec_id",
     emb_col: str = "embedding",
@@ -48,23 +67,34 @@ def hybrid_search_rrf(
     modality surfaced each hit. Every rank uses the repo-wide
     deterministic tie-break (score desc / distance asc, then id asc)
     over round-6 scores.
+
+    Contract: fusion is over each system's top-`depth` candidate list
+    (the standard RRF formulation), and a document must appear in BOTH
+    lists to receive a fused score — single-modality hits (e.g. a null
+    embedding, or rank > depth in one system) do not surface. Callers
+    wanting union semantics should re-rank with a missing-rank
+    convention downstream; the intersection contract is what the
+    DuckDB oracle mirrors.
     """
     if not terms:
         raise ValueError("hybrid_search_rrf needs a non-empty terms list")
     bm = bm25_scores(docs, terms, k1=k1, b=b)
-    w_bm = Window.orderBy(F.col("bm25").desc(), F.col(doc_id).asc())
-    bm_ranked = bm.select(
-        doc_id, F.row_number().over(w_bm).alias("bm25_rank")
-    )
+    bm_ranked = _ranked_topn(
+        bm.select(doc_id, "bm25"),
+        [F.col("bm25").desc(), F.col(doc_id).asc()],
+        depth,
+        "bm25_rank",
+    ).select(doc_id, "bm25_rank")
     qlit = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
     dist = F.round(cosine_distance(F.col(emb_col), qlit), 6) + F.lit(0.0)
-    w_vec = Window.orderBy(F.col("_dist").asc(), F.col(doc_id).asc())
-    vec_ranked = (
-        emb.filter(F.col(emb_col).isNotNull())
-        .select(F.col(vec_id).alias(doc_id), dist.alias("_dist"))
-        .select(doc_id, "_dist", F.row_number().over(w_vec).alias("vec_rank"))
-        .drop("_dist")
-    )
+    vec_ranked = _ranked_topn(
+        emb.filter(F.col(emb_col).isNotNull()).select(
+            F.col(vec_id).alias(doc_id), dist.alias("_dist")
+        ),
+        [F.col("_dist").asc(), F.col(doc_id).asc()],
+        depth,
+        "vec_rank",
+    ).select(doc_id, "vec_rank")
     rrf: Column = F.round(
         F.lit(1.0) / (F.lit(float(k0)) + F.col("bm25_rank"))
         + F.lit(1.0) / (F.lit(float(k0)) + F.col("vec_rank")),

@@ -170,6 +170,9 @@ class _JpegBitReader:
         b = self.data[self.pos]
         self.pos += 1
         if b == 0xFF:
+            if self.pos >= len(self.data):
+                # payload truncated right after a 0xFF lead byte
+                raise ValueError("truncated JPEG entropy data")
             nxt = self.data[self.pos]
             if nxt == 0x00:
                 self.pos += 1  # stuffed byte

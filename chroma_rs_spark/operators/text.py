@@ -241,13 +241,30 @@ def pack_sequences(
     the running sum parallelizes across shards; a single giant group
     would need a range-partitioned two-pass rank (same pattern as the
     distributed percentile note in suite/relational.py).
+
+    Engine-reproducibility hardening (the ROWS frame makes every
+    output row depend on the exact sort order, so every cross-engine
+    ordering degree of freedom must be pinned):
+    * NULL text tokenizes as the empty string (0 tokens) instead of
+      engine-specific NULL propagation;
+    * sort order is (id, n_tokens) with explicit NULLS FIRST — Spark
+      defaults ASC to NULLS FIRST while DuckDB defaults to NULLS LAST,
+      and the n_tokens tie-break makes the cumsum insensitive to how
+      engines order duplicate ids (two rows tying on both keys are
+      interchangeable, so the output SET is identical either way).
     """
     from pyspark.sql.window import Window as W
 
-    toks = F.size(F.split(F.col(text_col), " "))
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    toks = F.when(F.length(text) == 0, F.lit(0)).otherwise(
+        F.size(F.split(text, " "))
+    )
     w = (
         W.partitionBy("grp")
-        .orderBy(id_col)
+        .orderBy(
+            F.col(id_col).asc_nulls_first(),
+            F.col("n_tokens").asc_nulls_first(),
+        )
         .rowsBetween(W.unboundedPreceding, -1)
     )
     base = df.select(

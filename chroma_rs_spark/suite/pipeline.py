@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from chroma_rs_spark.operators.dedup import (
     MINHASH_P,
+    SHINGLE_MAX_DF,
     exact_dedup,
     minhash_lsh_pairs,
     minhash_params,
@@ -201,9 +202,13 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DEDUP_NGRAM_ORACLE = f"""
 WITH sh AS (SELECT DISTINCT doc_id, shingle FROM ({_SHINGLES3})),
 sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id),
+keep AS (
+  SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= {SHINGLE_MAX_DF}
+),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  JOIN keep k ON k.shingle = a.shingle
   GROUP BY a.doc_id, b.doc_id
 )
 SELECT id_a, id_b,
@@ -502,7 +507,6 @@ QUERIES = {
     "ann_signbucket": QueryDef(q_ann_signbucket, _ANN_SIGNBUCKET_ORACLE),
     "multimodal_features": QueryDef(q_multimodal_features, _MULTIMODAL_ORACLE),
     "embedding_quantize": QueryDef(q_embedding_quantize, _EMBEDDING_QUANTIZE_ORACLE),
-    "deterministic_sample": QueryDef(q_deterministic_sample, _DETERMINISTIC_SAMPLE_ORACLE),
     "dataset_split": QueryDef(q_dataset_split, _DATASET_SPLIT_ORACLE),
     "stratified_sample": QueryDef(q_stratified_sample, _STRATIFIED_SAMPLE_ORACLE),
 }
@@ -801,9 +805,13 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DEDUP_CONTAINMENT_ORACLE = f"""
 WITH sh AS (SELECT DISTINCT doc_id, shingle FROM ({_SHINGLES3})),
 sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id),
+keep AS (
+  SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= {SHINGLE_MAX_DF}
+),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  JOIN keep k ON k.shingle = a.shingle
   GROUP BY a.doc_id, b.doc_id
 )
 SELECT id_a, id_b,
@@ -863,15 +871,19 @@ def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _hybrid_rrf_oracle() -> str:
+    from chroma_rs_spark.operators.hybrid import RRF_DEPTH
     from chroma_rs_spark.suite.text import _bm25_oracle
 
     bm25 = _bm25_oracle().strip().rstrip()
+    # the WHERE rank <= depth mirrors the operator's truncate-then-fuse
+    # contract (each system contributes its top-`depth` candidate list)
     return f"""
 WITH bm AS ({bm25}),
 bm_ranked AS (
   SELECT doc_id,
          row_number() OVER (ORDER BY bm25 DESC, doc_id) AS bm25_rank
   FROM bm
+  QUALIFY bm25_rank <= {RRF_DEPTH}
 ),
 qv AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
 vec_ranked AS (
@@ -885,6 +897,7 @@ vec_ranked AS (
     FROM embeddings e CROSS JOIN qv
     WHERE e.embedding IS NOT NULL
   )
+  QUALIFY vec_rank <= {RRF_DEPTH}
 )
 SELECT b.doc_id,
        CAST(b.bm25_rank AS BIGINT) AS bm25_rank,
@@ -897,11 +910,25 @@ LIMIT 10
 """
 
 
+# round-4 rotation: hybrid RRF, containment and fuzzy dedup promoted
+# into the declared driver window (VERDICT r3 top-next #6);
+# deterministic_sample demoted (hash-bucket sampling family stays
+# declared via dataset_split + stratified_sample + temperature_mixture).
+QUERIES.update(
+    {
+        "hybrid_search_rrf": QueryDef(q_hybrid_search_rrf, _hybrid_rrf_oracle()),
+        "dedup_containment": QueryDef(
+            q_dedup_containment, _DEDUP_CONTAINMENT_ORACLE
+        ),
+        "fuzzy_dedup_pairs": QueryDef(q_fuzzy_dedup_pairs, _FUZZY_DEDUP_ORACLE),
+    }
+)
+
 EXTRA_QUERIES = {
-    "hybrid_search_rrf": QueryDef(q_hybrid_search_rrf, _hybrid_rrf_oracle()),
-    "dedup_containment": QueryDef(q_dedup_containment, _DEDUP_CONTAINMENT_ORACLE),
+    "deterministic_sample": QueryDef(
+        q_deterministic_sample, _DETERMINISTIC_SAMPLE_ORACLE
+    ),
     "dedup_exact_norm": QueryDef(q_dedup_exact_norm, _DEDUP_EXACT_NORM_ORACLE),
-    "fuzzy_dedup_pairs": QueryDef(q_fuzzy_dedup_pairs, _FUZZY_DEDUP_ORACLE),
     "embedding_near_dup": QueryDef(q_embedding_near_dup, _EMBEDDING_NEAR_DUP_ORACLE),
     "frame_sample": QueryDef(q_frame_sample, _FRAME_SAMPLE_ORACLE),
 }

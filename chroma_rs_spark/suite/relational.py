@@ -1040,7 +1040,6 @@ QUERIES = {
     "order_window_frames": QueryDef(
         q_order_window_frames, _ORDER_WINDOW_FRAMES_ORACLE
     ),
-    "sessionize_events": QueryDef(q_sessionize_events, _SESSIONIZE_ORACLE),
     "approx_distinct_parts": QueryDef(
         q_approx_distinct_parts, _APPROX_DISTINCT_ORACLE
     ),
@@ -1312,6 +1311,9 @@ def q_sql_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EXTRA_QUERIES = {
+    # round-4 rotation: gap/sessionization coverage stays declared via
+    # events_session_windows (streaming family, same lag/gap plan)
+    "sessionize_events": QueryDef(q_sessionize_events, _SESSIONIZE_ORACLE),
     "sql_revenue_by_nation": QueryDef(
         q_sql_revenue_by_nation, _REVENUE_BY_NATION_SQL
     ),

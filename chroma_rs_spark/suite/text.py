@@ -243,16 +243,22 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# all-integer window arithmetic — no float hazards to mirror
+# all-integer window arithmetic — no float hazards to mirror. The sort
+# the ROWS frame depends on is pinned on both engines: NULL text -> 0
+# tokens, explicit NULLS FIRST (Spark's ASC default; DuckDB defaults
+# NULLS LAST), n_tokens tie-break for duplicate ids.
 _PACK_SEQUENCES_ORACLE = """
 WITH base AS (
   SELECT doc_id, source AS grp,
-         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         CASE WHEN length(coalesce(text, '')) = 0 THEN 0
+              ELSE CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT)
+         END AS n_tokens
   FROM documents
 ),
 s AS (
   SELECT doc_id, grp, n_tokens,
-         coalesce(sum(n_tokens) OVER (PARTITION BY grp ORDER BY doc_id
+         coalesce(sum(n_tokens) OVER (PARTITION BY grp
+             ORDER BY doc_id ASC NULLS FIRST, n_tokens ASC NULLS FIRST
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
            AS start_offset
   FROM base
@@ -397,8 +403,15 @@ WHERE rank <= 3
 """
 
 
+# round-4 rotation: repetition_signals and tfidf_topk promoted into
+# the declared driver window (VERDICT r3 top-next #6)
+QUERIES.update(
+    {
+        "repetition_signals": QueryDef(q_repetition_signals, _REPETITION_ORACLE),
+        "tfidf_topk": QueryDef(q_tfidf_topk, _TFIDF_ORACLE),
+    }
+)
+
 EXTRA_QUERIES = {
-    "repetition_signals": QueryDef(q_repetition_signals, _REPETITION_ORACLE),
     "pii_scrub": QueryDef(q_pii_scrub, _pii_oracle()),
-    "tfidf_topk": QueryDef(q_tfidf_topk, _TFIDF_ORACLE),
 }

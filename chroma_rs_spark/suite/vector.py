@@ -444,21 +444,16 @@ FROM ranked WHERE rank <= {top_k}
 """
 
 
+# Round-4 rotation: knn_ip (same plan family as knn_cosine/knn_l2),
+# vector_index_norms and item_count (trivial map-side rows) moved to
+# EXTRA_QUERIES to make driver-window room for knn_filtered and the
+# other promoted round-3 components; all remain locally bit-checked.
 QUERIES = {
     "knn_cosine": QueryDef(q_knn_cosine, _knn_oracle(_COSINE_EXPR)),
     "knn_ivf_trained": QueryDef(
         q_knn_ivf_trained, _kmeans_ivf_trained_oracle(), iterative=True
     ),
     "knn_l2": QueryDef(q_knn_l2, _knn_oracle(_L2_EXPR)),
-    "knn_ip": QueryDef(q_knn_ip, _knn_oracle(_IP_EXPR)),
-    "vector_index_norms": QueryDef(
-        q_vector_index_norms,
-        """
-SELECT vec_id,
-       ROUND(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS norm
-FROM embeddings
-""",
-    ),
     "where_filter": QueryDef(
         q_where_filter,
         """
@@ -474,10 +469,6 @@ SELECT doc_id, lang
 FROM documents
 WHERE contains(text, 'scan') AND NOT contains(text, 'hash')
 """,
-    ),
-    "item_count": QueryDef(
-        q_item_count,
-        "SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings",
     ),
 }
 
@@ -540,8 +531,22 @@ FROM ranked WHERE rank <= {TOP_K}
 """
 
 
+QUERIES["knn_filtered"] = QueryDef(q_knn_filtered, _KNN_FILTERED_ORACLE)
+
 EXTRA_QUERIES = {
-    "knn_filtered": QueryDef(q_knn_filtered, _KNN_FILTERED_ORACLE),
+    "knn_ip": QueryDef(q_knn_ip, _knn_oracle(_IP_EXPR)),
+    "vector_index_norms": QueryDef(
+        q_vector_index_norms,
+        """
+SELECT vec_id,
+       ROUND(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS norm
+FROM embeddings
+""",
+    ),
+    "item_count": QueryDef(
+        q_item_count,
+        "SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings",
+    ),
     "knn_ivf": QueryDef(q_knn_ivf, _KNN_IVF_ORACLE),
     "knn_cosine_scale": QueryDef(q_knn_cosine_scale, _knn_oracle(_COSINE_EXPR)),
     "get_page": QueryDef(
