@@ -454,3 +454,54 @@ def test_hybrid_rrf_fuses_modalities(spark):
         )
     with pytest.raises(ValueError, match="non-empty"):
         hybrid_search_rrf(docs, emb, [], [1.0, 0.0, 0.0])
+
+
+def test_simhash_packed_matches_python_reference(docs):
+    """Pin the 16-bit-field bit-count packing against a direct Python
+    reimplementation of the published formulation (per-bit +/-1 sums of
+    md5-derived token hashes)."""
+    import hashlib
+
+    want = {}
+    for doc_id, text in docs.collect():
+        sums = [0] * 32
+        for t in text.split(" "):
+            h = int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+            for j in range(32):
+                sums[j] += 1 if (h >> j) & 1 else -1
+        want[doc_id] = sum(1 << j for j in range(32) if sums[j] > 0)
+    got = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert got == want
+
+
+def test_shingle_max_df_drops_boilerplate_pairs(spark):
+    """Planted hot shingle: with max_df below its document frequency,
+    the boilerplate shingle generates NO pairs, while low-df shared
+    shingles still do — and set sizes stay the full (pre-cutoff) sizes."""
+    from chroma_rs_spark.operators.dedup import shingle_pair_intersections
+
+    # all 4 docs share 'spam ham jam'; only docs 1/2 share 'p q r'
+    rows = [
+        (1, "spam ham jam p q r a1 b1"),
+        (2, "spam ham jam p q r a2 b2"),
+        (3, "spam ham jam c3 d3 e3"),
+        (4, "spam ham jam c4 d4 e4"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+    unbounded = {
+        (r["id_a"], r["id_b"]) for r in shingle_pair_intersections(df, max_df=None).collect()
+    }
+    assert unbounded == {(a, b) for a in range(1, 5) for b in range(a + 1, 5)}
+
+    got = {
+        (r["id_a"], r["id_b"]): r
+        for r in shingle_pair_intersections(df, max_df=3).collect()
+    }
+    # only the df<=3 shingles of docs 1/2 survive pair generation:
+    # 'ham jam p', 'jam p q', 'p q r' (plus their distinct tails differ)
+    assert set(got) == {(1, 2)}
+    r = got[(1, 2)]
+    assert r["n_inter"] == 3
+    # sizes are the FULL shingle-set sizes (8 tokens -> 6 shingles)
+    assert r["size_a"] == 6 and r["size_b"] == 6

@@ -253,3 +253,36 @@ def test_pii_scrub_counts_reconcile_with_redactions(spark):
     assert r["scrubbed_md5"] == hashlib.md5(
         b"mail me at <EMAIL> please"
     ).hexdigest()
+
+
+def test_pack_sequences_edge_texts_match_duckdb(spark):
+    """NULL / empty / multi-space texts and duplicate ids replay
+    identically in DuckDB under the pinned ordering (NULLS FIRST +
+    n_tokens tie-break) — the round-3 driver divergence class."""
+    import duckdb
+    import pandas as pd
+
+    from chroma_rs_spark.suite.text import _PACK_SEQUENCES_ORACLE
+
+    rows = [
+        (1, None, "s1"),
+        (2, "", "s1"),
+        (3, "a  b", "s1"),        # double space -> empty middle token
+        (4, "x y z ", "s1"),      # trailing space -> trailing empty token
+        (5, "m n", "s1"),
+        (5, "p q r s", "s1"),     # duplicate id, different length
+        (6, "lone", None),        # NULL group
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING, source STRING")
+    from chroma_rs_spark.operators.text import pack_sequences
+
+    got = sorted(
+        tuple(r) for r in pack_sequences(docs, budget=4, group_col="source").collect()
+    )
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text", "source"]))
+    want = sorted(
+        tuple(r)
+        for r in con.sql(_PACK_SEQUENCES_ORACLE.replace("2048", "4")).fetchall()
+    )
+    assert got == want
