@@ -104,6 +104,7 @@ def items_df(
         else ITEM_SCHEMA
     )
     path = engine.data_path(coll.id)
+    _recover_interrupted_overwrite(path)
     if os.path.isdir(path) and _has_parquet(path):
         df = engine.spark.read.schema(schema).parquet(path)
     else:
@@ -254,9 +255,39 @@ def _check_dim(engine: Engine, coll: Collection, df: DataFrame) -> None:
         )
 
 
+def _recover_interrupted_overwrite(path: str) -> None:
+    """Finish (or roll back) an _overwrite interrupted between its two
+    renames, so a crash can never lose the collection.
+
+    Completeness of the temp dir is judged by Spark's own _SUCCESS
+    commit marker (written only after every task of the job committed):
+    * path missing + complete tmp  -> promote tmp (the new state won).
+    * path missing + old           -> restore old (the write died
+      mid-flight; the previous state is the only complete one).
+    * path present                 -> the swap finished; stale tmp/old
+      are leftovers from the final cleanup step — delete them.
+    """
+    tmp, old = path + ".__tmp", path + ".__old"
+    if not os.path.isdir(path):
+        if os.path.isdir(tmp) and os.path.isfile(os.path.join(tmp, "_SUCCESS")):
+            os.replace(tmp, path)
+        elif os.path.isdir(old):
+            os.replace(old, path)
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+
+
 def _overwrite(engine: Engine, coll: Collection, df: DataFrame) -> None:
-    """Read-modify-overwrite with temp-dir swap (non-transactional)."""
+    """Read-modify-overwrite via atomic temp-dir swap: the new state is
+    fully written (and _SUCCESS-committed) beside the live dir, then two
+    directory renames swap it in. Every crash window is covered by
+    _recover_interrupted_overwrite on the next read — the collection is
+    always either the complete old state or the complete new state.
+    Concurrent WRITERS are still undefined behavior (single-writer
+    contract, SURVEY §7 hard part (a)); readers are safe throughout.
+    """
     path = engine.data_path(coll.id)
+    _recover_interrupted_overwrite(path)
     tmp = path + ".__tmp"
     _write(engine, coll, df, tmp, "overwrite")
     old = path + ".__old"

@@ -238,3 +238,41 @@ def test_numeric_partition_value_not_dropped(engine):
     assert [r["id"] for r in got] == ["x"]
     got = c.get(where={"v": 3}).collect()
     assert [r["id"] for r in got] == ["x"]
+
+
+def test_overwrite_crash_between_renames_promotes_new_state(coll, engine):
+    """Simulate _overwrite dying between its two renames (live dir
+    moved aside, committed tmp not yet promoted): the next read must
+    surface the NEW state, not lose the collection."""
+    import os
+
+    from chroma_rs_spark import collection as C
+
+    path = engine.data_path(coll.id)
+    # build the new state exactly as upsert would, but stop mid-swap
+    new = C.items_df(engine, coll).filter("id <> 'c'")
+    C._write(engine, coll, new, path + ".__tmp", "overwrite")
+    assert os.path.isfile(os.path.join(path + ".__tmp", "_SUCCESS"))
+    os.replace(path, path + ".__old")  # crash point: no live dir
+
+    got = {r["id"] for r in C.items_df(engine, coll).select("id").collect()}
+    assert got == {"a", "b"}
+    assert not os.path.isdir(path + ".__tmp")
+    assert not os.path.isdir(path + ".__old")
+
+
+def test_overwrite_crash_mid_write_restores_old_state(coll, engine):
+    """Simulate a crash while the temp dir was still being written (no
+    _SUCCESS marker): the previous complete state must be restored."""
+    import os
+
+    from chroma_rs_spark import collection as C
+
+    path = engine.data_path(coll.id)
+    os.makedirs(path + ".__tmp")  # half-written: no _SUCCESS
+    os.replace(path, path + ".__old")
+
+    got = {r["id"] for r in C.items_df(engine, coll).select("id").collect()}
+    assert got == {"a", "b", "c"}
+    assert not os.path.isdir(path + ".__tmp")
+    assert not os.path.isdir(path + ".__old")
