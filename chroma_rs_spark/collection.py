@@ -651,6 +651,10 @@ def query(
             # one stored norm per item instead of one recompute per
             # (item, query) pair; same doubles, bit-identical results
             item_norm="embedding_norm" if metric == "cosine" else None,
+            # the probe vectors' length is the collection dim (enforced
+            # against the registry at add time) — unrolled codegen
+            # distance instead of the interpreted HOF fold
+            dim=len(query_embeddings[0]) if query_embeddings else None,
         )
     out_cols = ["query_id", "rank", "id"]
     if "distances" in include:

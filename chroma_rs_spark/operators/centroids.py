@@ -67,10 +67,16 @@ def assign_nearest_centroid(
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """(vec_id, assigned_label, sq_dist): nearest centroid by squared
     L2. `centroids` is label_centroids() output (long form); it is
     pivoted to one array per label and broadcast — rows never shuffle.
+
+    Pass `dim` to unroll the squared distance into whole-stage codegen
+    (HOF lambdas evaluate interpreted); the unrolled fold multiplies
+    (a-b)*(a-b) in the same left-to-right order, so the double is
+    bit-identical to the HOF form.
     """
     mats = (
         centroids.groupBy("label")
@@ -84,15 +90,25 @@ def assign_nearest_centroid(
             F.transform("_pc", lambda x: x["centroid"]).alias("cvec"),
         )
     )
-    sq = F.aggregate(
-        F.zip_with(
-            F.col(vec_col).cast("array<double>"),
-            F.col("cvec"),
-            lambda a, b: (a - b) * (a - b),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    v = F.col(vec_col).cast("array<double>")
+    if dim is not None:
+        def term(i: int):
+            d = F.element_at(v, i) - F.element_at(F.col("cvec"), i)
+            return d * d
+
+        sq = term(1)
+        for i in range(2, dim + 1):
+            sq = sq + term(i)
+    else:
+        sq = F.aggregate(
+            F.zip_with(
+                v,
+                F.col("cvec"),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
     # round before the argmin so ties (and the label tie-break) are
     # identical across engines; + 0.0 canonicalizes -0.0
     sqr = F.round(sq, 6) + F.lit(0.0)
@@ -115,6 +131,7 @@ def kmeans(
     max_iter: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """DataFrame-native Lloyd's k-means built from the two primitives
     above: E-step = assign_nearest_centroid (broadcast, shuffle-free),
@@ -153,7 +170,7 @@ def kmeans(
     prev_sig = None
     for _ in range(max_iter):
         assign = assign_nearest_centroid(
-            emb, cents, id_col=id_col, vec_col=vec_col
+            emb, cents, id_col=id_col, vec_col=vec_col, dim=dim
         ).localCheckpoint(eager=True)
         sig = (
             assign.agg(

@@ -46,6 +46,7 @@ def assign_cells(
     items: DataFrame,
     centroids: list[tuple[int, list[float]]],
     item_emb: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Append `cell` = id of the nearest centroid (cosine, ties to the
     lower centroid id). Pure map-side column expression.
@@ -59,24 +60,14 @@ def assign_cells(
     For wide vectors or large centroid counts, the Arrow-batch path
     (knn_exact_local_topk's matmul) is the next gear.
     """
-    norm_col = F.sqrt(
-        F.aggregate(
-            F.zip_with(
-                F.col(item_emb),
-                F.col(item_emb),
-                lambda x, y: x.cast("double") * y.cast("double"),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
+    norm_col = l2_norm(F.col(item_emb), dim)
     with_norm = items.withColumn("_inorm", norm_col)
     cands = []
     for cid, vec in centroids:
         lit_vec = F.array(*[F.lit(float(x)) for x in vec]).cast("array<double>")
         dist = F.round(
             F.lit(1.0)
-            - dot_product(F.col(item_emb), lit_vec)
+            - dot_product(F.col(item_emb), lit_vec, dim)
             / (F.col("_inorm") * F.lit(_seq_norm(vec))),
             DIST_DECIMALS,
         )
@@ -231,6 +222,7 @@ def train_centroids_kmeans(
     item_id: str = "vec_id",
     item_emb: str = "embedding",
     strict: bool = True,
+    dim: int | None = None,
 ) -> list[tuple[int, list[float]]]:
     """k-means-trained IVF centroids — the real index-build step the
     lowest-id placeholder stands in for (see module docstring).
@@ -251,6 +243,7 @@ def train_centroids_kmeans(
         max_iter=max_iter,
         id_col=item_id,
         vec_col=item_emb,
+        dim=dim,
     )
     by_label: dict[int, dict[int, float]] = {}
     for r in cents.collect():

@@ -47,13 +47,13 @@ METRICS = ("cosine", "l2", "ip")
 DIST_DECIMALS = 6  # rounding for deterministic cross-engine ranking
 
 
-def _distance_col(metric: str, item_emb, query_emb, item_norm=None):
+def _distance_col(metric: str, item_emb, query_emb, item_norm=None, dim=None):
     if metric == "cosine":
-        return cosine_distance(item_emb, query_emb, a_norm=item_norm)
+        return cosine_distance(item_emb, query_emb, a_norm=item_norm, dim=dim)
     if metric == "l2":
-        return l2_distance(item_emb, query_emb)
+        return l2_distance(item_emb, query_emb, dim=dim)
     if metric == "ip":
-        return F.lit(1.0) - dot_product(item_emb, query_emb)
+        return F.lit(1.0) - dot_product(item_emb, query_emb, dim=dim)
     raise ValueError(f"unknown metric {metric!r}; expected one of {METRICS}")
 
 
@@ -67,6 +67,7 @@ def knn_exact(
     query_id: str = "query_id",
     query_emb: str = "query_embedding",
     item_norm: str | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k per query via broadcast cross join + window.
 
@@ -74,7 +75,12 @@ def knn_exact(
     to DIST_DECIMALS. For cosine, pass `item_norm` (a stored column
     from `with_norm` — the add-time index build) to skip recomputing
     each item's norm once per query vector; the stored value is the
-    same double `l2_norm` yields, so results are bit-identical.
+    same double `l2_norm` yields, so results are bit-identical. Pass
+    `dim` (the collection's registered dimension) to unroll the
+    distance into the whole-stage-codegen loop instead of the
+    interpreted HOF fold — same bits; pays off for large collections,
+    costs more per action for tiny ones (see functions/vector.py
+    module docstring for the measured tradeoff).
     """
     q = queries.select(
         F.col(query_id).alias("__qid"), F.col(query_emb).alias("__qemb")
@@ -103,6 +109,7 @@ def knn_exact(
             F.col("__iemb"),
             F.col("__qemb"),
             F.col("__inorm") if item_norm is not None else None,
+            dim=dim,
         ),
         DIST_DECIMALS,
     ) + F.lit(0.0)
@@ -202,6 +209,11 @@ def knn_exact_local_topk(
     )
 
 
-def with_norm(items: DataFrame, emb: str = "embedding", out: str = "embedding_norm") -> DataFrame:
+def with_norm(
+    items: DataFrame,
+    emb: str = "embedding",
+    out: str = "embedding_norm",
+    dim: int | None = None,
+) -> DataFrame:
     """Materialize the L2 norm column — the add-time 'index build'."""
-    return items.withColumn(out, l2_norm(F.col(emb)))
+    return items.withColumn(out, l2_norm(F.col(emb), dim))

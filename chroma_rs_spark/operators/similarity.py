@@ -27,20 +27,22 @@ def cosine_topk_pairs(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     top_n: int = 20,
+    dim: int | None = None,
 ) -> DataFrame:
-    """Exact top-N most-cosine-similar pairs (id_a < id_b)."""
+    """Exact top-N most-cosine-similar pairs (id_a < id_b). Pass `dim`
+    for the unrolled codegen distance (functions/vector.py)."""
     a = df.select(
         F.col(id_col).alias("id_a"),
         F.col(emb_col).alias("emb_a"),
-        l2_norm(F.col(emb_col)).alias("norm_a"),
+        l2_norm(F.col(emb_col), dim).alias("norm_a"),
     )
     b = df.select(
         F.col(id_col).alias("id_b"),
         F.col(emb_col).alias("emb_b"),
-        l2_norm(F.col(emb_col)).alias("norm_b"),
+        l2_norm(F.col(emb_col), dim).alias("norm_b"),
     )
     sim = F.round(
-        dot_product(F.col("emb_a"), F.col("emb_b"))
+        dot_product(F.col("emb_a"), F.col("emb_b"), dim)
         / (F.col("norm_a") * F.col("norm_b")),
         6,
     )
@@ -123,6 +125,7 @@ def cosine_pairs_bucketed(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     top_n: int | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Near-dup pair mining with NO driver-side collect — the 100 TB
     path `cosine_topk_pairs_blocked` documents as its successor beyond
@@ -143,7 +146,7 @@ def cosine_pairs_bucketed(
     src = df.select(
         F.col(id_col).alias("_id"),
         F.col(emb_col).alias("_emb"),
-        l2_norm(F.col(emb_col)).alias("_norm"),
+        l2_norm(F.col(emb_col), dim).alias("_norm"),
     )
     # band keys as ONE parsed SQL expression (a composed Column tree
     # here is bands x n_planes py4j round-trips of plan-build time;
@@ -177,7 +180,8 @@ def cosine_pairs_bucketed(
         F.col("_norm").alias("_nb"),
     )
     sim = F.round(
-        dot_product(F.col("_ea"), F.col("_eb")) / (F.col("_na") * F.col("_nb")),
+        dot_product(F.col("_ea"), F.col("_eb"), dim)
+        / (F.col("_na") * F.col("_nb")),
         6,
     )
     pairs = (
@@ -219,6 +223,7 @@ def signbucket_ann(
     item_emb: str = "embedding",
     probe_id: str = "query_id",
     probe_emb: str = "query_embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """ANN: top-k by cosine distance within the probe's sign bucket,
     excluding the probe row itself. Returns
@@ -233,7 +238,7 @@ def signbucket_ann(
         F.col(probe_emb).alias("_qemb"),
         sign_bucket(probe_emb, n_planes).alias("_bucket"),
     )
-    dist = F.round(cosine_distance(F.col("_iemb"), F.col("_qemb")), 6)
+    dist = F.round(cosine_distance(F.col("_iemb"), F.col("_qemb"), dim=dim), 6)
     scored = (
         it.join(F.broadcast(pr), "_bucket")
         .filter(F.col("_iid") != F.col("_qid"))

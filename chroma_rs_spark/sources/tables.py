@@ -29,6 +29,12 @@ TABLES = (
 # (region/nation are fixed-cardinality; supplier/part grow slowly).
 BROADCAST_TABLES = frozenset({"region", "nation"})
 
+# The embeddings table's vector dimension (TESTDATA.md contract). A
+# vector collection always knows its dim (the catalog registry records
+# it at first add); suite queries pass it so distance expressions take
+# the unrolled whole-stage-codegen path (functions/vector.py).
+EMBEDDING_DIM = 64
+
 
 # (session, sf_dir, table) -> DataFrame. DataFrames are immutable plan
 # handles, so sharing one scan relation across queries is safe and

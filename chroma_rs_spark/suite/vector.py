@@ -222,7 +222,10 @@ def _trained_centroids(
         # corpus, search the surviving cells — exactly what the SQL
         # oracle's unrolled replay does, so the row stays checkable
         _TRAINED_CENT_CACHE[key] = train_centroids_kmeans(
-            emb, n_centroids=IVF_CENTROIDS, max_iter=KMEANS_ITERS, strict=False
+            emb,
+            n_centroids=IVF_CENTROIDS,
+            max_iter=KMEANS_ITERS,
+            strict=False,
         )
     return _TRAINED_CENT_CACHE[key]
 
