@@ -167,42 +167,45 @@ def minhash_lsh_pairs(
     # and K independent md5 calls per shingle.
     sh = exploded_shingles(df, id_col, text_col, shingle_k)
     hashed = sh.select(F.col(id_col), base_hash32("shingle").alias("_h"))
+    # K min-aggregates + the signature array as parsed SQL STRINGS (one
+    # py4j parse each) — the composed-Column form costs ~100 py4j
+    # round-trips of plan-build per call, which dedup_clusters pays
+    # THREE times per bench rep (its iterative fn charges build+run)
     sig = hashed.groupBy(id_col).agg(
         *[
-            F.min((F.col("_h") * a + b) % MINHASH_P).alias(f"_mh{i}")
+            F.expr(f"min((_h * {a} + {b}) % {MINHASH_P})").alias(f"_mh{i}")
             for i, (a, b) in enumerate(minhash_params(num_hashes))
         ]
     ).select(
         id_col,
-        F.array(*[F.col(f"_mh{i}") for i in range(num_hashes)]).alias("sig"),
+        F.expr(
+            "array(" + ", ".join(f"_mh{i}" for i in range(num_hashes)) + ")"
+        ).alias("sig"),
     )
+    # band-key structs as one parsed SQL expression (same plan-build
+    # rationale as the signature aggregates above)
     if rows_per_band == 1:
         # band key IS the signature entry — a long, no re-hash needed
-        band_cols = [
-            F.struct(
-                F.lit(b).alias("band"), F.element_at("sig", b + 1).alias("band_key")
-            )
+        band_sql = ", ".join(
+            f"named_struct('band', {b}, 'band_key', element_at(sig, {b + 1}))"
             for b in range(bands)
-        ]
+        )
     else:
-        band_cols = [
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(
-                    F.concat_ws(
-                        "|",
-                        *[
-                            F.element_at("sig", b * rows_per_band + r + 1)
-                            for r in range(rows_per_band)
-                        ],
-                    )
-                ).alias("band_key"),
+        band_sql = ", ".join(
+            "named_struct('band', {b}, 'band_key', md5(concat_ws('|', {els})))".format(
+                b=b,
+                els=", ".join(
+                    f"element_at(sig, {b * rows_per_band + r + 1})"
+                    for r in range(rows_per_band)
+                ),
             )
             for b in range(bands)
-        ]
+        )
     # The bucket join and pair-dedup carry only ids — the shuffle
     # payload stays narrow (at scale candidate pairs ≪ banded rows).
-    banded = sig.select(id_col, F.explode(F.array(*band_cols)).alias("bk"))
+    banded = sig.select(
+        id_col, F.explode(F.expr(f"array({band_sql})")).alias("bk")
+    )
     left = banded.select(F.col(id_col).alias("id_a"), "bk")
     right = banded.select(F.col(id_col).alias("id_b"), "bk")
     if rows_per_band == 1:

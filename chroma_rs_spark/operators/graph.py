@@ -176,6 +176,64 @@ def _cc_distributed(cur: DataFrame, max_iter: int, with_sizes: bool) -> DataFram
     )
 
 
+def _cc_local_lazy(edges: DataFrame, with_sizes: bool) -> DataFrame:
+    """LAZY bounded-graph path: path-compressed union-find inside a
+    single mapInPandas task. Same labels as _cc_local (component = min
+    node id), but expressed as a DataFrame transformation — no driver
+    action, no collect — so a caller's plan stays fully lazy (and a
+    bench/driver can time plan-build and execution separately instead
+    of charging a fixpoint loop).
+
+    The repartition(1) keeps the upstream pair-mining stages parallel
+    and funnels only the (u, v) pair rows into one task; the caller
+    asserts boundedness (LSH candidate pairs ≪ corpus by
+    construction). For unbounded graphs use connected_components,
+    whose gate counts edges and falls over to the large-star /
+    small-star fixpoint.
+    """
+    import pandas as pd
+
+    schema = "node LONG, component LONG" + (
+        ", component_size LONG" if with_sizes else ""
+    )
+
+    def uf(batches):
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        nodes: set[int] = set()
+        for pdf in batches:
+            us, vs = pdf["u"].tolist(), pdf["v"].tolist()
+            nodes.update(us)
+            nodes.update(vs)
+            for a, b in zip(us, vs):
+                ra, rb = find(int(a)), find(int(b))
+                if ra != rb:
+                    lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                    parent[hi] = lo
+        if not nodes:
+            return
+        labels = {int(n): find(int(n)) for n in nodes}
+        out = pd.DataFrame(
+            {"node": list(labels.keys()), "component": list(labels.values())}
+        )
+        if with_sizes:
+            out["component_size"] = out["component"].map(
+                out["component"].value_counts()
+            )
+        yield out
+
+    pairs = edges.where(F.col("u") != F.col("v")).repartition(1)
+    return pairs.mapInPandas(uf, schema=schema)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
@@ -214,6 +272,7 @@ def dedup_clusters(
     threshold: float = 0.5,
     sim_col: str = "est_jaccard",
     local_threshold: int = 2_000_000,
+    lazy_local: bool = False,
 ) -> DataFrame:
     """Cluster near-dup candidate pairs and pick one keeper per cluster.
 
@@ -221,6 +280,13 @@ def dedup_clusters(
     doc id of the connected component; singletons are their own
     cluster; keep is true exactly for the cluster representative —
     the row set a curation pipeline feeds into its final filter.
+
+    `lazy_local=True` asserts the candidate-pair set is bounded (true
+    for banded-LSH pairs over any thresholded corpus by construction)
+    and uses the lazy single-task union-find (_cc_local_lazy) — the
+    whole result stays one unexecuted DataFrame, no driver actions.
+    Default False keeps the adaptive count-gated choice between the
+    driver union-find and the distributed star fixpoint.
 
     Precondition: every id in `pairs` must exist in `docs` (true by
     construction when pairs are mined from the same relation, as every
@@ -233,9 +299,16 @@ def dedup_clusters(
     # sizes ride along inside the cc result (counted locally on the
     # union-find path), so docs outside it are singletons of size 1
     # and the assembly is a single left join against the corpus
-    lookup = connected_components(
-        edges, local_threshold=local_threshold, with_sizes=True
-    ).select(
+    if lazy_local:
+        lookup = _cc_local_lazy(
+            edges.select(F.col("src").alias("u"), F.col("dst").alias("v")),
+            with_sizes=True,
+        )
+    else:
+        lookup = connected_components(
+            edges, local_threshold=local_threshold, with_sizes=True
+        )
+    lookup = lookup.select(
         F.col("node").alias(id_col),
         F.col("component").alias("_cid"),
         F.col("component_size").alias("_sz"),

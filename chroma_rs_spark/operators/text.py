@@ -175,46 +175,45 @@ def bm25_scores(
     """
     if not terms:
         raise ValueError("bm25_scores: terms must be a non-empty list")
-    toks = F.split(F.col(text_col), " ")
-
-    def _tf(term: str):
-        # closure, not a default arg: pyspark derives the HOF lambda's
-        # arity from the signature, so an extra default would be bound
-        # to the element index
-        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
-
-    tf_cols = [_tf(t).alias(f"_tf{i}") for i, t in enumerate(terms)]
+    # Everything below is built as parsed SQL expression STRINGS (the
+    # measured plan-build technique from operators/dedup.py): the
+    # composed-Column form of the per-term tf/df/score trees costs
+    # hundreds of py4j round-trips per call. Double literals carry a D
+    # suffix (bare 0.5 parses as DECIMAL in Spark SQL) and are
+    # interpolated via repr() from the same Python floats the oracle
+    # uses, so the parsed tree is operation-for-operation identical to
+    # the old Column tree (and the arithmetic stays bit-reproducible).
+    toks_sql = f"split({text_col}, ' ')"
+    esc = [t.replace("\\", "\\\\").replace("'", "\\'") for t in terms]
     per_doc = df.select(
-        F.col(id_col), F.size(toks).alias("_dl"), *tf_cols
+        F.col(id_col),
+        F.expr(f"size({toks_sql})").alias("_dl"),
+        *[
+            F.expr(f"size(filter({toks_sql}, x -> x = '{t}'))").alias(f"_tf{i}")
+            for i, t in enumerate(esc)
+        ],
     )
     stats = per_doc.agg(
         F.count(F.lit(1)).alias("_N"),
         F.sum("_dl").alias("_sdl"),
         *[
-            F.sum((F.col(f"_tf{i}") > 0).cast("long")).alias(f"_df{i}")
+            F.expr(f"sum(CAST(_tf{i} > 0 AS BIGINT))").alias(f"_df{i}")
             for i in range(len(terms))
         ],
     )
-    avgdl = F.col("_sdl").cast("double") / F.col("_N")
-    score = None
-    for i in range(len(terms)):
-        idf = F.log(
-            (F.col("_N") - F.col(f"_df{i}") + F.lit(0.5))
-            / (F.col(f"_df{i}") + F.lit(0.5))
-            + F.lit(1.0)
-        )
-        tf = F.col(f"_tf{i}").cast("double")
-        part = idf * (
-            tf
-            * F.lit(k1 + 1.0)
-            / (tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("_dl") / avgdl))
-        )
-        score = part if score is None else score + part
+    avgdl = "(CAST(_sdl AS DOUBLE) / _N)"
+    score_sql = " + ".join(
+        f"(ln((_N - _df{i} + 0.5D) / (_df{i} + 0.5D) + 1.0D)"
+        f" * (CAST(_tf{i} AS DOUBLE) * {k1 + 1.0!r}D"
+        f" / (CAST(_tf{i} AS DOUBLE) + {k1!r}D * ({1.0 - b!r}D"
+        f" + {b!r}D * _dl / {avgdl}))))"
+        for i in range(len(terms))
+    )
     return (
         per_doc.crossJoin(F.broadcast(stats))
         .select(
             id_col,
-            (F.round(score, 6) + F.lit(0.0)).alias("bm25"),
+            F.expr(f"round({score_sql}, 6) + 0.0D").alias("bm25"),
         )
     )
 

@@ -111,12 +111,15 @@ SELECT id_a, id_b, CAST(n_match AS DOUBLE) / 16.0 AS est_jaccard FROM agree
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup *clusters*: LSH pairs -> connected components -> one
     keeper per cluster (the full curation-pipeline shape, not just
-    pair mining)."""
+    pair mining). lazy_local: banded-LSH candidate pairs are bounded
+    by construction, so the union-find runs as a lazy single-task
+    stage (operators/graph.py:_cc_local_lazy) and the whole query is
+    one unexecuted plan — no driver actions, no fixpoint loop."""
     from chroma_rs_spark.operators.graph import dedup_clusters
 
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(docs, num_hashes=16, bands=16, shingle_k=3)
-    return dedup_clusters(docs, pairs, threshold=0.5)
+    return dedup_clusters(docs, pairs, threshold=0.5, lazy_local=True)
 
 
 # Transitive closure of the >=0.5 LSH pair graph via recursive CTE;
@@ -500,7 +503,7 @@ WHERE bk < CASE lang WHEN 'en' THEN 1000 WHEN 'fr' THEN 5000
 QUERIES = {
     "dedup_exact": QueryDef(q_dedup_exact, _DEDUP_EXACT_ORACLE),
     "dedup_minhash_lsh": QueryDef(q_dedup_minhash_lsh, _DEDUP_MINHASH_ORACLE),
-    "dedup_clusters": QueryDef(q_dedup_clusters, _DEDUP_CLUSTERS_ORACLE, iterative=True),
+    "dedup_clusters": QueryDef(q_dedup_clusters, _DEDUP_CLUSTERS_ORACLE),
     "dedup_simhash": QueryDef(q_dedup_simhash, _DEDUP_SIMHASH_ORACLE),
     "dedup_ngram_jaccard": QueryDef(q_dedup_ngram_jaccard, _DEDUP_NGRAM_ORACLE),
     "near_dup_bucketed": QueryDef(q_near_dup_bucketed, _near_dup_bucketed_oracle()),

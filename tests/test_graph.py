@@ -140,3 +140,32 @@ def test_cc_self_loop_only_node_consistent_across_paths(spark):
     edges = [(7, 7), (1, 2)]
     assert _cc(spark, edges) == {1: 1, 2: 1}
     assert _cc(spark, edges, local_threshold=0) == {1: 1, 2: 1}
+
+
+def test_lazy_local_cc_matches_adaptive(spark):
+    """_cc_local_lazy (lazy single-task union-find) produces the same
+    labels and sizes as the count-gated adaptive path."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from chroma_rs_spark.operators.graph import (
+        _cc_local_lazy,
+        connected_components,
+    )
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(80)]
+    df = spark.createDataFrame(edges, "src LONG, dst LONG")
+    adaptive = {
+        (r["node"], r["component"], r["component_size"])
+        for r in connected_components(df, with_sizes=True).collect()
+    }
+    lazy = {
+        (r["node"], r["component"], r["component_size"])
+        for r in _cc_local_lazy(
+            df.select(F.col("src").alias("u"), F.col("dst").alias("v")),
+            with_sizes=True,
+        ).collect()
+    }
+    assert lazy == adaptive and len(lazy) > 0
