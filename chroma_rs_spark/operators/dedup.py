@@ -375,16 +375,23 @@ def shingle_pair_intersections(
     )
     if max_df is not None:
         bysh = bysh.filter(F.size("xs") <= max_df)
+    # Pair generation as two chained codegen explodes (posexplode then
+    # explode over a runtime slice) instead of one nested-transform HOF:
+    # higher-order lambdas run interpreted per output element, and on
+    # the ~1.3M pairs at sf0.1 the HOF costs 1.7 s vs 1.1 s for this
+    # Generate/Generate plan — both explodes stay in whole-stage codegen.
     pairs = bysh.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(xs, (x, i) ->"
-                " transform(slice(xs, i + 2, size(xs)), y ->"
-                " named_struct('id_a', x.id, 'size_a', x.sz,"
-                " 'id_b', y.id, 'size_b', y.sz))))"
-            )
-        ).alias("p")
-    ).select("p.*")
+        F.posexplode("xs").alias("i", "x"), "xs"
+    ).select(
+        F.col("x.id").alias("id_a"),
+        F.col("x.sz").alias("size_a"),
+        F.explode(F.expr("slice(xs, i + 2, size(xs))")).alias("y"),
+    ).select(
+        "id_a",
+        "size_a",
+        F.col("y.id").alias("id_b"),
+        F.col("y.sz").alias("size_b"),
+    )
     # group on the 2-long pair key only; sizes are functionally
     # determined by the ids, so they ride through as first() — cheaper
     # hashing than a 4-column key on the million-row pair set
