@@ -47,9 +47,13 @@ METRICS = ("cosine", "l2", "ip")
 DIST_DECIMALS = 6  # rounding for deterministic cross-engine ranking
 
 
-def _distance_col(metric: str, item_emb, query_emb, item_norm=None, dim=None):
+def _distance_col(
+    metric: str, item_emb, query_emb, item_norm=None, query_norm=None, dim=None
+):
     if metric == "cosine":
-        return cosine_distance(item_emb, query_emb, a_norm=item_norm, dim=dim)
+        return cosine_distance(
+            item_emb, query_emb, a_norm=item_norm, b_norm=query_norm, dim=dim
+        )
     if metric == "l2":
         return l2_distance(item_emb, query_emb, dim=dim)
     if metric == "ip":
@@ -75,16 +79,25 @@ def knn_exact(
     to DIST_DECIMALS. For cosine, pass `item_norm` (a stored column
     from `with_norm` — the add-time index build) to skip recomputing
     each item's norm once per query vector; the stored value is the
-    same double `l2_norm` yields, so results are bit-identical. Pass
-    `dim` (the collection's registered dimension) to unroll the
-    distance into the whole-stage-codegen loop instead of the
-    interpreted HOF fold — same bits; pays off for large collections,
-    costs more per action for tiny ones (see functions/vector.py
-    module docstring for the measured tradeoff).
+    same double `l2_norm` yields, so results are bit-identical. Query
+    norms are always computed once per query inside the broadcast side
+    (|Q| rows), never per (item, query) pair. Pass `dim` (the
+    collection's registered dimension) to unroll the distance into the
+    whole-stage-codegen loop instead of the interpreted HOF fold —
+    same bits; pays off for large collections, costs more per action
+    for tiny ones (see functions/vector.py module docstring for the
+    measured tradeoff).
     """
-    q = queries.select(
+    q_cols = [
         F.col(query_id).alias("__qid"), F.col(query_emb).alias("__qemb")
-    )
+    ]
+    if metric == "cosine":
+        # one norm per query vector, evaluated on the tiny broadcast
+        # side — the pair-level expression below then reuses the stored
+        # double (same value l2_norm would yield per pair, so results
+        # are bit-identical)
+        q_cols.append(l2_norm(F.col(query_emb), dim).alias("__qnorm"))
+    q = queries.select(*q_cols)
     item_cols = [F.col(item_id).alias("__iid"), F.col(item_emb).alias("__iemb")]
     if item_norm is not None:
         item_cols.append(F.col(item_norm).alias("__inorm"))
@@ -109,6 +122,7 @@ def knn_exact(
             F.col("__iemb"),
             F.col("__qemb"),
             F.col("__inorm") if item_norm is not None else None,
+            query_norm=F.col("__qnorm") if metric == "cosine" else None,
             dim=dim,
         ),
         DIST_DECIMALS,
