@@ -231,7 +231,7 @@ def _items_from_args(
         for i, e, d, m in zip(ids, embeddings, documents, metadatas)
     ]
     df = engine.spark.createDataFrame(rows, ITEM_SCHEMA)
-    return df.withColumn("embedding_norm", l2_norm(F.col("embedding")))
+    return df.withColumn("embedding_norm", l2_norm("embedding"))
 
 
 def _check_dim(engine: Engine, coll: Collection, df: DataFrame) -> None:
@@ -351,7 +351,7 @@ def add_df(engine: Engine, coll: Collection, df: DataFrame) -> None:
     out = df.select(
         F.col("id").cast("string").alias("id"),
         F.col("embedding").cast("array<float>").alias("embedding"),
-        l2_norm(F.col("embedding")).alias("embedding_norm"),
+        l2_norm("embedding").alias("embedding_norm"),
         (F.col("document") if "document" in cols else F.lit(None).cast("string")).alias(
             "document"
         ),

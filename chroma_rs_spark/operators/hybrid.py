@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from chroma_rs_spark.functions.vector import cosine_distance
+from chroma_rs_spark.functions.vector import cosine_distance, vector_lit_sql
 from chroma_rs_spark.operators.text import bm25_scores
 
 RRF_K0 = 60  # the standard damping constant from the RRF literature
@@ -85,8 +85,12 @@ def hybrid_search_rrf(
         depth,
         "bm25_rank",
     ).select(doc_id, "bm25_rank")
-    qlit = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
-    dist = F.round(cosine_distance(F.col(emb_col), qlit), 6) + F.lit(0.0)
+    dist = (
+        F.round(
+            cosine_distance(f"`{emb_col}`", vector_lit_sql(query_vec)), 6
+        )
+        + F.lit(0.0)
+    )
     vec_ranked = _ranked_topn(
         emb.filter(F.col(emb_col).isNotNull()).select(
             F.col(vec_id).alias(doc_id), dist.alias("_dist")

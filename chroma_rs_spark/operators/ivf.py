@@ -26,7 +26,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from chroma_rs_spark.functions.vector import dot_product, l2_norm
+from chroma_rs_spark.functions.vector import (
+    dot_product_sql,
+    float_sql,
+    l2_norm,
+    vector_lit_sql,
+)
 from chroma_rs_spark.operators.knn import DIST_DECIMALS
 
 
@@ -60,19 +65,18 @@ def assign_cells(
     For wide vectors or large centroid counts, the Arrow-batch path
     (knn_exact_local_topk's matmul) is the next gear.
     """
-    norm_col = l2_norm(F.col(item_emb), dim)
-    with_norm = items.withColumn("_inorm", norm_col)
+    with_norm = items.withColumn("_inorm", l2_norm(f"`{item_emb}`", dim))
+    # the whole least(struct(...), ...) tree is assembled as ONE parsed
+    # expression — one py4j call instead of ~6 per centroid (the plans
+    # are identical; functions/vector.py module comment has the numbers)
     cands = []
     for cid, vec in centroids:
-        lit_vec = F.array(*[F.lit(float(x)) for x in vec]).cast("array<double>")
-        dist = F.round(
-            F.lit(1.0)
-            - dot_product(F.col(item_emb), lit_vec, dim)
-            / (F.col("_inorm") * F.lit(_seq_norm(vec))),
-            DIST_DECIMALS,
+        dist = (
+            f"ROUND(1.0D - {dot_product_sql(f'`{item_emb}`', vector_lit_sql(vec), dim)}"
+            f" / (_inorm * {float_sql(_seq_norm(vec))}), {DIST_DECIMALS})"
         )
-        cands.append(F.struct(dist.alias("d"), F.lit(int(cid)).alias("c")))
-    return with_norm.withColumn("cell", F.least(*cands).getField("c"))
+        cands.append(f"struct({dist} AS d, {int(cid)} AS c)")
+    return with_norm.withColumn("cell", F.expr(f"least({', '.join(cands)}).c"))
 
 
 def collect_small_vectors(

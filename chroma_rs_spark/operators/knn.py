@@ -96,7 +96,7 @@ def knn_exact(
         # side — the pair-level expression below then reuses the stored
         # double (same value l2_norm would yield per pair, so results
         # are bit-identical)
-        q_cols.append(l2_norm(F.col(query_emb), dim).alias("__qnorm"))
+        q_cols.append(l2_norm(f"`{query_emb}`", dim).alias("__qnorm"))
     q = queries.select(*q_cols)
     item_cols = [F.col(item_id).alias("__iid"), F.col(item_emb).alias("__iemb")]
     if item_norm is not None:
@@ -119,10 +119,10 @@ def knn_exact(
     dist = F.round(
         _distance_col(
             metric,
-            F.col("__iemb"),
-            F.col("__qemb"),
-            F.col("__inorm") if item_norm is not None else None,
-            query_norm=F.col("__qnorm") if metric == "cosine" else None,
+            "__iemb",
+            "__qemb",
+            "__inorm" if item_norm is not None else None,
+            query_norm="__qnorm" if metric == "cosine" else None,
             dim=dim,
         ),
         DIST_DECIMALS,
@@ -230,4 +230,4 @@ def with_norm(
     dim: int | None = None,
 ) -> DataFrame:
     """Materialize the L2 norm column — the add-time 'index build'."""
-    return items.withColumn(out, l2_norm(F.col(emb), dim))
+    return items.withColumn(out, l2_norm(f"`{emb}`", dim))

@@ -34,15 +34,15 @@ def cosine_topk_pairs(
     a = df.select(
         F.col(id_col).alias("id_a"),
         F.col(emb_col).alias("emb_a"),
-        l2_norm(F.col(emb_col), dim).alias("norm_a"),
+        l2_norm(f"`{emb_col}`", dim).alias("norm_a"),
     )
     b = df.select(
         F.col(id_col).alias("id_b"),
         F.col(emb_col).alias("emb_b"),
-        l2_norm(F.col(emb_col), dim).alias("norm_b"),
+        l2_norm(f"`{emb_col}`", dim).alias("norm_b"),
     )
     sim = F.round(
-        dot_product(F.col("emb_a"), F.col("emb_b"), dim)
+        dot_product("emb_a", "emb_b", dim)
         / (F.col("norm_a") * F.col("norm_b")),
         6,
     )
@@ -146,7 +146,7 @@ def cosine_pairs_bucketed(
     src = df.select(
         F.col(id_col).alias("_id"),
         F.col(emb_col).alias("_emb"),
-        l2_norm(F.col(emb_col), dim).alias("_norm"),
+        l2_norm(f"`{emb_col}`", dim).alias("_norm"),
     )
     # band keys as ONE parsed SQL expression (a composed Column tree
     # here is bands x n_planes py4j round-trips of plan-build time;
@@ -180,7 +180,7 @@ def cosine_pairs_bucketed(
         F.col("_norm").alias("_nb"),
     )
     sim = F.round(
-        dot_product(F.col("_ea"), F.col("_eb"), dim)
+        dot_product("_ea", "_eb", dim)
         / (F.col("_na") * F.col("_nb")),
         6,
     )
@@ -238,7 +238,7 @@ def signbucket_ann(
         F.col(probe_emb).alias("_qemb"),
         sign_bucket(probe_emb, n_planes).alias("_bucket"),
     )
-    dist = F.round(cosine_distance(F.col("_iemb"), F.col("_qemb"), dim=dim), 6)
+    dist = F.round(cosine_distance("_iemb", "_qemb", dim=dim), 6)
     scored = (
         it.join(F.broadcast(pr), "_bucket")
         .filter(F.col("_iid") != F.col("_qid"))

@@ -148,7 +148,7 @@ def q_vector_index_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return emb.select(
         F.col("vec_id").cast("long").alias("vec_id"),
-        F.round(l2_norm(F.col("embedding")), 6).alias("norm"),
+        F.round(l2_norm("embedding"), 6).alias("norm"),
     )
 
 
