@@ -76,3 +76,41 @@ def combine_double(name: str, scale: int) -> Column:
     """The exact total as DOUBLE (correctly rounded decimal→double,
     bit-identical to CAST(sum(DECIMAL...) AS DOUBLE))."""
     return combine(name, scale).cast("double")
+
+
+# ---------------------------------------------------------------------------
+# SQL-fragment forms of the same builders: parse to the identical
+# Catalyst trees in ONE py4j call per output column instead of one per
+# node (see functions/vector.py for the measured plan-build motivation).
+# `col`/`p` arguments are SQL fragments (caller backticks names).
+# ---------------------------------------------------------------------------
+
+
+def int_scaled_sql(col: str, decimals: int = 2) -> str:
+    """SQL form of `int_scaled` (same round-then-cast tree)."""
+    return f"CAST(round({col} * {10 ** decimals}) AS BIGINT)"
+
+
+def split_sum_sql(p: str, name: str) -> list[str]:
+    """SQL forms of the two limb aggregates of `split_sum_aggs`."""
+    lo = f"pmod({p}, {M})"
+    return [
+        f"sum(CAST((({p}) - {lo}) / {M} AS BIGINT)) AS _{name}_hi",
+        f"sum({lo}) AS _{name}_lo",
+    ]
+
+
+def combine_sql(name: str, scale: int) -> str:
+    """SQL form of `combine` (exact DECIMAL(38) recombine)."""
+    total = (
+        f"CAST(_{name}_hi AS DECIMAL(38,0)) * {M}"
+        f" + CAST(_{name}_lo AS DECIMAL(38,0))"
+    )
+    if scale == 0:
+        return f"({total})"
+    return f"(({total}) / {10 ** scale})"
+
+
+def combine_double_sql(name: str, scale: int) -> str:
+    """SQL form of `combine_double`."""
+    return f"CAST({combine_sql(name, scale)} AS DOUBLE)"

@@ -53,6 +53,13 @@ def get_spark(
             "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
         )
         .config("spark.ui.enabled", "false")
+        # PySpark 4 wraps every DataFrame API call to capture the
+        # Python call site for error context — 3-4 extra py4j round
+        # trips per call (pyspark/errors/utils.py:_with_origin). The
+        # context only enriches error messages; disabling it cuts
+        # driver-side plan-construction time roughly in half on
+        # multi-query suites. Re-enable when debugging a failing plan.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -52,40 +52,45 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     one filtered scan, map-side partial agg, one 6-group shuffle."""
     li = load_table(spark, sf_dir, "lineitem")
     cutoff = F.lit("2000-09-02").cast("timestamp")
-    qty = money.int_scaled("l_quantity")  # cents: units 1e-2
-    price = money.int_scaled("l_extendedprice")
-    disc = money.int_scaled("l_discount")
-    tax = money.int_scaled("l_tax")
-    disc_price = price * (F.lit(100) - disc)  # units 1e-4
-    charge = disc_price * (F.lit(100) + tax)  # units 1e-6
-    src = li.filter(F.col("l_shipdate") <= cutoff).select(
+    # whole select lists as parsed SQL strings — one py4j call each
+    # (functions/vector.py has the measured plan-build motivation);
+    # the parsed trees are identical to the Column-DSL forms
+    qty = money.int_scaled_sql("l_quantity")  # cents: units 1e-2
+    price = money.int_scaled_sql("l_extendedprice")
+    disc = money.int_scaled_sql("l_discount")
+    tax = money.int_scaled_sql("l_tax")
+    src = li.filter(F.col("l_shipdate") <= cutoff).selectExpr(
         "l_returnflag",
         "l_linestatus",
-        qty.alias("_qty"),
-        price.alias("_price"),
-        disc.alias("_disc"),
-        disc_price.alias("_dp"),
-        charge.alias("_ch"),
+        f"{qty} AS _qty",
+        f"{price} AS _price",
+        f"{disc} AS _disc",
+        f"{price} * (100 - {disc}) AS _dp",  # units 1e-4
+        f"{price} * (100 - {disc}) * (100 + {tax}) AS _ch",  # units 1e-6
     )
     grouped = src.groupBy("l_returnflag", "l_linestatus").agg(
-        *money.split_sum_aggs(F.col("_qty"), "sq"),
-        *money.split_sum_aggs(F.col("_price"), "sp"),
-        *money.split_sum_aggs(F.col("_dp"), "sd"),
-        *money.split_sum_aggs(F.col("_ch"), "sc"),
-        *money.split_sum_aggs(F.col("_disc"), "sdisc"),
+        *[
+            F.expr(s)
+            for s in (
+                money.split_sum_sql("_qty", "sq")
+                + money.split_sum_sql("_price", "sp")
+                + money.split_sum_sql("_dp", "sd")
+                + money.split_sum_sql("_ch", "sc")
+                + money.split_sum_sql("_disc", "sdisc")
+            )
+        ],
         F.count(F.lit(1)).alias("count_order"),
     )
-    n = F.col("count_order")
-    return grouped.select(
+    return grouped.selectExpr(
         "l_returnflag",
         "l_linestatus",
-        money.combine_double("sq", 2).alias("sum_qty"),
-        money.combine_double("sp", 2).alias("sum_base_price"),
-        money.combine_double("sd", 4).alias("sum_disc_price"),
-        money.combine_double("sc", 6).alias("sum_charge"),
-        (money.combine_double("sq", 2) / n).alias("avg_qty"),
-        (money.combine_double("sp", 2) / n).alias("avg_price"),
-        (money.combine_double("sdisc", 2) / n).alias("avg_disc"),
+        f"{money.combine_double_sql('sq', 2)} AS sum_qty",
+        f"{money.combine_double_sql('sp', 2)} AS sum_base_price",
+        f"{money.combine_double_sql('sd', 4)} AS sum_disc_price",
+        f"{money.combine_double_sql('sc', 6)} AS sum_charge",
+        f"{money.combine_double_sql('sq', 2)} / count_order AS avg_qty",
+        f"{money.combine_double_sql('sp', 2)} / count_order AS avg_price",
+        f"{money.combine_double_sql('sdisc', 2)} / count_order AS avg_disc",
         "count_order",
     )
 
@@ -704,32 +709,32 @@ def _rank_select_percentiles(
     window 1.04 s vs histogram 1.45 s, both dominated by fixed
     per-job overhead at this scale, reversed at 100 TB where the
     blocking sort is the failure mode, not the job count."""
-    w = Window.partitionBy(group_col).orderBy(value_col)
-    wc = Window.partitionBy(group_col)
-    ranked = df.select(
-        group_col,
-        value_col,
-        F.row_number().over(w).alias("_rn"),
-        F.count(F.lit(1)).over(wc).alias("_n"),
+    # whole builder in parsed SQL-string form — one py4j call per
+    # select/filter/agg output instead of one per node (identical
+    # trees; see functions/vector.py for the measured motivation)
+    g, v = f"`{group_col}`", f"`{value_col}`"
+    ranked = df.selectExpr(
+        g,
+        v,
+        f"row_number() OVER (PARTITION BY {g} ORDER BY {v}) AS _rn",
+        f"count(1) OVER (PARTITION BY {g}) AS _n",
     )
-    keep = None
-    for p in ps:
-        pos = (F.col("_n") - 1) * F.lit(p)
-        c = ((F.col("_rn") - 1) == F.floor(pos)) | (
-            (F.col("_rn") - 1) == F.ceil(pos)
-        )
-        keep = c if keep is None else (keep | c)
+
+    def pos(p: float) -> str:
+        return f"(_n - 1) * {p!r}D"
+
+    keep = " OR ".join(
+        f"(_rn - 1) = floor({pos(p)}) OR (_rn - 1) = ceil({pos(p)})"
+        for p in ps
+    )
     outs = []
     for p, nm in zip(ps, names):
-        pos = (F.col("_n") - 1) * F.lit(p)
-        lo = F.max(
-            F.when((F.col("_rn") - 1) == F.floor(pos), F.col(value_col))
+        lo = f"max(CASE WHEN (_rn - 1) = floor({pos(p)}) THEN {v} END)"
+        hi = f"max(CASE WHEN (_rn - 1) = ceil({pos(p)}) THEN {v} END)"
+        frac = f"max({pos(p)} - floor({pos(p)}))"
+        outs.append(
+            F.expr(f"round({lo} + ({hi} - {lo}) * {frac}, 4) AS `{nm}`")
         )
-        hi = F.max(
-            F.when((F.col("_rn") - 1) == F.ceil(pos), F.col(value_col))
-        )
-        frac = F.max(pos - F.floor(pos))
-        outs.append(F.round(lo + (hi - lo) * frac, 4).alias(nm))
     return ranked.filter(keep).groupBy(group_col).agg(*outs)
 
 
@@ -830,23 +835,27 @@ def q_lineitem_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     evaluate the same IEEE expression, so results match bit-for-bit
     while staying one-pass/map-side-combinable at scale.
     """
-    li = load_table(spark, sf_dir, "lineitem").select(
+    li = load_table(spark, sf_dir, "lineitem").selectExpr(
         "l_returnflag",
-        money.int_scaled("l_quantity").alias("_x"),
-        money.int_scaled("l_extendedprice").alias("_y"),
+        f"{money.int_scaled_sql('l_quantity')} AS _x",
+        f"{money.int_scaled_sql('l_extendedprice')} AS _y",
         "l_extendedprice",
     )
-    x, y = F.col("_x"), F.col("_y")  # cents, exact int64
     g = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
         # exact two-limb int64 sums (functions/money.py) — the second
         # moments (y*y ≤ ~1.2e14 per row, units 1e-4) hold exactly to
         # ~1e10 rows per group on two limbs
-        *money.split_sum_aggs(x, "sx"),
-        *money.split_sum_aggs(y, "sy"),
-        *money.split_sum_aggs(x * y, "sxy"),
-        *money.split_sum_aggs(x * x, "sxx"),
-        *money.split_sum_aggs(y * y, "syy"),
+        *[
+            F.expr(s)
+            for s in (
+                money.split_sum_sql("_x", "sx")
+                + money.split_sum_sql("_y", "sy")
+                + money.split_sum_sql("_x * _y", "sxy")
+                + money.split_sum_sql("_x * _x", "sxx")
+                + money.split_sum_sql("_y * _y", "syy")
+            )
+        ],
     )
     # Exact linear-interpolation percentiles (≡ DuckDB quantile_cont),
     # formulated as a rank-select window: the sort parallelizes across
@@ -863,19 +872,23 @@ def q_lineitem_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("p25", "p50", "p75", "p95"),
     )
     g = g.join(F.broadcast(pcts), "l_returnflag")
-    n = F.col("n").cast("double")
-    sx = money.combine_double("sx", 2)
-    sy = money.combine_double("sy", 2)
-    sxy = money.combine_double("sxy", 4)
-    sxx = money.combine_double("sxx", 4)
-    syy = money.combine_double("syy", 4)
-    return g.select(
+    nd = "CAST(n AS DOUBLE)"
+    sx = money.combine_double_sql("sx", 2)
+    sy = money.combine_double_sql("sy", 2)
+    sxy = money.combine_double_sql("sxy", 4)
+    sxx = money.combine_double_sql("sxx", 4)
+    syy = money.combine_double_sql("syy", 4)
+    return g.selectExpr(
         "l_returnflag",
         "n",
-        F.round((n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6).alias("corr_qty_price"),
-        F.round((n * sxy - sx * sy) / (n * (n - F.lit(1.0))), 6).alias("covar_qty_price"),
-        F.round(F.sqrt((n * syy - sy * sy) / (n * (n - F.lit(1.0)))), 6).alias("stddev_price"),
-        F.round(sx / n, 6).alias("avg_qty"),
+        f"round(({nd} * {sxy} - {sx} * {sy})"
+        f" / SQRT(({nd} * {sxx} - {sx} * {sx}) * ({nd} * {syy} - {sy} * {sy})), 6)"
+        " AS corr_qty_price",
+        f"round(({nd} * {sxy} - {sx} * {sy}) / ({nd} * ({nd} - 1.0D)), 6)"
+        " AS covar_qty_price",
+        f"round(SQRT(({nd} * {syy} - {sy} * {sy}) / ({nd} * ({nd} - 1.0D))), 6)"
+        " AS stddev_price",
+        f"round({sx} / {nd}, 6) AS avg_qty",
         "p25",
         "p50",
         "p75",
