@@ -98,13 +98,15 @@ def _fold(terms: list) -> "Column | str":
 
 def _dot_sql(a: str, b: str, dim: int | None) -> str:
     if dim is not None:
-        return _fold(
+        # parenthesized: the unrolled form is a bare `+` chain and must
+        # stay one unit inside larger expressions (`1.0D - dot / n`)
+        return "(" + _fold(
             [
                 f"CAST(element_at({a}, {i}) AS DOUBLE) * "
                 f"CAST(element_at({b}, {i}) AS DOUBLE)"
                 for i in range(1, dim + 1)
             ]
-        )
+        ) + ")"
     return (
         f"aggregate(zip_with({a}, {b}, (x, y) -> "
         "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, (acc, x) -> acc + x)"
@@ -160,13 +162,15 @@ def l2_distance(a, b, dim: int | None = None) -> Column:
     if _is_sql(a, b):
         if dim is not None:
             return F.expr(
-                _fold(
+                "("
+                + _fold(
                     [
                         f"POWER(CAST(element_at({a}, {i}) AS DOUBLE) - "
                         f"CAST(element_at({b}, {i}) AS DOUBLE), 2)"
                         for i in range(1, dim + 1)
                     ]
                 )
+                + ")"
             )
         return F.expr(
             f"aggregate(zip_with({a}, {b}, (x, y) -> "

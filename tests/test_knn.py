@@ -64,6 +64,31 @@ def test_local_topk_matches_exact(spark, emb, np_data, metric):
     assert got == np_topk(mat, ids, [q for _, q in queries], 5, metric)
 
 
+@pytest.mark.parametrize("metric", ["cosine", "l2", "ip"])
+def test_unrolled_dim_form_bit_identical(spark, emb, np_data, metric):
+    """The dim= unrolled expression (a bare `+` chain in SQL-string
+    form) must stay one parenthesized unit inside the surrounding
+    `1 - dot / norms` arithmetic — regression for the precedence bug
+    where `1.0D - t1 + t2 + ...` parsed as `(1.0D - t1) + t2 + ...`."""
+    ids, mat = np_data
+    dim = mat.shape[1]
+    queries = spark.createDataFrame(
+        [(i, list(map(float, q))) for i, q in enumerate(mat[:2])],
+        "query_id INT, query_embedding ARRAY<DOUBLE>",
+    )
+    hof = knn_exact(emb, queries, k=5, metric=metric, item_id="vec_id").collect()
+    unrolled = knn_exact(
+        emb, queries, k=5, metric=metric, item_id="vec_id", dim=dim
+    ).collect()
+    assert [(r["query_id"], r["rank"], r["vec_id"]) for r in hof] == [
+        (r["query_id"], r["rank"], r["vec_id"]) for r in unrolled
+    ]
+    for a, b in zip(hof, unrolled):
+        assert np.float64(a["distance"]).view(np.int64) == np.float64(
+            b["distance"]
+        ).view(np.int64)
+
+
 def test_self_query_rank1_is_self(spark, emb, np_data):
     ids, mat = np_data
     queries = spark.createDataFrame(
