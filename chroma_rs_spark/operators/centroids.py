@@ -125,6 +125,59 @@ def assign_nearest_centroid(
     )
 
 
+def assign_nearest_label_centroid(
+    emb: DataFrame,
+    dim: int,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Fused label_centroids → assign_nearest_centroid when `dim` is
+    known (a vector collection always records it): per-dimension
+    fixed-point sums aggregate in ONE label-keyed shuffle of k×dim
+    partials — no posexplode of |rows|×dim narrow rows and no second
+    pivot shuffle — then the same broadcast argmin as
+    `assign_nearest_centroid`. Bit-identical to the two-step path
+    (same micro-unit decimal sums per (label, pos), same round-6 + 0.0
+    centroids, same rounded sq-dist tie-break); pinned by
+    tests/test_centroids.py. At 100 TB this is strictly better: the
+    only full-data pass is map-side partial aggregation."""
+    micro = [
+        f"sum(CAST(round(CAST(element_at(`{vec_col}`, {i}) AS DOUBLE)"
+        f" * 1000000.0) AS DECIMAL(38,0))) AS _s{i}"
+        for i in range(1, dim + 1)
+    ]
+    g = emb.groupBy(F.col(label_col).alias("label")).agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        *[F.expr(s) for s in micro],
+    )
+    cvec = "array(" + ", ".join(
+        f"round(CAST(_s{i} AS DOUBLE) / (n_vectors * 1000000.0), 6) + 0.0D"
+        for i in range(1, dim + 1)
+    ) + ")"
+    mats = g.selectExpr("label", f"{cvec} AS cvec")
+    v = F.col(vec_col).cast("array<double>")
+    sq = F.aggregate(
+        F.zip_with(v, F.col("cvec"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    sqr = F.round(sq, 6) + F.lit(0.0)
+    scored = (
+        emb.select(id_col, vec_col)
+        .crossJoin(F.broadcast(mats))
+        .select(id_col, F.col("label").alias("assigned_label"), sqr.alias("sq_dist"))
+    )
+    best = scored.groupBy(id_col).agg(
+        F.min(F.struct("sq_dist", "assigned_label")).alias("_b")
+    )
+    return best.select(
+        id_col,
+        F.col("_b.assigned_label").alias("assigned_label"),
+        F.col("_b.sq_dist").alias("sq_dist"),
+    )
+
+
 def kmeans(
     emb: DataFrame,
     k: int = 8,

@@ -546,13 +546,11 @@ FROM g
 
 
 def q_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from chroma_rs_spark.operators.centroids import (
-        assign_nearest_centroid,
-        label_centroids,
-    )
+    from chroma_rs_spark.operators.centroids import assign_nearest_label_centroid
+    from chroma_rs_spark.sources.tables import EMBEDDING_DIM
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return assign_nearest_centroid(emb, label_centroids(emb))
+    return assign_nearest_label_centroid(emb, dim=EMBEDDING_DIM)
 
 
 _CENTROID_ASSIGN_ORACLE = f"""

@@ -49,6 +49,33 @@ def test_assign_nearest_centroid_roundtrip(spark):
     assert got == {0: 0, 1: 0, 2: 1, 3: 1}
 
 
+def test_fused_assign_bit_identical_to_two_step(spark):
+    """assign_nearest_label_centroid (one-shuffle fused path) must
+    reproduce the label_centroids -> assign_nearest_centroid result
+    bit-for-bit on real embeddings."""
+    import numpy as np
+
+    from chroma_rs_spark.operators.centroids import assign_nearest_label_centroid
+
+    emb = spark.read.parquet(f"{SF001_DIR}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    two = {
+        r["vec_id"]: (r["assigned_label"], r["sq_dist"])
+        for r in assign_nearest_centroid(emb, label_centroids(emb)).collect()
+    }
+    fused = {
+        r["vec_id"]: (r["assigned_label"], r["sq_dist"])
+        for r in assign_nearest_label_centroid(emb, dim=dim).collect()
+    }
+    assert two.keys() == fused.keys()
+    for k in two:
+        assert two[k][0] == fused[k][0]
+        assert (
+            np.float64(two[k][1]).view(np.int64)
+            == np.float64(fused[k][1]).view(np.int64)
+        )
+
+
 @pytest.mark.parametrize("qname", ["label_centroids", "centroid_assign"])
 def test_centroid_suite_queries_match_oracle(spark, qname):
     from chroma_rs_spark.suite.pipeline import QUERIES
