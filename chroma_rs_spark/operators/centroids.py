@@ -140,8 +140,17 @@ def assign_nearest_label_centroid(
     `assign_nearest_centroid`. Bit-identical to the two-step path
     (same micro-unit decimal sums per (label, pos), same round-6 + 0.0
     centroids, same rounded sq-dist tie-break); pinned by
-    tests/test_centroids.py. At 100 TB this is strictly better: the
-    only full-data pass is map-side partial aggregation."""
+    tests/test_centroids.py.
+
+    Measured tradeoff (local[32], dim=64, sf0.1): SLOWER than the
+    two-step path (0.75 s vs 0.55 s) — the dim-wide aggregate carries
+    2×dim+1 buffer fields, past spark.sql.codegen.maxFields (100), so
+    the aggregation stage falls back to interpreted evaluation. Use it
+    when dim is small (≤ ~45 keeps codegen) or when the posexplode'd
+    |rows|×dim intermediate is the binding constraint (very wide
+    corpora on spill-limited executors); otherwise prefer
+    label_centroids → assign_nearest_centroid, whose narrow long-form
+    rows stay fully codegen'd."""
     micro = [
         f"sum(CAST(round(CAST(element_at(`{vec_col}`, {i}) AS DOUBLE)"
         f" * 1000000.0) AS DECIMAL(38,0))) AS _s{i}"

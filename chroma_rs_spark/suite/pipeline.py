@@ -546,11 +546,19 @@ FROM g
 
 
 def q_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from chroma_rs_spark.operators.centroids import assign_nearest_label_centroid
-    from chroma_rs_spark.sources.tables import EMBEDDING_DIM
+    # two-step path on purpose: the one-shuffle fused variant
+    # (assign_nearest_label_centroid) measured SLOWER at sf0.1 (0.75 s
+    # vs 0.55 s) — its dim-wide aggregate exceeds the whole-stage-
+    # codegen field limit (spark.sql.codegen.maxFields=100) and the
+    # stage falls back to interpreted aggregation. See the fused op's
+    # docstring for when it wins.
+    from chroma_rs_spark.operators.centroids import (
+        assign_nearest_centroid,
+        label_centroids,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return assign_nearest_label_centroid(emb, dim=EMBEDDING_DIM)
+    return assign_nearest_centroid(emb, label_centroids(emb))
 
 
 _CENTROID_ASSIGN_ORACLE = f"""
