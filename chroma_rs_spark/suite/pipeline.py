@@ -511,7 +511,12 @@ QUERIES = {
     "multimodal_features": QueryDef(q_multimodal_features, _MULTIMODAL_ORACLE),
     "embedding_quantize": QueryDef(q_embedding_quantize, _EMBEDDING_QUANTIZE_ORACLE),
     "dataset_split": QueryDef(q_dataset_split, _DATASET_SPLIT_ORACLE),
-    "stratified_sample": QueryDef(q_stratified_sample, _STRATIFIED_SAMPLE_ORACLE),
+    # round-4 rotation: the exact broadcast near-dup baseline joins its
+    # bucketed scale successor in the driver window (both halves of the
+    # measured-baseline pair gated), and video-style frame sampling
+    # gives the multimodal family a second driver-checked row
+    "embedding_near_dup": QueryDef(q_embedding_near_dup, _EMBEDDING_NEAR_DUP_ORACLE),
+    "frame_sample": QueryDef(q_frame_sample, _FRAME_SAMPLE_ORACLE),
 }
 
 
@@ -938,6 +943,8 @@ EXTRA_QUERIES = {
         q_deterministic_sample, _DETERMINISTIC_SAMPLE_ORACLE
     ),
     "dedup_exact_norm": QueryDef(q_dedup_exact_norm, _DEDUP_EXACT_NORM_ORACLE),
-    "embedding_near_dup": QueryDef(q_embedding_near_dup, _EMBEDDING_NEAR_DUP_ORACLE),
-    "frame_sample": QueryDef(q_frame_sample, _FRAME_SAMPLE_ORACLE),
+    # round-4 rotation out of the driver window (still bit-checked here
+    # by tools/check.py --extra): the sampling family keeps
+    # dataset_split / split_contamination / temperature_mixture gated
+    "stratified_sample": QueryDef(q_stratified_sample, _STRATIFIED_SAMPLE_ORACLE),
 }

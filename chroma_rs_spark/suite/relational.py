@@ -1075,6 +1075,10 @@ QUERIES = {
     ),
     "events_json_stats": QueryDef(q_events_json_stats, _EVENTS_JSON_ORACLE),
     "lineitem_stats": QueryDef(q_lineitem_stats, _LINEITEM_STATS_ORACLE),
+    # round-4 rotation in: the scalar-subquery pattern (broadcast 1-row
+    # aggregate filtering the fact table map-side) + the scalar
+    # date/string function surface were previously EXTRA-only
+    "orders_above_avg": QueryDef(q_orders_above_avg, _ORDERS_ABOVE_AVG_ORACLE),
 }
 
 # Verified locally (tools/check.py --extra, pytest) but rotated out of
@@ -1353,7 +1357,6 @@ EXTRA_QUERIES = {
     "order_price_histogram": QueryDef(
         q_order_price_histogram, _PRICE_HISTOGRAM_ORACLE
     ),
-    "orders_above_avg": QueryDef(q_orders_above_avg, _ORDERS_ABOVE_AVG_ORACLE),
     "events_cube": QueryDef(q_events_cube, _EVENTS_CUBE_ORACLE),
     "customers_without_orders": QueryDef(
         q_customers_without_orders, _CUSTOMERS_WITHOUT_ORDERS_ORACLE

@@ -171,7 +171,6 @@ LIMIT 50
 
 QUERIES = {
     "chunk_documents": QueryDef(q_chunk_documents, _CHUNK_ORACLE),
-    "top_tokens": QueryDef(q_top_tokens, _TOP_TOKENS_ORACLE),
     "lang_id": QueryDef(q_lang_id, _LANG_ID_ORACLE),
     "token_stats": QueryDef(q_token_stats, _TOKEN_STATS_ORACLE),
     "quality_score": QueryDef(q_quality_score, _QUALITY_ORACLE),
@@ -413,5 +412,8 @@ QUERIES.update(
 )
 
 EXTRA_QUERIES = {
+    # round-4 rotation: the corpus token ranking is subsumed in the
+    # driver window by tfidf_topk (same explode/count core + idf join)
+    "top_tokens": QueryDef(q_top_tokens, _TOP_TOKENS_ORACLE),
     "pii_scrub": QueryDef(q_pii_scrub, _pii_oracle()),
 }
