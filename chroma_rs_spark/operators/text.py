@@ -459,8 +459,12 @@ def tfidf_topk(
     tok = df.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("term"))
     tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("_tf"))
     # corpus size as a broadcast 1-row aggregate, not a driver action —
-    # the plan stays lazy and the scalar rides into the idf expression
-    n_docs = df.agg(F.countDistinct(id_col).alias("_n"))
+    # the plan stays lazy and the scalar rides into the idf expression.
+    # count(1), not countDistinct: id_col is the corpus primary key
+    # (duplicate ids are rejected at add-time, collection.py A1), and
+    # count(1) is a single-stage map-side-combinable agg where
+    # countDistinct expands to two aggregation stages.
+    n_docs = df.agg(F.count(F.lit(1)).alias("_n"))
     docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
     idf = F.log(
         (F.lit(1.0) + F.col("_n").cast("double"))
