@@ -1,0 +1,286 @@
+"""IVF-PQ-style product quantization for vector collections.
+
+Product quantization (Jégou, Douze, Schmid, "Product Quantization for
+Nearest Neighbor Search", TPAMI 2011 — the index family behind Faiss
+IVF-PQ) compresses a dim-d vector into M uint8 codes by splitting it
+into M subspaces and k-means-quantizing each subspace independently.
+At the 100 TB design point this is the memory lever exact KNN and IVF
+lack: dim=64 float32 vectors (256 B) become M=8 one-byte codes — a
+32x shrink — so a 100 TB raw corpus's index fits ~3 TB and each
+executor scans codes, not vectors. Search uses ADC (asymmetric
+distance computation): per query, an M x K lookup table of exact
+subspace distances is built once (tiny), and each candidate's
+approximate distance is M table lookups + adds.
+
+Spark shapes (matching the repo's discipline):
+
+* **train** — on a bounded, md5-deterministic SAMPLE collected to the
+  driver (the universal PQ practice: Faiss trains codebooks on a
+  sample, not the corpus; the artifact is M*K*(dim/M) doubles — tiny
+  by contract, like the IVF centroid collects in operators/ivf.py).
+  numpy Lloyd's with deterministic seeds; bit-reproducible.
+* **encode** — distributed, shuffle-free: one vectorized Arrow pass
+  (mapInPandas) computes all-subspace argmins with numpy matmuls.
+  This is the justified Pandas-UDF case: M*K per-row distance argmins
+  would otherwise be an interpreted HOF tree.
+* **search (ADC)** — broadcast the per-query LUTs inside the task
+  closure, np.take + sum per subspace, local top-k per partition,
+  then one tiny window over |partitions| x |queries| x k candidates —
+  the same bounded-shuffle shape as knn_exact_local_topk.
+* **rescore** — the production pattern: PQ retrieves an oversampled
+  candidate set, an id-join against the raw vectors re-scores them
+  exactly (distances identical to the exact path's doubles), and the
+  final top-k ranks on exact distances. Recall is then a property of
+  the oversample factor, not of quantization error alone.
+
+Verification: tests/test_pq.py pins encode codes and ADC distances
+bit-for-bit against a pure-numpy reference, checks determinism, and
+holds a measured recall band for PQ+rescore vs exact KNN. The
+`pq_topk` suite entry is EXTRA/rows-only — codebooks are trained at
+plan time, so no static SQL oracle can replay them (the same reason
+knn_ivf_trained's oracle replays k-means in SQL; PQ's per-subspace
+loops would multiply that oracle by M with no new checking power).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from chroma_rs_spark.operators.knn import DIST_DECIMALS
+
+
+def train_pq_codebooks(
+    items: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    max_iter: int = 10,
+    sample_size: int = 4096,
+    item_id: str = "vec_id",
+    item_emb: str = "embedding",
+):
+    """Train M codebooks of K centroids each on a deterministic sample.
+
+    Returns a numpy array of shape (m, k, dim//m) — the persisted
+    index artifact (M*K*(dim/M) doubles; 8 KiB at m=8, k=16, dim=64).
+
+    The sample is the `sample_size` ids with the smallest
+    (md5(id), id) — uniform, engine-independent, reproducible. Seeds
+    per subspace are the first k sample rows in that order. Lloyd's
+    runs in float64 numpy; empty clusters keep their previous centroid
+    (deterministic, matches the DataFrame kmeans' fixed-point
+    convention of never inventing centroids).
+    """
+    import numpy as np
+
+    rows = (
+        items.filter(F.col(item_emb).isNotNull())
+        .select(
+            F.col(item_id).alias("id"),
+            F.col(item_emb).cast("array<double>").alias("emb"),
+        )
+        .withColumn("_h", F.md5(F.col("id").cast("string")))
+        .orderBy("_h", "id")
+        .limit(int(sample_size))
+        .collect()
+    )
+    if not rows:
+        raise ValueError("train_pq_codebooks: no vectors to train on")
+    sample = np.asarray([r["emb"] for r in rows], dtype=np.float64)
+    dim = sample.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    if len(sample) < k:
+        raise ValueError(
+            f"sample of {len(sample)} vectors cannot seed k={k} centroids"
+        )
+    books = np.empty((m, k, sub), dtype=np.float64)
+    for mi in range(m):
+        x = sample[:, mi * sub : (mi + 1) * sub]
+        cents = x[:k].copy()
+        for _ in range(max_iter):
+            # (n, k) squared L2 via the expansion — exact enough for
+            # training (codebooks are data, not a checked contract)
+            d = (
+                (x * x).sum(axis=1)[:, None]
+                - 2.0 * (x @ cents.T)
+                + (cents * cents).sum(axis=1)[None, :]
+            )
+            lab = np.argmin(d, axis=1)
+            new = cents.copy()
+            for ci in range(k):
+                mask = lab == ci
+                if mask.any():
+                    new[ci] = x[mask].mean(axis=0)
+            if np.array_equal(new, cents):
+                break
+            cents = new
+        books[mi] = cents
+    return books
+
+
+def pq_encode(
+    items: DataFrame,
+    codebooks,
+    item_id: str = "vec_id",
+    item_emb: str = "embedding",
+    id_type: str = "long",
+) -> DataFrame:
+    """(id, codes ARRAY<INT>): nearest-centroid code per subspace.
+
+    One shuffle-free Arrow pass; ties break to the lower code index
+    (numpy argmin's first-occurrence rule — the repo convention).
+    """
+    import numpy as np
+    import pandas as pd
+
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, k, sub = books.shape
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            emb = np.stack(pdf[item_emb].to_numpy()).astype(np.float64)
+            n = emb.shape[0]
+            codes = np.empty((n, m), dtype=np.int32)
+            for mi in range(m):
+                x = emb[:, mi * sub : (mi + 1) * sub]
+                c = books[mi]
+                d = (
+                    (x * x).sum(axis=1)[:, None]
+                    - 2.0 * (x @ c.T)
+                    + (c * c).sum(axis=1)[None, :]
+                )
+                codes[:, mi] = np.argmin(d, axis=1)
+            yield pd.DataFrame(
+                {"id": pdf[item_id], "codes": list(codes)}
+            )
+
+    out = items.filter(F.col(item_emb).isNotNull()).select(item_id, item_emb)
+    return out.mapInPandas(encode, schema=f"id {id_type}, codes array<int>")
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    codebooks,
+    queries: Sequence[tuple],
+    k: int = 10,
+    id_type: str = "long",
+) -> DataFrame:
+    """(query_id, rank, id, adc_dist): approximate top-k by ADC over
+    PQ codes. `queries` is a driver-side list of (qid, vector) — small
+    by contract, like every probe set in the engine.
+
+    Per task: LUT[m][j] = exact squared L2 between the query's m-th
+    subvector and codebook[m][j]; candidate distance = sum of M
+    lookups (np.take, vectorized). Local top-k per Arrow batch, then
+    one window over the bounded candidate set. Distances are rounded
+    to DIST_DECIMALS with -0.0 folded, ranks tie-break on id — the
+    engine-wide determinism contract.
+    """
+    import numpy as np
+    import pandas as pd
+
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, kk_, sub = books.shape
+    qids = [q[0] for q in queries]
+    qmat = np.asarray([q[1] for q in queries], dtype=np.float64)
+    # (nq, m, k) LUTs, built once on the driver (tiny) and shipped in
+    # the task closure like the IVF centroid matrices
+    luts = np.empty((len(qids), m, kk_), dtype=np.float64)
+    for j in range(len(qids)):
+        for mi in range(m):
+            diff = books[mi] - qmat[j, mi * sub : (mi + 1) * sub][None, :]
+            luts[j, mi] = (diff * diff).sum(axis=1)
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["id"].to_numpy()
+            if ids.dtype == object:
+                ids = ids.astype(str)
+            codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64)  # (n, m)
+            rows = []
+            for j, qid in enumerate(qids):
+                # d[i] = sum_m LUT[j, m, codes[i, m]]
+                d = np.zeros(len(ids), dtype=np.float64)
+                for mi in range(m):
+                    d += luts[j, mi][codes[:, mi]]
+                d = np.round(d, DIST_DECIMALS) + 0.0
+                kk = min(k, len(ids))
+                sel = np.lexsort((ids, d))[:kk]
+                rows.append(
+                    pd.DataFrame(
+                        {"query_id": qid, "id": ids[sel], "adc_dist": d[sel]}
+                    )
+                )
+            if rows:
+                yield pd.concat(rows, ignore_index=True)
+
+    cands = codes.mapInPandas(
+        score, schema=f"query_id long, id {id_type}, adc_dist double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("id").asc()
+    )
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "id", "adc_dist")
+    )
+
+
+def pq_topk_rescored(
+    items: DataFrame,
+    codebooks,
+    queries: Sequence[tuple],
+    k: int = 10,
+    oversample: int = 4,
+    item_id: str = "vec_id",
+    item_emb: str = "embedding",
+    id_type: str = "long",
+) -> DataFrame:
+    """Production PQ search: ADC retrieves k*oversample candidates,
+    an id-join against the raw vectors re-scores them with the EXACT
+    squared-L2 (same rounded doubles as the exact KNN path), and the
+    final top-k ranks on exact distances.
+
+    Scale shape: the candidate set is |queries| x k x oversample rows
+    — the only thing joined back against the corpus (a semi-join-sized
+    probe of the id index / bucketed layout at 100 TB), so the raw
+    vectors of non-candidates are never read twice.
+    """
+    from chroma_rs_spark.functions.vector import l2_distance, vector_lit_sql
+
+    cand = pq_adc_topk(
+        pq_encode(items, codebooks, item_id, item_emb, id_type=id_type),
+        codebooks,
+        queries,
+        k=int(k) * int(oversample),
+        id_type=id_type,
+    ).select(F.col("id").alias(item_id), "query_id")
+    raw = items.select(item_id, item_emb)
+    joined = cand.join(raw, item_id)
+    exact = None
+    for qid, qv in queries:
+        d = F.round(
+            l2_distance(f"`{item_emb}`", vector_lit_sql(qv)), DIST_DECIMALS
+        ) + F.lit(0.0)
+        cond = F.col("query_id") == F.lit(qid)
+        exact = F.when(cond, d) if exact is None else exact.when(cond, d)
+    scored = joined.select(
+        "query_id", F.col(item_id).alias("id"), exact.alias("distance")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("distance").asc(), F.col("id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "id", "distance")
+    )

@@ -482,6 +482,33 @@ WHERE contains(text, 'scan') AND NOT contains(text, 'hash')
 # build), knn_cosine_scale duplicates knn_cosine's semantics via the
 # bounded-shuffle path, and get_page's pagination family stays covered
 # by where_filter/where_document.
+# PQ codebook cache, keyed like _TRAINED_CENT_CACHE (mtime-staleness):
+# the trained (m, k, dim/m) matrix is the persisted index artifact.
+_PQ_BOOK_CACHE: dict[str, object] = {}
+
+
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized ANN with exact re-scoring (operators/pq.py):
+    ADC over 8x16 codebooks retrieves 4x-oversampled candidates, the
+    raw-vector join re-scores them exactly, top-10 per probe."""
+    import os
+
+    from chroma_rs_spark.operators.pq import pq_topk_rescored, train_pq_codebooks
+
+    try:
+        mtime = os.path.getmtime(os.path.join(sf_dir, "embeddings.parquet"))
+    except OSError:
+        mtime = -1.0
+    key = f"{sf_dir}@{mtime}"
+    emb = load_table(spark, sf_dir, "embeddings")
+    if key not in _PQ_BOOK_CACHE:
+        _PQ_BOOK_CACHE[key] = train_pq_codebooks(emb, m=8, k=16)
+    probes = _small_vectors(spark, sf_dir, N_PROBES)
+    return pq_topk_rescored(
+        emb, _PQ_BOOK_CACHE[key], probes, k=TOP_K, oversample=4
+    )
+
+
 def q_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-FILTERED exact KNN — the vector-DB pattern where a
     `where` predicate restricts the candidate set BEFORE the distance
@@ -556,6 +583,10 @@ FROM embeddings
     ),
     "knn_ivf": QueryDef(q_knn_ivf, _KNN_IVF_ORACLE),
     "knn_cosine_scale": QueryDef(q_knn_cosine_scale, _knn_oracle(_COSINE_EXPR)),
+    # rows-only on purpose: PQ codebooks are trained at plan time
+    # (operators/pq.py module docstring); correctness is pinned by
+    # tests/test_pq.py's numpy bit-parity + recall band instead
+    "pq_topk": QueryDef(q_pq_topk, None, iterative=True),
     "get_page": QueryDef(
         q_get_page,
         """
