@@ -563,6 +563,97 @@ def _load_ivf_index(
     ]
 
 
+PQ_INDEX_DIR = "pq_index"
+
+
+def _unit_vectors(df: DataFrame) -> DataFrame:
+    """(id, embedding) with unit-normalized double vectors — the ADC
+    candidate domain for cosine collections (cosine ranking ≡ L2 on
+    unit vectors). Zero-norm vectors become NULL (unscorable under
+    cosine; pq_encode drops NULLs, matching the exact path's filter).
+    Candidate-stage only: the final ranking always re-scores exactly
+    on the raw vectors."""
+    from chroma_rs_spark.functions.vector import l2_norm
+
+    return df.select(
+        "id",
+        "embedding",
+        l2_norm("CAST(embedding AS ARRAY<DOUBLE>)").alias("_n"),
+    ).selectExpr(
+        "id",
+        "CASE WHEN _n = 0.0D THEN NULL"
+        " ELSE transform(CAST(embedding AS ARRAY<DOUBLE>), x -> x / _n)"
+        " END AS embedding",
+    )
+
+
+def build_pq_index(
+    engine: Engine,
+    coll: Collection,
+    m: int = 8,
+    k: int = 16,
+    max_iter: int = 10,
+    sample_size: int = 4096,
+) -> str:
+    """Train and PERSIST the collection's product-quantization
+    codebooks (operators/pq.py) as a tiny (m, code, pos, value)
+    parquet next to the collection data — the same index-build-once
+    contract as build_ivf_index. Cosine collections train on
+    unit-normalized vectors (ADC candidates then rank by cosine);
+    l2 collections train on raw vectors. Item codes are NOT persisted:
+    queries encode at search time, so late-added items stay searchable
+    (at 100 TB you would additionally materialize the codes column —
+    the codebook artifact and search plan stay identical)."""
+    from chroma_rs_spark.operators.pq import train_pq_codebooks
+
+    metric = (coll.metadata or {}).get("hnsw:space", "l2")
+    if metric not in ("l2", "cosine"):
+        raise EngineError(
+            f"index='pq' supports l2/cosine collections; hnsw:space is {metric!r}"
+        )
+    df = items_df(engine, coll).filter(F.col("embedding").isNotNull())
+    src = _unit_vectors(df) if metric == "cosine" else df
+    books = train_pq_codebooks(
+        src,
+        m=m,
+        k=k,
+        max_iter=max_iter,
+        sample_size=sample_size,
+        item_id="id",
+        item_emb="embedding",
+    )
+    rows = [
+        (mi, ci, pos, float(books[mi, ci, pos]))
+        for mi in range(books.shape[0])
+        for ci in range(books.shape[1])
+        for pos in range(books.shape[2])
+    ]
+    path = os.path.join(engine.collection_dir(coll.id), PQ_INDEX_DIR)
+    (
+        engine.spark.createDataFrame(rows, "m INT, code INT, pos INT, value DOUBLE")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return path
+
+
+def _load_pq_index(engine: Engine, coll: Collection):
+    import numpy as np
+
+    path = os.path.join(engine.collection_dir(coll.id), PQ_INDEX_DIR)
+    if not (os.path.isdir(path) and _has_parquet(path)):
+        return None
+    rows = engine.spark.read.parquet(path).collect()
+    m = max(r["m"] for r in rows) + 1
+    k = max(r["code"] for r in rows) + 1
+    sub = max(r["pos"] for r in rows) + 1
+    books = np.zeros((m, k, sub), dtype=np.float64)
+    for r in rows:
+        books[r["m"], r["code"], r["pos"]] = r["value"]
+    return books
+
+
 def query(
     engine: Engine,
     coll: Collection,
@@ -573,6 +664,7 @@ def query(
     include: Sequence[str] = ("documents", "metadatas", "distances"),
     index: str = "exact",
     n_probe: int = 4,
+    oversample: int = 4,
 ) -> DataFrame:
     """Batch KNN over the collection under its `hnsw:space` metric.
 
@@ -633,8 +725,71 @@ def query(
             F.col("neighbor_id").alias("id"),
             "distance",
         )
+    elif index == "pq":
+        if metric not in ("l2", "cosine"):
+            raise EngineError(
+                f"index='pq' supports l2/cosine collections; this "
+                f"collection's hnsw:space is {metric!r}"
+            )
+        import math
+
+        from chroma_rs_spark.operators.pq import (
+            pq_adc_topk,
+            pq_encode,
+            train_pq_codebooks,
+        )
+
+        src = df.filter(F.col("embedding").isNotNull())
+        enc_src = _unit_vectors(src) if metric == "cosine" else src
+        books = _load_pq_index(engine, coll)
+        if books is None:
+            # transient, like the IVF path: reads never write. Subspace
+            # count adapts to the collection dim (largest m ≤ 8 that
+            # divides it) — build_pq_index is the place to choose m
+            # explicitly.
+            dim = len(query_embeddings[0]) if query_embeddings else 1
+            m_eff = next(mi for mi in range(min(8, dim), 0, -1) if dim % mi == 0)
+            books = train_pq_codebooks(
+                enc_src, m=m_eff, item_id="id", item_emb="embedding"
+            )
+        qlist = []
+        for i, q in enumerate(query_embeddings):
+            qv = [float(x) for x in q]
+            if metric == "cosine":
+                n = math.sqrt(sum(x * x for x in qv)) or 1.0
+                qv = [x / n for x in qv]
+            qlist.append((i, qv))
+        # ADC proposes an oversampled candidate pool; the pool is then
+        # re-scored EXACTLY by the same knn_exact plan the exact path
+        # runs (collection metric, stored norms, rounded doubles), so
+        # returned distances are bit-identical to exact-path distances
+        # and approximation affects recall only.
+        cand = pq_adc_topk(
+            pq_encode(enc_src, books, item_id="id", item_emb="embedding",
+                      id_type="string"),
+            books,
+            qlist,
+            k=int(n_results) * int(oversample),
+            id_type="string",
+        )
+        pool = cand.select("id").distinct()
+        sub = df.join(pool, "id", "left_semi")
+        queries = engine.spark.createDataFrame(
+            [(i, [float(x) for x in q]) for i, q in enumerate(query_embeddings)],
+            "query_id INT, query_embedding ARRAY<DOUBLE>",
+        )
+        result = knn_exact(
+            sub,
+            queries,
+            k=n_results,
+            metric=metric,
+            item_id="id",
+            item_emb="embedding",
+            item_norm="embedding_norm" if metric == "cosine" else None,
+            dim=len(query_embeddings[0]) if query_embeddings else None,
+        )
     elif index != "exact":
-        raise EngineError(f"unknown index {index!r}; use 'exact' or 'ivf'")
+        raise EngineError(f"unknown index {index!r}; use 'exact', 'ivf' or 'pq'")
     else:
         queries = engine.spark.createDataFrame(
             [(i, [float(x) for x in q]) for i, q in enumerate(query_embeddings)],

@@ -93,10 +93,9 @@ def train_pq_codebooks(
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sub = dim // m
-    if len(sample) < k:
-        raise ValueError(
-            f"sample of {len(sample)} vectors cannot seed k={k} centroids"
-        )
+    # tiny corpora: fewer centroids than asked-for is the only sound
+    # choice (deterministic — seeds are then ALL sample rows in order)
+    k = min(k, len(sample))
     books = np.empty((m, k, sub), dtype=np.float64)
     for mi in range(m):
         x = sample[:, mi * sub : (mi + 1) * sub]
