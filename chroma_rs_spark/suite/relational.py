@@ -835,43 +835,19 @@ def q_lineitem_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     evaluate the same IEEE expression, so results match bit-for-bit
     while staying one-pass/map-side-combinable at scale.
     """
-    # Single-shuffle fusion: ONE flag-partitioned window pass carries
-    # both the rank-select percentile selectors and the money limbs,
-    # and one aggregation computes moments + percentiles together —
-    # the window's hash distribution on l_returnflag satisfies the
-    # groupBy, so no second exchange and no join. (The standalone
-    # `_rank_select_percentiles` + broadcast-join formulation this
-    # replaces measured 0.84 s vs 0.72 s fused at sf0.1, bit-identical
-    # output. Scale caveat unchanged from the percentile docstring:
-    # both window forms assume a group fits one task's sort —
-    # `percentiles_cent_histogram` is the formulation for groups that
-    # don't, and the equality test keeps it honest.)
+    # Two branches ON PURPOSE (measured): moments aggregate map-side in
+    # parallel over the scan, percentiles pay the flag-partitioned sort
+    # on ONLY (flag, price), and a 3-row broadcast join glues them. A
+    # round-4 experiment fused both into one window pass — 0.72 s vs
+    # 0.84 s at sf0.1 — but carrying the money limbs through the
+    # 3-task in-group sort tripled the 10x-replication time (10.7 s vs
+    # 3.2 s at ~sf1.0): the narrow-sort/parallel-agg split IS the plan
+    # that survives scale-up, so the suite keeps it.
     li = load_table(spark, sf_dir, "lineitem").selectExpr(
         "l_returnflag",
-        "l_extendedprice",
         f"{money.int_scaled_sql('l_quantity')} AS _x",
         f"{money.int_scaled_sql('l_extendedprice')} AS _y",
-    ).selectExpr(
-        "l_returnflag",
-        "l_extendedprice",
-        "_x",
-        "_y",
-        "row_number() OVER (PARTITION BY l_returnflag"
-        " ORDER BY l_extendedprice) AS _rn",
-        "count(1) OVER (PARTITION BY l_returnflag) AS _n",
     )
-
-    def pos(p: float) -> str:
-        return f"(_n - 1) * {p!r}D"
-
-    pct_outs = []
-    for p, nm in zip((0.25, 0.5, 0.75, 0.95), ("p25", "p50", "p75", "p95")):
-        lo = f"max(CASE WHEN (_rn - 1) = floor({pos(p)}) THEN l_extendedprice END)"
-        hi = f"max(CASE WHEN (_rn - 1) = ceil({pos(p)}) THEN l_extendedprice END)"
-        frac = f"max({pos(p)} - floor({pos(p)}))"
-        pct_outs.append(
-            F.expr(f"round({lo} + ({hi} - {lo}) * {frac}, 4) AS `{nm}`")
-        )
     g = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
         # exact two-limb int64 sums (functions/money.py) — the second
@@ -887,8 +863,19 @@ def q_lineitem_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + money.split_sum_sql("_y * _y", "syy")
             )
         ],
-        *pct_outs,
     )
+    # Exact linear-interpolation percentiles (≡ DuckDB quantile_cont):
+    # the in-group sort parallelizes across groups and carries only the
+    # two columns it needs; `percentiles_cent_histogram` remains the
+    # formulation for groups too large to sort in one task.
+    pcts = _rank_select_percentiles(
+        load_table(spark, sf_dir, "lineitem"),
+        "l_returnflag",
+        "l_extendedprice",
+        (0.25, 0.5, 0.75, 0.95),
+        ("p25", "p50", "p75", "p95"),
+    )
+    g = g.join(F.broadcast(pcts), "l_returnflag")
     nd = "CAST(n AS DOUBLE)"
     sx = money.combine_double_sql("sx", 2)
     sy = money.combine_double_sql("sy", 2)
