@@ -563,6 +563,45 @@ def _load_ivf_index(
     ]
 
 
+def compact(
+    engine: Engine,
+    coll: Collection,
+    target_file_mb: int = 128,
+) -> int:
+    """Rewrite the collection's data files into ~target_file_mb
+    parquet files and return the new file count — the maintenance op
+    a micro-batch ingest (streaming/ingest.py) needs: every
+    `availableNow` trigger appends its own small files, and a
+    collection that has absorbed thousands of tiny appends scans with
+    thousands of tiny tasks. Compaction is a pure physical rewrite
+    (same rows, same schema) through the crash-safe temp-dir swap, so
+    a crash mid-compact can never lose data and readers stay correct
+    throughout (single-writer contract, as for every mutation).
+
+    File count comes from the live directory's actual bytes (what the
+    optimizer's sizeInBytes also reads), so the target adapts to the
+    collection's real width. At 100 TB this is the same operation —
+    executed per partition directory if the collection is partitioned.
+    """
+    path = engine.data_path(coll.id)
+    _recover_interrupted_overwrite(path)
+    total = 0
+    if os.path.isdir(path):
+        for root, _dirs, files in os.walk(path):
+            for fn in files:
+                if fn.endswith(".parquet"):
+                    total += os.path.getsize(os.path.join(root, fn))
+    n_files = max(1, -(-total // (target_file_mb << 20)))  # ceil div
+    df = items_df(engine, coll).repartition(n_files)
+    _overwrite(engine, coll, df)
+    return sum(
+        1
+        for _root, _dirs, files in os.walk(path)
+        for fn in files
+        if fn.endswith(".parquet")
+    )
+
+
 PQ_INDEX_DIR = "pq_index"
 
 

@@ -276,3 +276,32 @@ def test_overwrite_crash_mid_write_restores_old_state(coll, engine):
     assert got == {"a", "b", "c"}
     assert not os.path.isdir(path + ".__tmp")
     assert not os.path.isdir(path + ".__old")
+
+
+def test_compact_rewrites_small_files_preserving_rows(engine):
+    import os
+
+    c = engine.create_collection("compact_me")
+    # many tiny appends = many tiny files (the micro-batch ingest shape)
+    for i in range(6):
+        c.add(
+            ids=[f"i{i}_{j}" for j in range(5)],
+            embeddings=[[float(i), float(j)] for j in range(5)],
+            documents=[f"d{i}{j}" for j in range(5)],
+        )
+    path = engine.data_path(c.id)
+    before_files = sum(
+        1 for _r, _d, fs in os.walk(path) for f in fs if f.endswith(".parquet")
+    )
+    before_rows = sorted(r["id"] for r in c.get().collect())
+    assert before_files > 6  # several files per append on local[N]
+    after_files = c.compact(target_file_mb=128)
+    assert after_files <= 2
+    assert after_files == sum(
+        1 for _r, _d, fs in os.walk(path) for f in fs if f.endswith(".parquet")
+    )
+    assert sorted(r["id"] for r in c.get().collect()) == before_rows
+    # collection remains fully functional post-compact
+    assert c.count() == 30
+    top = c.query([[2.0, 3.0]], n_results=1).collect()
+    assert top[0]["id"] == "i2_3"
