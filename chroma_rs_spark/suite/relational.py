@@ -1331,10 +1331,39 @@ def q_sql_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_REVENUE_BY_NATION_SQL)
 
 
+def q_lineitem_percentiles_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB percentile formulation under the oracle: the
+    cent-histogram rank-select (no group-sized sort anywhere — see
+    percentiles_cent_histogram) computing the exact quantile_cont
+    values the window form produces."""
+    return percentiles_cent_histogram(
+        load_table(spark, sf_dir, "lineitem"),
+        "l_returnflag",
+        "l_extendedprice",
+        (0.25, 0.5, 0.75, 0.95),
+        ("p25", "p50", "p75", "p95"),
+    )
+
+
+_LINEITEM_PCT_HIST_ORACLE = """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+       round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+       round(quantile_cont(l_extendedprice, 0.95), 4) AS p95
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 EXTRA_QUERIES = {
     # round-4 rotation: gap/sessionization coverage stays declared via
     # events_session_windows (streaming family, same lag/gap plan)
     "sessionize_events": QueryDef(q_sessionize_events, _SESSIONIZE_ORACLE),
+    # the scale-path percentile formulation, oracle-checked against the
+    # same quantile_cont ground truth the declared window form matches
+    "lineitem_percentiles_hist": QueryDef(
+        q_lineitem_percentiles_hist, _LINEITEM_PCT_HIST_ORACLE
+    ),
     "sql_revenue_by_nation": QueryDef(
         q_sql_revenue_by_nation, _REVENUE_BY_NATION_SQL
     ),
