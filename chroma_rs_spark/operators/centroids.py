@@ -220,10 +220,30 @@ def kmeans(
         .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
         .limit(k)
     )
-    # label seeds 0..k-1 in seed order
-    w = Window.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
-    seeded = seeds.select(
-        (F.row_number().over(w) - 1).alias("label"), F.col(vec_col)
+    # label seeds 0..k-1 in seed order WITHOUT a window: one global
+    # aggregate over the ≤ k seed rows builds the (md5, id, vec)
+    # structs, array_sort orders them exactly like
+    # ORDER BY md5(id), id (struct comparison is field-order
+    # lexicographic), and posexplode's position is the label. Bounded
+    # single-partition work by construction, and no WindowExec — a
+    # constant partitionBy(lit(0)) spec gets constant-folded out of
+    # this plan shape and would re-emit the single-partition warning
+    # every kmeans action.
+    seeded = (
+        seeds.groupBy()
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.md5(F.col(id_col).cast("string")).alias("h"),
+                        F.col(id_col).alias("i"),
+                        F.col(vec_col).alias("v"),
+                    )
+                )
+            ).alias("xs")
+        )
+        .select(F.posexplode("xs").alias("label", "_x"))
+        .select("label", F.col("_x.v").alias(vec_col))
     )
     cents = label_centroids(
         seeded, label_col="label", vec_col=vec_col
