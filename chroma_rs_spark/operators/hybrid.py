@@ -32,16 +32,21 @@ RRF_K0 = 60  # the standard damping constant from the RRF literature
 RRF_DEPTH = 1000  # default per-system candidate-list depth
 
 
-def _ranked_topn(df: DataFrame, order: list[Column], depth: int, out: str) -> DataFrame:
+def _ranked_topn(
+    df: DataFrame, order: list[Column], depth: int, out: str, key: str
+) -> DataFrame:
     """Global top-`depth` rows under `order`, with their exact global
     rank in `out`. The limit lowers to TakeOrderedAndProject (bounded
     partial top-k merge); the row_number window then runs over at most
-    `depth` rows — partitioned on a constant so the partition spec is
-    non-empty (same single bounded partition, but no corpus-scale
-    "No Partition Defined" hazard: the input is already ≤ depth rows).
-    """
+    `depth` rows — partitioned on pmod(`key`, 1), a constant-0 spec
+    the optimizer cannot constant-fold away (a bare lit gets folded
+    and WindowExec then logs its unpartitioned warning every action).
+    Same single bounded partition; no corpus-scale hazard because the
+    input is already ≤ depth rows."""
     top = df.orderBy(*order).limit(depth)
-    w = Window.partitionBy(F.lit(0)).orderBy(*order)
+    w = Window.partitionBy(F.pmod(F.xxhash64(F.col(key)), F.lit(1))).orderBy(
+        *order
+    )
     return top.withColumn(out, F.row_number().over(w))
 
 
@@ -84,6 +89,7 @@ def hybrid_search_rrf(
         [F.col("bm25").desc(), F.col(doc_id).asc()],
         depth,
         "bm25_rank",
+        key=doc_id,
     ).select(doc_id, "bm25_rank")
     dist = (
         F.round(
@@ -98,6 +104,7 @@ def hybrid_search_rrf(
         [F.col("_dist").asc(), F.col(doc_id).asc()],
         depth,
         "vec_rank",
+        key=doc_id,
     ).select(doc_id, "vec_rank")
     rrf: Column = F.round(
         F.lit(1.0) / (F.lit(float(k0)) + F.col("bm25_rank"))

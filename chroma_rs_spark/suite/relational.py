@@ -1020,7 +1020,11 @@ def q_high_revenue_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(*money.split_sum_aggs(F.col("_r4"), "rev"))
         .select("l_partkey", money.combine("rev", 4).alias("_rev"))
     )
-    w = Window.partitionBy(F.lit(1))
+    # single-partition ON PURPOSE over the part-sized aggregate (see
+    # docstring); pmod(key, 1) is a constant-0 partition spec the
+    # optimizer cannot fold away — a bare lit would be constant-folded
+    # out and re-emit WindowExec's unpartitioned warning every action
+    w = Window.partitionBy(F.pmod(F.col("l_partkey"), F.lit(1)))
     threshold = F.sum("_rev").over(w).cast("double") / F.count("*").over(w) * 1.2
     return (
         per_part.withColumn("threshold", threshold)
