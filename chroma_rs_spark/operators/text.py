@@ -481,3 +481,44 @@ def tfidf_topk(
         .filter(F.col("rank") <= k)
         .select(id_col, F.col("rank").cast("long").alias("rank"), "term", "tfidf")
     )
+
+
+def char_entropy(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, n_chars, n_distinct_chars, entropy_bits): Shannon entropy
+    of each document's character distribution — the classic cheap
+    junk detector (near-zero bits = one repeated character, ~4-4.5
+    bits = natural language, >5 with a wide charset = random/binary
+    spill). Complements quality_score's token-level ratios with a
+    sub-token signal.
+
+    Shape: one explode over character positions -> (doc, char) counts
+    (map-side combinable) -> per-doc fold. The per-doc sum of
+    p*log2(p) terms runs over the CHARACTER-SORTED count list via an
+    in-order `aggregate` fold, so the float accumulation order is
+    engine-independent (the bm25 discipline); log2 is 1-ulp stable
+    cross-engine, hence round-6 like every score in the engine.
+    """
+    pos = df.select(
+        F.col(id_col),
+        F.col(text_col).alias("_t"),
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.length(text_col), F.lit(1)))
+        ).alias("_i"),
+    ).select(id_col, F.col("_t").substr(F.col("_i"), F.lit(1)).alias("_c"))
+    counts = pos.groupBy(id_col, "_c").agg(F.count(F.lit(1)).alias("_n"))
+    per_doc = counts.groupBy(id_col).agg(
+        F.array_sort(F.collect_list(F.struct("_c", "_n"))).alias("_cs")
+    )
+    return per_doc.selectExpr(
+        f"`{id_col}`",
+        "aggregate(_cs, CAST(0 AS BIGINT), (acc, x) -> acc + x._n) AS n_chars",
+        "size(_cs) AS n_distinct_chars",
+        "round(-aggregate(_cs, 0.0D, (acc, x) ->"
+        " acc + (CAST(x._n AS DOUBLE) /"
+        " aggregate(_cs, CAST(0 AS BIGINT), (a2, y) -> a2 + y._n))"
+        " * log2(CAST(x._n AS DOUBLE) /"
+        " aggregate(_cs, CAST(0 AS BIGINT), (a2, y) -> a2 + y._n))), 6)"
+        " + 0.0D AS entropy_bits",
+    )

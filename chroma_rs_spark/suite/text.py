@@ -411,9 +411,43 @@ QUERIES.update(
     }
 )
 
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chroma_rs_spark.operators.text import char_entropy
+
+    return char_entropy(load_table(spark, sf_dir, "documents"))
+
+
+# per-doc char counts; the entropy sum folds the CHAR-SORTED count
+# list in order on both engines (list_sum ≡ Spark's left aggregate —
+# the bm25/centroid oracle convention), + 0.0 folds the -0.0 of
+# single-symbol docs
+_CHAR_ENTROPY_ORACLE = """
+WITH pos AS (
+  SELECT doc_id, substr(text, CAST(i AS BIGINT), 1) AS c
+  FROM documents, unnest(range(1, greatest(length(text), 1) + 1)) t(i)
+),
+counts AS (SELECT doc_id, c, count(*) AS n FROM pos GROUP BY doc_id, c),
+per_doc AS (
+  SELECT doc_id,
+         list(n ORDER BY c) AS ns,
+         sum(n) AS nc,
+         count(*) AS nd
+  FROM counts GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(nc AS BIGINT) AS n_chars,
+       CAST(nd AS INT) AS n_distinct_chars,
+       round(-list_sum(list_transform(ns,
+             x -> (CAST(x AS DOUBLE) / nc) * log2(CAST(x AS DOUBLE) / nc))),
+             6) + 0.0 AS entropy_bits
+FROM per_doc
+"""
+
+
 EXTRA_QUERIES = {
     # round-4 rotation: the corpus token ranking is subsumed in the
     # driver window by tfidf_topk (same explode/count core + idf join)
     "top_tokens": QueryDef(q_top_tokens, _TOP_TOKENS_ORACLE),
     "pii_scrub": QueryDef(q_pii_scrub, _pii_oracle()),
+    "char_entropy": QueryDef(q_char_entropy, _CHAR_ENTROPY_ORACLE),
 }

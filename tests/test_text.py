@@ -286,3 +286,29 @@ def test_pack_sequences_edge_texts_match_duckdb(spark):
         for r in con.sql(_PACK_SEQUENCES_ORACLE.replace("2048", "4")).fetchall()
     )
     assert got == want
+
+
+def test_char_entropy_known_values(spark):
+    import math
+
+    from chroma_rs_spark.operators.text import char_entropy
+
+    df = spark.createDataFrame(
+        [
+            (1, "aaaa"),        # one symbol -> 0 bits (and +0.0, not -0.0)
+            (2, "abab"),        # two equiprobable symbols -> 1 bit
+            (3, "abcd"),        # four equiprobable -> 2 bits
+            (4, ""),            # empty -> single '' symbol -> 0 bits
+            (5, "aab"),         # 2/3,1/3 -> H = log2(3) - 2/3
+        ],
+        "doc_id LONG, text STRING",
+    )
+    rows = {r["doc_id"]: r for r in char_entropy(df).collect()}
+    assert rows[1]["entropy_bits"] == 0.0
+    assert math.copysign(1.0, rows[1]["entropy_bits"]) == 1.0  # +0.0
+    assert rows[2]["entropy_bits"] == 1.0
+    assert rows[3]["entropy_bits"] == 2.0
+    assert rows[4]["entropy_bits"] == 0.0
+    assert rows[5]["entropy_bits"] == round(math.log2(3) - 2 / 3, 6)
+    assert rows[1]["n_chars"] == 4 and rows[1]["n_distinct_chars"] == 1
+    assert rows[5]["n_chars"] == 3 and rows[5]["n_distinct_chars"] == 2
