@@ -502,7 +502,11 @@ def extract_media_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     The fake decode derives width/height/frame-count deterministically
     from the byte length, exercising the real Arrow binary transfer.
     """
-    src = df.select(F.col(id_col).alias("doc_id"), "payload")
+    # NULL payloads are unscorable media (the null-embedding rule):
+    # dropped here and by the oracle's WHERE text IS NOT NULL
+    src = df.filter(F.col("payload").isNotNull()).select(
+        F.col(id_col).alias("doc_id"), "payload"
+    )
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -583,7 +587,11 @@ def sample_frames(
         for pdf in batches:
             ids, idxs, lens, md5s = [], [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                b = bytes(payload) if payload is not None else b""
+                if payload is None:
+                    # NULL payload -> no frames (mirrors the oracle's
+                    # NULL-text drop; octet_length(NULL) unnests nothing)
+                    continue
+                b = bytes(payload)
                 n_frames = len(b) % 30 + 1
                 for i in range(0, n_frames, every_n):
                     chunk = b[i * frame_bytes : (i + 1) * frame_bytes]

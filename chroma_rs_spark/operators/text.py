@@ -131,6 +131,9 @@ def chunk_documents(
     if not 0 <= overlap < chunk_size:
         raise ValueError("need 0 <= overlap < chunk_size")
     stride = chunk_size - overlap
+    # NULL text -> no chunks (otherwise greatest(NULL,1) fabricates one
+    # junk start and a ('' , NULL) chunk row); mirrored in the oracle
+    df = df.filter(F.col(text_col).isNotNull())
     toks = tokens_col(text_col)
     starts = F.sequence(
         F.lit(0),

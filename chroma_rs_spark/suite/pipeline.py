@@ -43,6 +43,7 @@ _SHINGLES3 = f"""
          concat_ws(' ', toks[i], toks[i+1], toks[i+2]) AS shingle
   FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i
         FROM (SELECT doc_id, {_TOKS} AS toks FROM documents))
+  WHERE toks[i] <> '' AND toks[i+1] <> '' AND toks[i+2] <> ''
 """
 
 
@@ -359,6 +360,7 @@ SELECT doc_id,
        CAST(octet_length(encode(text)) % 480 AS BIGINT) AS height,
        CAST(octet_length(encode(text)) % 30 + 1 AS BIGINT) AS n_frames
 FROM documents
+WHERE text IS NOT NULL
 """
 
 
@@ -376,6 +378,7 @@ WITH base AS (
          hex(encode(text)) AS h,
          octet_length(encode(text)) % 30 + 1 AS n_frames
   FROM documents
+  WHERE text IS NOT NULL
 ),
 frames AS (
   SELECT doc_id, h,
@@ -620,6 +623,8 @@ WITH sh AS (
              AS shingle
   FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 3)) AS i
         FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
+  WHERE toks[i] <> '' AND toks[i+1] <> '' AND toks[i+2] <> ''
+    AND toks[i+3] <> '' AND toks[i+4] <> ''
 ),
 fp AS (SELECT doc_id, min(md5(shingle)) AS fingerprint FROM sh GROUP BY doc_id),
 b AS (

@@ -105,6 +105,8 @@ WITH sh AS (
              AS shingle
   FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 3)) AS i
         FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
+  WHERE toks[i] <> '' AND toks[i+1] <> '' AND toks[i+2] <> ''
+    AND toks[i+3] <> '' AND toks[i+4] <> ''
 )
 SELECT doc_id, min(md5(shingle)) AS fingerprint
 FROM sh GROUP BY doc_id
@@ -130,6 +132,7 @@ _CHUNK_STRIDE = CHUNK_SIZE - CHUNK_OVERLAP
 _CHUNK_ORACLE = f"""
 WITH toks AS (
   SELECT doc_id, string_split(text, ' ') AS t FROM documents
+  WHERE text IS NOT NULL
 ),
 starts AS (
   SELECT doc_id, t,

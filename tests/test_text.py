@@ -312,3 +312,64 @@ def test_char_entropy_known_values(spark):
     assert rows[5]["entropy_bits"] == round(math.log2(3) - 2 / 3, 6)
     assert rows[1]["n_chars"] == 4 and rows[1]["n_distinct_chars"] == 1
     assert rows[5]["n_chars"] == 3 and rows[5]["n_distinct_chars"] == 2
+
+
+def test_chunk_documents_null_text_yields_no_chunks(spark):
+    from chroma_rs_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "a b c"), (3, "    ")], "doc_id LONG, text STRING"
+    )
+    rows = chunk_documents(df, chunk_size=4, overlap=1).collect()
+    assert sorted({r["doc_id"] for r in rows}) == [2, 3]
+    by3 = [r for r in rows if r["doc_id"] == 3]
+    # all-spaces doc: five empty tokens -> one 4-space chunk (split parity)
+    assert by3[0]["chunk_text"] == "   " or by3[0]["chunk_text"].strip() == ""
+
+
+def test_fingerprint_requires_single_spaced_run(spark):
+    """Shingle semantics: k consecutive NON-EMPTY split tokens — the
+    regex form and the oracles' filtered string_split now agree on
+    multi-space / whitespace-only / NULL docs (round-4 edge-corpus
+    hardening)."""
+    import duckdb
+
+    from chroma_rs_spark.operators.text import doc_fingerprint
+    from chroma_rs_spark.suite.text import _FINGERPRINT_ORACLE
+
+    rows = [
+        (1, "a b c d e f"),           # normal
+        (2, "a  b c d e f"),          # double space breaks the run
+        (3, "     "),                 # whitespace only
+        (4, None),                    # null
+        (5, " x y z w v "),           # lead/trail spaces
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {
+        r["doc_id"]: r["fingerprint"]
+        for r in doc_fingerprint(df, shingle_k=5).collect()
+    }
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        __import__("pandas").DataFrame(rows, columns=["doc_id", "text"]),
+    )
+    want = {r[0]: r[1] for r in con.execute(_FINGERPRINT_ORACLE).fetchall()}
+    assert got == want
+
+
+def test_sample_frames_and_features_drop_null_payload(spark):
+    from chroma_rs_spark.operators.multimodal import (
+        attach_payload,
+        extract_media_features,
+        sample_frames,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "abc"), (2, None)], "doc_id LONG, text STRING"
+    )
+    p = attach_payload(df)
+    feats = extract_media_features(p).collect()
+    assert [r["doc_id"] for r in feats] == [1]
+    frames = sample_frames(p).collect()
+    assert {r["doc_id"] for r in frames} == {1}
