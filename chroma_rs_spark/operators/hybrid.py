@@ -91,16 +91,29 @@ def hybrid_search_rrf(
         "bm25_rank",
         key=doc_id,
     ).select(doc_id, "bm25_rank")
+    from chroma_rs_spark.functions.vector import dot_product_sql, l2_norm_sql
+
+    # zero-norm guard (the knn_exact convention): cosine undefined for
+    # the zero vector; ANSI SQL would raise on the division. NULL
+    # distances are filtered, so zero-norm docs never rank.
+    qv = vector_lit_sql(query_vec)
+    an = l2_norm_sql(f"`{emb_col}`")
+    bn = l2_norm_sql(qv)
     dist = (
         F.round(
-            cosine_distance(f"`{emb_col}`", vector_lit_sql(query_vec)), 6
+            F.expr(
+                f"CASE WHEN {an} * {bn} = 0.0D THEN NULL"
+                f" ELSE 1.0D - {dot_product_sql(f'`{emb_col}`', qv)}"
+                f" / ({an} * {bn}) END"
+            ),
+            6,
         )
         + F.lit(0.0)
     )
     vec_ranked = _ranked_topn(
-        emb.filter(F.col(emb_col).isNotNull()).select(
-            F.col(vec_id).alias(doc_id), dist.alias("_dist")
-        ),
+        emb.filter(F.col(emb_col).isNotNull())
+        .select(F.col(vec_id).alias(doc_id), dist.alias("_dist"))
+        .filter(F.col("_dist").isNotNull()),
         [F.col("_dist").asc(), F.col(doc_id).asc()],
         depth,
         "vec_rank",

@@ -65,7 +65,11 @@ def assign_cells(
     For wide vectors or large centroid counts, the Arrow-batch path
     (knn_exact_local_topk's matmul) is the next gear.
     """
-    with_norm = items.withColumn("_inorm", l2_norm(f"`{item_emb}`", dim))
+    # zero-norm vectors cannot be assigned a cosine cell (ANSI SQL
+    # would raise on the division): dropped, the unscorable-vector rule
+    with_norm = items.withColumn(
+        "_inorm", l2_norm(f"`{item_emb}`", dim)
+    ).filter(F.col("_inorm") != F.lit(0.0))
     # the whole least(struct(...), ...) tree is assembled as ONE parsed
     # expression — one py4j call instead of ~6 per centroid (the plans
     # are identical; functions/vector.py module comment has the numbers)
@@ -170,22 +174,28 @@ def ivf_topk(
             inorm = np.linalg.norm(emb, axis=1)
             # assignment: argmin over (rounded distance, centroid id);
             # cmat rows are ordered by ascending cid, so argmin's
-            # first-occurrence tie rule IS the lower-id tie-break
-            d_assign = np.round(
-                1.0 - (emb @ cmat.T) / (inorm[:, None] * cnorm[None, :]),
-                DIST_DECIMALS,
-            )
-            cell = cids[np.argmin(d_assign, axis=1)]
-            d_q = (
-                np.round(
-                    1.0 - (emb @ qmat.T) / (inorm[:, None] * qnorm[None, :]),
+            # first-occurrence tie rule IS the lower-id tie-break.
+            # Zero-norm rows yield NaN everywhere and are excluded by
+            # the finite mask below (the unscorable-vector rule).
+            with np.errstate(divide="ignore", invalid="ignore"):
+                d_assign = np.round(
+                    1.0 - (emb @ cmat.T) / (inorm[:, None] * cnorm[None, :]),
                     DIST_DECIMALS,
                 )
-                + 0.0
-            )
+                d_q = (
+                    np.round(
+                        1.0 - (emb @ qmat.T) / (inorm[:, None] * qnorm[None, :]),
+                        DIST_DECIMALS,
+                    )
+                    + 0.0
+                )
+            cell = cids[np.argmin(d_assign, axis=1)]
             rows = []
             for j, qid in enumerate(qids):
                 mask = np.isin(cell, list(probe_cells[qid]))
+                if not mask.any():
+                    continue
+                mask = mask & np.isfinite(d_q[:, j])
                 if not mask.any():
                     continue
                 mids, md = ids[mask], d_q[mask, j]

@@ -51,8 +51,21 @@ def _distance_col(
     metric: str, item_emb, query_emb, item_norm=None, query_norm=None, dim=None
 ):
     if metric == "cosine":
-        return cosine_distance(
-            item_emb, query_emb, a_norm=item_norm, b_norm=query_norm, dim=dim
+        # zero-norm guard: cosine is undefined for the zero vector, and
+        # under ANSI SQL (Spark 4 default) the division RAISES instead
+        # of yielding NaN. The CASE keeps the zero branch unevaluated
+        # and returns NULL; callers filter NULL distances, so zero-norm
+        # items/probes are excluded — the same rule as NULL embeddings.
+        # For every nonzero norm the ELSE branch is the identical
+        # expression tree as before (bit-exact distances).
+        from chroma_rs_spark.functions.vector import dot_product_sql, l2_norm_sql
+
+        an = item_norm if item_norm is not None else l2_norm_sql(item_emb, dim)
+        bn = query_norm if query_norm is not None else l2_norm_sql(query_emb, dim)
+        return F.expr(
+            f"CASE WHEN {an} * {bn} = 0.0D THEN NULL"
+            f" ELSE 1.0D - {dot_product_sql(item_emb, query_emb, dim)}"
+            f" / ({an} * {bn}) END"
         )
     if metric == "l2":
         return l2_distance(item_emb, query_emb, dim=dim)
@@ -131,7 +144,10 @@ def knn_exact(
         F.col("__qid").alias(query_id),
         F.col("__iid").alias(item_id),
         dist.alias("distance"),
-    )
+    # NULL distance = unscorable pair (zero-norm under cosine, NULL
+    # probe vector): excluded, like null-embedding items. No-op for
+    # l2/ip and for well-formed corpora.
+    ).filter(F.col("distance").isNotNull())
     w = Window.partitionBy(query_id).orderBy(F.col("distance").asc(), F.col(item_id).asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -188,25 +204,33 @@ def knn_exact_local_topk(
                 d = 1.0 - emb @ qmat.T
             else:  # cosine
                 inorm = np.linalg.norm(emb, axis=1)
-                d = 1.0 - (emb @ qmat.T) / (inorm[:, None] * qnorm[None, :])
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    d = 1.0 - (emb @ qmat.T) / (inorm[:, None] * qnorm[None, :])
             d = np.round(d, DIST_DECIMALS) + 0.0  # (n, nq); +0.0 folds -0.0 → +0.0
             ids = pdf[item_id].to_numpy()
-            kk = min(k, d.shape[0])
-            # partial-select then stable sort: per-query local top-k
-            part = np.argpartition(d, kk - 1, axis=0)[:kk, :]  # (kk, nq)
             rows = []
             for j, qid in enumerate(qids):
-                sel = part[:, j]
+                dj = d[:, j]
+                # NaN = unscorable pair (zero-norm under cosine) —
+                # excluded, mirroring knn_exact's NULL-distance filter
+                fin = np.isfinite(dj)
+                mids, md = ids[fin], dj[fin]
+                if md.size == 0:
+                    continue
+                kk = min(k, md.size)
+                # partial-select: per-query local top-k candidates
+                sel = np.argpartition(md, kk - 1)[:kk]
                 rows.append(
                     pd.DataFrame(
                         {
                             query_id: qid,
-                            item_id: ids[sel],
-                            "distance": d[sel, j],
+                            item_id: mids[sel],
+                            "distance": md[sel],
                         }
                     )
                 )
-            yield pd.concat(rows, ignore_index=True)
+            if rows:
+                yield pd.concat(rows, ignore_index=True)
 
     # null embeddings are unscorable — see knn_exact
     src = fan_out(

@@ -31,12 +31,12 @@ def cosine_topk_pairs(
 ) -> DataFrame:
     """Exact top-N most-cosine-similar pairs (id_a < id_b). Pass `dim`
     for the unrolled codegen distance (functions/vector.py)."""
-    a = df.select(
+    a = df.filter(F.col(emb_col).isNotNull()).select(
         F.col(id_col).alias("id_a"),
         F.col(emb_col).alias("emb_a"),
         l2_norm(f"`{emb_col}`", dim).alias("norm_a"),
     )
-    b = df.select(
+    b = df.filter(F.col(emb_col).isNotNull()).select(
         F.col(id_col).alias("id_b"),
         F.col(emb_col).alias("emb_b"),
         l2_norm(f"`{emb_col}`", dim).alias("norm_b"),
@@ -46,6 +46,8 @@ def cosine_topk_pairs(
         / (F.col("norm_a") * F.col("norm_b")),
         6,
     )
+    a = a.filter(F.col("norm_a") != F.lit(0.0))
+    b = b.filter(F.col("norm_b") != F.lit(0.0))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", sim.alias("cosine_sim"))
@@ -73,7 +75,12 @@ def cosine_topk_pairs_blocked(
     import numpy as np
     import pandas as pd
 
-    ref = df.select(id_col, emb_col).orderBy(id_col).collect()
+    ref = (
+        df.filter(F.col(emb_col).isNotNull())
+        .select(id_col, emb_col)
+        .orderBy(id_col)
+        .collect()
+    )
     ref_ids = np.array([r[0] for r in ref], dtype=np.int64)
     ref_mat = np.asarray([r[1] for r in ref], dtype=np.float64)
     ref_norm = np.linalg.norm(ref_mat, axis=1)
@@ -84,12 +91,14 @@ def cosine_topk_pairs_blocked(
                 continue
             ids = pdf[id_col].to_numpy()
             mat = np.stack(pdf[emb_col].to_numpy()).astype(np.float64)
-            sims = (mat @ ref_mat.T) / (
-                np.linalg.norm(mat, axis=1)[:, None] * ref_norm[None, :]
-            )
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = (mat @ ref_mat.T) / (
+                    np.linalg.norm(mat, axis=1)[:, None] * ref_norm[None, :]
+                )
             sims = np.round(sims, 6)
             # upper triangle only: id_a < id_b
-            mask = ids[:, None] < ref_ids[None, :]
+            # zero-norm rows yield NaN sims — unscorable, excluded
+            mask = (ids[:, None] < ref_ids[None, :]) & np.isfinite(sims)
             ia, ib = np.nonzero(mask)
             if ia.size == 0:
                 continue
@@ -110,7 +119,7 @@ def cosine_topk_pairs_blocked(
 
     # spread the row blocks across cores when the input is big enough
     # to beat the repartition shuffle (tiny scans stay single-task)
-    src = fan_out(df.select(id_col, emb_col))
+    src = fan_out(df.filter(F.col(emb_col).isNotNull()).select(id_col, emb_col))
     cand = src.mapInPandas(
         block_topk, schema="id_a long, id_b long, cosine_sim double"
     )
@@ -143,11 +152,13 @@ def cosine_pairs_bucketed(
     Returns (id_a, id_b, cosine_sim) with id_a < id_b — a SUBSET of
     the exact threshold pairs (pinned by test_similarity_bucketed).
     """
-    src = df.select(
+    # NULL and zero-norm vectors are unscorable under cosine (and the
+    # division RAISES under ANSI): excluded, like everywhere else
+    src = df.filter(F.col(emb_col).isNotNull()).select(
         F.col(id_col).alias("_id"),
         F.col(emb_col).alias("_emb"),
         l2_norm(f"`{emb_col}`", dim).alias("_norm"),
-    )
+    ).filter(F.col("_norm") != F.lit(0.0))
     # band keys as ONE parsed SQL expression (a composed Column tree
     # here is bands x n_planes py4j round-trips of plan-build time;
     # the analyzed plan is identical)
@@ -228,12 +239,18 @@ def signbucket_ann(
     """ANN: top-k by cosine distance within the probe's sign bucket,
     excluding the probe row itself. Returns
     (query_id, rank, neighbor_id, distance)."""
-    it = items.select(
+    from chroma_rs_spark.functions.vector import l2_norm_sql
+
+    it = items.filter(F.col(item_emb).isNotNull()).filter(
+        F.expr(f"{l2_norm_sql(f'`{item_emb}`', dim)} <> 0.0D")
+    ).select(
         F.col(item_id).alias("_iid"),
         F.col(item_emb).alias("_iemb"),
         sign_bucket(item_emb, n_planes).alias("_bucket"),
     )
-    pr = probes.select(
+    pr = probes.filter(F.col(probe_emb).isNotNull()).filter(
+        F.expr(f"{l2_norm_sql(f'`{probe_emb}`', dim)} <> 0.0D")
+    ).select(
         F.col(probe_id).alias("_qid"),
         F.col(probe_emb).alias("_qemb"),
         sign_bucket(probe_emb, n_planes).alias("_bucket"),

@@ -238,6 +238,10 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                 * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
              6) AS cosine_sim
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE a.embedding IS NOT NULL AND b.embedding IS NOT NULL
+  AND NOT isnan(round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+      / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+         * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6))
 ORDER BY cosine_sim DESC, id_a, id_b
 LIMIT 20
 """
@@ -289,6 +293,8 @@ WITH v AS (
          sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm,
          {", ".join(band_cols)}
   FROM embeddings
+  WHERE embedding IS NOT NULL
+    AND sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) <> 0
 ),
 cand AS (
   SELECT a.vec_id AS id_a, x.vec_id AS id_b,
@@ -327,6 +333,8 @@ WITH b AS (
            CASE WHEN embedding[7] >= 0 THEN '1' ELSE '0' END,
            CASE WHEN embedding[8] >= 0 THEN '1' ELSE '0' END) AS bucket
   FROM embeddings
+  WHERE embedding IS NOT NULL
+    AND sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) <> 0
 ),
 scored AS (
   SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
@@ -916,6 +924,7 @@ vec_ranked AS (
     FROM embeddings e CROSS JOIN qv
     WHERE e.embedding IS NOT NULL
   )
+  WHERE NOT isnan(d)
   QUALIFY vec_rank <= {RRF_DEPTH}
 )
 SELECT b.doc_id,

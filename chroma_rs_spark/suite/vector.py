@@ -86,21 +86,25 @@ def _knn(spark: SparkSession, sf_dir: str, metric: str) -> DataFrame:
 
 
 def _knn_oracle(metric_expr: str) -> str:
+    # NULL-embedding rows and NaN distances (zero-norm cosine pairs)
+    # are excluded — the engine's unscorable-vector rule (knn_exact's
+    # NULL-distance filter); no-ops on well-formed corpora
     return f"""
 WITH q AS (
   SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
-  FROM embeddings WHERE vec_id < {N_PROBES}
+  FROM embeddings WHERE vec_id < {N_PROBES} AND embedding IS NOT NULL
 ),
 scored AS (
   SELECT q.query_id, e.vec_id AS neighbor_id,
          ROUND(({metric_expr}), 6) + 0.0 AS distance
   FROM embeddings e CROSS JOIN q
+  WHERE e.embedding IS NOT NULL
 ),
 ranked AS (
   SELECT query_id, neighbor_id, distance,
          ROW_NUMBER() OVER (PARTITION BY query_id
                             ORDER BY distance, neighbor_id) AS rank
-  FROM scored
+  FROM scored WHERE NOT isnan(distance)
 )
 SELECT query_id, rank, neighbor_id, distance
 FROM ranked WHERE rank <= {TOP_K}
@@ -146,7 +150,7 @@ def q_knn_cosine_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_vector_index_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The add-time 'index build': per-vector L2 norm column (A11)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return emb.select(
+    return emb.filter(F.col("embedding").isNotNull()).select(
         F.col("vec_id").cast("long").alias("vec_id"),
         F.round(l2_norm("embedding"), 6).alias("norm"),
     )
@@ -541,19 +545,20 @@ def q_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KNN_FILTERED_ORACLE = f"""
 WITH q AS (
   SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
-  FROM embeddings WHERE vec_id < {N_PROBES}
+  FROM embeddings WHERE vec_id < {N_PROBES} AND embedding IS NOT NULL
 ),
 scored AS (
   SELECT q.query_id, e.vec_id AS neighbor_id,
          ROUND(({_COSINE_EXPR}), 6) + 0.0 AS distance
   FROM embeddings e CROSS JOIN q
   WHERE e.vec_id IN (SELECT doc_id FROM documents WHERE lang IN ('en', 'de'))
+    AND e.embedding IS NOT NULL
 ),
 ranked AS (
   SELECT query_id, neighbor_id, distance,
          ROW_NUMBER() OVER (PARTITION BY query_id
                             ORDER BY distance, neighbor_id) AS rank
-  FROM scored
+  FROM scored WHERE NOT isnan(distance)
 )
 SELECT query_id, rank, neighbor_id, distance
 FROM ranked WHERE rank <= {TOP_K}
@@ -574,7 +579,7 @@ EXTRA_QUERIES = {
         """
 SELECT vec_id,
        ROUND(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS norm
-FROM embeddings
+FROM embeddings WHERE embedding IS NOT NULL
 """,
     ),
     "item_count": QueryDef(
