@@ -1,0 +1,132 @@
+"""Adversarial-corpus gate: every oracle-paired query must stay
+bit-green when the corpus carries the shapes a regenerated driver
+dataset could legally contain — NULL/empty/multi-space/whitespace-only
+text, NULL embeddings, the zero vector. This is the regression net for
+the round-3 `pack_sequences` class of failure (data drift flipping a
+previously green row) and the round-4 findings (ANSI DIVIDE_BY_ZERO on
+zero-norm cosine, NULL-payload decode crashes, regex-vs-string_split
+shingle divergence)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from tests.conftest import SF001_DIR
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+# queries exercising text, vector, multimodal, and pair-mining paths
+QUERIES = [
+    "knn_cosine",
+    "knn_l2",
+    "chunk_documents",
+    "doc_fingerprint",
+    "token_stats",
+    "pack_sequences",
+    "dedup_ngram_jaccard",
+    "frame_sample",
+    "multimodal_features",
+    "near_dup_bucketed",
+    "embedding_near_dup",
+    "hybrid_search_rrf",
+    "char_entropy",
+    "vector_index_norms",
+]
+
+
+@pytest.fixture(scope="module")
+def edge_dir(tmp_path_factory):
+    dst = str(tmp_path_factory.mktemp("edgecorpus"))
+    con = duckdb.connect()
+    con.execute(
+        f"""
+COPY (
+  SELECT * FROM read_parquet('{SF001_DIR}/documents.parquet')
+  UNION ALL
+  SELECT * FROM (VALUES
+    (900001, '', 'en', 'srcx', 0),
+    (900002, 'single', 'en', 'srcx', 6),
+    (900003, 'two  spaces  between', 'en', 'srcx', 20),
+    (900004, ' leading and trailing ', 'en', 'srcx', 22),
+    (900005, NULL, 'en', 'srcx', 0),
+    (900006, '    ', 'en', 'srcx', 4)
+  ) v(doc_id, text, lang, source, n_chars)
+) TO '{dst}/documents.parquet' (FORMAT PARQUET)
+"""
+    )
+    con.execute(
+        f"""
+COPY (
+  SELECT * FROM read_parquet('{SF001_DIR}/embeddings.parquet')
+  UNION ALL
+  SELECT 900001, list_transform(range(64), x -> CAST(0.0 AS FLOAT)), 0
+  UNION ALL
+  SELECT 900002, NULL, 1
+) TO '{dst}/embeddings.parquet' (FORMAT PARQUET)
+"""
+    )
+    for t in TABLES:
+        if t in ("documents", "embeddings"):
+            continue
+        shutil.copyfile(
+            os.path.join(SF001_DIR, f"{t}.parquet"),
+            os.path.join(dst, f"{t}.parquet"),
+        )
+    con.close()
+    return dst
+
+
+@pytest.fixture(scope="module")
+def oracle_con(edge_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{edge_dir}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].map(str)
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(
+        drop=True
+    )
+
+
+@pytest.mark.parametrize("name", QUERIES)
+def test_query_bit_green_on_adversarial_corpus(spark, edge_dir, oracle_con, name):
+    from chroma_rs_spark.suite import all_queries
+
+    qd = all_queries(include_extra=True)[name]
+    got = _normalize(qd.fn(spark, edge_dir).toPandas())
+    want = _normalize(oracle_con.sql(qd.oracle).df())
+    assert len(got) == len(want), f"{name}: {len(got)} vs {len(want)} rows"
+    assert sorted(got.columns) == sorted(want.columns)
+    for c in got.columns:
+        a, b = got[c], want[c]
+        if np.issubdtype(a.dtype, np.floating) or np.issubdtype(
+            np.asarray(b).dtype, np.floating
+        ):
+            x = np.asarray(a, dtype=np.float64)
+            y = np.asarray(b, dtype=np.float64)
+            ok = (x.view(np.int64) == y.view(np.int64)) | (
+                np.isnan(x) & np.isnan(y)
+            )
+            assert ok.all(), f"{name}.{c}: float bits differ"
+        else:
+            eq = (a.to_numpy() == np.asarray(b)) | (
+                pd.isna(a).to_numpy() & pd.isna(b).to_numpy()
+            )
+            assert np.asarray(eq).all(), f"{name}.{c}: values differ"
