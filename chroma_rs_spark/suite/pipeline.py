@@ -232,16 +232,16 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _EMBEDDING_NEAR_DUP_ORACLE = """
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
-             / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
-                * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
-             6) AS cosine_sim
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE a.embedding IS NOT NULL AND b.embedding IS NOT NULL
-  AND NOT isnan(round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
-      / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
-         * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6))
+SELECT id_a, id_b, cosine_sim FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+               6) AS cosine_sim
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE a.embedding IS NOT NULL AND b.embedding IS NOT NULL
+)
+WHERE NOT isnan(cosine_sim)
 ORDER BY cosine_sim DESC, id_a, id_b
 LIMIT 20
 """
