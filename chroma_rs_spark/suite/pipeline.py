@@ -231,17 +231,21 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_pairs_blocked(emb, top_n=20)
 
 
+# the unscorable-vector rule as a PER-ROW filter (n norm evals, and no
+# predicate over the computed pair column — a `NOT isnan(cosine_sim)`
+# there measured 3.2 s vs 1.2 s because it blocks DuckDB's top-N path)
 _EMBEDDING_NEAR_DUP_ORACLE = """
-SELECT id_a, id_b, cosine_sim FROM (
-  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
-               / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
-                  * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
-               6) AS cosine_sim
-  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-  WHERE a.embedding IS NOT NULL AND b.embedding IS NOT NULL
+WITH v AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE embedding IS NOT NULL
+    AND sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) <> 0
 )
-WHERE NOT isnan(cosine_sim)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+             / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+             6) AS cosine_sim
+FROM v a JOIN v b ON a.vec_id < b.vec_id
 ORDER BY cosine_sim DESC, id_a, id_b
 LIMIT 20
 """
