@@ -590,11 +590,20 @@ def q_events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# TRY semantics mirror Spark's permissive from_json: NULL or malformed
+# props (and non-integer k) contribute NULL, which sum() skips
 _EVENTS_JSON_ORACLE = """
+WITH p AS (
+  SELECT event_type,
+         CASE WHEN json_valid(props)
+              THEN TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)
+         END AS k
+  FROM events
+)
 SELECT event_type, count(*) AS n,
-       CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
-       CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS DOUBLE) / count(*) AS avg_k
-FROM events
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       CAST(sum(k) AS DOUBLE) / count(*) AS avg_k
+FROM p
 GROUP BY event_type
 """
 

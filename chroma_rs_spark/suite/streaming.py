@@ -27,6 +27,7 @@ SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
        count(*) AS n_events,
        CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
 FROM events
+WHERE ts IS NOT NULL
 GROUP BY 1, 2
 """
 
@@ -40,8 +41,10 @@ def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SLIDING_ORACLE = """
 WITH starts AS (
   SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start FROM events
+  WHERE ts IS NOT NULL
   UNION ALL
   SELECT time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes' FROM events
+  WHERE ts IS NOT NULL
 )
 SELECT window_start, count(*) AS n_events
 FROM starts GROUP BY window_start
@@ -62,6 +65,7 @@ WITH gaps AS (
                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
               THEN 1 ELSE 0 END AS new_session
   FROM events
+  WHERE ts IS NOT NULL
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 sessions AS (
@@ -144,12 +148,13 @@ WITH counts AS (
   SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
          event_type,
          count(*) AS n_events
-  FROM events GROUP BY 1, 2
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
 ),
 ranked AS (
   SELECT window_start, event_type, n_events,
          row_number() OVER (PARTITION BY window_start
-                            ORDER BY n_events DESC, event_type) AS rank
+                            ORDER BY n_events DESC, event_type NULLS FIRST)
+             AS rank
   FROM counts
 )
 SELECT window_start, event_type, n_events, CAST(rank AS BIGINT) AS rank

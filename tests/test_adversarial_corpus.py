@@ -1,7 +1,8 @@
 """Adversarial-corpus gate: every oracle-paired query must stay
 bit-green when the corpus carries the shapes a regenerated driver
 dataset could legally contain — NULL/empty/multi-space/whitespace-only
-text, NULL embeddings, the zero vector. This is the regression net for
+text, NULL embeddings, the zero vector, NULL event time/type/user and
+malformed JSON props. This is the regression net for
 the round-3 `pack_sequences` class of failure (data drift flipping a
 previously green row) and the round-4 findings (ANSI DIVIDE_BY_ZERO on
 zero-norm cosine, NULL-payload decode crashes, regex-vs-string_split
@@ -39,6 +40,12 @@ QUERIES = [
     "hybrid_search_rrf",
     "char_entropy",
     "vector_index_norms",
+    "events_json_stats",
+    "events_tumbling",
+    "events_sliding",
+    "events_session_windows",
+    "trending_event_types",
+    "dedup_events",
 ]
 
 
@@ -73,8 +80,23 @@ COPY (
 ) TO '{dst}/embeddings.parquet' (FORMAT PARQUET)
 """
     )
+    con.execute(
+        f"""
+COPY (
+  SELECT * FROM read_parquet('{SF001_DIR}/events.parquet')
+  UNION ALL
+  SELECT 910001, (SELECT max(ts) FROM read_parquet('{SF001_DIR}/events.parquet')),
+         NULL, 'click', 1.5, NULL
+  UNION ALL
+  SELECT 910002, (SELECT min(ts) FROM read_parquet('{SF001_DIR}/events.parquet')),
+         42, NULL, NULL, 'not json at all'
+  UNION ALL
+  SELECT 910003, NULL, 43, 'purchase', 2.5, '{{"k": 7}}'
+) TO '{dst}/events.parquet' (FORMAT PARQUET)
+"""
+    )
     for t in TABLES:
-        if t in ("documents", "embeddings"):
+        if t in ("documents", "embeddings", "events"):
             continue
         shutil.copyfile(
             os.path.join(SF001_DIR, f"{t}.parquet"),
