@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from chroma_rs_spark.functions.vector import cosine_distance, vector_lit_sql
+from chroma_rs_spark.functions.vector import vector_lit_sql
 from chroma_rs_spark.operators.text import bm25_scores
 
 RRF_K0 = 60  # the standard damping constant from the RRF literature

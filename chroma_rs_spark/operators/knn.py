@@ -35,7 +35,6 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from chroma_rs_spark.functions.vector import (
-    cosine_distance,
     dot_product,
     l2_distance,
     l2_norm,
