@@ -144,6 +144,37 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
+def _signature_df(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int,
+    shingle_k: int,
+) -> DataFrame:
+    """(id, sig ARRAY<BIGINT>): one pass over exploded shingle rows —
+    hash each shingle ONCE (md5 -> 32-bit int), then compute all K
+    minhashes as grouped min-aggregates over the universal-hash family
+    (map-side partial min, one shuffle keyed on id). Integer mins beat
+    both string mins and K independent md5 calls per shingle. The K
+    aggregates + the signature array are parsed SQL STRINGS (one py4j
+    parse each) — the composed-Column form costs ~100 py4j round trips
+    of plan-build per call, which dedup_clusters pays THREE times per
+    bench rep (its iterative fn charges build+run)."""
+    sh = exploded_shingles(df, id_col, text_col, shingle_k)
+    hashed = sh.select(F.col(id_col), base_hash32("shingle").alias("_h"))
+    return hashed.groupBy(id_col).agg(
+        *[
+            F.expr(f"min((_h * {a} + {b}) % {MINHASH_P})").alias(f"_mh{i}")
+            for i, (a, b) in enumerate(minhash_params(num_hashes))
+        ]
+    ).select(
+        id_col,
+        F.expr(
+            "array(" + ", ".join(f"_mh{i}" for i in range(num_hashes)) + ")"
+        ).alias("sig"),
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -160,28 +191,7 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_hashes // bands
     assert bands * rows_per_band == num_hashes
-    # One pass over exploded shingle rows: hash each shingle ONCE
-    # (md5 -> 32-bit int), then compute all K minhashes as grouped
-    # min-aggregates over the universal-hash family (map-side partial
-    # min, one shuffle keyed on id). Integer mins beat both string mins
-    # and K independent md5 calls per shingle.
-    sh = exploded_shingles(df, id_col, text_col, shingle_k)
-    hashed = sh.select(F.col(id_col), base_hash32("shingle").alias("_h"))
-    # K min-aggregates + the signature array as parsed SQL STRINGS (one
-    # py4j parse each) — the composed-Column form costs ~100 py4j
-    # round-trips of plan-build per call, which dedup_clusters pays
-    # THREE times per bench rep (its iterative fn charges build+run)
-    sig = hashed.groupBy(id_col).agg(
-        *[
-            F.expr(f"min((_h * {a} + {b}) % {MINHASH_P})").alias(f"_mh{i}")
-            for i, (a, b) in enumerate(minhash_params(num_hashes))
-        ]
-    ).select(
-        id_col,
-        F.expr(
-            "array(" + ", ".join(f"_mh{i}" for i in range(num_hashes)) + ")"
-        ).alias("sig"),
-    )
+    sig = _signature_df(df, id_col, text_col, num_hashes, shingle_k)
     # band-key structs as one parsed SQL expression (same plan-build
     # rationale as the signature aggregates above)
     if rows_per_band == 1:
@@ -499,4 +509,93 @@ def exact_dedup_normalized(
         "norm_sha",
         "n_copies",
         (F.col(id_col) == F.col("_keep_id")).alias("keep"),
+    )
+
+
+def minhash_band_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(id, band, band_key): the PERSISTABLE minhash index rows for
+    incremental dedup — write these next to the corpus once, and every
+    new batch dedups against them without re-reading old text
+    (`incremental_minhash_pairs`). With rows-per-band == 1 (the only
+    supported config here) the band key IS the signature entry, so the
+    index is also the full signature — nothing else to persist.
+
+    At 100 TB this is the standard curation shape: the index is
+    |corpus| x bands narrow long rows (~256 B/doc at 16 bands),
+    bucket-partitionable by band_key so the incremental join
+    co-locates.
+    """
+    if num_hashes != bands:
+        raise ValueError(
+            "minhash_band_index supports rows-per-band == 1 "
+            f"(num_hashes == bands); got {num_hashes=}, {bands=}"
+        )
+    sig = _signature_df(df, id_col, text_col, num_hashes, shingle_k)
+    return sig.select(
+        F.col(id_col).alias("id"),
+        F.posexplode("sig").alias("band", "band_key"),
+    )
+
+
+def incremental_minhash_pairs(
+    new_docs: DataFrame,
+    band_index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Near-dup candidate pairs INVOLVING the new batch: new-vs-corpus
+    and new-vs-new, against a persisted `minhash_band_index` — the
+    incremental form of `minhash_lsh_pairs`, so a daily ingest never
+    re-mines the |corpus|^2 history.
+
+    Returns (id_a, id_b, est_jaccard, vs_corpus) with id_a < id_b and
+    the same est_jaccard the full-corpus miner computes (band-collision
+    count / num_hashes — exact under rows-per-band == 1). Contract:
+    new ids are disjoint from indexed ids (append-only corpus).
+    Completeness: full-corpus pairs over (corpus ∪ new) ==
+    pairs-within-corpus (mined when the index was built) ∪ this result
+    — pinned by tests/test_incremental_dedup.py.
+    """
+    if num_hashes != bands:
+        raise ValueError(
+            "incremental_minhash_pairs supports rows-per-band == 1 "
+            f"(num_hashes == bands); got {num_hashes=}, {bands=}"
+        )
+    new_idx = minhash_band_index(
+        new_docs, id_col, text_col, num_hashes, bands, shingle_k
+    )
+    old = band_index.select(
+        "band", "band_key", F.col("id").alias("_oid"), F.lit(False).alias("_new")
+    )
+    new_r = new_idx.select(
+        "band", "band_key", F.col("id").alias("_oid"), F.lit(True).alias("_new")
+    )
+    right = old.unionByName(new_r)
+    left = new_idx.select("band", "band_key", F.col("id").alias("_nid"))
+    # each unordered pair matches once per agreeing band: new-vs-corpus
+    # pairs orient (new, old); new-vs-new pairs keep only the
+    # (smaller, larger) orientation
+    hits = left.join(right, ["band", "band_key"]).filter(
+        (~F.col("_new")) | (F.col("_nid") < F.col("_oid"))
+    )
+    agree = hits.groupBy("_nid", "_oid", "_new").agg(
+        F.count(F.lit(1)).alias("_n_match")
+    )
+    return agree.select(
+        F.least("_nid", "_oid").alias("id_a"),
+        F.greatest("_nid", "_oid").alias("id_b"),
+        (F.col("_n_match").cast("double") / F.lit(float(num_hashes))).alias(
+            "est_jaccard"
+        ),
+        (~F.col("_new")).alias("vs_corpus"),
     )

@@ -956,7 +956,60 @@ QUERIES.update(
     }
 )
 
+_INCR_CUTOFF = 400  # docs below = "already-indexed corpus", rest = new batch
+
+
+def q_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup mining: the docs with id >= cutoff arrive
+    as a new batch and are mined against the persisted band index of
+    the earlier corpus (operators/dedup.py:minhash_band_index /
+    incremental_minhash_pairs) — new-vs-corpus and new-vs-new pairs
+    only, exact same est_jaccard the full-corpus miner computes."""
+    from chroma_rs_spark.operators.dedup import (
+        incremental_minhash_pairs,
+        minhash_band_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") < _INCR_CUTOFF)
+    new = docs.filter(F.col("doc_id") >= _INCR_CUTOFF)
+    return incremental_minhash_pairs(new, minhash_band_index(old))
+
+
+_INCREMENTAL_MINHASH_ORACLE = f"""
+WITH sh AS ({_SHINGLES3}),
+params(i, a, b) AS (
+  VALUES {_MINHASH_PARAM_ROWS}
+),
+h AS (
+  SELECT doc_id, CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT) AS h
+  FROM sh
+),
+mh AS (
+  SELECT doc_id, p.i AS band, min((h.h * p.a + p.b) % {MINHASH_P}) AS band_key
+  FROM h, params p
+  GROUP BY doc_id, p.i
+),
+hits AS (
+  SELECT n.doc_id AS nid, m.doc_id AS oid,
+         m.doc_id < {_INCR_CUTOFF} AS vs_corpus,
+         count(*) AS n_match
+  FROM mh n JOIN mh m
+    ON n.band = m.band AND n.band_key = m.band_key
+  WHERE n.doc_id >= {_INCR_CUTOFF}
+    AND (m.doc_id < {_INCR_CUTOFF} OR n.doc_id < m.doc_id)
+  GROUP BY n.doc_id, m.doc_id, vs_corpus
+)
+SELECT least(nid, oid) AS id_a, greatest(nid, oid) AS id_b,
+       CAST(n_match AS DOUBLE) / 16.0 AS est_jaccard, vs_corpus
+FROM hits
+"""
+
+
 EXTRA_QUERIES = {
+    "incremental_minhash": QueryDef(
+        q_incremental_minhash, _INCREMENTAL_MINHASH_ORACLE
+    ),
     "deterministic_sample": QueryDef(
         q_deterministic_sample, _DETERMINISTIC_SAMPLE_ORACLE
     ),

@@ -1,0 +1,72 @@
+"""Incremental minhash dedup (operators/dedup.py): a new batch mined
+against a persisted band index must reproduce exactly the full-corpus
+result — pairs(corpus ∪ new) == pairs-within-corpus ∪ incremental."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from chroma_rs_spark.operators.dedup import (
+    incremental_minhash_pairs,
+    minhash_band_index,
+    minhash_lsh_pairs,
+)
+from tests.conftest import SF001_DIR
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF001_DIR}/documents.parquet")
+
+
+def _pairs_dict(rows):
+    return {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in rows}
+
+
+def test_incremental_equals_full_corpus(spark, docs):
+    cutoff = 40
+    old = docs.filter(F.col("doc_id") < cutoff)
+    new = docs.filter(F.col("doc_id") >= cutoff)
+
+    full = _pairs_dict(minhash_lsh_pairs(docs).collect())
+    within_old = _pairs_dict(minhash_lsh_pairs(old).collect())
+    idx = minhash_band_index(old)
+    inc = incremental_minhash_pairs(new, idx)
+    inc_rows = inc.collect()
+    inc_pairs = _pairs_dict(inc_rows)
+
+    # disjoint decomposition, exact est_jaccard on both sides
+    assert set(within_old) | set(inc_pairs) == set(full)
+    assert not (set(within_old) & set(inc_pairs))
+    for k, v in inc_pairs.items():
+        assert np.float64(v).view(np.int64) == np.float64(full[k]).view(
+            np.int64
+        ), k
+    for k, v in within_old.items():
+        assert np.float64(v).view(np.int64) == np.float64(full[k]).view(
+            np.int64
+        ), k
+    # vs_corpus labels orientation correctly
+    for r in inc_rows:
+        touches_old = r["id_a"] < cutoff or r["id_b"] < cutoff
+        assert r["vs_corpus"] == touches_old
+
+
+def test_index_roundtrips_through_parquet(spark, docs, tmp_path):
+    old = docs.filter(F.col("doc_id") < 40)
+    new = docs.filter(F.col("doc_id") >= 40)
+    path = str(tmp_path / "band_index")
+    minhash_band_index(old).write.parquet(path)
+    idx = spark.read.parquet(path)
+    a = _pairs_dict(incremental_minhash_pairs(new, idx).collect())
+    b = _pairs_dict(
+        incremental_minhash_pairs(new, minhash_band_index(old)).collect()
+    )
+    assert a == b
+
+
+def test_rows_per_band_gt_1_rejected(spark, docs):
+    with pytest.raises(ValueError, match="rows-per-band"):
+        minhash_band_index(docs, num_hashes=16, bands=4)
+    with pytest.raises(ValueError, match="rows-per-band"):
+        incremental_minhash_pairs(docs, minhash_band_index(docs), bands=8)
