@@ -30,7 +30,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def _duckdb_timings(oracles: dict[str, str], sf_dir: str) -> dict[str, float]:
-    """Best-of-5 wall time per oracle on the same parquet, DuckDB using
+    """Best-of-7 wall time per oracle on the same parquet, DuckDB using
     all cores — the per-query comparator column for the 2x gate."""
     import duckdb
 
@@ -47,7 +47,7 @@ def _duckdb_timings(oracles: dict[str, str], sf_dir: str) -> dict[str, float]:
     for name, sql in oracles.items():
         best = None
         try:
-            for _ in range(5):
+            for _ in range(7):
                 t0 = time.time()
                 con.execute(sql).fetchall()
                 dt = time.time() - t0
@@ -111,15 +111,15 @@ def main() -> int:
         df = fn(spark, sf_dir)
         t1 = time.time()
         plan_build += t1 - t0
-        # best-of-5 (both engines measured the same way): the first
+        # best-of-7 (both engines measured the same way): the first
         # full-scale run still pays JVM C2 compilation of the codegen'd
         # loops (the sf0.001 warmup is too few invocations to tier up),
         # and this VM shows ±30-40% run-to-run scheduler jitter with
-        # multi-second hiccup spikes; five reps make the minimum a
-        # stable steady-state estimate where three still caught hiccups
-        # on every rep of an unlucky query.
+        # multi-second hiccup spikes lasting several consecutive reps;
+        # seven reps make the minimum a stable steady-state estimate
+        # (same-code suite totals still ranged 14.2-16.2 s at five).
         best = None
-        for _ in range(5):
+        for _ in range(7):
             r0 = time.time()
             df.write.format("noop").mode("overwrite").save()
             dt = time.time() - r0
