@@ -548,7 +548,13 @@ def q_approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # becomes ONE distinct shuffle + a tiny agg instead of Spark's
     # two-shuffle countDistinct expansion running next to a second
     # full-table HLL pass.
-    pairs = li.select("l_returnflag", "l_partkey").distinct()
+    # SQL COUNT(DISTINCT x) semantics: NULL part keys are not values
+    # (HLL also skips NULL inputs in both engines)
+    pairs = (
+        li.filter(F.col("l_partkey").isNotNull())
+        .select("l_returnflag", "l_partkey")
+        .distinct()
+    )
     g = pairs.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("_approx"),
         F.count(F.lit(1)).alias("exact_parts"),
@@ -722,6 +728,9 @@ def _rank_select_percentiles(
     # select/filter/agg output instead of one per node (identical
     # trees; see functions/vector.py for the measured motivation)
     g, v = f"`{group_col}`", f"`{value_col}`"
+    # quantile_cont semantics: NULL values are not ranked (a NULL would
+    # otherwise sort NULLS FIRST into _rn and shift every position)
+    df = df.filter(F.col(value_col).isNotNull())
     ranked = df.selectExpr(
         g,
         v,
@@ -779,6 +788,12 @@ def percentiles_cent_histogram(
     from functools import reduce
     from operator import or_
 
+    # NULL group keys cannot survive the re-scan join on [group, _bk]
+    # (NULL never equi-joins), and NULL values are not ranked by
+    # quantile_cont — both excluded explicitly, mirrored in oracles
+    df = df.filter(
+        F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
+    )
     bucket = F.shiftright(money.int_scaled(value_col), shift)
     hist = (
         df.select(group_col, bucket.alias("_bk"))
@@ -1032,8 +1047,10 @@ def q_high_revenue_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # single-partition ON PURPOSE over the part-sized aggregate (see
     # docstring); pmod(key, 1) is a constant-0 partition spec the
     # optimizer cannot fold away — a bare lit would be constant-folded
-    # out and re-emit WindowExec's unpartitioned warning every action
-    w = Window.partitionBy(F.pmod(F.col("l_partkey"), F.lit(1)))
+    # out and re-emit WindowExec's unpartitioned warning every action.
+    # coalesce: pmod(NULL, 1) is NULL, which would split a NULL-key
+    # group into its own window partition and skew the global average.
+    w = Window.partitionBy(F.pmod(F.coalesce(F.col("l_partkey"), F.lit(0)), F.lit(1)))
     threshold = F.sum("_rev").over(w).cast("double") / F.count("*").over(w) * 1.2
     return (
         per_part.withColumn("threshold", threshold)
@@ -1364,7 +1381,7 @@ SELECT l_returnflag,
        round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
        round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
        round(quantile_cont(l_extendedprice, 0.95), 4) AS p95
-FROM lineitem GROUP BY l_returnflag
+FROM lineitem WHERE l_returnflag IS NOT NULL GROUP BY l_returnflag
 """
 
 

@@ -2,7 +2,7 @@
 bit-green when the corpus carries the shapes a regenerated driver
 dataset could legally contain — NULL/empty/multi-space/whitespace-only
 text, NULL embeddings, the zero vector, NULL event time/type/user and
-malformed JSON props. This is the regression net for
+malformed JSON props, NULL money values/flags and NULL join keys. This is the regression net for
 the round-3 `pack_sequences` class of failure (data drift flipping a
 previously green row) and the round-4 findings (ANSI DIVIDE_BY_ZERO on
 zero-norm cosine, NULL-payload decode crashes, regex-vs-string_split
@@ -46,6 +46,12 @@ QUERIES = [
     "events_session_windows",
     "trending_event_types",
     "dedup_events",
+    "pricing_summary",
+    "lineitem_stats",
+    "high_revenue_parts",
+    "approx_distinct_parts",
+    "orders_above_avg",
+    "lineitem_percentiles_hist",
 ]
 
 
@@ -95,8 +101,29 @@ COPY (
 ) TO '{dst}/events.parquet' (FORMAT PARQUET)
 """
     )
+    con.execute(
+        f"""
+COPY (
+  SELECT * FROM read_parquet('{SF001_DIR}/lineitem.parquet')
+  UNION ALL
+  SELECT 9900001, 1, 1, 1, NULL, NULL, 0.05, 0.02, NULL, 'O', NULL
+  UNION ALL
+  SELECT 9900002, NULL, 2, 1, 10.0, 1000.50, NULL, NULL, 'R', 'F',
+         (SELECT min(l_shipdate) FROM read_parquet('{SF001_DIR}/lineitem.parquet'))
+) TO '{dst}/lineitem.parquet' (FORMAT PARQUET)
+"""
+    )
+    con.execute(
+        f"""
+COPY (
+  SELECT * FROM read_parquet('{SF001_DIR}/orders.parquet')
+  UNION ALL
+  SELECT 9900101, NULL, NULL, NULL, NULL, NULL
+) TO '{dst}/orders.parquet' (FORMAT PARQUET)
+"""
+    )
     for t in TABLES:
-        if t in ("documents", "embeddings", "events"):
+        if t in ("documents", "embeddings", "events", "lineitem", "orders"):
             continue
         shutil.copyfile(
             os.path.join(SF001_DIR, f"{t}.parquet"),
