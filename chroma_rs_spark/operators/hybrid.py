@@ -63,6 +63,7 @@ def hybrid_search_rrf(
     doc_id: str = "doc_id",
     vec_id: str = "vec_id",
     emb_col: str = "embedding",
+    require_both: bool = True,
 ) -> DataFrame:
     """Top-k documents under RRF fusion of a BM25 text query and a
     cosine vector query (doc_id == vec_id joins the two modalities).
@@ -74,12 +75,14 @@ def hybrid_search_rrf(
     over round-6 scores.
 
     Contract: fusion is over each system's top-`depth` candidate list
-    (the standard RRF formulation), and a document must appear in BOTH
+    (the standard RRF formulation). With `require_both=True` (default,
+    what the DuckDB oracle mirrors) a document must appear in BOTH
     lists to receive a fused score — single-modality hits (e.g. a null
-    embedding, or rank > depth in one system) do not surface. Callers
-    wanting union semantics should re-rank with a missing-rank
-    convention downstream; the intersection contract is what the
-    DuckDB oracle mirrors.
+    embedding, or rank > depth in one system) do not surface. With
+    `require_both=False` the candidate lists are UNIONED and a missing
+    rank takes the convention value depth+1 ("just past the end of the
+    list"), so one-sided documents still receive a damped fused score;
+    the missing side's rank column reports NULL.
     """
     if not terms:
         raise ValueError("hybrid_search_rrf needs a non-empty terms list")
@@ -119,14 +122,22 @@ def hybrid_search_rrf(
         "vec_rank",
         key=doc_id,
     ).select(doc_id, "vec_rank")
+    if require_both:
+        joined = bm_ranked.join(vec_ranked, doc_id)
+        br, vr = F.col("bm25_rank"), F.col("vec_rank")
+    else:
+        joined = bm_ranked.join(vec_ranked, doc_id, "full_outer")
+        # missing-rank convention: "just past the end of the list"
+        miss = F.lit(depth + 1)
+        br = F.coalesce(F.col("bm25_rank"), miss)
+        vr = F.coalesce(F.col("vec_rank"), miss)
     rrf: Column = F.round(
-        F.lit(1.0) / (F.lit(float(k0)) + F.col("bm25_rank"))
-        + F.lit(1.0) / (F.lit(float(k0)) + F.col("vec_rank")),
+        F.lit(1.0) / (F.lit(float(k0)) + br)
+        + F.lit(1.0) / (F.lit(float(k0)) + vr),
         6,
     ) + F.lit(0.0)
     return (
-        bm_ranked.join(vec_ranked, doc_id)
-        .select(
+        joined.select(
             doc_id,
             F.col("bm25_rank").cast("long").alias("bm25_rank"),
             F.col("vec_rank").cast("long").alias("vec_rank"),

@@ -456,6 +456,45 @@ def test_hybrid_rrf_fuses_modalities(spark):
         hybrid_search_rrf(docs, emb, [], [1.0, 0.0, 0.0])
 
 
+def test_hybrid_rrf_union_semantics_surfaces_one_sided_docs(spark):
+    """require_both=False: a doc with a NULL embedding (text-only hit)
+    still receives a fused score with the depth+1 missing-rank
+    convention; the intersection default excludes it."""
+    from chroma_rs_spark.operators.hybrid import hybrid_search_rrf
+
+    docs = spark.createDataFrame(
+        [
+            (0, "query term here and filler words extra pad tokens"),
+            (1, "term term term term strong text match here pad"),
+            (2, "no lexical overlap at all just filler pad words"),
+        ],
+        "doc_id long, text string",
+    )
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, None),  # text-only document
+            (2, [0.9, 0.1, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    strict = {
+        r["doc_id"]
+        for r in hybrid_search_rrf(docs, emb, ["term"], [1.0, 0.0, 0.0], k=5).collect()
+    }
+    assert 1 not in strict
+    union = {
+        r["doc_id"]: r
+        for r in hybrid_search_rrf(
+            docs, emb, ["term"], [1.0, 0.0, 0.0], k=5, depth=100, require_both=False
+        ).collect()
+    }
+    assert 1 in union
+    r1 = union[1]
+    assert r1["vec_rank"] is None  # missing side reported as NULL
+    assert r1["rrf"] == round(1.0 / (60 + r1["bm25_rank"]) + 1.0 / (60 + 101), 6)
+
+
 def test_simhash_packed_matches_python_reference(docs):
     """Pin the 16-bit-field bit-count packing against a direct Python
     reimplementation of the published formulation (per-bit +/-1 sums of
