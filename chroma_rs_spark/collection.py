@@ -226,12 +226,23 @@ def _items_from_args(
             # serialize as the same lowercase form compile_where's
             # _coerce produces (filters.py), or where={'flag': True}
             # would silently match nothing against a stored 'True'
-            {k: _meta_str(v) for k, v in m.items()} if m else None,
+            # `is not None`, not truthiness: an explicit empty dict is
+            # a real (empty) metadata map, distinct from "no metadata"
+            {k: _meta_str(v) for k, v in m.items()} if m is not None else None,
         )
         for i, e, d, m in zip(ids, embeddings, documents, metadatas)
     ]
     df = engine.spark.createDataFrame(rows, ITEM_SCHEMA)
     return df.withColumn("embedding_norm", l2_norm("embedding"))
+
+
+def _check_batch_ids_unique(ids: Sequence[str], op: str) -> None:
+    """Duplicate ids within one mutation batch corrupt the unique-id
+    invariant: upsert would union one row per duplicate, update's
+    left join would multiply existing rows. add() has always raised;
+    every id-batch mutation shares the rule."""
+    if len(set(ids)) != len(ids):
+        raise DuplicateIDError(f"duplicate ids within {op}() batch")
 
 
 def _check_dim(engine: Engine, coll: Collection, df: DataFrame) -> None:
@@ -255,7 +266,7 @@ def _check_dim(engine: Engine, coll: Collection, df: DataFrame) -> None:
         )
 
 
-def _recover_interrupted_overwrite(path: str) -> None:
+def _recover_interrupted_overwrite(path: str, cleanup: bool = False) -> None:
     """Finish (or roll back) an _overwrite interrupted between its two
     renames, so a crash can never lose the collection.
 
@@ -265,7 +276,15 @@ def _recover_interrupted_overwrite(path: str) -> None:
     * path missing + old           -> restore old (the write died
       mid-flight; the previous state is the only complete one).
     * path present                 -> the swap finished; stale tmp/old
-      are leftovers from the final cleanup step — delete them.
+      are leftovers from the final cleanup step.
+
+    `cleanup` (writers only) also deletes stale tmp/old when the live
+    dir is present. READERS must pass the default False: with a live
+    dir in place a tmp dir is just as likely a concurrent single
+    writer's in-flight output, and deleting it from a read path would
+    break the writer — violating the single-writer-with-safe-readers
+    contract. A reader only ever intervenes when the live dir is
+    MISSING (post-crash, when by definition no writer survived).
     """
     tmp, old = path + ".__tmp", path + ".__old"
     if not os.path.isdir(path):
@@ -273,8 +292,11 @@ def _recover_interrupted_overwrite(path: str) -> None:
             os.replace(tmp, path)
         elif os.path.isdir(old):
             os.replace(old, path)
-    shutil.rmtree(tmp, ignore_errors=True)
-    shutil.rmtree(old, ignore_errors=True)
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
+    elif cleanup:
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
 
 
 def _overwrite(engine: Engine, coll: Collection, df: DataFrame) -> None:
@@ -287,7 +309,7 @@ def _overwrite(engine: Engine, coll: Collection, df: DataFrame) -> None:
     contract, SURVEY §7 hard part (a)); readers are safe throughout.
     """
     path = engine.data_path(coll.id)
-    _recover_interrupted_overwrite(path)
+    _recover_interrupted_overwrite(path, cleanup=True)
     tmp = path + ".__tmp"
     _write(engine, coll, df, tmp, "overwrite")
     old = path + ".__old"
@@ -374,6 +396,7 @@ def upsert(
     metadatas: Sequence[dict] | None = None,
 ) -> int:
     """Add-or-replace by id (A2): anti-join existing, union new."""
+    _check_batch_ids_unique(ids, "upsert")
     new = _items_from_args(engine, ids, embeddings, documents, metadatas)
     _check_dim(engine, coll, new)
     existing = items_df(engine, coll)
@@ -396,7 +419,11 @@ def update(
     below silently drops such patch rows, so without the check a
     caller could not tell a no-op from a successful update.
     """
+    _check_batch_ids_unique(ids, "update")
     patch = _items_from_args(engine, ids, embeddings, documents, metadatas)
+    if embeddings is not None:
+        # a patch may replace embeddings — same dim discipline as add
+        _check_dim(engine, coll, patch)
     existing = items_df(engine, coll)
     missing = [
         r["id"]
@@ -446,7 +473,13 @@ def delete(
     existing = items_df(engine, coll)
     # NB delete keeps the complement, so the partition-pruning conjunct
     # of `where` does NOT apply (~pred must scan every partition).
-    _overwrite(engine, coll, existing.filter(~pred))
+    # coalesce: a NULL predicate (metadata NULL / key absent / document
+    # NULL) means the row did NOT match the delete filter — it must be
+    # KEPT. Bare ~NULL is NULL, which filter() drops: silent
+    # over-deletion of every non-matching-by-NULL row.
+    _overwrite(
+        engine, coll, existing.filter(~F.coalesce(pred, F.lit(False)))
+    )
 
 
 # -- A5 get / A6 count / A7 peek ---------------------------------------
@@ -495,6 +528,34 @@ def peek(engine: Engine, coll: Collection, limit: int = 10) -> DataFrame:
 # -- A8 query (KNN) -----------------------------------------------------
 
 
+
+
+def _atomic_index_write(df: DataFrame, path: str) -> None:
+    """Persist a tiny index artifact with the same crash discipline as
+    the data dir: write fully (and _SUCCESS-committed) into a temp dir,
+    then one rename swap — a crash mid-build leaves the OLD index
+    intact instead of a deleted-or-partial directory that a later load
+    would silently zero-fill."""
+    tmp = path + ".__tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    df.write.mode("overwrite").parquet(tmp)
+    if not os.path.isfile(os.path.join(tmp, "_SUCCESS")):
+        raise EngineError(f"index write did not commit: {tmp}")
+    shutil.rmtree(path, ignore_errors=True)
+    os.replace(tmp, path)
+
+
+def _committed_index_dir(path: str) -> bool:
+    """An index dir is loadable iff Spark's commit marker is present —
+    a partial directory must read as ABSENT (transient retrain /
+    explicit rebuild), never as a silently truncated artifact."""
+    return (
+        os.path.isdir(path)
+        and os.path.isfile(os.path.join(path, "_SUCCESS"))
+        and _has_parquet(path)
+    )
+
+
 IVF_INDEX_DIR = "ivf_index"
 
 
@@ -537,11 +598,11 @@ def build_ivf_index(
         for pos, v in enumerate(vec)
     ]
     path = os.path.join(engine.collection_dir(coll.id), IVF_INDEX_DIR)
-    (
-        engine.spark.createDataFrame(rows, "label INT, pos INT, centroid DOUBLE")
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(path)
+    _atomic_index_write(
+        engine.spark.createDataFrame(
+            rows, "label INT, pos INT, centroid DOUBLE"
+        ).coalesce(1),
+        path,
     )
     return path
 
@@ -550,7 +611,7 @@ def _load_ivf_index(
     engine: Engine, coll: Collection
 ) -> list[tuple[int, list[float]]] | None:
     path = os.path.join(engine.collection_dir(coll.id), IVF_INDEX_DIR)
-    if not (os.path.isdir(path) and _has_parquet(path)):
+    if not _committed_index_dir(path):
         return None
     # k x dim rows — tiny by contract (the persisted index artifact)
     by_label: dict[int, dict[int, float]] = {}
@@ -584,7 +645,7 @@ def compact(
     executed per partition directory if the collection is partitioned.
     """
     path = engine.data_path(coll.id)
-    _recover_interrupted_overwrite(path)
+    _recover_interrupted_overwrite(path, cleanup=True)
     total = 0
     if os.path.isdir(path):
         for root, _dirs, files in os.walk(path):
@@ -592,7 +653,18 @@ def compact(
                 if fn.endswith(".parquet"):
                     total += os.path.getsize(os.path.join(root, fn))
     n_files = max(1, -(-total // (target_file_mb << 20)))  # ceil div
-    df = items_df(engine, coll).repartition(n_files)
+    df = items_df(engine, coll)
+    if _partition_key(engine, coll) is not None:
+        # partitioned layout: repartition BY the partition value so each
+        # value's rows land in few tasks — a round-robin repartition
+        # would emit up to n_files files PER partition directory (every
+        # task holds every value), multiplying small files instead of
+        # merging them
+        df = df.repartition(
+            n_files, F.element_at(F.col("metadata"), F.lit(_partition_key(engine, coll)))
+        )
+    else:
+        df = df.repartition(n_files)
     _overwrite(engine, coll, df)
     return sum(
         1
@@ -668,11 +740,11 @@ def build_pq_index(
         for pos in range(books.shape[2])
     ]
     path = os.path.join(engine.collection_dir(coll.id), PQ_INDEX_DIR)
-    (
-        engine.spark.createDataFrame(rows, "m INT, code INT, pos INT, value DOUBLE")
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(path)
+    _atomic_index_write(
+        engine.spark.createDataFrame(
+            rows, "m INT, code INT, pos INT, value DOUBLE"
+        ).coalesce(1),
+        path,
     )
     return path
 
@@ -681,7 +753,7 @@ def _load_pq_index(engine: Engine, coll: Collection):
     import numpy as np
 
     path = os.path.join(engine.collection_dir(coll.id), PQ_INDEX_DIR)
-    if not (os.path.isdir(path) and _has_parquet(path)):
+    if not _committed_index_dir(path):
         return None
     rows = engine.spark.read.parquet(path).collect()
     m = max(r["m"] for r in rows) + 1
@@ -718,6 +790,18 @@ def query(
     Returns (query_id, rank, id, distance[, document][, metadata]).
     """
     metric = (coll.metadata or {}).get("hnsw:space", "l2")
+    # probe vectors must match the registered collection dim — a wrong
+    # length would otherwise score a silent prefix (unrolled distance)
+    # or NULL-out every pair, returning plausible-but-wrong or empty
+    # results instead of the loud error add() enforces on the way in
+    reg_dim = engine._registry_row(coll.id).get("dim")
+    if reg_dim is not None:
+        bad = [len(q) for q in query_embeddings if len(q) != int(reg_dim)]
+        if bad:
+            raise DimensionMismatchError(
+                f"query embeddings of dim {sorted(set(bad))} against a "
+                f"dim-{reg_dim} collection"
+            )
     df = items_df(engine, coll, keep_partition_col=True)
     pred = _predicate(where, where_document, None)
     if pred is not None:

@@ -112,18 +112,6 @@ def base_hash32(col: str | Column) -> Column:
     return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
 
 
-def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
-    """Array of `num_hashes` integer minhashes over a shingle array."""
-    base = F.transform(shingles, base_hash32)
-
-    def seeded_min(a: int, b: int) -> Column:
-        # close over (a, b) via a def — default-arg lambdas would give the
-        # HOF a >1-arity callable and trip transform's (elem, idx) mode
-        return F.array_min(F.transform(base, lambda x: (x * a + b) % MINHASH_P))
-
-    return F.array(*[seeded_min(a, b) for a, b in minhash_params(num_hashes)])
-
-
 def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Per-row duplicate accounting by exact text hash.
 

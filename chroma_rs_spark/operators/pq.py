@@ -256,6 +256,8 @@ def pq_topk_rescored(
     """
     from chroma_rs_spark.functions.vector import l2_distance, vector_lit_sql
 
+    if not queries:
+        raise ValueError("pq_topk_rescored: queries must be non-empty")
     cand = pq_adc_topk(
         pq_encode(items, codebooks, item_id, item_emb, id_type=id_type),
         codebooks,

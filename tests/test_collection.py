@@ -305,3 +305,100 @@ def test_compact_rewrites_small_files_preserving_rows(engine):
     assert c.count() == 30
     top = c.query([[2.0, 3.0]], n_results=1).collect()
     assert top[0]["id"] == "i2_3"
+
+
+def test_delete_where_keeps_null_metadata_rows(engine):
+    """A NULL predicate (metadata NULL / key absent) means the row did
+    NOT match the delete filter — it must survive. Regression for the
+    ~NULL over-deletion bug."""
+    c = engine.create_collection("del_null_meta")
+    c.add(
+        ids=["meta", "nometa", "otherkey"],
+        embeddings=[[1.0, 0.0]] * 3,
+        metadatas=[{"label": "1"}, None, {"other": "x"}],
+    )
+    c.delete(where={"label": "1"})
+    left = sorted(r["id"] for r in c.get().collect())
+    assert left == ["nometa", "otherkey"]
+    # where_document NULL documents likewise survive a $contains delete
+    c2 = engine.create_collection("del_null_doc")
+    c2.add(ids=["d", "nod"], embeddings=[[1.0, 0.0]] * 2, documents=["xyz", None])
+    c2.delete(where_document={"$contains": "xyz"})
+    assert [r["id"] for r in c2.get().collect()] == ["nod"]
+
+
+def test_upsert_and_update_reject_duplicate_batch_ids(engine):
+    from chroma_rs_spark.errors import DuplicateIDError
+
+    c = engine.create_collection("dup_batch")
+    c.add(ids=["a"], embeddings=[[1.0, 0.0]])
+    with pytest.raises(DuplicateIDError, match="upsert"):
+        c.upsert(ids=["a", "a"], embeddings=[[1.0, 0.0], [2.0, 0.0]])
+    with pytest.raises(DuplicateIDError, match="update"):
+        c.update(ids=["a", "a"], documents=["v1", "v2"])
+    assert c.count() == 1
+
+
+def test_update_enforces_registered_dim(engine):
+    from chroma_rs_spark.errors import DimensionMismatchError
+
+    c = engine.create_collection("upd_dim")
+    c.add(ids=["a"], embeddings=[[1.0, 0.0]])
+    with pytest.raises(DimensionMismatchError):
+        c.update(ids=["a"], embeddings=[[1.0, 2.0, 3.0]])
+
+
+def test_query_rejects_wrong_probe_dim(engine):
+    from chroma_rs_spark.errors import DimensionMismatchError
+
+    c = engine.create_collection("query_dim")
+    c.add(ids=["a", "b"], embeddings=[[1.0, 0.0], [0.0, 1.0]])
+    with pytest.raises(DimensionMismatchError, match="dim"):
+        c.query([[1.0, 0.0, 0.0]], n_results=1)
+    with pytest.raises(DimensionMismatchError):
+        c.query([[1.0]], n_results=1)
+
+
+def test_empty_metadata_dict_roundtrips_as_empty_map(engine):
+    c = engine.create_collection("empty_meta")
+    c.add(ids=["a", "b"], embeddings=[[1.0, 0.0]] * 2, metadatas=[{}, None])
+    rows = {r["id"]: r["metadata"] for r in c.get(include=("metadatas",)).collect()}
+    assert rows["a"] == {}
+    assert rows["b"] is None
+
+
+def test_reader_recovery_leaves_writer_tmp_alone(engine):
+    import os
+    import shutil
+
+    c = engine.create_collection("tmp_safety")
+    c.add(ids=["a"], embeddings=[[1.0, 0.0]])
+    path = engine.data_path(c.id)
+    tmp = path + ".__tmp"
+    os.makedirs(tmp, exist_ok=True)  # simulate an in-flight writer
+    assert c.count() == 1  # read path must not delete the tmp dir
+    assert os.path.isdir(tmp)
+    shutil.rmtree(tmp)
+
+
+def test_partial_index_dir_reads_as_absent(engine):
+    """An index dir without Spark's _SUCCESS marker (crashed build)
+    must be treated as no-index — the PQ/IVF loaders never reconstruct
+    codebooks/centroids from partial rows."""
+    import os
+
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    ids = [f"v{i}" for i in range(20)]
+    vecs = [[float(x) for x in rng.normal(0, 1, 4)] for _ in ids]
+    c = engine.create_collection("partial_idx", {"hnsw:space": "cosine"})
+    c.add(ids=ids, embeddings=vecs)
+    p = c.build_pq_index(m=2, k=4, sample_size=16)
+    os.remove(os.path.join(p, "_SUCCESS"))  # simulate a partial build
+    from chroma_rs_spark.collection import _load_pq_index
+
+    assert _load_pq_index(c._engine, c) is None
+    # query still works (transient retrain), never loads the partial dir
+    got = c.query([vecs[0]], n_results=1, index="pq", oversample=8).collect()
+    assert got[0]["id"] == ids[0]
