@@ -402,3 +402,29 @@ def test_partial_index_dir_reads_as_absent(engine):
     # query still works (transient retrain), never loads the partial dir
     got = c.query([vecs[0]], n_results=1, index="pq", oversample=8).collect()
     assert got[0]["id"] == ids[0]
+
+
+def test_compact_partitioned_collection_merges_per_partition(engine):
+    import os
+
+    c = engine.create_collection("compact_part", {"partition_by": "lang"})
+    for i in range(4):
+        c.add(
+            ids=[f"e{i}_{j}" for j in range(3)],
+            embeddings=[[float(i), float(j)] for j in range(3)],
+            metadatas=[{"lang": "en" if j % 2 == 0 else "de"} for j in range(3)],
+        )
+    path = engine.data_path(c.id)
+    before = sum(
+        1 for _r, _d, fs in os.walk(path) for f in fs if f.endswith(".parquet")
+    )
+    rows_before = sorted(r["id"] for r in c.get().collect())
+    after = c.compact(target_file_mb=128)
+    # partition-keyed repartition: at most one file per partition value
+    # per surviving task — far fewer than the per-append accumulation
+    assert after < before
+    assert after <= 2  # two partition values, one task
+    assert sorted(r["id"] for r in c.get().collect()) == rows_before
+    # partition pruning still works after the rewrite
+    en = c.get(where={"lang": "en"}).collect()
+    assert all(r["metadata"]["lang"] == "en" for r in en) and len(en) == 8
