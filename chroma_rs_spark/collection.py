@@ -749,6 +749,43 @@ def build_pq_index(
     return path
 
 
+PQ_CODES_DIR = "pq_codes"
+
+
+def materialize_pq_codes(engine: Engine, coll: Collection) -> str:
+    """Encode every CURRENT item against the persisted PQ codebooks and
+    persist the (id, codes) table — the 100 TB production step the
+    build_pq_index docstring defers: with codes materialized, a query
+    scans |corpus| x m bytes of codes instead of re-encoding raw
+    vectors per query; items added later are encoded on the fly and
+    unioned at query time, and updated embeddings only degrade their
+    own ADC candidate ranks until the next materialize (the exact
+    re-scoring stage always uses current vectors). Requires a
+    persisted index (`build_pq_index` first)."""
+    from chroma_rs_spark.operators.pq import pq_encode
+
+    books = _load_pq_index(engine, coll)
+    if books is None:
+        raise EngineError("materialize_pq_codes requires build_pq_index first")
+    metric = (coll.metadata or {}).get("hnsw:space", "l2")
+    src = items_df(engine, coll).filter(F.col("embedding").isNotNull())
+    enc_src = _unit_vectors(src) if metric == "cosine" else src
+    path = os.path.join(engine.collection_dir(coll.id), PQ_CODES_DIR)
+    _atomic_index_write(
+        pq_encode(enc_src, books, item_id="id", item_emb="embedding",
+                  id_type="string"),
+        path,
+    )
+    return path
+
+
+def _load_pq_codes(engine: Engine, coll: Collection) -> DataFrame | None:
+    path = os.path.join(engine.collection_dir(coll.id), PQ_CODES_DIR)
+    if not _committed_index_dir(path):
+        return None
+    return engine.spark.read.schema("id string, codes array<int>").parquet(path)
+
+
 def _load_pq_index(engine: Engine, coll: Collection):
     import numpy as np
 
@@ -882,14 +919,35 @@ def query(
                 n = math.sqrt(sum(x * x for x in qv)) or 1.0
                 qv = [x / n for x in qv]
             qlist.append((i, qv))
+        # codes: the persisted codes table when materialized
+        # (materialize_pq_codes) — late-added items are encoded on the
+        # fly and unioned, so a stale codes table degrades nothing but
+        # freshness of the candidate ADC distances for new rows; with
+        # no codes table every current item is encoded per query.
+        codes = _load_pq_codes(engine, coll)
+        if codes is None:
+            codes = pq_encode(
+                enc_src, books, item_id="id", item_emb="embedding",
+                id_type="string",
+            )
+        else:
+            late = enc_src.join(codes.select("id"), "id", "left_anti")
+            codes = codes.unionByName(
+                pq_encode(
+                    late, books, item_id="id", item_emb="embedding",
+                    id_type="string",
+                )
+            )
         # ADC proposes an oversampled candidate pool; the pool is then
         # re-scored EXACTLY by the same knn_exact plan the exact path
         # runs (collection metric, stored norms, rounded doubles), so
         # returned distances are bit-identical to exact-path distances
-        # and approximation affects recall only.
+        # and approximation affects recall only. NOTE with a persisted
+        # codes table, where-filters prune candidates at the re-scoring
+        # join (the codes scan is unfiltered); heavily selective
+        # filters should prefer index='exact'.
         cand = pq_adc_topk(
-            pq_encode(enc_src, books, item_id="id", item_emb="embedding",
-                      id_type="string"),
+            codes,
             books,
             qlist,
             k=int(n_results) * int(oversample),

@@ -97,3 +97,35 @@ def test_pq_rejects_ip_metric(engine):
         c.query([[1.0, 0.0]], index="pq")
     with pytest.raises(EngineError, match="l2/cosine"):
         c.build_pq_index()
+
+
+def test_materialized_codes_serve_queries_and_absorb_late_adds(pq_coll):
+    c, ids, vecs = pq_coll
+    c.build_pq_index(m=2, k=8, sample_size=64)
+    import os
+
+    from chroma_rs_spark.collection import PQ_CODES_DIR
+
+    path = c.materialize_pq_codes()
+    assert os.path.isdir(path) and path.endswith(PQ_CODES_DIR)
+    probe = vecs[7]
+    res = c.query([probe], n_results=5, index="pq", oversample=8).collect()
+    assert res[0]["id"] == ids[7] and res[0]["distance"] == 0.0
+    # late-added item (not in the codes table) is still searchable
+    c.add(ids=["late"], embeddings=[[0.0, 0.0, 0.0, 1.01]])
+    got = c.query(
+        [[0.0, 0.0, 0.0, 1.01]], n_results=1, index="pq", oversample=8
+    ).collect()
+    assert got[0]["id"] == "late" and got[0]["distance"] == 0.0
+    # a partial codes dir (no _SUCCESS) is treated as absent
+    os.remove(os.path.join(path, "_SUCCESS"))
+    from chroma_rs_spark.collection import _load_pq_codes
+
+    assert _load_pq_codes(c._engine, c) is None
+
+
+def test_materialize_requires_persisted_index(engine):
+    c = engine.create_collection("codes_noindex", {"hnsw:space": "cosine"})
+    c.add(ids=["a"], embeddings=[[1.0, 0.0]])
+    with pytest.raises(EngineError, match="build_pq_index"):
+        c.materialize_pq_codes()
