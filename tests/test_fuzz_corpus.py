@@ -36,6 +36,14 @@ QUERIES = [
     "quality_score",
     "lang_id",
     "top_tokens",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "repetition_signals",
+    "tfidf_topk",
+    "bm25_scores",
+    "split_contamination",
+    "frame_sample",
+    "multimodal_features",
 ]
 
 _ALPHABET = (
