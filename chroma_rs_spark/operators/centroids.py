@@ -37,7 +37,16 @@ def label_centroids(
 ) -> DataFrame:
     """(label, pos, centroid, n_vectors): per-label mean of each
     embedding component, in long form (one row per component — the
-    shape that joins/compares cleanly across engines)."""
+    shape that joins/compares cleanly across engines).
+
+    Numeric domain: components are accumulated in micro-units
+    (round(x * 1e6)) on DECIMAL(38,0) — exact to |x| ~ 1e31 with
+    ~1e12-row groups. Real embedding domains (unit-normalized or
+    small pre-trained floats) sit ~30 orders of magnitude inside the
+    bound; values beyond it raise Spark's ANSI overflow loudly rather
+    than silently truncating (tests/test_fuzz_corpus.py pins the
+    realistic-domain behavior bit-exactly).
+    """
     e = emb.select(
         F.col(label_col).alias("label"),
         F.posexplode(F.col(vec_col)).alias("pos", "_val"),

@@ -152,3 +152,99 @@ def test_text_query_bit_green_on_fuzz_corpus(spark, fuzz_dir, fuzz_con, name):
                 pd.isna(a).to_numpy() & pd.isna(b).to_numpy()
             )
             assert np.asarray(eq).all(), f"{name}.{c}: values differ"
+
+
+# -- vector-family fuzz -------------------------------------------------
+
+VEC_QUERIES = [
+    "knn_cosine",
+    "knn_l2",
+    "knn_ip",
+    "vector_index_norms",
+    "embedding_near_dup",
+    "near_dup_bucketed",
+    "ann_signbucket",
+    "embedding_quantize",
+    "label_centroids",
+    "centroid_assign",
+]
+
+
+@pytest.fixture(scope="module")
+def fuzz_vec_dir(tmp_path_factory):
+    """Random vectors across the REALISTIC embedding magnitude domain
+    (1e-6 .. 1e3). Beyond ~1e30 the round-to-6-dp contract is
+    mathematically vacuous (double ulp exceeds 1e-6) and the
+    micro-unit fixed-point centroid sums exceed DECIMAL(38) — the
+    engine's documented numeric domain, not a parity bug."""
+    rng = random.Random(99)
+    dst = str(tmp_path_factory.mktemp("fuzzvec"))
+    rows = [
+        (
+            900000 + i,
+            [rng.uniform(-1, 1) * 10.0 ** rng.randint(-6, 3) for _ in range(64)],
+            rng.randint(0, 9),
+        )
+        for i in range(40)
+    ]
+    con = duckdb.connect()
+    con.register(
+        "_fz", pd.DataFrame(rows, columns=["vec_id", "embedding", "label"])
+    )
+    con.execute(
+        f"""
+COPY (
+  SELECT * FROM read_parquet('{SF001_DIR}/embeddings.parquet')
+  UNION ALL
+  SELECT vec_id, CAST(embedding AS FLOAT[]), label FROM _fz
+) TO '{dst}/embeddings.parquet' (FORMAT PARQUET)
+"""
+    )
+    for t in TABLES:
+        if t == "embeddings":
+            continue
+        shutil.copyfile(
+            os.path.join(SF001_DIR, f"{t}.parquet"),
+            os.path.join(dst, f"{t}.parquet"),
+        )
+    con.close()
+    return dst
+
+
+@pytest.fixture(scope="module")
+def fuzz_vec_con(fuzz_vec_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{fuzz_vec_dir}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", VEC_QUERIES)
+def test_vector_query_bit_green_on_fuzz_corpus(
+    spark, fuzz_vec_dir, fuzz_vec_con, name
+):
+    from chroma_rs_spark.suite import all_queries
+
+    qd = all_queries(include_extra=True)[name]
+    got = _normalize(qd.fn(spark, fuzz_vec_dir).toPandas())
+    want = _normalize(fuzz_vec_con.sql(qd.oracle).df())
+    assert len(got) == len(want), f"{name}: {len(got)} vs {len(want)} rows"
+    for c in got.columns:
+        a, b = got[c], want[c]
+        if np.issubdtype(a.dtype, np.floating) or np.issubdtype(
+            np.asarray(b).dtype, np.floating
+        ):
+            x = np.asarray(a, dtype=np.float64)
+            y = np.asarray(b, dtype=np.float64)
+            ok = (x.view(np.int64) == y.view(np.int64)) | (
+                np.isnan(x) & np.isnan(y)
+            )
+            assert ok.all(), f"{name}.{c}: float bits differ"
+        else:
+            eq = (a.to_numpy() == np.asarray(b)) | (
+                pd.isna(a).to_numpy() & pd.isna(b).to_numpy()
+            )
+            assert np.asarray(eq).all(), f"{name}.{c}: values differ"
