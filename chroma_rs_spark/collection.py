@@ -749,6 +749,35 @@ def build_pq_index(
     return path
 
 
+def stats(engine: Engine, coll: Collection) -> dict:
+    """Operational snapshot of a collection: row count, physical bytes
+    and file count of the data dir (the compaction signal), registered
+    dim/partition key, and which index artifacts are present and
+    committed — the numbers an operator needs before deciding to
+    compact(), build_*_index() or materialize_pq_codes()."""
+    path = engine.data_path(coll.id)
+    n_files = 0
+    n_bytes = 0
+    if os.path.isdir(path):
+        for root, _dirs, files in os.walk(path):
+            for fn in files:
+                if fn.endswith(".parquet"):
+                    n_files += 1
+                    n_bytes += os.path.getsize(os.path.join(root, fn))
+    row = engine._registry_row(coll.id)
+    cdir = engine.collection_dir(coll.id)
+    return {
+        "count": count(engine, coll),
+        "data_files": n_files,
+        "data_bytes": n_bytes,
+        "dim": row.get("dim"),
+        "partition_by": row.get("partition_by"),
+        "ivf_index": _committed_index_dir(os.path.join(cdir, IVF_INDEX_DIR)),
+        "pq_index": _committed_index_dir(os.path.join(cdir, PQ_INDEX_DIR)),
+        "pq_codes": _committed_index_dir(os.path.join(cdir, PQ_CODES_DIR)),
+    }
+
+
 PQ_CODES_DIR = "pq_codes"
 
 

@@ -428,3 +428,16 @@ def test_compact_partitioned_collection_merges_per_partition(engine):
     # partition pruning still works after the rewrite
     en = c.get(where={"lang": "en"}).collect()
     assert all(r["metadata"]["lang"] == "en" for r in en) and len(en) == 8
+
+
+def test_stats_reports_physical_and_index_state(engine):
+    c = engine.create_collection("stats_me", {"hnsw:space": "cosine"})
+    c.add(ids=["a", "b"], embeddings=[[1.0, 0.0], [0.0, 1.0]])
+    s = c.stats()
+    assert s["count"] == 2 and s["dim"] == 2 and s["partition_by"] is None
+    assert s["data_files"] >= 1 and s["data_bytes"] > 0
+    assert not s["ivf_index"] and not s["pq_index"] and not s["pq_codes"]
+    c.build_pq_index(m=2, k=2, sample_size=2)
+    c.materialize_pq_codes()
+    s2 = c.stats()
+    assert s2["pq_index"] and s2["pq_codes"] and not s2["ivf_index"]
