@@ -165,26 +165,34 @@ def l2_distance(a, b, dim: int | None = None) -> Column:
                 "("
                 + _fold(
                     [
-                        f"POWER(CAST(element_at({a}, {i}) AS DOUBLE) - "
-                        f"CAST(element_at({b}, {i}) AS DOUBLE), 2)"
+                        f"(CAST(element_at({a}, {i}) AS DOUBLE) - "
+                        f"CAST(element_at({b}, {i}) AS DOUBLE)) * "
+                        f"(CAST(element_at({a}, {i}) AS DOUBLE) - "
+                        f"CAST(element_at({b}, {i}) AS DOUBLE))"
                         for i in range(1, dim + 1)
                     ]
                 )
                 + ")"
             )
+        # (x-y)*(x-y), not POWER(x-y, 2): multiplication is the one
+        # form every engine computes identically, and the DuckDB twins
+        # mirror it as a literal list_transform product — POWER's
+        # Math.pow path is only *usually* exact for exponent 2
         return F.expr(
             f"aggregate(zip_with({a}, {b}, (x, y) -> "
-            "POWER(CAST(x AS DOUBLE) - CAST(y AS DOUBLE), 2)), "
+            "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * "
+            "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
             "0.0D, (acc, x) -> acc + x)"
         )
     if dim is not None:
         def sq(i: int) -> Column:
             d = F.element_at(a, i).cast("double") - F.element_at(b, i).cast("double")
-            return d ** 2
+            return d * d
 
         return _fold([sq(i) for i in range(1, dim + 1)])
     diffs = F.zip_with(
-        a, b, lambda x, y: (x.cast("double") - y.cast("double")) ** 2
+        a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double"))
     )
     return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
 
@@ -209,10 +217,20 @@ def cosine_distance(
     per candidate pair — that precomputation is the batch "vector
     index build" of BASELINE.md.
     """
+    # zero-norm guard: cosine is undefined for the zero vector and the
+    # division RAISES under ANSI SQL (Spark 4 default) — the public
+    # helper returns NULL instead, matching the engine-wide
+    # unscorable-vector rule (callers filter NULL distances). For every
+    # nonzero norm the ELSE branch is the identical expression tree.
     if _is_sql(a, b, a_norm, b_norm):
         an = a_norm if a_norm is not None else _norm_sql(a, dim)
         bn = b_norm if b_norm is not None else _norm_sql(b, dim)
-        return F.expr(f"1.0D - {_dot_sql(a, b, dim)} / ({an} * {bn})")
+        return F.expr(
+            f"CASE WHEN {an} * {bn} = 0.0D THEN NULL"
+            f" ELSE 1.0D - {_dot_sql(a, b, dim)} / ({an} * {bn}) END"
+        )
     a_norm = a_norm if a_norm is not None else l2_norm(a, dim)
     b_norm = b_norm if b_norm is not None else l2_norm(b, dim)
-    return F.lit(1.0) - dot_product(a, b, dim) / (a_norm * b_norm)
+    return F.when(a_norm * b_norm == F.lit(0.0), F.lit(None)).otherwise(
+        F.lit(1.0) - dot_product(a, b, dim) / (a_norm * b_norm)
+    )

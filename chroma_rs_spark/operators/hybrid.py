@@ -87,6 +87,11 @@ def hybrid_search_rrf(
     if not terms:
         raise ValueError("hybrid_search_rrf needs a non-empty terms list")
     bm = bm25_scores(docs, terms, k1=k1, b=b)
+    # only MATCHING documents are lexical candidates: bm25_scores emits
+    # a 0.0 row for every non-matching doc, and ranking those by the
+    # (score desc, id) tie-break would hand low-id non-matches
+    # id-dependent ranks inside the candidate list
+    bm = bm.filter(F.col("bm25") > F.lit(0.0))
     bm_ranked = _ranked_topn(
         bm.select(doc_id, "bm25"),
         [F.col("bm25").desc(), F.col(doc_id).asc()],
@@ -94,20 +99,30 @@ def hybrid_search_rrf(
         "bm25_rank",
         key=doc_id,
     ).select(doc_id, "bm25_rank")
-    from chroma_rs_spark.functions.vector import dot_product_sql, l2_norm_sql
+    from chroma_rs_spark.functions.vector import (
+        dot_product_sql,
+        float_sql,
+        l2_norm_sql,
+    )
 
     # zero-norm guard (the knn_exact convention): cosine undefined for
     # the zero vector; ANSI SQL would raise on the division. NULL
-    # distances are filtered, so zero-norm docs never rank.
+    # distances are filtered, so zero-norm docs never rank. Norms are
+    # evaluated ONCE each: the query norm is a driver-computed literal
+    # (same left-to-right fold as the HOF — operators/ivf._seq_norm)
+    # and the item norm is a projected column the CASE references
+    # twice, instead of re-running the interpreted HOF aggregate per
+    # use.
+    from chroma_rs_spark.operators.ivf import _seq_norm
+
     qv = vector_lit_sql(query_vec)
-    an = l2_norm_sql(f"`{emb_col}`")
-    bn = l2_norm_sql(qv)
+    qn = float_sql(_seq_norm([float(x) for x in query_vec]))
     dist = (
         F.round(
             F.expr(
-                f"CASE WHEN {an} * {bn} = 0.0D THEN NULL"
+                f"CASE WHEN _n * {qn} = 0.0D THEN NULL"
                 f" ELSE 1.0D - {dot_product_sql(f'`{emb_col}`', qv)}"
-                f" / ({an} * {bn}) END"
+                f" / (_n * {qn}) END"
             ),
             6,
         )
@@ -115,7 +130,12 @@ def hybrid_search_rrf(
     )
     vec_ranked = _ranked_topn(
         emb.filter(F.col(emb_col).isNotNull())
-        .select(F.col(vec_id).alias(doc_id), dist.alias("_dist"))
+        .select(
+            F.col(vec_id).alias(doc_id),
+            F.col(emb_col),
+            F.expr(l2_norm_sql(f"`{emb_col}`")).alias("_n"),
+        )
+        .select(F.col(doc_id), dist.alias("_dist"))
         .filter(F.col("_dist").isNotNull()),
         [F.col("_dist").asc(), F.col(doc_id).asc()],
         depth,

@@ -96,6 +96,9 @@ def collect_small_vectors(
     set IS the persisted index artifact at 100 TB."""
     small = (
         items.filter(F.col(item_id) < max(n_centroids, n_queries))
+        # NULL embeddings are unscorable probes/centroids — the same
+        # exclusion every oracle applies on its probe CTE
+        .filter(F.col(item_emb).isNotNull())
         .select(F.col(item_id).alias("id"), F.col(item_emb).alias("emb"))
         .collect()
     )

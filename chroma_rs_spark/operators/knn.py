@@ -144,9 +144,11 @@ def knn_exact(
         F.col("__iid").alias(item_id),
         dist.alias("distance"),
     # NULL distance = unscorable pair (zero-norm under cosine, NULL
-    # probe vector): excluded, like null-embedding items. No-op for
-    # l2/ip and for well-formed corpora.
-    ).filter(F.col("distance").isNotNull())
+    # probe vector); NaN = a NaN element inside a vector. Both are
+    # excluded — the same rule the oracles (NOT isnan) and the
+    # local-topk path (np.isfinite) apply. No-op for well-formed
+    # corpora.
+    ).filter(F.col("distance").isNotNull() & ~F.isnan("distance"))
     w = Window.partitionBy(query_id).orderBy(F.col("distance").asc(), F.col(item_id).asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -163,9 +165,11 @@ def knn_exact_local_topk(
     item_id: str = "doc_id",
     item_emb: str = "embedding",
     query_id: str = "query_id",
+    id_type: str = "long",
 ) -> DataFrame:
     """Scale-path exact KNN: per-partition vectorized top-k, then a
-    tiny global top-k.
+    tiny global top-k. `id_type` is the Spark type of the id column
+    (`string` for collection ids — mirrors ivf_topk's item_id_type).
 
     `queries` is a driver-side list of (qid, vector) — the query set is
     small by contract (A8 batches a handful of probe vectors). Each
@@ -184,7 +188,7 @@ def knn_exact_local_topk(
     qnorm = np.linalg.norm(qmat, axis=1)
 
     out_schema = (
-        f"{query_id} long, {item_id} long, distance double"
+        f"{query_id} long, {item_id} {id_type}, distance double"
     )
 
     def local_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -207,6 +211,10 @@ def knn_exact_local_topk(
                     d = 1.0 - (emb @ qmat.T) / (inorm[:, None] * qnorm[None, :])
             d = np.round(d, DIST_DECIMALS) + 0.0  # (n, nq); +0.0 folds -0.0 → +0.0
             ids = pdf[item_id].to_numpy()
+            if ids.dtype == object:
+                # string ids: U-strings lexsort (object arrays don't);
+                # code-point order == Spark's string ordering
+                ids = ids.astype(str)
             rows = []
             for j, qid in enumerate(qids):
                 dj = d[:, j]
@@ -217,8 +225,11 @@ def knn_exact_local_topk(
                 if md.size == 0:
                     continue
                 kk = min(k, md.size)
-                # partial-select: per-query local top-k candidates
-                sel = np.argpartition(md, kk - 1)[:kk]
+                # lexsort, not argpartition: ties at the k-th boundary
+                # (round-6 manufactures exact ties) must break on item
+                # id exactly like the global window and the oracle, or
+                # a tied lowest-id candidate could be dropped per-batch
+                sel = np.lexsort((mids, md))[:kk]
                 rows.append(
                     pd.DataFrame(
                         {

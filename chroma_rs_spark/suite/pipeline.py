@@ -913,7 +913,7 @@ WITH bm AS ({bm25}),
 bm_ranked AS (
   SELECT doc_id,
          row_number() OVER (ORDER BY bm25 DESC, doc_id) AS bm25_rank
-  FROM bm
+  FROM bm WHERE bm25 > 0.0
   QUALIFY bm25_rank <= {RRF_DEPTH}
 ),
 qv AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),

@@ -116,7 +116,15 @@ _COSINE_EXPR = (
     " / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))"
     " * sqrt(list_dot_product(q.qe, q.qe)))"
 )
-_L2_EXPR = "list_distance(e.embedding::DOUBLE[], q.qe) ** 2"
+# in-order fold of squared diffs — the literal mirror of Spark's
+# aggregate(zip_with((x-y)*(x-y))) fold; the old
+# list_distance(...) ** 2 computed sqrt-then-square, whose two extra
+# roundings can flip a round-6 boundary by 1 ulp
+_L2_EXPR = (
+    "list_sum(list_transform(range(1, len(e.embedding) + 1), "
+    "j -> (CAST(e.embedding[j] AS DOUBLE) - q.qe[j])"
+    " * (CAST(e.embedding[j] AS DOUBLE) - q.qe[j])))"
+)
 _IP_EXPR = "1.0 - list_dot_product(e.embedding::DOUBLE[], q.qe)"
 
 

@@ -440,18 +440,26 @@ def test_hybrid_rrf_fuses_modalities(spark):
     )
     out = hybrid_search_rrf(docs, emb, ["term"], [1.0, 0.0, 0.0], k=4).collect()
     by_id = {r["doc_id"]: r for r in out}
-    # doc 1: best text rank, worst vector rank; doc 2: best vector
-    # (after self), no text signal — fusion must place doc 0 (good at
-    # both: self-vector + has 'term') first
+    # only MATCHING docs are lexical candidates (bm25 > 0): doc 2 has
+    # no text signal, so under the intersection contract it cannot
+    # surface; doc 1 (best text, worst vector) fuses behind doc 0
+    # (good at both: self-vector + has 'term')
     assert out[0]["doc_id"] == 0
+    assert 2 not in by_id
     assert by_id[1]["bm25_rank"] == 1 and by_id[1]["vec_rank"] == 4
-    assert by_id[2]["vec_rank"] == 2
-    import math
-
     for r in out:
         assert r["rrf"] == round(
             1.0 / (60 + r["bm25_rank"]) + 1.0 / (60 + r["vec_rank"]), 6
         )
+    # union mode surfaces the text-less doc 2 with the missing-rank
+    # convention on the lexical side
+    union = {
+        r["doc_id"]: r
+        for r in hybrid_search_rrf(
+            docs, emb, ["term"], [1.0, 0.0, 0.0], k=4, require_both=False
+        ).collect()
+    }
+    assert union[2]["bm25_rank"] is None and union[2]["vec_rank"] == 2
     with pytest.raises(ValueError, match="non-empty"):
         hybrid_search_rrf(docs, emb, [], [1.0, 0.0, 0.0])
 
