@@ -65,7 +65,9 @@ def label_centroids(
     # tests/test_distance_rounding.py)
     return g.select(
         "label",
-        "pos",
+        # bigint pos: posexplode emits int32, SQL engines' generate_series
+        # emit int64 — pin the wider type so oracle hashes stay type-exact
+        F.col("pos").cast("long").alias("pos"),
         (centroid + F.lit(0.0)).alias("centroid"),
         "n_vectors",
     )

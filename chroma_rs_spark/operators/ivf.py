@@ -228,7 +228,10 @@ def ivf_topk(
     return (
         candidates.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", "distance")
+        # bigint rank: scale-correct (>2^31 rows) and matches the int64 a
+        # SQL engine's row_number() emits — keeps oracle hashes type-exact
+        .select("query_id", F.col("rank").cast("long").alias("rank"),
+                "neighbor_id", "distance")
     )
 
 

@@ -56,11 +56,18 @@ def cosine_topk_pairs(
     )
 
 
+# Above this optimizer-estimated input size the blocked path's
+# driver-side reference-matrix collect becomes the bottleneck (and then
+# the OOM): fail over to the shuffle-keyed LSH path instead.
+BLOCKED_MAX_COLLECT_BYTES = 256 << 20
+
+
 def cosine_topk_pairs_blocked(
     df: DataFrame,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     top_n: int = 20,
+    max_collect_bytes: int = BLOCKED_MAX_COLLECT_BYTES,
 ) -> DataFrame:
     """Exact top-N most-similar pairs via blocked matrix products.
 
@@ -69,18 +76,31 @@ def cosine_topk_pairs_blocked(
     top-N upper-triangle pairs, so the final global top-N sorts
     |partitions| x top_n candidates instead of n^2/2 pairs. Same
     result contract as `cosine_topk_pairs` (round-6 sims, id
-    tie-breaks). Good to ~1M vectors (reference matrix is broadcast);
-    beyond that, bucket first (signbucket_ann) or tile both sides.
+    tie-breaks).
+
+    SIZE-GATED: the reference matrix is collected to the driver, which
+    is only sane while the (id, embedding) projection fits comfortably
+    in driver memory. Past `max_collect_bytes` (optimizer estimate, or
+    unknown) the call fails over to `cosine_topk_pairs_tiled` — the
+    EXACT tiled block-pair join with NO driver materialization — so the
+    result is bit-identical on both sides of the gate (pinned by
+    tests/test_similarity_bucketed.py). For corpora where even the
+    O(n^2) distributed compute is too much, `cosine_pairs_bucketed` is
+    the documented approximate successor.
     """
     import numpy as np
     import pandas as pd
 
-    ref = (
-        df.filter(F.col(emb_col).isNotNull())
-        .select(id_col, emb_col)
-        .orderBy(id_col)
-        .collect()
-    )
+    from chroma_rs_spark.plans.partitioning import plan_size_bytes
+
+    src0 = df.filter(F.col(emb_col).isNotNull()).select(id_col, emb_col)
+    est = plan_size_bytes(src0)
+    if est < 0 or est > max_collect_bytes:
+        return cosine_topk_pairs_tiled(
+            df, id_col=id_col, emb_col=emb_col, top_n=top_n, est_bytes=est
+        )
+
+    ref = src0.orderBy(id_col).collect()
     ref_ids = np.array([r[0] for r in ref], dtype=np.int64)
     ref_mat = np.asarray([r[1] for r in ref], dtype=np.float64)
     ref_norm = np.linalg.norm(ref_mat, axis=1)
@@ -124,6 +144,96 @@ def cosine_topk_pairs_blocked(
         block_topk, schema="id_a long, id_b long, cosine_sim double"
     )
     return cand.orderBy(F.col("cosine_sim").desc(), "id_a", "id_b").limit(top_n)
+
+
+def cosine_topk_pairs_tiled(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    top_n: int = 20,
+    n_blocks: int | None = None,
+    est_bytes: int = -1,
+    target_block_bytes: int = 64 << 20,
+) -> DataFrame:
+    """Exact top-N most-similar pairs via a tiled block-pair join —
+    the no-driver-collect successor to `cosine_topk_pairs_blocked`.
+
+    Rows are hashed into `n_blocks` blocks; the upper-triangle set of
+    block pairs (i <= j) is broadcast and each side replicates onto its
+    block-pair keys, so the join shuffles each row ~n_blocks times
+    instead of forming a cross product, and every reducer scores one
+    (block_i x block_j) tile. The global top-N comes from
+    TakeOrderedAndProject (per-partition top-N merged on the driver),
+    never a full sort of the n^2/2 pair set.
+
+    Same result contract as `cosine_topk_pairs` (round-6 sims, id
+    tie-breaks, zero-norm/NULL rows excluded) — bit-equal, just a
+    different physical plan. Still O(n^2) compute (it is EXACT); for
+    corpora where that is intractable, `cosine_pairs_bucketed` is the
+    approximate scale path.
+    """
+    if n_blocks is None:
+        # one tile side ~target_block_bytes; cap so |tiles| = B(B+1)/2
+        # stays a sane task count even at very large estimates
+        n_blocks = max(2, min(64, (max(est_bytes, 0) // target_block_bytes) + 1))
+    src = (
+        df.filter(F.col(emb_col).isNotNull())
+        .select(
+            F.col(id_col).alias("_id"),
+            F.col(emb_col).alias("_emb"),
+            l2_norm(f"`{emb_col}`").alias("_norm"),
+        )
+        .filter(F.col("_norm") != F.lit(0.0))
+        .withColumn("_blk", F.pmod(F.hash("_id"), F.lit(n_blocks)))
+    )
+    spark = df.sparkSession
+    tiles = spark.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
+        "bi int, bj int",
+    )
+    a = src.join(
+        F.broadcast(tiles), F.col("_blk") == F.col("bi")
+    ).select(
+        "bi", "bj",
+        F.col("_id").alias("id_a"),
+        F.col("_emb").alias("_ea"),
+        F.col("_norm").alias("_na"),
+    )
+    b = src.join(
+        F.broadcast(tiles), F.col("_blk") == F.col("bj")
+    ).select(
+        "bi", "bj",
+        F.col("_id").alias("id_b"),
+        F.col("_emb").alias("_eb"),
+        F.col("_norm").alias("_nb"),
+    )
+    sim = F.round(
+        dot_product("_ea", "_eb") / (F.col("_na") * F.col("_nb")), 6
+    )
+    # Each unordered cross-block pair materializes exactly once, with its
+    # orientation fixed by BLOCK order (a from bi's block, b from bj's) —
+    # not id order. Keep it whichever way round the ids land and
+    # normalize with least/greatest; only diagonal tiles (bi == bj) see
+    # both orderings and need the id_a < id_b dedup.
+    return (
+        a.join(b, ["bi", "bj"])
+        .filter(
+            (F.col("id_a") != F.col("id_b"))
+            & ((F.col("bi") != F.col("bj")) | (F.col("id_a") < F.col("id_b")))
+        )
+        .select(
+            F.least("id_a", "id_b").alias("id_lo"),
+            F.greatest("id_a", "id_b").alias("id_hi"),
+            sim.alias("cosine_sim"),
+        )
+        .select(
+            F.col("id_lo").alias("id_a"),
+            F.col("id_hi").alias("id_b"),
+            "cosine_sim",
+        )
+        .orderBy(F.col("cosine_sim").desc(), "id_a", "id_b")
+        .limit(top_n)
+    )
 
 
 def cosine_pairs_bucketed(

@@ -984,7 +984,11 @@ def q_orders_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_totalprice",
             F.year("o_orderdate").cast("long").alias("o_year"),
             F.month("o_orderdate").cast("long").alias("o_month"),
-            F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+            # to_date: Spark date_trunc returns TIMESTAMP while SQL engines
+            # truncating a DATE return DATE — pin DATE for type-exact hashes
+            F.to_date(F.date_trunc("month", F.col("o_orderdate"))).alias(
+                "month_start"
+            ),
             F.upper("o_orderpriority").alias("priority_upper"),
             F.substring("o_orderpriority", 1, 1).cast("long").alias("priority_rank"),
             F.length("o_orderpriority").cast("long").alias("priority_len"),
@@ -1198,7 +1202,9 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct (user, active week) — both keyed shuffles that scale as
     |users| and |user-weeks|, never |events|^2."""
     ev = load_table(spark, sf_dir, "events")
-    wk = F.date_trunc("week", F.col("ts"))
+    # to_date: day-or-coarser truncation is a DATE in SQL engines while
+    # Spark date_trunc returns TIMESTAMP — pin DATE for type-exact hashes
+    wk = F.to_date(F.date_trunc("week", F.col("ts")))
     first = ev.groupBy("user_id").agg(F.min(wk).alias("cohort_week"))
     active = ev.select("user_id", wk.alias("_aw")).distinct()
     j = active.join(first, "user_id").select(

@@ -258,16 +258,19 @@ WITH base AS (
   FROM documents
 ),
 s AS (
+  -- CAST: DuckDB's windowed sum(BIGINT) returns HUGEINT, which Arrow
+  -- serializes as decimal128(38,0) while Spark emits int64 — bit-identical
+  -- values, type-mismatched hash (the round-3/4 driver red). Pin to BIGINT.
   SELECT doc_id, grp, n_tokens,
-         coalesce(sum(n_tokens) OVER (PARTITION BY grp
+         CAST(coalesce(sum(n_tokens) OVER (PARTITION BY grp
              ORDER BY doc_id ASC NULLS FIRST, n_tokens ASC NULLS FIRST
-             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
            AS start_offset
   FROM base
 )
 SELECT doc_id, grp, n_tokens, start_offset,
        CAST(floor(start_offset / 2048) AS BIGINT) AS bin,
-       start_offset % 2048 AS offset_in_bin,
+       CAST(start_offset % 2048 AS BIGINT) AS offset_in_bin,
        (start_offset % 2048) + n_tokens <= 2048 AS fits
 FROM s
 """

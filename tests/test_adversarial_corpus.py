@@ -160,7 +160,9 @@ def test_query_bit_green_on_adversarial_corpus(spark, edge_dir, oracle_con, name
 
     qd = all_queries(include_extra=True)[name]
     got = _normalize(qd.fn(spark, edge_dir).toPandas())
-    want = _normalize(oracle_con.sql(qd.oracle).df())
+    # via Arrow so DATE comes through as datetime.date objects (matching
+    # Spark's toPandas) instead of .df()'s datetime64 promotion
+    want = _normalize(oracle_con.sql(qd.oracle).arrow().to_pandas())
     assert len(got) == len(want), f"{name}: {len(got)} vs {len(want)} rows"
     assert sorted(got.columns) == sorted(want.columns)
     for c in got.columns:

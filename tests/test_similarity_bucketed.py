@@ -92,3 +92,46 @@ def test_more_bands_never_lose_pairs(spark):
         for r in cosine_pairs_bucketed(emb, threshold=THRESHOLD, bands=4).collect()
     }
     assert few <= more
+
+
+def test_blocked_gate_failover_bit_equal(spark):
+    """cosine_topk_pairs_blocked is size-gated: past the collect budget
+    it fails over to the EXACT tiled block-pair join (no driver
+    materialization). The result must be bit-identical on both sides of
+    the gate, at any tiling."""
+    import pandas as pd
+
+    from chroma_rs_spark.operators.similarity import (
+        cosine_topk_pairs_blocked,
+        cosine_topk_pairs_tiled,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    base = cosine_topk_pairs_blocked(emb, top_n=20).toPandas()
+    forced = cosine_topk_pairs_blocked(emb, top_n=20, max_collect_bytes=0).toPandas()
+    pd.testing.assert_frame_equal(base, forced)
+    for n_blocks in (2, 7):
+        tiled = cosine_topk_pairs_tiled(emb, top_n=20, n_blocks=n_blocks).toPandas()
+        pd.testing.assert_frame_equal(base, tiled)
+
+
+def test_tiled_handles_id_order_opposing_block_order(spark):
+    """Regression: a cross-block pair materializes with its orientation
+    fixed by BLOCK order, not id order — pairs where hash(id_a)'s block
+    sorts after hash(id_b)'s must not be dropped. With n_blocks=2 and
+    sequential ids, roughly half of all cross pairs hit this path."""
+    import pandas as pd
+
+    from chroma_rs_spark.operators.similarity import (
+        cosine_topk_pairs,
+        cosine_topk_pairs_tiled,
+    )
+
+    rng = np.random.default_rng(11)
+    rows = [
+        (i, [float(x) for x in rng.normal(0.0, 1.0, size=16)]) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = cosine_topk_pairs(df, top_n=30).toPandas()
+    tiled = cosine_topk_pairs_tiled(df, top_n=30, n_blocks=2).toPandas()
+    pd.testing.assert_frame_equal(exact, tiled)

@@ -29,6 +29,68 @@ TABLES = (
 ).split()
 
 
+def canonical_arrow_type(t) -> str:
+    """Collapse an Arrow type to a driver-hash-relevant canonical class.
+
+    The driver's value hash is TYPE-sensitive (the round-3/4
+    ``pack_sequences`` red was DuckDB HUGEINT -> decimal128(38,0) vs Spark
+    int64 with bit-identical values), so int vs decimal vs float must
+    differ here.  String/large_string and timestamp-tz flavors are
+    serialization details both engines normalize, so they collapse.
+    """
+    import pyarrow as pa
+
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_integer(t):
+        return f"int{t.bit_width}"
+    if pa.types.is_floating(t):
+        return f"float{t.bit_width}"
+    if pa.types.is_decimal(t):
+        return f"decimal({t.precision},{t.scale})"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{canonical_arrow_type(t.value_type)}>"
+    if pa.types.is_map(t):
+        return (
+            f"map<{canonical_arrow_type(t.key_type)},"
+            f"{canonical_arrow_type(t.item_type)}>"
+        )
+    if pa.types.is_struct(t):
+        inner = ",".join(
+            f"{t.field(i).name}:{canonical_arrow_type(t.field(i).type)}"
+            for i in range(t.num_fields)
+        )
+        return f"struct<{inner}>"
+    if pa.types.is_null(t):
+        return "null"
+    return str(t)
+
+
+def type_problems(spark_schema, oracle_arrow_schema) -> list[str]:
+    """Type-strict column comparison: Spark schema (mapped to Arrow) vs
+    the DuckDB result's Arrow schema, canonicalized per column."""
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    spark_arrow = to_arrow_schema(spark_schema)
+    s_types = {f.name: canonical_arrow_type(f.type) for f in spark_arrow}
+    o_types = {f.name: canonical_arrow_type(f.type) for f in oracle_arrow_schema}
+    out = []
+    for col in sorted(set(s_types) & set(o_types)):
+        if s_types[col] != o_types[col]:
+            out.append(
+                f"col {col}: TYPE spark={s_types[col]} oracle={o_types[col]}"
+            )
+    return out
+
+
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
@@ -112,7 +174,8 @@ def main() -> int:
             continue
         t0 = time.time()
         try:
-            spark_pdf = fn(spark, SF_DIR).toPandas()
+            sdf = fn(spark, SF_DIR)
+            spark_pdf = sdf.toPandas()
         except Exception as e:
             failed.append(name)
             print(f"FAIL {name}: spark error: {e}")
@@ -122,12 +185,14 @@ def main() -> int:
             print(f"WEAK {name}: no oracle, rows={len(spark_pdf)} ({t_spark:.1f}s)")
             continue
         try:
-            oracle_pdf = con.sql(oracles[name]).df()
+            oracle_tbl = con.sql(oracles[name]).arrow()
+            oracle_pdf = oracle_tbl.to_pandas()
         except Exception as e:
             failed.append(name)
             print(f"FAIL {name}: oracle error: {e}")
             continue
-        problems = compare(name, spark_pdf, oracle_pdf)
+        problems = type_problems(sdf.schema, oracle_tbl.schema)
+        problems += compare(name, spark_pdf, oracle_pdf)
         if problems:
             failed.append(name)
             print(f"FAIL {name} ({t_spark:.1f}s):")
