@@ -541,14 +541,25 @@ def _atomic_index_write(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").parquet(tmp)
     if not os.path.isfile(os.path.join(tmp, "_SUCCESS")):
         raise EngineError(f"index write did not commit: {tmp}")
-    shutil.rmtree(path, ignore_errors=True)
+    # same two-rename discipline as _overwrite: the old index is parked,
+    # never destroyed before the new one is in place, so every crash
+    # window leaves a complete index recoverable by
+    # _recover_interrupted_overwrite (which the loaders run).
+    old = path + ".__old"
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.isdir(path):
+        os.replace(path, old)
     os.replace(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
 
 
 def _committed_index_dir(path: str) -> bool:
     """An index dir is loadable iff Spark's commit marker is present —
     a partial directory must read as ABSENT (transient retrain /
-    explicit rebuild), never as a silently truncated artifact."""
+    explicit rebuild), never as a silently truncated artifact. A crash
+    between _atomic_index_write's two renames is healed first (promote
+    the committed tmp, else restore the parked old index)."""
+    _recover_interrupted_overwrite(path)
     return (
         os.path.isdir(path)
         and os.path.isfile(os.path.join(path, "_SUCCESS"))
@@ -746,6 +757,14 @@ def build_pq_index(
         ).coalesce(1),
         path,
     )
+    # a materialized codes table encodes against the PREVIOUS codebooks:
+    # with a larger new m it would crash ADC (codes[:, mi] out of range),
+    # with a smaller one it would silently rank garbage candidates —
+    # invalidate it; the next materialize_pq_codes() re-encodes.
+    shutil.rmtree(
+        os.path.join(engine.collection_dir(coll.id), PQ_CODES_DIR),
+        ignore_errors=True,
+    )
     return path
 
 
@@ -808,11 +827,21 @@ def materialize_pq_codes(engine: Engine, coll: Collection) -> str:
     return path
 
 
-def _load_pq_codes(engine: Engine, coll: Collection) -> DataFrame | None:
+def _load_pq_codes(
+    engine: Engine, coll: Collection, expected_m: int | None = None
+) -> DataFrame | None:
     path = os.path.join(engine.collection_dir(coll.id), PQ_CODES_DIR)
     if not _committed_index_dir(path):
         return None
-    return engine.spark.read.schema("id string, codes array<int>").parquet(path)
+    codes = engine.spark.read.schema("id string, codes array<int>").parquet(path)
+    if expected_m is not None:
+        # defense-in-depth against codes encoded under different
+        # codebooks (build_pq_index also deletes the dir on rebuild):
+        # rows whose code length disagrees with the loaded codebooks' m
+        # read as ABSENT, so the query path's left_anti union re-encodes
+        # them on the fly instead of crashing or ranking garbage.
+        codes = codes.filter(F.size("codes") == F.lit(int(expected_m)))
+    return codes
 
 
 def _load_pq_index(engine: Engine, coll: Collection):
@@ -953,13 +982,20 @@ def query(
         # fly and unioned, so a stale codes table degrades nothing but
         # freshness of the candidate ADC distances for new rows; with
         # no codes table every current item is encoded per query.
-        codes = _load_pq_codes(engine, coll)
+        codes = _load_pq_codes(engine, coll, expected_m=books.shape[0])
         if codes is None:
             codes = pq_encode(
                 enc_src, books, item_id="id", item_emb="embedding",
                 id_type="string",
             )
         else:
+            # restrict the persisted (full-corpus) codes to the rows the
+            # caller's where-filter kept, so the ADC candidate top-k runs
+            # over MATCHING docs only — otherwise a selective filter
+            # starves the pool (fewer than n_results returned while
+            # matching neighbors exist). Mirrors the no-codes path,
+            # which only ever encodes the filtered rows.
+            codes = codes.join(enc_src.select("id"), "id", "left_semi")
             late = enc_src.join(codes.select("id"), "id", "left_anti")
             codes = codes.unionByName(
                 pq_encode(
@@ -971,10 +1007,9 @@ def query(
         # re-scored EXACTLY by the same knn_exact plan the exact path
         # runs (collection metric, stored norms, rounded doubles), so
         # returned distances are bit-identical to exact-path distances
-        # and approximation affects recall only. NOTE with a persisted
-        # codes table, where-filters prune candidates at the re-scoring
-        # join (the codes scan is unfiltered); heavily selective
-        # filters should prefer index='exact'.
+        # and approximation affects recall only. Where-filters prune the
+        # codes BEFORE candidate selection (semi-join above), so the
+        # pool always comes from matching docs.
         cand = pq_adc_topk(
             codes,
             books,

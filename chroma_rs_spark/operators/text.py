@@ -502,19 +502,29 @@ def char_entropy(
     in-order `aggregate` fold, so the float accumulation order is
     engine-independent (the bm25 discipline); log2 is 1-ulp stable
     cross-engine, hence round-6 like every score in the engine.
+
+    NULL/empty documents have no character distribution: they keep
+    their row (the signal table stays 1:1 with the corpus) with
+    n_chars=0, n_distinct_chars=0 and entropy_bits NULL — the engine's
+    unscorable convention (same as cosine on a zero-norm vector), not
+    a fabricated one-character distribution.
     """
-    pos = df.select(
-        F.col(id_col),
-        F.col(text_col).alias("_t"),
-        F.explode(
-            F.sequence(F.lit(1), F.greatest(F.length(text_col), F.lit(1)))
-        ).alias("_i"),
-    ).select(id_col, F.col("_t").substr(F.col("_i"), F.lit(1)).alias("_c"))
+    pos = (
+        df.filter(F.length(text_col) > 0)
+        .select(
+            F.col(id_col),
+            F.col(text_col).alias("_t"),
+            F.explode(
+                F.sequence(F.lit(1), F.length(text_col))
+            ).alias("_i"),
+        )
+        .select(id_col, F.col("_t").substr(F.col("_i"), F.lit(1)).alias("_c"))
+    )
     counts = pos.groupBy(id_col, "_c").agg(F.count(F.lit(1)).alias("_n"))
     per_doc = counts.groupBy(id_col).agg(
         F.array_sort(F.collect_list(F.struct("_c", "_n"))).alias("_cs")
     )
-    return per_doc.selectExpr(
+    scored = per_doc.selectExpr(
         f"`{id_col}`",
         "aggregate(_cs, CAST(0 AS BIGINT), (acc, x) -> acc + x._n) AS n_chars",
         "size(_cs) AS n_distinct_chars",
@@ -525,3 +535,12 @@ def char_entropy(
         " aggregate(_cs, CAST(0 AS BIGINT), (a2, y) -> a2 + y._n))), 6)"
         " + 0.0D AS entropy_bits",
     )
+    empty = df.filter(
+        F.length(F.coalesce(F.col(text_col), F.lit(""))) == 0
+    ).select(
+        F.col(id_col),
+        F.lit(0).cast("long").alias("n_chars"),
+        F.lit(0).cast("int").alias("n_distinct_chars"),
+        F.lit(None).cast("double").alias("entropy_bits"),
+    )
+    return scored.unionByName(empty)

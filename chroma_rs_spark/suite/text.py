@@ -426,11 +426,14 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 # per-doc char counts; the entropy sum folds the CHAR-SORTED count
 # list in order on both engines (list_sum ≡ Spark's left aggregate —
 # the bm25/centroid oracle convention), + 0.0 folds the -0.0 of
-# single-symbol docs
+# single-symbol docs. NULL/empty docs keep their row with zero counts
+# and NULL entropy (the engine's unscorable convention) — no fabricated
+# one-character distribution.
 _CHAR_ENTROPY_ORACLE = """
 WITH pos AS (
   SELECT doc_id, substr(text, CAST(i AS BIGINT), 1) AS c
-  FROM documents, unnest(range(1, greatest(length(text), 1) + 1)) t(i)
+  FROM documents, unnest(range(1, length(text) + 1)) t(i)
+  WHERE length(text) > 0
 ),
 counts AS (SELECT doc_id, c, count(*) AS n FROM pos GROUP BY doc_id, c),
 per_doc AS (
@@ -447,6 +450,9 @@ SELECT doc_id,
              x -> (CAST(x AS DOUBLE) / nc) * log2(CAST(x AS DOUBLE) / nc))),
              6) + 0.0 AS entropy_bits
 FROM per_doc
+UNION ALL
+SELECT doc_id, CAST(0 AS BIGINT), CAST(0 AS INT), CAST(NULL AS DOUBLE)
+FROM documents WHERE length(coalesce(text, '')) = 0
 """
 
 

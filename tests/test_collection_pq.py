@@ -129,3 +129,79 @@ def test_materialize_requires_persisted_index(engine):
     c.add(ids=["a"], embeddings=[[1.0, 0.0]])
     with pytest.raises(EngineError, match="build_pq_index"):
         c.materialize_pq_codes()
+
+
+def test_rebuild_with_different_m_invalidates_stale_codes(pq_coll):
+    """ADVICE regression: rebuilding codebooks with a different m must
+    not leave a codes table encoded under the old codebooks — larger m
+    crashed ADC (codes[:, mi] out of range), smaller m silently ranked
+    garbage candidates."""
+    c, ids, vecs = pq_coll
+    c.build_pq_index(m=2, k=8, sample_size=64)
+    codes_path = c.materialize_pq_codes()
+    assert os.path.isdir(codes_path)
+    # rebuild with LARGER m: stale 2-subspace codes would crash ADC
+    c.build_pq_index(m=4, k=8, sample_size=64)
+    assert not os.path.isdir(codes_path), "stale codes must be invalidated"
+    probe = vecs[3]
+    res = c.query([probe], n_results=3, index="pq", oversample=8).collect()
+    assert res[0]["id"] == ids[3] and res[0]["distance"] == 0.0
+    # and with SMALLER m after re-materializing under m=4
+    c.materialize_pq_codes()
+    c.build_pq_index(m=2, k=8, sample_size=64)
+    res = c.query([probe], n_results=3, index="pq", oversample=8).collect()
+    assert res[0]["id"] == ids[3] and res[0]["distance"] == 0.0
+
+
+def test_load_pq_codes_self_heals_on_m_mismatch(pq_coll):
+    """Defense-in-depth: codes rows whose length disagrees with the
+    loaded codebooks' m read as absent and are re-encoded on the fly."""
+    c, ids, vecs = pq_coll
+    c.build_pq_index(m=2, k=8, sample_size=64)
+    c.materialize_pq_codes()
+    from chroma_rs_spark.collection import _load_pq_codes
+
+    ok = _load_pq_codes(c._engine, c, expected_m=2)
+    assert ok.count() == len(ids)
+    mismatched = _load_pq_codes(c._engine, c, expected_m=4)
+    assert mismatched.count() == 0  # all rows filtered -> re-encode path
+
+
+def test_filtered_pq_query_candidates_come_from_matching_docs(pq_coll):
+    """ADVICE regression: with a persisted codes table, a selective
+    where-filter must prune BEFORE ADC candidate selection — previously
+    the unfiltered corpus filled the oversampled pool and the filter at
+    re-scoring could starve the result below n_results."""
+    c, ids, vecs = pq_coll
+    # tag a small minority of docs far from cluster 0's probe
+    minority = [i for i in ids if i.startswith("c3_")]
+    c.build_pq_index(m=2, k=8, sample_size=64)
+    c.materialize_pq_codes()
+    # update metadata for the minority
+    c.update(ids=minority, metadatas=[{"grp": "keep"} for _ in minority])
+    probe = vecs[0]  # cluster 0 center-ish: every unfiltered ADC
+    # candidate would be a c0/c1/c2 doc at low oversample
+    res = c.query(
+        [probe],
+        n_results=5,
+        index="pq",
+        oversample=2,
+        where={"grp": {"$eq": "keep"}},
+    ).collect()
+    assert len(res) == 5, f"filter starved the pool: got {len(res)}"
+    assert all(r["id"].startswith("c3_") for r in res)
+
+
+def test_atomic_index_write_crash_window_preserves_old_index(pq_coll):
+    """ADVICE regression: _atomic_index_write now parks the old index
+    (two-rename discipline) instead of rmtree-ing it before the swap —
+    a crash between the renames restores the OLD index on next load."""
+    c, ids, vecs = pq_coll
+    path = c.build_pq_index(m=2, k=8, sample_size=64)
+    # simulate the crash window: old parked aside, new never promoted
+    os.replace(path, path + ".__old")
+    from chroma_rs_spark.collection import _committed_index_dir
+
+    assert _committed_index_dir(path), "parked old index must be restored"
+    res = c.query([vecs[0]], n_results=1, index="pq", oversample=8).collect()
+    assert res[0]["id"] == ids[0] and res[0]["distance"] == 0.0

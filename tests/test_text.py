@@ -298,8 +298,9 @@ def test_char_entropy_known_values(spark):
             (1, "aaaa"),        # one symbol -> 0 bits (and +0.0, not -0.0)
             (2, "abab"),        # two equiprobable symbols -> 1 bit
             (3, "abcd"),        # four equiprobable -> 2 bits
-            (4, ""),            # empty -> single '' symbol -> 0 bits
+            (4, ""),            # empty -> no distribution: 0 chars, NULL bits
             (5, "aab"),         # 2/3,1/3 -> H = log2(3) - 2/3
+            (6, None),          # NULL text -> same unscorable shape as empty
         ],
         "doc_id LONG, text STRING",
     )
@@ -308,10 +309,15 @@ def test_char_entropy_known_values(spark):
     assert math.copysign(1.0, rows[1]["entropy_bits"]) == 1.0  # +0.0
     assert rows[2]["entropy_bits"] == 1.0
     assert rows[3]["entropy_bits"] == 2.0
-    assert rows[4]["entropy_bits"] == 0.0
     assert rows[5]["entropy_bits"] == round(math.log2(3) - 2 / 3, 6)
     assert rows[1]["n_chars"] == 4 and rows[1]["n_distinct_chars"] == 1
     assert rows[5]["n_chars"] == 3 and rows[5]["n_distinct_chars"] == 2
+    # NULL/empty docs keep their row but are unscorable — no fabricated
+    # one-''-character distribution (the old wart reported 1 char/0 bits)
+    for empty_id in (4, 6):
+        assert rows[empty_id]["n_chars"] == 0
+        assert rows[empty_id]["n_distinct_chars"] == 0
+        assert rows[empty_id]["entropy_bits"] is None
 
 
 def test_chunk_documents_null_text_yields_no_chunks(spark):
