@@ -25,10 +25,12 @@ from chroma_rs_spark.errors import (
     ResetDisabledError,
 )
 from chroma_rs_spark.catalog import Collection, Engine
+from chroma_rs_spark.collection import decode_meta_value
 
 __all__ = [
     "Engine",
     "Collection",
+    "decode_meta_value",
     "EngineError",
     "CollectionExistsError",
     "CollectionNotFoundError",

@@ -240,9 +240,25 @@ class Engine:
         return [self._bind(r) for r in self._read_registry()]
 
     def list_collections_df(self) -> DataFrame:
-        """The registry as a DataFrame (SURVEY.md §1.2 registry table)."""
+        """The registry as a DataFrame (SURVEY.md §1.2 registry table).
+
+        Collection metadata is schemaless typed JSON in the registry
+        (mirroring the reference's serde_json::Value read model,
+        reference src/collection.rs:8); the DF projection is string
+        typed, so non-string values are carried as their canonical JSON
+        text — recoverable with collection.decode_meta_value, never a
+        lossy Python repr."""
+        from chroma_rs_spark.collection import _meta_str
+
         rows = [
-            (r["name"], r["id"], r.get("metadata"), float(r["created_at"]))
+            (
+                r["name"],
+                r["id"],
+                {k: _meta_str(v) for k, v in r["metadata"].items()}
+                if r.get("metadata") is not None
+                else None,
+                float(r["created_at"]),
+            )
             for r in self._read_registry()
         ]
         return self.spark.createDataFrame(

@@ -22,6 +22,7 @@ this API identical; the logical plans below don't change.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 from collections.abc import Sequence
@@ -195,12 +196,43 @@ def _write(
 def _meta_str(v: object) -> str:
     """Canonical string form for a metadata value — the same form the
     where-DSL compiler coerces comparands to (filters._coerce), so
-    stored values and filter literals always meet in one encoding."""
+    stored values and filter literals always meet in one encoding.
+
+    Scalars use their JSON text (so `true`/`1`/`1.5` cast cleanly in
+    filter comparisons); nested dicts/lists use canonical JSON
+    (sorted keys, no whitespace) — machine-recoverable with
+    `decode_meta_value`, mirroring the reference's schemaless JSON
+    metadata (reference src/collection.rs:8, client.rs:359) within the
+    engine's MAP<STRING,STRING> storage."""
     if v is True:
         return "true"
     if v is False:
         return "false"
+    if isinstance(v, (dict, list)):
+        return json.dumps(v, sort_keys=True, separators=(",", ":"))
     return str(v)
+
+
+def decode_meta_value(s: str | None) -> object:
+    """Typed accessor for a stored metadata value: the inverse of
+    `_meta_str` wherever the encoding is unambiguous. JSON numbers,
+    booleans, null, objects and arrays decode to their Python types;
+    anything else (including bare strings, which are stored raw) comes
+    back unchanged. A string that LOOKS like a number (stored from the
+    Python string "1") is indistinguishable from the number by design —
+    the caller's expected type (like the where-DSL comparand) is the
+    tie-break, exactly as in the reference's schemaless JSON model."""
+    if s is None:
+        return None
+    t = s.strip()
+    if not t:
+        return s
+    if t in ("true", "false", "null") or t[0] in "-0123456789[{":
+        try:
+            return json.loads(t)
+        except ValueError:
+            return s
+    return s
 
 
 def _items_from_args(

@@ -46,6 +46,8 @@ def metadata_resolver(metadata_col: str = "metadata") -> Resolver:
             return raw  # compare against 'true'/'false' strings
         if isinstance(sample, (int, float)):
             return raw.cast("double")
+        # dict (or nested-list) comparands compare against the stored
+        # canonical JSON text — no cast
         return raw
 
     return resolve
@@ -59,6 +61,12 @@ def column_resolver(field: str, comparand: object) -> Column:
 def _coerce(value: object) -> object:
     if isinstance(value, bool):
         return "true" if value else "false"
+    if isinstance(value, (dict, list)):
+        # nested comparands meet the stored canonical JSON encoding
+        # (collection._meta_str) as exact string equality
+        import json
+
+        return json.dumps(value, sort_keys=True, separators=(",", ":"))
     return value
 
 

@@ -285,3 +285,148 @@ def pq_topk_rescored(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "id", "distance")
     )
+
+
+def hash_codebooks(m: int = 8, k: int = 16, sub: int = 8):
+    """Data-INDEPENDENT deterministic PQ codebooks: component (mi, ci,
+    pos) is derived from md5 of its coordinates — full-rank
+    pseudo-random centroids reproducible from the formula alone, so an
+    ANSI-SQL oracle can embed the identical literal doubles and replay
+    the whole encode/ADC pipeline (suite/vector.py:pq_adc_topk). The
+    TRAINED codebooks (train_pq_codebooks) stay the production path;
+    these exist to make the ADC machinery itself hash-checkable."""
+    import hashlib
+
+    import numpy as np
+
+    books = np.empty((m, k, sub), dtype=np.float64)
+    for mi in range(m):
+        for ci in range(k):
+            for pos in range(sub):
+                h = int(
+                    hashlib.md5(f"{mi}:{ci}:{pos}".encode()).hexdigest()[:8],
+                    16,
+                )
+                books[mi, ci, pos] = (h / 4294967296.0) * 2.0 - 1.0
+    return books
+
+
+def _spark_round(x: float, nd: int = DIST_DECIMALS) -> float:
+    """Spark's round() for doubles: HALF_UP on the shortest decimal
+    repr (BigDecimal.valueOf ≡ Double.toString ≡ Python repr). Used to
+    precompute LUT literals that bit-match what Spark/DuckDB would
+    round."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(repr(float(x))).quantize(
+            Decimal(1).scaleb(-nd), rounding=ROUND_HALF_UP
+        )
+    )
+
+
+def pq_adc_topk_df(
+    items: DataFrame,
+    codebooks,
+    probes: DataFrame,
+    k: int = 10,
+    item_id: str = "vec_id",
+    item_emb: str = "embedding",
+    probe_id: str = "query_id",
+    probe_emb: str = "query_embedding",
+) -> DataFrame:
+    """(query_id, rank, neighbor_id, adc_dist): PQ encode + ADC top-k
+    expressed ENTIRELY in DataFrame operators — the oracle-checkable
+    twin of pq_encode + pq_adc_topk (whose numpy kernels use pairwise
+    summation a SQL engine cannot replay bitwise).
+
+    Every float reduction is an IN-ORDER left fold over a
+    deterministically ordered list (the bm25/centroid discipline):
+    subspace distances fold positions 1..sub left-to-right and are
+    rounded to DIST_DECIMALS before the (dist, code) argmin; the ADC
+    sum folds the m per-subspace LUT entries in subspace order and is
+    rounded again with -0.0 folded. Parity of this plan with the numpy
+    production path on the same codebooks is pinned by
+    tests/test_pq.py.
+
+    Scale shape: codebooks (m*k rows) are broadcast to both the encode
+    join and the LUT join; the encode argmin is a map-side-combinable
+    min_by aggregate keyed on (row, subspace) — never a per-row window
+    over the exploded candidate set; the ADC sum groups the bounded
+    |probes| x |rows| x m join; the final top-k is a bounded per-query
+    window. No driver collect of corpus data.
+    """
+    import numpy as np
+
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, kk, sub = books.shape
+    dim = m * sub
+    spark = items.sparkSession
+    bdf = spark.createDataFrame(
+        [
+            (mi, ci, [float(x) for x in books[mi, ci]])
+            for mi in range(m)
+            for ci in range(kk)
+        ],
+        "mi INT, ci INT, cvec ARRAY<DOUBLE>",
+    )
+
+    def subspaces(emb_col: str) -> str:
+        return "inline(array({}))".format(
+            ",".join(
+                f"struct({mi} AS mi, slice(`{emb_col}`, {mi * sub + 1}, {sub})"
+                " AS sv)"
+                for mi in range(m)
+            )
+        )
+
+    dist_expr = (
+        f"round(aggregate(transform(sequence(1, {sub}),"
+        " i -> (element_at(sv, i) - element_at(cvec, i))"
+        " * (element_at(sv, i) - element_at(cvec, i))),"
+        f" 0D, (a, x) -> a + x), {DIST_DECIMALS})"
+    )
+    it = items.filter(
+        F.col(item_emb).isNotNull() & (F.size(item_emb) == dim)
+    ).selectExpr(f"`{item_id}` AS _vid", subspaces(item_emb))
+    # argmin(dist, tie->lower code) as a map-side-combinable aggregate:
+    # min of the (d, ci) struct under lexicographic struct ordering
+    codes = (
+        it.join(F.broadcast(bdf), "mi")
+        .withColumn("_d", F.expr(dist_expr))
+        .groupBy("_vid", "mi")
+        .agg(F.min(F.struct("_d", "ci")).alias("_best"))
+        .select("_vid", "mi", F.col("_best.ci").alias("code"))
+    )
+    pr = probes.filter(
+        F.col(probe_emb).isNotNull() & (F.size(probe_emb) == dim)
+    ).selectExpr(f"`{probe_id}` AS _qid", subspaces(probe_emb))
+    lut = (
+        pr.join(F.broadcast(bdf), "mi")
+        .withColumn("_d", F.expr(dist_expr))
+        .select("_qid", "mi", F.col("ci").alias("code"), "_d")
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["mi", "code"])
+        .groupBy("_qid", "_vid")
+        .agg(F.array_sort(F.collect_list(F.struct("mi", "_d"))).alias("_l"))
+        .selectExpr(
+            "_qid",
+            "_vid",
+            "round(aggregate(_l, 0D, (a, x) -> a + x._d),"
+            f" {DIST_DECIMALS}) + 0.0D AS adc_dist",
+        )
+    )
+    wq = Window.partitionBy("_qid").orderBy(
+        F.col("adc_dist").asc(), F.col("_vid").asc()
+    )
+    return (
+        adc.withColumn("rank", F.row_number().over(wq))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("_qid").alias(probe_id),
+            F.col("rank").cast("long").alias("rank"),
+            F.col("_vid").alias("neighbor_id"),
+            "adc_dist",
+        )
+    )

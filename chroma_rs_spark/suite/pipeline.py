@@ -519,13 +519,10 @@ QUERIES = {
     "dedup_exact": QueryDef(q_dedup_exact, _DEDUP_EXACT_ORACLE),
     "dedup_minhash_lsh": QueryDef(q_dedup_minhash_lsh, _DEDUP_MINHASH_ORACLE),
     "dedup_clusters": QueryDef(q_dedup_clusters, _DEDUP_CLUSTERS_ORACLE),
-    "dedup_simhash": QueryDef(q_dedup_simhash, _DEDUP_SIMHASH_ORACLE),
     "dedup_ngram_jaccard": QueryDef(q_dedup_ngram_jaccard, _DEDUP_NGRAM_ORACLE),
     "near_dup_bucketed": QueryDef(q_near_dup_bucketed, _near_dup_bucketed_oracle()),
     "ann_signbucket": QueryDef(q_ann_signbucket, _ANN_SIGNBUCKET_ORACLE),
     "multimodal_features": QueryDef(q_multimodal_features, _MULTIMODAL_ORACLE),
-    "embedding_quantize": QueryDef(q_embedding_quantize, _EMBEDDING_QUANTIZE_ORACLE),
-    "dataset_split": QueryDef(q_dataset_split, _DATASET_SPLIT_ORACLE),
     # round-4 rotation: the exact broadcast near-dup baseline joins its
     # bucketed scale successor in the driver window (both halves of the
     # measured-baseline pair gated), and video-style frame sampling
@@ -1007,6 +1004,17 @@ FROM hits
 
 
 EXTRA_QUERIES = {
+    # round-5 rotation out after four driver-green rounds each (still
+    # bit-checked locally): simhash's packed-count plan shape is shared
+    # with dedup_minhash_lsh's hash family, embedding_quantize's
+    # per-dim scaling with centroid_assign, dataset_split's md5 bucket
+    # with split_contamination/temperature_mixture — every family keeps
+    # a declared row
+    "dedup_simhash": QueryDef(q_dedup_simhash, _DEDUP_SIMHASH_ORACLE),
+    "embedding_quantize": QueryDef(
+        q_embedding_quantize, _EMBEDDING_QUANTIZE_ORACLE
+    ),
+    "dataset_split": QueryDef(q_dataset_split, _DATASET_SPLIT_ORACLE),
     "incremental_minhash": QueryDef(
         q_incremental_minhash, _INCREMENTAL_MINHASH_ORACLE
     ),

@@ -1094,8 +1094,9 @@ QUERIES = {
     "approx_distinct_parts": QueryDef(
         q_approx_distinct_parts, _APPROX_DISTINCT_ORACLE
     ),
-    "events_json_stats": QueryDef(q_events_json_stats, _EVENTS_JSON_ORACLE),
     "lineitem_stats": QueryDef(q_lineitem_stats, _LINEITEM_STATS_ORACLE),
+    # round-5 rotation in: set ops were driver-checked only in r2
+    "set_ops_tagged": QueryDef(q_set_ops_tagged, _SET_OPS_ORACLE),
     # round-4 rotation in: the scalar-subquery pattern (broadcast 1-row
     # aggregate filtering the fact table map-side) + the scalar
     # date/string function surface were previously EXTRA-only
@@ -1416,6 +1417,9 @@ EXTRA_QUERIES = {
     "suppliers_with_returns": QueryDef(
         q_suppliers_with_returns, _SUPPLIERS_WITH_RETURNS_ORACLE
     ),
-    "set_ops_tagged": QueryDef(q_set_ops_tagged, _SET_OPS_ORACLE),
     "user_event_pivot": QueryDef(q_user_event_pivot, _USER_EVENT_PIVOT_ORACLE),
+    # round-5 rotation out after four driver-green rounds (JSON parsing
+    # coverage stays declared via get_json_object paths in the events
+    # family; still bit-checked locally)
+    "events_json_stats": QueryDef(q_events_json_stats, _EVENTS_JSON_ORACLE),
 }

@@ -115,14 +115,12 @@ QUERIES = {
         q_events_session_windows, _SESSION_WINDOW_ORACLE
     ),
     "dedup_events": QueryDef(q_dedup_events, _DEDUP_EVENTS_ORACLE),
-}
-
-# round-4 rotation: events_sliding demoted to EXTRA (the sliding window
-# is the tumbling plan with a 3-bucket explode — family coverage stays
-# via events_tumbling + events_session_windows); still locally checked.
-EXTRA_QUERIES = {
+    # round-5 rotation back in: last driver-checked r3 — refreshed so
+    # every window shape holds a recent driver-green row
     "events_sliding": QueryDef(q_events_sliding, _SLIDING_ORACLE),
 }
+
+EXTRA_QUERIES = {}
 
 
 # -- trending top-k (promoted into the declared 50 in round 3 so the

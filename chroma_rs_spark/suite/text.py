@@ -173,7 +173,6 @@ LIMIT 50
 
 
 QUERIES = {
-    "chunk_documents": QueryDef(q_chunk_documents, _CHUNK_ORACLE),
     "lang_id": QueryDef(q_lang_id, _LANG_ID_ORACLE),
     "token_stats": QueryDef(q_token_stats, _TOKEN_STATS_ORACLE),
     "quality_score": QueryDef(q_quality_score, _QUALITY_ORACLE),
@@ -456,10 +455,19 @@ FROM documents WHERE length(coalesce(text, '')) = 0
 """
 
 
+# round-5 rotation: pii_scrub enters the driver window (never
+# driver-checked before); chunk_documents rotates out after four
+# consecutive driver-green rounds (still bit-checked locally — the
+# chunking plan shape stays covered by pack_sequences' token windows).
+QUERIES.update({"pii_scrub": QueryDef(q_pii_scrub, _pii_oracle())})
+
 EXTRA_QUERIES = {
     # round-4 rotation: the corpus token ranking is subsumed in the
     # driver window by tfidf_topk (same explode/count core + idf join)
     "top_tokens": QueryDef(q_top_tokens, _TOP_TOKENS_ORACLE),
-    "pii_scrub": QueryDef(q_pii_scrub, _pii_oracle()),
+    "chunk_documents": QueryDef(q_chunk_documents, _CHUNK_ORACLE),
+    # char-level explode is a measured 1.96s-vs-0.36s row at sf0.1 —
+    # locally hash-checked here rather than spending 5x the per-row
+    # bench floor on a second sub-token signal
     "char_entropy": QueryDef(q_char_entropy, _CHAR_ENTROPY_ORACLE),
 }

@@ -476,15 +476,15 @@ FROM documents
 WHERE lang IN ('en', 'de') AND n_chars > 200
 """,
     ),
-    "where_document": QueryDef(
-        q_where_document,
-        """
+}
+
+# round-5 rotation in: knn_ip (the A10 inner-product metric, last
+# driver-checked r3) and get_page (pagination, last checked r2)
+_WHERE_DOCUMENT_ORACLE = """
 SELECT doc_id, lang
 FROM documents
 WHERE contains(text, 'scan') AND NOT contains(text, 'hash')
-""",
-    ),
-}
+"""
 
 
 # Verified locally (tools/check.py --extra, pytest) but rotated out of
@@ -519,6 +519,89 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk_rescored(
         emb, _PQ_BOOK_CACHE[key], probes, k=TOP_K, oversample=4
     )
+
+
+_PQ_M, _PQ_K, _PQ_SUB = 8, 16, 8
+
+
+def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ encode + ADC top-10 over md5-derived (data-independent)
+    codebooks, expressed entirely in DataFrame operators with in-order
+    float folds — the oracle-checkable twin of the numpy PQ path
+    (operators/pq.py:pq_adc_topk_df docstring)."""
+    from chroma_rs_spark.operators.pq import hash_codebooks, pq_adc_topk_df
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_adc_topk_df(
+        emb,
+        hash_codebooks(_PQ_M, _PQ_K, _PQ_SUB),
+        _probe_queries(emb),
+        k=TOP_K,
+    )
+
+
+def _pq_adc_oracle() -> str:
+    """DuckDB replay of q_pq_adc_topk: the identical codebook literals
+    (repr round-trips the exact binary64), the same 1-based subspace
+    slices, the same left-fold + round-6 distance, the same (dist,
+    code) argmin and (adc, id) top-k tie-breaks."""
+    from chroma_rs_spark.operators.pq import hash_codebooks
+
+    books = hash_codebooks(_PQ_M, _PQ_K, _PQ_SUB)
+    m, kk, sub = books.shape
+    dim = m * sub
+    vals = ",\n".join(
+        f"({mi}, {ci}, [{', '.join(repr(float(x)) for x in books[mi, ci])}])"
+        for mi in range(m)
+        for ci in range(kk)
+    )
+    dist = (
+        "round(list_sum(list_transform(range(1, {s} + 1),"
+        " i -> (sv[i] - cvec[i]) * (sv[i] - cvec[i]))), 6)"
+    ).format(s=sub)
+    return f"""
+WITH books(mi, ci, cvec) AS (VALUES
+{vals}
+),
+it AS (
+  SELECT vec_id, CAST(mi AS INT) AS mi,
+         (embedding::DOUBLE[])[mi * {sub} + 1 : (mi + 1) * {sub}] AS sv
+  FROM embeddings, unnest(range(0, {m})) t(mi)
+  WHERE embedding IS NOT NULL AND len(embedding) = {dim}
+),
+codes AS (
+  SELECT vec_id, mi, ci AS code
+  FROM (SELECT it.vec_id, it.mi, b.ci, {dist} AS d,
+               row_number() OVER (PARTITION BY it.vec_id, it.mi
+                                  ORDER BY {dist} ASC, b.ci ASC) AS rn
+        FROM it JOIN books b USING (mi))
+  WHERE rn = 1
+),
+pr AS (
+  SELECT vec_id AS qid, CAST(mi AS INT) AS mi,
+         (embedding::DOUBLE[])[mi * {sub} + 1 : (mi + 1) * {sub}] AS sv
+  FROM embeddings, unnest(range(0, {m})) t(mi)
+  WHERE vec_id < {N_PROBES}
+    AND embedding IS NOT NULL AND len(embedding) = {dim}
+),
+lut AS (
+  SELECT pr.qid, pr.mi, b.ci AS code, {dist} AS d
+  FROM pr JOIN books b USING (mi)
+),
+adc AS (
+  SELECT l.qid, c.vec_id,
+         round(list_sum(list(l.d ORDER BY l.mi)), 6) + 0.0 AS adc_dist
+  FROM codes c JOIN lut l ON c.mi = l.mi AND c.code = l.code
+  GROUP BY l.qid, c.vec_id
+)
+SELECT qid AS query_id,
+       CAST(row_number() OVER (PARTITION BY qid
+                               ORDER BY adc_dist ASC, vec_id ASC) AS BIGINT)
+         AS rank,
+       vec_id AS neighbor_id, adc_dist
+FROM adc
+QUALIFY rank <= {TOP_K}
+"""
 
 
 def q_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -581,32 +664,47 @@ EXTRA_QUERIES = {
     # the driver window; the l2/ip metric variants share the identical
     # plan shape and stay bit-checked here
     "knn_l2": QueryDef(q_knn_l2, _knn_oracle(_L2_EXPR)),
-    "knn_ip": QueryDef(q_knn_ip, _knn_oracle(_IP_EXPR)),
-    "vector_index_norms": QueryDef(
-        q_vector_index_norms,
-        """
-SELECT vec_id,
-       ROUND(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS norm
-FROM embeddings WHERE embedding IS NOT NULL
-""",
-    ),
     "item_count": QueryDef(
         q_item_count,
         "SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings",
     ),
     "knn_ivf": QueryDef(q_knn_ivf, _KNN_IVF_ORACLE),
     "knn_cosine_scale": QueryDef(q_knn_cosine_scale, _knn_oracle(_COSINE_EXPR)),
-    # rows-only on purpose: PQ codebooks are trained at plan time
-    # (operators/pq.py module docstring); correctness is pinned by
-    # tests/test_pq.py's numpy bit-parity + recall band instead
+    # PQ, fully oracle-checked: data-independent md5-derived codebooks
+    # (identical literals embedded in the SQL) + the DataFrame-native
+    # in-order-fold ADC plan, so DuckDB replays encode + LUT + ADC
+    # exactly. The trained-codebook production search (pq_topk_rescored)
+    # stays pinned by tests/test_pq.py numpy bit-parity + recall band
+    # and tests/test_collection_pq.py end-to-end.
+    "pq_adc_topk": QueryDef(q_pq_adc_topk, _pq_adc_oracle()),
     "pq_topk": QueryDef(q_pq_topk, None, iterative=True),
-    "get_page": QueryDef(
-        q_get_page,
-        """
+    # round-5 rotation out after four driver-green rounds (A14 document
+    # filtering stays pinned by knn_filtered's where_document pushdown
+    # and the filters pytest suite; still bit-checked locally)
+    "where_document": QueryDef(q_where_document, _WHERE_DOCUMENT_ORACLE),
+}
+
+QUERIES.update(
+    {
+        "knn_ip": QueryDef(q_knn_ip, _knn_oracle(_IP_EXPR)),
+        # the stored-norm index build (A11's maintenance surface), last
+        # driver-checked r3
+        "vector_index_norms": QueryDef(
+            q_vector_index_norms,
+            """
+SELECT vec_id,
+       ROUND(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS norm
+FROM embeddings WHERE embedding IS NOT NULL
+""",
+        ),
+        "get_page": QueryDef(
+            q_get_page,
+            """
 SELECT doc_id, lang, n_chars
 FROM documents
 ORDER BY doc_id
 LIMIT 50 OFFSET 10
 """,
-    ),
-}
+        ),
+    }
+)
