@@ -441,3 +441,17 @@ def test_stats_reports_physical_and_index_state(engine):
     c.materialize_pq_codes()
     s2 = c.stats()
     assert s2["pq_index"] and s2["pq_codes"] and not s2["ivf_index"]
+    # physical numbers cross-checked against an independent walk of the
+    # data dir (the compaction signal must be trustworthy)
+    import os
+
+    data = c._engine.data_path(c.id)
+    sizes = [
+        os.path.getsize(os.path.join(root, f))
+        for root, _d, files in os.walk(data)
+        for f in files
+        if f.endswith(".parquet")
+    ]
+    assert s2["data_files"] == len(sizes)
+    assert s2["data_bytes"] == sum(sizes)
+    assert s2["count"] == c.count()
