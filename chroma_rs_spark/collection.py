@@ -209,7 +209,9 @@ def _meta_str(v: object) -> str:
     if v is False:
         return "false"
     if isinstance(v, (dict, list)):
-        return json.dumps(v, sort_keys=True, separators=(",", ":"))
+        from chroma_rs_spark.filters import canonical_json
+
+        return canonical_json(v)
     return str(v)
 
 
@@ -783,19 +785,22 @@ def build_pq_index(
         for pos in range(books.shape[2])
     ]
     path = os.path.join(engine.collection_dir(coll.id), PQ_INDEX_DIR)
+    # a materialized codes table encodes against the PREVIOUS codebooks:
+    # with a larger new m it would crash ADC (codes[:, mi] out of range),
+    # with a smaller (or same!) m it would silently rank garbage
+    # candidates — invalidate BEFORE the new index swaps in, so a crash
+    # anywhere in this window leaves codes absent (queries re-encode on
+    # the fly, correct under whichever codebook generation survives).
+    # The parked/tmp remnants go too: _recover_interrupted_overwrite
+    # would otherwise resurrect a prior-generation codes dir.
+    codes_path = os.path.join(engine.collection_dir(coll.id), PQ_CODES_DIR)
+    for stale in (codes_path, codes_path + ".__old", codes_path + ".__tmp"):
+        shutil.rmtree(stale, ignore_errors=True)
     _atomic_index_write(
         engine.spark.createDataFrame(
             rows, "m INT, code INT, pos INT, value DOUBLE"
         ).coalesce(1),
         path,
-    )
-    # a materialized codes table encodes against the PREVIOUS codebooks:
-    # with a larger new m it would crash ADC (codes[:, mi] out of range),
-    # with a smaller one it would silently rank garbage candidates —
-    # invalidate it; the next materialize_pq_codes() re-encodes.
-    shutil.rmtree(
-        os.path.join(engine.collection_dir(coll.id), PQ_CODES_DIR),
-        ignore_errors=True,
     )
     return path
 

@@ -58,15 +58,24 @@ def column_resolver(field: str, comparand: object) -> Column:
     return F.col(field)
 
 
+def canonical_json(value: object) -> str:
+    """THE canonical JSON text for nested metadata values — the single
+    encoding both the storage path (collection._meta_str) and the
+    filter comparand path (_coerce below) must produce, byte for byte,
+    or nested-equality filters silently stop matching stored values.
+    Sorted keys, compact separators, default ensure_ascii."""
+    import json
+
+    return json.dumps(value, sort_keys=True, separators=(",", ":"))
+
+
 def _coerce(value: object) -> object:
     if isinstance(value, bool):
         return "true" if value else "false"
     if isinstance(value, (dict, list)):
         # nested comparands meet the stored canonical JSON encoding
-        # (collection._meta_str) as exact string equality
-        import json
-
-        return json.dumps(value, sort_keys=True, separators=(",", ":"))
+        # as exact string equality
+        return canonical_json(value)
     return value
 
 

@@ -153,7 +153,10 @@ def knn_exact(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select(query_id, "rank", item_id, "distance")
+        # bigint rank on every public ranking (scale-correct, and one
+        # consistent type across the exact/local-topk/ivf/pq paths)
+        .select(query_id, F.col("rank").cast("long").alias("rank"),
+                item_id, "distance")
     )
 
 
@@ -253,7 +256,8 @@ def knn_exact_local_topk(
     return (
         candidates.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select(query_id, "rank", item_id, "distance")
+        .select(query_id, F.col("rank").cast("long").alias("rank"),
+                item_id, "distance")
     )
 
 

@@ -230,7 +230,8 @@ def pq_adc_topk(
     return (
         cands.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "id", "adc_dist")
+        .select("query_id", F.col("rank").cast("long").alias("rank"),
+                "id", "adc_dist")
     )
 
 
@@ -283,7 +284,8 @@ def pq_topk_rescored(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "id", "distance")
+        .select("query_id", F.col("rank").cast("long").alias("rank"),
+                "id", "distance")
     )
 
 
@@ -311,17 +313,66 @@ def hash_codebooks(m: int = 8, k: int = 16, sub: int = 8):
     return books
 
 
-def _spark_round(x: float, nd: int = DIST_DECIMALS) -> float:
-    """Spark's round() for doubles: HALF_UP on the shortest decimal
-    repr (BigDecimal.valueOf ≡ Double.toString ≡ Python repr). Used to
-    precompute LUT literals that bit-match what Spark/DuckDB would
-    round."""
-    from decimal import ROUND_HALF_UP, Decimal
-
-    return float(
-        Decimal(repr(float(x))).quantize(
-            Decimal(1).scaleb(-nd), rounding=ROUND_HALF_UP
+def _subspace_sql(emb_col: str, m: int, sub: int) -> str:
+    """inline() projection of a dim-(m*sub) array column into
+    (mi, sv) subspace rows — shared by the encode and LUT stages."""
+    return "inline(array({}))".format(
+        ",".join(
+            f"struct({mi} AS mi, slice(`{emb_col}`, {mi * sub + 1}, {sub})"
+            " AS sv)"
+            for mi in range(m)
         )
+    )
+
+
+_SUB_DIST_SQL = (
+    "round(aggregate(transform(sequence(1, {sub}),"
+    " i -> (element_at(sv, i) - element_at(cvec, i))"
+    " * (element_at(sv, i) - element_at(cvec, i))),"
+    " 0D, (a, x) -> a + x), {nd})"
+)
+
+
+def _codebook_df(spark, books) -> DataFrame:
+    m, kk, _sub = books.shape
+    return spark.createDataFrame(
+        [
+            (mi, ci, [float(x) for x in books[mi, ci]])
+            for mi in range(m)
+            for ci in range(kk)
+        ],
+        "mi INT, ci INT, cvec ARRAY<DOUBLE>",
+    )
+
+
+def pq_codes_df(
+    items: DataFrame,
+    codebooks,
+    item_id: str = "vec_id",
+    item_emb: str = "embedding",
+) -> DataFrame:
+    """(_vid, mi, code): the DataFrame-native encode stage of
+    `pq_adc_topk_df`, exposed so tests can pin its code assignments
+    directly against the numpy `pq_encode` kernel. argmin(dist,
+    tie->lower code) runs as a map-side-combinable min of the (d, ci)
+    struct under lexicographic ordering — no per-row window."""
+    import numpy as np
+
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, _kk, sub = books.shape
+    dim = m * sub
+    bdf = _codebook_df(items.sparkSession, books)
+    it = items.filter(
+        F.col(item_emb).isNotNull() & (F.size(item_emb) == dim)
+    ).selectExpr(f"`{item_id}` AS _vid", _subspace_sql(item_emb, m, sub))
+    return (
+        it.join(F.broadcast(bdf), "mi")
+        .withColumn(
+            "_d", F.expr(_SUB_DIST_SQL.format(sub=sub, nd=DIST_DECIMALS))
+        )
+        .groupBy("_vid", "mi")
+        .agg(F.min(F.struct("_d", "ci")).alias("_best"))
+        .select("_vid", "mi", F.col("_best.ci").alias("code"))
     )
 
 
@@ -361,46 +412,12 @@ def pq_adc_topk_df(
     books = np.asarray(codebooks, dtype=np.float64)
     m, kk, sub = books.shape
     dim = m * sub
-    spark = items.sparkSession
-    bdf = spark.createDataFrame(
-        [
-            (mi, ci, [float(x) for x in books[mi, ci]])
-            for mi in range(m)
-            for ci in range(kk)
-        ],
-        "mi INT, ci INT, cvec ARRAY<DOUBLE>",
-    )
-
-    def subspaces(emb_col: str) -> str:
-        return "inline(array({}))".format(
-            ",".join(
-                f"struct({mi} AS mi, slice(`{emb_col}`, {mi * sub + 1}, {sub})"
-                " AS sv)"
-                for mi in range(m)
-            )
-        )
-
-    dist_expr = (
-        f"round(aggregate(transform(sequence(1, {sub}),"
-        " i -> (element_at(sv, i) - element_at(cvec, i))"
-        " * (element_at(sv, i) - element_at(cvec, i))),"
-        f" 0D, (a, x) -> a + x), {DIST_DECIMALS})"
-    )
-    it = items.filter(
-        F.col(item_emb).isNotNull() & (F.size(item_emb) == dim)
-    ).selectExpr(f"`{item_id}` AS _vid", subspaces(item_emb))
-    # argmin(dist, tie->lower code) as a map-side-combinable aggregate:
-    # min of the (d, ci) struct under lexicographic struct ordering
-    codes = (
-        it.join(F.broadcast(bdf), "mi")
-        .withColumn("_d", F.expr(dist_expr))
-        .groupBy("_vid", "mi")
-        .agg(F.min(F.struct("_d", "ci")).alias("_best"))
-        .select("_vid", "mi", F.col("_best.ci").alias("code"))
-    )
+    bdf = _codebook_df(items.sparkSession, books)
+    dist_expr = _SUB_DIST_SQL.format(sub=sub, nd=DIST_DECIMALS)
+    codes = pq_codes_df(items, books, item_id=item_id, item_emb=item_emb)
     pr = probes.filter(
         F.col(probe_emb).isNotNull() & (F.size(probe_emb) == dim)
-    ).selectExpr(f"`{probe_id}` AS _qid", subspaces(probe_emb))
+    ).selectExpr(f"`{probe_id}` AS _qid", _subspace_sql(probe_emb, m, sub))
     lut = (
         pr.join(F.broadcast(bdf), "mi")
         .withColumn("_d", F.expr(dist_expr))

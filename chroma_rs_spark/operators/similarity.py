@@ -167,10 +167,15 @@ def cosine_topk_pairs_tiled(
     never a full sort of the n^2/2 pair set.
 
     Same result contract as `cosine_topk_pairs` (round-6 sims, id
-    tie-breaks, zero-norm/NULL rows excluded) — bit-equal, just a
-    different physical plan. Still O(n^2) compute (it is EXACT); for
-    corpora where that is intractable, `cosine_pairs_bucketed` is the
-    approximate scale path.
+    tie-breaks, zero-norm/NULL/non-finite rows excluded) — equal on
+    well-formed corpora (pinned at the gate boundary by
+    tests/test_similarity_bucketed.py). Residual divergence risk vs the
+    numpy blocked path is confined to values landing exactly on a
+    6th-decimal rounding boundary (np.round is binary half-even, Spark
+    round is decimal HALF_UP) — the same accepted boundary class as
+    every cross-engine oracle in the suite. Still O(n^2) compute (it is
+    EXACT); for corpora where that is intractable,
+    `cosine_pairs_bucketed` is the approximate scale path.
     """
     if n_blocks is None:
         # one tile side ~target_block_bytes; cap so |tiles| = B(B+1)/2
@@ -183,7 +188,15 @@ def cosine_topk_pairs_tiled(
             F.col(emb_col).alias("_emb"),
             l2_norm(f"`{emb_col}`").alias("_norm"),
         )
-        .filter(F.col("_norm") != F.lit(0.0))
+        # zero-norm AND non-finite-norm rows are unscorable — mirrors
+        # the blocked path's np.isfinite mask (a NaN/inf component would
+        # otherwise sort FIRST under Spark's NaN-greatest descending
+        # order and hijack the top-N)
+        .filter(
+            (F.col("_norm") != F.lit(0.0))
+            & ~F.isnan("_norm")
+            & (F.col("_norm") != F.lit(float("inf")))
+        )
         .withColumn("_blk", F.pmod(F.hash("_id"), F.lit(n_blocks)))
     )
     spark = df.sparkSession
@@ -231,6 +244,9 @@ def cosine_topk_pairs_tiled(
             F.col("id_hi").alias("id_b"),
             "cosine_sim",
         )
+        # finite-norm rows can still produce a NaN product in exotic
+        # float corners; keep the blocked path's finite-only contract
+        .filter(~F.isnan("cosine_sim"))
         .orderBy(F.col("cosine_sim").desc(), "id_a", "id_b")
         .limit(top_n)
     )
@@ -381,5 +397,6 @@ def signbucket_ann(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select(probe_id, "rank", "neighbor_id", "distance")
+        .select(probe_id, F.col("rank").cast("long").alias("rank"),
+                "neighbor_id", "distance")
     )

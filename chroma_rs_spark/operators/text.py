@@ -543,12 +543,19 @@ def char_entropy(
         " aggregate(_cs, CAST(0 AS BIGINT), (a2, y) -> a2 + y._n))), 6)"
         " + 0.0D AS entropy_bits",
     )
-    empty = df.filter(
-        F.length(F.coalesce(F.col(text_col), F.lit(""))) == 0
-    ).select(
-        F.col(id_col),
-        F.lit(0).cast("long").alias("n_chars"),
-        F.lit(0).cast("int").alias("n_distinct_chars"),
-        F.lit(None).cast("double").alias("entropy_bits"),
+    # NULL/empty docs re-attach via a left join against the id
+    # projection (a pruned one-column scan, not a second full-text
+    # read): absent per-doc rows are exactly the empty docs — zero
+    # counts, NULL entropy
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_chars", F.lit(0).cast("long")).alias("n_chars"),
+            F.coalesce("n_distinct_chars", F.lit(0).cast("int")).alias(
+                "n_distinct_chars"
+            ),
+            F.col("entropy_bits"),
+        )
     )
-    return scored.unionByName(empty)

@@ -144,6 +144,7 @@ def test_df_adc_path_matches_numpy_path_on_hash_codebooks(spark):
         hash_codebooks,
         pq_adc_topk,
         pq_adc_topk_df,
+        pq_codes_df,
         pq_encode,
     )
 
@@ -158,10 +159,17 @@ def test_df_adc_path_matches_numpy_path_on_hash_codebooks(spark):
     books = hash_codebooks(m, k_codes, sub)
 
     # codes parity: numpy argmin (unrounded, expansion form) vs the DF
-    # plan's rounded-fold min_by — same assignments on generic data
+    # plan's rounded-fold min_by — identical assignment for EVERY
+    # (row, subspace) on this corpus
     np_codes = {
         r["id"]: list(r["codes"]) for r in pq_encode(df, books).collect()
     }
+    df_codes: dict[int, list[int | None]] = {
+        i: [None] * m for i in np_codes
+    }
+    for r in pq_codes_df(df, books).collect():
+        df_codes[r["_vid"]][r["mi"]] = r["code"]
+    assert df_codes == np_codes
     queries = [(0, rows[0][1]), (1, rows[7][1])]
     probes = spark.createDataFrame(
         [(q, v) for q, v in queries],
@@ -180,7 +188,3 @@ def test_df_adc_path_matches_numpy_path_on_hash_codebooks(spark):
     )
     assert list(got_df["neighbor_id"]) == list(got_np["neighbor_id"])
     assert np.allclose(got_df["adc_dist"], got_np["adc_dist"], atol=2e-6)
-    # and the DF plan's implied codes reproduce numpy's for a sample
-    # row: rank-1 self-neighbor distance must be the row's own ADC
-    # residual under both paths
-    assert got_df.loc[0, "neighbor_id"] in np_codes
