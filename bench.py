@@ -16,6 +16,14 @@ the compiled class, so the warmup isolates steady-state execution from
 one-time compile cost — the standard JIT-benchmark discipline. On a
 long-lived cluster the compile happens once per plan shape, not per
 run, so steady-state is the number that predicts 100 TB behavior.
+
+The two engines are timed INTERLEAVED per query (each query's DuckDB
+best-of-7 runs immediately next to its Spark best-of-7): this VM's
+background load drifts ±30% over minutes and NOT in lockstep, so the
+old all-Spark-then-all-DuckDB layout let one slow window bias an
+entire engine's column — same-code suite ratios swung 1.3 to 2.1
+between runs hours apart. Adjacent per-query timing gives both engines
+the same host state, which is the fair comparison.
 """
 
 from __future__ import annotations
@@ -29,9 +37,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def _duckdb_timings(oracles: dict[str, str], sf_dir: str) -> dict[str, float]:
-    """Best-of-7 wall time per oracle on the same parquet, DuckDB using
-    all cores — the per-query comparator column for the 2x gate."""
+def _duckdb_connect(sf_dir: str):
     import duckdb
 
     con = duckdb.connect()
@@ -43,20 +49,23 @@ def _duckdb_timings(oracles: dict[str, str], sf_dir: str) -> dict[str, float]:
         con.sql(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
-    out: dict[str, float] = {}
-    for name, sql in oracles.items():
-        best = None
-        try:
-            for _ in range(7):
-                t0 = time.time()
-                con.execute(sql).fetchall()
-                dt = time.time() - t0
-                best = dt if best is None or dt < best else best
-            out[name] = round(best, 3)
-        except Exception:
-            continue
-    con.close()
-    return out
+    return con
+
+
+def _duckdb_best(con, sql: str, reps: int = 7) -> float | None:
+    """Best-of-N wall time for one oracle — run ADJACENT to the same
+    query's Spark timing (see main loop) so host-state drift hits both
+    engines alike instead of biasing whichever engine ran last."""
+    best = None
+    try:
+        for _ in range(reps):
+            t0 = time.time()
+            con.execute(sql).fetchall()
+            dt = time.time() - t0
+            best = dt if best is None or dt < best else best
+        return round(best, 3)
+    except Exception:
+        return None
 
 
 def main() -> int:
@@ -85,12 +94,25 @@ def main() -> int:
     load_tables(spark, sf_dir)
 
     qdefs = all_queries()
+    oracles = se.oracle_sql()
+    # Engines are timed INTERLEAVED per query (Spark best-of-7, then
+    # immediately the same query's DuckDB best-of-7): this VM's load
+    # drifts ±30% over minutes NON-lockstep, so the old
+    # all-Spark-then-all-DuckDB layout let one slow window bias a whole
+    # engine's column and swing the suite ratio by the same ±30%.
+    # Adjacent timing gives both engines the same host state per query.
+    con = _duckdb_connect(sf_dir)
     timings: dict[str, float] = {}
+    duck: dict[str, float] = {}
     plan_build = 0.0
     for name, qd in qdefs.items():
         fn = qd.fn
         if os.path.isdir(warm_dir) and warm_dir != sf_dir:
             fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
+        if name in oracles:
+            d = _duckdb_best(con, oracles[name])
+            if d is not None:
+                duck[name] = d
         if qd.iterative:
             # fn() itself runs Spark jobs (fixpoint iteration): charge
             # the whole build+run to the query so nothing hides in
@@ -126,7 +148,7 @@ def main() -> int:
             best = dt if best is None or dt < best else best
         timings[name] = round(best, 3)
 
-    duck = _duckdb_timings(se.oracle_sql(), sf_dir)
+    con.close()
     total = round(sum(timings.values()), 3)
     duck_total = round(sum(duck.values()), 3)
     payload = {
