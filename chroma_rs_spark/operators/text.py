@@ -559,3 +559,122 @@ def char_entropy(
             F.col("entropy_bits"),
         )
     )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    span_tokens: int = 20,
+    stride: int = 5,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, span_pos, span_hash, n_docs): occurrences of exact
+    L-token spans that appear in >= `min_docs` DISTINCT documents —
+    the exact-substring-dedup primitive of Lee et al., "Deduplicating
+    Training Data Makes Language Models Better" (ACL 2022), which
+    minhash/simhash (document-level) and n-gram Jaccard (set-level)
+    cannot express: those score whole documents, this localizes the
+    duplicated REGIONS so a pipeline can cut spans instead of dropping
+    documents.
+
+    Spark shape instead of the paper's suffix array: strided L-token
+    shingle spans hashed per position (one map pass, no shuffle), then
+    ONE hash-keyed shuffle where the distinct-document count per span
+    runs as dense_rank + max over the same partitioning (exact
+    count-distinct without the two-stage expand). At 100 TB the only
+    shuffle is keyed on span_hash — hash-uniform, no skew beyond true
+    duplication hot spots, which is exactly the signal. `stride`
+    trades recall granularity for volume (stride 1 = every position;
+    the default 5 still detects every duplicated region >= L+stride-1
+    tokens, offset by at most stride-1).
+
+    Tokens are the engine-wide convention: non-empty split tokens.
+    Documents shorter than `span_tokens` produce no rows.
+    """
+    toks = F.expr(f"filter(split(`{text_col}`, ' '), x -> x != '')")
+    base = df.select(F.col(id_col), toks.alias("_t")).filter(
+        F.size("_t") >= span_tokens
+    )
+    occ = base.select(
+        id_col,
+        F.explode(
+            F.expr(
+                f"transform(filter(sequence(0, size(_t) - {span_tokens}),"
+                f" i -> i % {stride} = 0),"
+                f" i -> struct(CAST(i AS BIGINT) AS span_pos,"
+                f" md5(array_join(slice(_t, i + 1, {span_tokens}), ' '))"
+                " AS span_hash))"
+            )
+        ).alias("_s"),
+    ).select(id_col, F.col("_s.span_pos"), F.col("_s.span_hash"))
+    from pyspark.sql.window import Window
+
+    wd = Window.partitionBy("span_hash").orderBy(id_col)
+    w = Window.partitionBy("span_hash")
+    return (
+        occ.withColumn("_dr", F.dense_rank().over(wd))
+        .withColumn("n_docs", F.max("_dr").over(w).cast("long"))
+        .drop("_dr")
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def duplicate_span_stats(
+    df: DataFrame,
+    span_tokens: int = 20,
+    stride: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_spans, n_dup_spans, dup_ratio): per-document summary
+    of `duplicate_spans` — the curation signal (what fraction of this
+    document is exact-duplicated text elsewhere in the corpus).
+    Documents with no spans (shorter than `span_tokens` tokens, or
+    NULL text) keep their row with zero counts and NULL ratio — the
+    engine's unscorable convention."""
+    toks = F.expr(f"filter(split(`{text_col}`, ' '), x -> x != '')")
+    base = df.select(F.col(id_col), toks.alias("_t")).filter(
+        F.size("_t") >= span_tokens
+    )
+    occ = base.select(
+        id_col,
+        F.explode(
+            F.expr(
+                f"transform(filter(sequence(0, size(_t) - {span_tokens}),"
+                f" i -> i % {stride} = 0),"
+                f" i -> md5(array_join(slice(_t, i + 1, {span_tokens}), ' ')))"
+            )
+        ).alias("span_hash"),
+    )
+    from pyspark.sql.window import Window
+
+    wd = Window.partitionBy("span_hash").orderBy(id_col)
+    w = Window.partitionBy("span_hash")
+    per_doc = (
+        occ.withColumn("_dr", F.dense_rank().over(wd))
+        .withColumn("_nd", F.max("_dr").over(w))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum((F.col("_nd") >= 2).cast("long")).alias("n_dup_spans"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("n_dup_spans", F.lit(0))
+            .cast("long")
+            .alias("n_dup_spans"),
+            F.when(
+                F.col("n_spans") > 0,
+                F.round(
+                    F.col("n_dup_spans").cast("double") / F.col("n_spans"), 6
+                )
+                + F.lit(0.0),
+            ).alias("dup_ratio"),
+        )
+    )

@@ -461,11 +461,63 @@ FROM documents WHERE length(coalesce(text, '')) = 0
 # chunking plan shape stays covered by pack_sequences' token windows).
 QUERIES.update({"pii_scrub": QueryDef(q_pii_scrub, _pii_oracle())})
 
+def q_duplicate_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate-span mining summary (Lee et al. ACL 2022
+    substring-dedup primitive): per doc, how many strided 20-token
+    spans are exact-duplicated in other documents."""
+    from chroma_rs_spark.operators.text import duplicate_span_stats
+
+    return duplicate_span_stats(
+        load_table(spark, sf_dir, "documents"), span_tokens=20, stride=5
+    )
+
+
+# same tokens (non-empty split), same strided positions (0-based,
+# i % 5 = 0, inclusive last start), same md5-of-joined-span hash,
+# exact distinct-doc counts; short/NULL docs keep a zero row with NULL
+# ratio (the unscorable convention)
+_DUP_SPAN_ORACLE = """
+WITH base AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+),
+long_docs AS (SELECT doc_id, t FROM base WHERE len(t) >= 20),
+occ AS (
+  SELECT doc_id,
+         md5(array_to_string(t[CAST(i AS BIGINT) + 1 : CAST(i AS BIGINT) + 20], ' ')) AS span_hash
+  FROM (SELECT doc_id, t, unnest(range(0, len(t) - 20 + 1)) AS i
+        FROM long_docs)
+  WHERE i % 5 = 0
+),
+cnt AS (
+  SELECT span_hash, count(DISTINCT doc_id) AS n_docs FROM occ GROUP BY 1
+),
+per_doc AS (
+  SELECT o.doc_id,
+         count(*) AS n_spans,
+         sum(CASE WHEN c.n_docs >= 2 THEN 1 ELSE 0 END) AS n_dup
+  FROM occ o JOIN cnt c USING (span_hash)
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(p.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(coalesce(p.n_dup, 0) AS BIGINT) AS n_dup_spans,
+       CASE WHEN p.n_spans > 0
+            THEN round(CAST(p.n_dup AS DOUBLE) / p.n_spans, 6) + 0.0
+       END AS dup_ratio
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
 EXTRA_QUERIES = {
     # round-4 rotation: the corpus token ranking is subsumed in the
     # driver window by tfidf_topk (same explode/count core + idf join)
     "top_tokens": QueryDef(q_top_tokens, _TOP_TOKENS_ORACLE),
     "chunk_documents": QueryDef(q_chunk_documents, _CHUNK_ORACLE),
+    # round-5 addition: exact duplicate-SPAN mining (substring-level
+    # dedup — localizes duplicated regions, unlike the document-level
+    # minhash/simhash family); rotation candidate for round 6
+    "duplicate_span_stats": QueryDef(q_duplicate_span_stats, _DUP_SPAN_ORACLE),
     # char-level explode is a measured 1.96s-vs-0.36s row at sf0.1 —
     # locally hash-checked here rather than spending 5x the per-row
     # bench floor on a second sub-token signal

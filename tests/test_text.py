@@ -379,3 +379,54 @@ def test_sample_frames_and_features_drop_null_payload(spark):
     assert [r["doc_id"] for r in feats] == [1]
     frames = sample_frames(p).collect()
     assert {r["doc_id"] for r in frames} == {1}
+
+
+def test_duplicate_spans_localizes_planted_duplicates(spark):
+    """Exact duplicate-span mining (Lee et al. substring-dedup
+    primitive): a 25-token boilerplate block shared by two documents is
+    found in BOTH, at the right token offsets, while a third document
+    with unique text reports nothing."""
+    from chroma_rs_spark.operators.text import (
+        duplicate_span_stats,
+        duplicate_spans,
+    )
+
+    block = " ".join(f"w{i}" for i in range(25))
+    uniq_a = " ".join(f"a{i}" for i in range(30))
+    uniq_b = " ".join(f"b{i}" for i in range(10))
+    uniq_c = " ".join(f"c{i}" for i in range(60))
+    df = spark.createDataFrame(
+        [
+            (1, uniq_a + " " + block),          # block at token offset 30
+            (2, block + " " + uniq_b),          # block at token offset 0
+            (3, uniq_c),                        # no duplication
+            (4, "short doc"),                   # < span_tokens -> no spans
+            (5, None),                          # NULL text
+        ],
+        "doc_id LONG, text STRING",
+    )
+    spans = duplicate_spans(df, span_tokens=20, stride=5).collect()
+    by_doc: dict[int, set[int]] = {}
+    for r in spans:
+        assert r["n_docs"] == 2
+        by_doc.setdefault(r["doc_id"], set()).add(r["span_pos"])
+    # the 25-token block admits strided starts 0 and 5 within itself:
+    # doc 2 carries them at 0 and 5, doc 1 at 30 and 35
+    assert by_doc[2] == {0, 5}
+    assert by_doc[1] == {30, 35}
+    assert 3 not in by_doc and 4 not in by_doc and 5 not in by_doc
+    # hashes match across docs position-for-position
+    h1 = {r["span_pos"] - 30: r["span_hash"] for r in spans if r["doc_id"] == 1}
+    h2 = {r["span_pos"]: r["span_hash"] for r in spans if r["doc_id"] == 2}
+    assert h1 == h2
+
+    stats = {r["doc_id"]: r for r in duplicate_span_stats(
+        df, span_tokens=20, stride=5).collect()}
+    assert set(stats) == {1, 2, 3, 4, 5}
+    assert stats[1]["n_dup_spans"] == 2 and stats[2]["n_dup_spans"] == 2
+    assert stats[3]["n_dup_spans"] == 0 and stats[3]["n_spans"] > 0
+    assert stats[3]["dup_ratio"] == 0.0
+    for short_id in (4, 5):
+        assert stats[short_id]["n_spans"] == 0
+        assert stats[short_id]["dup_ratio"] is None
+    assert stats[2]["dup_ratio"] == round(2 / stats[2]["n_spans"], 6)
