@@ -237,3 +237,58 @@ def temperature_mixture_sample(
         .where(hash_bucket(id_col) < F.col("_cutoff"))
         .drop("_cutoff", "_src")
     )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    sim_col: str = "est_jaccard",
+    out: str = "split",
+) -> DataFrame:
+    """`dataset_split`, but leakage-safe: near-duplicate documents land
+    in the SAME split, always.
+
+    A plain id-hash split puts the two halves of a near-dup pair on
+    opposite sides of the train/test boundary, leaking test content
+    into training — the contamination `split_contamination` can only
+    REPORT after the fact. This op prevents it structurally: documents
+    are clustered on the candidate-pair graph (connected components of
+    LSH near-dup pairs, operators/graph.py), and the split bucket is
+    hashed from the CLUSTER id instead of the document id, so a whole
+    duplicate cluster co-assigns. Singletons hash on their own id
+    (cluster_id == doc_id), keeping the proportions of
+    `dataset_split`'s id-hash behavior for the non-duplicated bulk.
+
+    Scale shape: the clustering is the bounded-pair lazy union-find /
+    star-contraction machinery of `dedup_clusters`; the split itself
+    stays one map-side hash — no extra shuffle beyond the clustering.
+
+    Returns (id, cluster_id, split).
+    """
+    from chroma_rs_spark.operators.graph import dedup_clusters
+
+    clusters = dedup_clusters(
+        docs,
+        pairs,
+        id_col=id_col,
+        threshold=threshold,
+        sim_col=sim_col,
+        lazy_local=True,
+    ).select(id_col, "cluster_id")
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1, got {total}")
+    bucket = hash_bucket(F.col("cluster_id"))
+    expr = None
+    acc = 0.0
+    for name, w in weights.items():
+        acc += w
+        bound = int(round(acc * SAMPLE_BUCKETS))
+        cond = bucket < bound
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(
+            cond, F.lit(name)
+        )
+    return clusters.select(id_col, "cluster_id", expr.alias(out))

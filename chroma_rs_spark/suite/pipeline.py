@@ -1003,7 +1003,42 @@ FROM hits
 """
 
 
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-aware dataset split: near-duplicate documents co-assign by
+    hashing the split bucket from their LSH-cluster id, so no near-dup
+    pair ever straddles train/test (operators/sampling.py)."""
+    from chroma_rs_spark.operators.sampling import leakage_safe_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, num_hashes=16, bands=16, shingle_k=3)
+    return leakage_safe_split(
+        docs, pairs, {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+
+
+# the dedup_clusters WITH-chain (shingles -> minhash -> banded pairs ->
+# recursive components) verbatim, then the dataset_split bucket CASE
+# hashed from cluster_id instead of doc_id
+_LEAKAGE_SPLIT_ORACLE = _DEDUP_CLUSTERS_ORACLE.rsplit(
+    "SELECT doc_id, cluster_id,", 1
+)[0] + """
+SELECT doc_id, cluster_id,
+       CASE WHEN bk < 8000 THEN 'train'
+            WHEN bk < 9000 THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+  SELECT doc_id, cluster_id,
+         CAST('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8) AS BIGINT)
+             % 10000 AS bk
+  FROM comp
+)
+"""
+
+
 EXTRA_QUERIES = {
+    # round-5 addition: structurally leakage-safe splitting (the
+    # prevention twin of split_contamination's detection)
+    "leakage_safe_split": QueryDef(q_leakage_safe_split, _LEAKAGE_SPLIT_ORACLE),
     # round-5 rotation out after four driver-green rounds each (still
     # bit-checked locally): simhash's packed-count plan shape is shared
     # with dedup_minhash_lsh's hash family, embedding_quantize's

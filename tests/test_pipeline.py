@@ -552,3 +552,44 @@ def test_shingle_max_df_drops_boilerplate_pairs(spark):
     assert r["n_inter"] == 3
     # sizes are the FULL shingle-set sizes (8 tokens -> 6 shingles)
     assert r["size_a"] == 6 and r["size_b"] == 6
+
+
+def test_leakage_safe_split_co_assigns_near_dups(spark):
+    """Every near-dup pair must land in the SAME split (the structural
+    guarantee the plain id-hash split cannot give), and singletons must
+    match dataset_split's id-hash assignment exactly."""
+    from chroma_rs_spark.operators.dedup import minhash_lsh_pairs
+    from chroma_rs_spark.operators.sampling import (
+        dataset_split,
+        leakage_safe_split,
+    )
+    from chroma_rs_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF001_DIR, "documents")
+    pairs = minhash_lsh_pairs(docs, num_hashes=16, bands=16, shingle_k=3)
+    weights = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = leakage_safe_split(docs, pairs, weights)
+    split_of = {r["doc_id"]: (r["cluster_id"], r["split"]) for r in out.collect()}
+    assert len(split_of) == docs.count()
+    # (a) co-assignment: both ends of every thresholded pair share a split
+    checked = 0
+    for r in pairs.where("est_jaccard >= 0.5").collect():
+        assert split_of[r["id_a"]][1] == split_of[r["id_b"]][1], (
+            r["id_a"], r["id_b"])
+        checked += 1
+    assert checked > 0, "corpus has no near-dup pairs; test is vacuous"
+    # (b) singletons (cluster_id == doc_id AND nothing else in the
+    # cluster) get the same split the plain id-hash would give
+    from collections import Counter
+
+    sizes = Counter(c for c, _ in split_of.values())
+    plain = {r["doc_id"]: r["split"] for r in dataset_split(docs, weights).collect()}
+    n_single = 0
+    for doc, (cid, sp) in split_of.items():
+        if cid == doc and sizes[cid] == 1:
+            assert sp == plain[doc]
+            n_single += 1
+    assert n_single > 0
+    # (c) proportions stay sane on this corpus
+    frac_train = sum(1 for _, s in split_of.values() if s == "train") / len(split_of)
+    assert 0.6 < frac_train < 0.95
