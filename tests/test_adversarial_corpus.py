@@ -52,6 +52,10 @@ QUERIES = [
     "approx_distinct_parts",
     "orders_above_avg",
     "lineitem_percentiles_hist",
+    # round-5 additions: span mining + cluster-hashed split over the
+    # same NULL/empty/multi-space text edges
+    "duplicate_span_stats",
+    "leakage_safe_split",
 ]
 
 
