@@ -580,11 +580,10 @@ def duplicate_spans(
 
     Spark shape instead of the paper's suffix array: strided L-token
     shingle spans hashed per position (one map pass, no shuffle), then
-    ONE hash-keyed shuffle where the distinct-document count per span
-    runs as dense_rank + max over the same partitioning (exact
-    count-distinct without the two-stage expand). At 100 TB the only
-    shuffle is keyed on span_hash — hash-uniform, no skew beyond true
-    duplication hot spots, which is exactly the signal. `stride`
+    exact distinct-document counts per span via distinct (hash, doc)
+    pairs + a map-side-combinable groupBy (skew-safe even for a
+    boilerplate span present in millions of documents — see
+    _span_doc_counts), joined back to the occurrences. `stride`
     trades recall granularity for volume (stride 1 = every position;
     the default 5 still detects every duplicated region >= L+stride-1
     tokens, offset by at most stride-1).
@@ -608,15 +607,27 @@ def duplicate_spans(
             )
         ).alias("_s"),
     ).select(id_col, F.col("_s.span_pos"), F.col("_s.span_hash"))
-    from pyspark.sql.window import Window
+    counts = _span_doc_counts(occ, id_col)
+    return occ.join(counts, "span_hash").filter(
+        F.col("n_docs") >= min_docs
+    ).select(id_col, "span_pos", "span_hash", "n_docs")
 
-    wd = Window.partitionBy("span_hash").orderBy(id_col)
-    w = Window.partitionBy("span_hash")
+
+def _span_doc_counts(occ: DataFrame, id_col: str) -> DataFrame:
+    """(span_hash, n_docs): exact distinct-document count per span.
+
+    Shaped as distinct (hash, doc) pairs -> groupBy(hash) count rather
+    than a dense_rank window: both are exact, but a window over the
+    span_hash partition cannot split a skewed key (a boilerplate span
+    present in 1M documents becomes one reducer's sort), while the
+    distinct shuffles on the PAIR key (uniform) and the count is a
+    map-side-combinable aggregate; the join back to occurrences is a
+    plain equi-join AQE's skew-join splitting can handle."""
     return (
-        occ.withColumn("_dr", F.dense_rank().over(wd))
-        .withColumn("n_docs", F.max("_dr").over(w).cast("long"))
-        .drop("_dr")
-        .filter(F.col("n_docs") >= min_docs)
+        occ.select("span_hash", id_col)
+        .distinct()
+        .groupBy("span_hash")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     )
 
 
@@ -647,17 +658,13 @@ def duplicate_span_stats(
             )
         ).alias("span_hash"),
     )
-    from pyspark.sql.window import Window
-
-    wd = Window.partitionBy("span_hash").orderBy(id_col)
-    w = Window.partitionBy("span_hash")
+    counts = _span_doc_counts(occ, id_col)
     per_doc = (
-        occ.withColumn("_dr", F.dense_rank().over(wd))
-        .withColumn("_nd", F.max("_dr").over(w))
+        occ.join(counts, "span_hash")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_spans"),
-            F.sum((F.col("_nd") >= 2).cast("long")).alias("n_dup_spans"),
+            F.sum((F.col("n_docs") >= 2).cast("long")).alias("n_dup_spans"),
         )
     )
     return (
