@@ -95,8 +95,9 @@ def main() -> int:
 
     qdefs = all_queries()
     oracles = se.oracle_sql()
-    # Engines are timed INTERLEAVED per query (Spark best-of-7, then
-    # immediately the same query's DuckDB best-of-7): this VM's load
+    # Engines are timed INTERLEAVED per query (each query's DuckDB
+    # best-of-7 runs between the Spark warmup and that same query's
+    # Spark best-of-7): this VM's load
     # drifts ±30% over minutes NON-lockstep, so the old
     # all-Spark-then-all-DuckDB layout let one slow window bias a whole
     # engine's column and swing the suite ratio by the same ±30%.

@@ -796,6 +796,12 @@ def build_pq_index(
     codes_path = os.path.join(engine.collection_dir(coll.id), PQ_CODES_DIR)
     for stale in (codes_path, codes_path + ".__old", codes_path + ".__tmp"):
         shutil.rmtree(stale, ignore_errors=True)
+        if os.path.exists(stale):
+            # this deletion is the ONLY guard against same-m stale codes
+            # silently ranking garbage — a failed rmtree must be loud
+            raise EngineError(
+                f"build_pq_index: could not invalidate stale codes {stale}"
+            )
     _atomic_index_write(
         engine.spark.createDataFrame(
             rows, "m INT, code INT, pos INT, value DOUBLE"

@@ -36,10 +36,13 @@ Spark shapes (matching the repo's discipline):
 Verification: tests/test_pq.py pins encode codes and ADC distances
 bit-for-bit against a pure-numpy reference, checks determinism, and
 holds a measured recall band for PQ+rescore vs exact KNN. The
-`pq_topk` suite entry is EXTRA/rows-only — codebooks are trained at
-plan time, so no static SQL oracle can replay them (the same reason
-knn_ivf_trained's oracle replays k-means in SQL; PQ's per-subspace
-loops would multiply that oracle by M with no new checking power).
+`pq_topk` suite entry is EXTRA/rows-only — TRAINED codebooks exist
+only at plan time, so no static SQL oracle can replay them — but the
+ADC machinery itself IS oracle-checked: `pq_adc_topk` (EXTRA,
+hash-green) runs `pq_adc_topk_df` over `hash_codebooks`
+(data-independent md5-derived literals a DuckDB oracle embeds
+verbatim), and tests pin the numpy kernels to that DataFrame plan per
+(row, subspace).
 """
 
 from __future__ import annotations
@@ -350,6 +353,7 @@ def pq_codes_df(
     codebooks,
     item_id: str = "vec_id",
     item_emb: str = "embedding",
+    bdf: DataFrame | None = None,
 ) -> DataFrame:
     """(_vid, mi, code): the DataFrame-native encode stage of
     `pq_adc_topk_df`, exposed so tests can pin its code assignments
@@ -361,7 +365,8 @@ def pq_codes_df(
     books = np.asarray(codebooks, dtype=np.float64)
     m, _kk, sub = books.shape
     dim = m * sub
-    bdf = _codebook_df(items.sparkSession, books)
+    if bdf is None:
+        bdf = _codebook_df(items.sparkSession, books)
     it = items.filter(
         F.col(item_emb).isNotNull() & (F.size(item_emb) == dim)
     ).selectExpr(f"`{item_id}` AS _vid", _subspace_sql(item_emb, m, sub))
@@ -414,7 +419,8 @@ def pq_adc_topk_df(
     dim = m * sub
     bdf = _codebook_df(items.sparkSession, books)
     dist_expr = _SUB_DIST_SQL.format(sub=sub, nd=DIST_DECIMALS)
-    codes = pq_codes_df(items, books, item_id=item_id, item_emb=item_emb)
+    # the encode join shares this broadcast relation with the LUT join
+    codes = pq_codes_df(items, books, item_id=item_id, item_emb=item_emb, bdf=bdf)
     pr = probes.filter(
         F.col(probe_emb).isNotNull() & (F.size(probe_emb) == dim)
     ).selectExpr(f"`{probe_id}` AS _qid", _subspace_sql(probe_emb, m, sub))

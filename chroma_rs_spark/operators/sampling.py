@@ -278,17 +278,9 @@ def leakage_safe_split(
         sim_col=sim_col,
         lazy_local=True,
     ).select(id_col, "cluster_id")
-    total = sum(weights.values())
-    if abs(total - 1.0) > 1e-9:
-        raise ValueError(f"weights must sum to 1, got {total}")
-    bucket = hash_bucket(F.col("cluster_id"))
-    expr = None
-    acc = 0.0
-    for name, w in weights.items():
-        acc += w
-        bound = int(round(acc * SAMPLE_BUCKETS))
-        cond = bucket < bound
-        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(
-            cond, F.lit(name)
-        )
-    return clusters.select(id_col, "cluster_id", expr.alias(out))
+    # the assignment IS dataset_split, keyed on cluster_id — one
+    # boundary arithmetic, so singleton assignment can never drift from
+    # the plain id-hash split
+    return dataset_split(clusters, weights, id_col="cluster_id", out=out).select(
+        id_col, "cluster_id", out
+    )

@@ -30,27 +30,38 @@ def cosine_topk_pairs(
     dim: int | None = None,
 ) -> DataFrame:
     """Exact top-N most-cosine-similar pairs (id_a < id_b). Pass `dim`
-    for the unrolled codegen distance (functions/vector.py)."""
-    a = df.filter(F.col(emb_col).isNotNull()).select(
-        F.col(id_col).alias("id_a"),
-        F.col(emb_col).alias("emb_a"),
-        l2_norm(f"`{emb_col}`", dim).alias("norm_a"),
-    )
-    b = df.filter(F.col(emb_col).isNotNull()).select(
-        F.col(id_col).alias("id_b"),
-        F.col(emb_col).alias("emb_b"),
-        l2_norm(f"`{emb_col}`", dim).alias("norm_b"),
-    )
+    for the unrolled codegen distance (functions/vector.py).
+
+    Zero-norm, NaN/inf-norm and NaN-sim rows are unscorable and
+    excluded — the shared contract of all three exact pair operators
+    (this one, `cosine_topk_pairs_blocked`'s np.isfinite mask, and
+    `cosine_topk_pairs_tiled`); without the guard a single NaN
+    component sorts FIRST under Spark's NaN-greatest descending order
+    and hijacks the top-N."""
+    def side(suffix: str) -> DataFrame:
+        return (
+            df.filter(F.col(emb_col).isNotNull())
+            .select(
+                F.col(id_col).alias(f"id_{suffix}"),
+                F.col(emb_col).alias(f"emb_{suffix}"),
+                l2_norm(f"`{emb_col}`", dim).alias(f"norm_{suffix}"),
+            )
+            .filter(
+                (F.col(f"norm_{suffix}") != F.lit(0.0))
+                & ~F.isnan(f"norm_{suffix}")
+                & (F.col(f"norm_{suffix}") != F.lit(float("inf")))
+            )
+        )
+
     sim = F.round(
         dot_product("emb_a", "emb_b", dim)
         / (F.col("norm_a") * F.col("norm_b")),
         6,
     )
-    a = a.filter(F.col("norm_a") != F.lit(0.0))
-    b = b.filter(F.col("norm_b") != F.lit(0.0))
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
+        side("a").join(side("b"), F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", sim.alias("cosine_sim"))
+        .filter(~F.isnan("cosine_sim"))
         .orderBy(F.col("cosine_sim").desc(), "id_a", "id_b")
         .limit(top_n)
     )

@@ -561,6 +561,52 @@ def char_entropy(
     )
 
 
+def _span_occurrences(
+    df: DataFrame,
+    span_tokens: int,
+    stride: int,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """(id, span_pos, span_hash): the L-token span occurrences both
+    duplicate-span operators count over — ONE definition so the
+    detailed and summary views can never disagree about what a span is.
+
+    Span start positions are CONTENT-DEFINED anchors, not fixed
+    strides: position i anchors iff hash(token[i]) % stride == 0 (the
+    winnowing/CDC trick — Schleimer et al., SIGMOD 2003; rsync). A
+    fixed `i % stride == 0` grid only matches duplicated regions whose
+    copies start at offsets congruent mod stride — ~(stride-1)/stride
+    of misaligned duplicates are invisible to it. Content anchors are
+    alignment-INVARIANT: a duplicated region carries its anchor
+    positions with it, so both copies hash the same spans wherever
+    they sit. Expected anchor density 1/stride; a duplicated region of
+    L+k tokens is detected unless its first k+1 tokens contain no
+    anchor (probability (1-1/stride)^(k+1) under hash uniformity).
+    stride=1 anchors every position (exact mode).
+    """
+    toks = F.expr(f"filter(split(`{text_col}`, ' '), x -> x != '')")
+    base = df.select(F.col(id_col), toks.alias("_t")).filter(
+        F.size("_t") >= span_tokens
+    )
+    anchor = (
+        f"conv(substring(md5(element_at(_t, i + 1)), 1, 8), 16, 10)"
+        f" % {stride} = 0"
+    )
+    return base.select(
+        id_col,
+        F.explode(
+            F.expr(
+                f"transform(filter(sequence(0, size(_t) - {span_tokens}),"
+                f" i -> {anchor}),"
+                f" i -> struct(CAST(i AS BIGINT) AS span_pos,"
+                f" md5(array_join(slice(_t, i + 1, {span_tokens}), ' '))"
+                " AS span_hash))"
+            )
+        ).alias("_s"),
+    ).select(id_col, F.col("_s.span_pos"), F.col("_s.span_hash"))
+
+
 def duplicate_spans(
     df: DataFrame,
     span_tokens: int = 20,
@@ -578,35 +624,18 @@ def duplicate_spans(
     duplicated REGIONS so a pipeline can cut spans instead of dropping
     documents.
 
-    Spark shape instead of the paper's suffix array: strided L-token
-    shingle spans hashed per position (one map pass, no shuffle), then
-    exact distinct-document counts per span via distinct (hash, doc)
-    pairs + a map-side-combinable groupBy (skew-safe even for a
-    boilerplate span present in millions of documents — see
-    _span_doc_counts), joined back to the occurrences. `stride`
-    trades recall granularity for volume (stride 1 = every position;
-    the default 5 still detects every duplicated region >= L+stride-1
-    tokens, offset by at most stride-1).
+    Spark shape instead of the paper's suffix array: content-anchored
+    L-token spans hashed in one map pass (`_span_occurrences` —
+    anchor sampling is alignment-invariant, unlike a fixed stride
+    grid), then exact distinct-document counts per span via distinct
+    (hash, doc) pairs + a map-side-combinable groupBy (skew-safe even
+    for a boilerplate span present in millions of documents — see
+    _span_doc_counts), joined back to the occurrences.
 
     Tokens are the engine-wide convention: non-empty split tokens.
     Documents shorter than `span_tokens` produce no rows.
     """
-    toks = F.expr(f"filter(split(`{text_col}`, ' '), x -> x != '')")
-    base = df.select(F.col(id_col), toks.alias("_t")).filter(
-        F.size("_t") >= span_tokens
-    )
-    occ = base.select(
-        id_col,
-        F.explode(
-            F.expr(
-                f"transform(filter(sequence(0, size(_t) - {span_tokens}),"
-                f" i -> i % {stride} = 0),"
-                f" i -> struct(CAST(i AS BIGINT) AS span_pos,"
-                f" md5(array_join(slice(_t, i + 1, {span_tokens}), ' '))"
-                " AS span_hash))"
-            )
-        ).alias("_s"),
-    ).select(id_col, F.col("_s.span_pos"), F.col("_s.span_hash"))
+    occ = _span_occurrences(df, span_tokens, stride, id_col, text_col)
     counts = _span_doc_counts(occ, id_col)
     return occ.join(counts, "span_hash").filter(
         F.col("n_docs") >= min_docs
@@ -641,23 +670,10 @@ def duplicate_span_stats(
     """(doc_id, n_spans, n_dup_spans, dup_ratio): per-document summary
     of `duplicate_spans` — the curation signal (what fraction of this
     document is exact-duplicated text elsewhere in the corpus).
-    Documents with no spans (shorter than `span_tokens` tokens, or
-    NULL text) keep their row with zero counts and NULL ratio — the
-    engine's unscorable convention."""
-    toks = F.expr(f"filter(split(`{text_col}`, ' '), x -> x != '')")
-    base = df.select(F.col(id_col), toks.alias("_t")).filter(
-        F.size("_t") >= span_tokens
-    )
-    occ = base.select(
-        id_col,
-        F.explode(
-            F.expr(
-                f"transform(filter(sequence(0, size(_t) - {span_tokens}),"
-                f" i -> i % {stride} = 0),"
-                f" i -> md5(array_join(slice(_t, i + 1, {span_tokens}), ' ')))"
-            )
-        ).alias("span_hash"),
-    )
+    Documents with no spans (shorter than `span_tokens` tokens, NULL
+    text, or no content anchors) keep their row with zero counts and
+    NULL ratio — the engine's unscorable convention."""
+    occ = _span_occurrences(df, span_tokens, stride, id_col, text_col)
     counts = _span_doc_counts(occ, id_col)
     per_doc = (
         occ.join(counts, "span_hash")

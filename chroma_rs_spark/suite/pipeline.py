@@ -125,8 +125,11 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Transitive closure of the >=0.5 LSH pair graph via recursive CTE;
 # component label = min reachable doc_id — the same labels the
-# large-star/small-star fixpoint assigns (operators/graph.py).
-_DEDUP_CLUSTERS_ORACLE = f"""
+# large-star/small-star fixpoint assigns (operators/graph.py). The
+# WITH-chain is a shared constant: _DEDUP_CLUSTERS_ORACLE and
+# _LEAKAGE_SPLIT_ORACLE (below) compose their SELECTs onto the SAME
+# clustering, by construction rather than string surgery.
+_CLUSTERS_WITH_CHAIN = f"""
 WITH RECURSIVE sh AS ({_SHINGLES3}),
 params(i, a, b) AS (
   VALUES {_MINHASH_PARAM_ROWS}
@@ -166,6 +169,9 @@ reach(node, lbl) AS (
 comp AS (
   SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node
 )
+"""
+
+_DEDUP_CLUSTERS_ORACLE = _CLUSTERS_WITH_CHAIN + """
 SELECT doc_id, cluster_id,
        COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
        doc_id = cluster_id AS keep
@@ -1019,9 +1025,7 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the dedup_clusters WITH-chain (shingles -> minhash -> banded pairs ->
 # recursive components) verbatim, then the dataset_split bucket CASE
 # hashed from cluster_id instead of doc_id
-_LEAKAGE_SPLIT_ORACLE = _DEDUP_CLUSTERS_ORACLE.rsplit(
-    "SELECT doc_id, cluster_id,", 1
-)[0] + """
+_LEAKAGE_SPLIT_ORACLE = _CLUSTERS_WITH_CHAIN + """
 SELECT doc_id, cluster_id,
        CASE WHEN bk < 8000 THEN 'train'
             WHEN bk < 9000 THEN 'val'

@@ -472,10 +472,11 @@ def q_duplicate_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# same tokens (non-empty split), same strided positions (0-based,
-# i % 5 = 0, inclusive last start), same md5-of-joined-span hash,
-# exact distinct-doc counts; short/NULL docs keep a zero row with NULL
-# ratio (the unscorable convention)
+# same tokens (non-empty split), same CONTENT-DEFINED anchor positions
+# (md5-hash of the span's first token % stride == 0 — the winnowing
+# trick; alignment-invariant, 0-based, inclusive last start), same
+# md5-of-joined-span hash, exact distinct-doc counts; short/NULL docs
+# keep a zero row with NULL ratio (the unscorable convention)
 _DUP_SPAN_ORACLE = """
 WITH base AS (
   SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
@@ -487,7 +488,7 @@ occ AS (
          md5(array_to_string(t[CAST(i AS BIGINT) + 1 : CAST(i AS BIGINT) + 20], ' ')) AS span_hash
   FROM (SELECT doc_id, t, unnest(range(0, len(t) - 20 + 1)) AS i
         FROM long_docs)
-  WHERE i % 5 = 0
+  WHERE CAST('0x' || substr(md5(t[CAST(i AS BIGINT) + 1]), 1, 8) AS BIGINT) % 5 = 0
 ),
 cnt AS (
   SELECT span_hash, count(DISTINCT doc_id) AS n_docs FROM occ GROUP BY 1

@@ -381,23 +381,27 @@ def test_sample_frames_and_features_drop_null_payload(spark):
     assert {r["doc_id"] for r in frames} == {1}
 
 
-def test_duplicate_spans_localizes_planted_duplicates(spark):
+def test_duplicate_spans_localizes_misaligned_duplicates(spark):
     """Exact duplicate-span mining (Lee et al. substring-dedup
-    primitive): a 25-token boilerplate block shared by two documents is
-    found in BOTH, at the right token offsets, while a third document
-    with unique text reports nothing."""
+    primitive): a 40-token boilerplate block shared by two documents at
+    MISALIGNED offsets (31 vs 0 — a fixed stride-5 grid would miss it
+    entirely, since 31 % 5 != 0) is found in BOTH at content-anchored
+    positions, while unique/short/NULL documents report nothing."""
+    import hashlib
+
     from chroma_rs_spark.operators.text import (
         duplicate_span_stats,
         duplicate_spans,
     )
 
-    block = " ".join(f"w{i}" for i in range(25))
-    uniq_a = " ".join(f"a{i}" for i in range(30))
+    block_toks = [f"w{i}" for i in range(40)]
+    block = " ".join(block_toks)
+    uniq_a = " ".join(f"a{i}" for i in range(31))
     uniq_b = " ".join(f"b{i}" for i in range(10))
     uniq_c = " ".join(f"c{i}" for i in range(60))
     df = spark.createDataFrame(
         [
-            (1, uniq_a + " " + block),          # block at token offset 30
+            (1, uniq_a + " " + block),          # block at token offset 31
             (2, block + " " + uniq_b),          # block at token offset 0
             (3, uniq_c),                        # no duplication
             (4, "short doc"),                   # < span_tokens -> no spans
@@ -405,28 +409,39 @@ def test_duplicate_spans_localizes_planted_duplicates(spark):
         ],
         "doc_id LONG, text STRING",
     )
+
+    # content anchors: position r anchors iff hash32(token[r]) % 5 == 0
+    def anchored(tok: str) -> bool:
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % 5 == 0
+
+    # full 20-token spans inside the block start at rel offsets 0..20
+    expected_rel = {r for r in range(21) if anchored(block_toks[r])}
+    assert expected_rel, "test block must carry at least one anchor"
+    assert 31 % 5 != 0  # the misalignment a fixed grid cannot see
+
     spans = duplicate_spans(df, span_tokens=20, stride=5).collect()
     by_doc: dict[int, set[int]] = {}
     for r in spans:
         assert r["n_docs"] == 2
         by_doc.setdefault(r["doc_id"], set()).add(r["span_pos"])
-    # the 25-token block admits strided starts 0 and 5 within itself:
-    # doc 2 carries them at 0 and 5, doc 1 at 30 and 35
-    assert by_doc[2] == {0, 5}
-    assert by_doc[1] == {30, 35}
+    assert by_doc[2] == expected_rel
+    assert by_doc[1] == {31 + r for r in expected_rel}
     assert 3 not in by_doc and 4 not in by_doc and 5 not in by_doc
     # hashes match across docs position-for-position
-    h1 = {r["span_pos"] - 30: r["span_hash"] for r in spans if r["doc_id"] == 1}
+    h1 = {r["span_pos"] - 31: r["span_hash"] for r in spans if r["doc_id"] == 1}
     h2 = {r["span_pos"]: r["span_hash"] for r in spans if r["doc_id"] == 2}
     assert h1 == h2
 
     stats = {r["doc_id"]: r for r in duplicate_span_stats(
         df, span_tokens=20, stride=5).collect()}
     assert set(stats) == {1, 2, 3, 4, 5}
-    assert stats[1]["n_dup_spans"] == 2 and stats[2]["n_dup_spans"] == 2
-    assert stats[3]["n_dup_spans"] == 0 and stats[3]["n_spans"] > 0
-    assert stats[3]["dup_ratio"] == 0.0
+    n_dup = len(expected_rel)
+    assert stats[1]["n_dup_spans"] == n_dup
+    assert stats[2]["n_dup_spans"] == n_dup
+    n3 = sum(1 for r in range(41) if anchored(f"c{r}"))
+    assert stats[3]["n_spans"] == n3 and stats[3]["n_dup_spans"] == 0
+    assert stats[3]["dup_ratio"] == (0.0 if n3 > 0 else None)
     for short_id in (4, 5):
         assert stats[short_id]["n_spans"] == 0
         assert stats[short_id]["dup_ratio"] is None
-    assert stats[2]["dup_ratio"] == round(2 / stats[2]["n_spans"], 6)
+    assert stats[2]["dup_ratio"] == round(n_dup / stats[2]["n_spans"], 6)
