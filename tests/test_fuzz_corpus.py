@@ -44,6 +44,9 @@ QUERIES = [
     "split_contamination",
     "frame_sample",
     "multimodal_features",
+    # round-5 additions: anchored span mining + cluster-hashed split
+    "duplicate_span_stats",
+    "leakage_safe_split",
 ]
 
 _ALPHABET = (
