@@ -701,3 +701,78 @@ def duplicate_span_stats(
             ).alias("dup_ratio"),
         )
     )
+
+
+def lm_perplexity(
+    df: DataFrame,
+    k_smooth: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_tokens, avg_logp, perplexity): per-document unigram
+    language-model perplexity under a corpus-trained add-k-smoothed LM
+    — the CCNet-style quality filter (Wenzek et al., "CCNet: Extracting
+    High Quality Monolingual Datasets", LREC 2020 — there a wiki-trained
+    KenLM; here the corpus's own unigram model, which already separates
+    natural-frequency text from gibberish and boilerplate):
+    p(tok) = (count(tok) + k) / (N + k*V), avg_logp = mean ln p over
+    the document's tokens, perplexity = exp(-avg_logp).
+
+    Shapes: vocabulary counts are ONE token-keyed aggregation; corpus
+    totals (N, V) are a broadcast 1-row aggregate; per-doc scoring
+    joins the exploded (doc, pos, token) rows to the vocabulary on the
+    token key (at 100 TB this is the shuffle — hash-uniform; for a
+    bounded vocabulary Catalyst/AQE flips it to broadcast), then folds
+    ln-probabilities in POSITION order (array_sort + left fold — the
+    bm25/centroid float-order discipline), so scores are
+    engine-reproducible bit-for-bit, rounded to 6 like every score.
+
+    NULL/empty documents keep their row with n_tokens=0 and NULL
+    scores — the unscorable convention.
+    """
+    toks = F.expr(f"filter(split(`{text_col}`, ' '), x -> x != '')")
+    tok = df.select(
+        F.col(id_col),
+        F.posexplode(toks).alias("_pos", "_tok"),
+    )
+    vocab = tok.groupBy("_tok").agg(F.count(F.lit(1)).alias("_cnt"))
+    totals = vocab.agg(
+        F.sum("_cnt").alias("_N"), F.count(F.lit(1)).alias("_V")
+    )
+    logp = F.log(
+        (F.col("_cnt").cast("double") + F.lit(float(k_smooth)))
+        / (
+            F.col("_N").cast("double")
+            + F.lit(float(k_smooth)) * F.col("_V").cast("double")
+        )
+    )
+    scored = (
+        tok.join(vocab, "_tok")
+        .crossJoin(F.broadcast(totals))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_pos"), logp.alias("_lp")))
+            ).alias("_l"),
+        )
+        .selectExpr(
+            f"`{id_col}`",
+            "n_tokens",
+            "round(aggregate(_l, 0.0D, (a, x) -> a + x._lp)"
+            " / n_tokens, 6) + 0.0D AS avg_logp",
+        )
+        .withColumn(
+            "perplexity", F.round(F.exp(-F.col("avg_logp")), 6) + F.lit(0.0)
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0).cast("long")).alias("n_tokens"),
+            "avg_logp",
+            "perplexity",
+        )
+    )

@@ -510,10 +510,55 @@ FROM documents d LEFT JOIN per_doc p USING (doc_id)
 """
 
 
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-unigram-LM perplexity per document (the CCNet-style
+    quality filter) — add-0.5 smoothing, position-ordered ln folds."""
+    from chroma_rs_spark.operators.text import lm_perplexity
+
+    return lm_perplexity(load_table(spark, sf_dir, "documents"))
+
+
+# same non-empty tokens, same 0-based positions, same smoothed
+# probabilities over integer counts, same position-ordered ln fold
+# (list_sum ≡ Spark's left aggregate), same round-then-exp-then-round;
+# NULL/empty docs keep a zero row with NULL scores
+_LM_PERPLEXITY_ORACLE = """
+WITH base AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, CAST(i - 1 AS INT) AS pos, t[CAST(i AS BIGINT)] AS tk
+  FROM base, unnest(range(1, len(t) + 1)) r(i)
+),
+vocab AS (SELECT tk, count(*) AS cnt FROM tok GROUP BY tk),
+tot AS (SELECT sum(cnt) AS n, count(*) AS v FROM vocab),
+scored AS (
+  SELECT k.doc_id,
+         count(*) AS n_tokens,
+         list(ln((v.cnt + 0.5) / (t.n + 0.5 * t.v)) ORDER BY k.pos) AS lps
+  FROM tok k JOIN vocab v USING (tk) CROSS JOIN tot t
+  GROUP BY k.doc_id
+),
+per AS (
+  SELECT doc_id, n_tokens,
+         round(list_sum(lps) / n_tokens, 6) + 0.0 AS avg_logp
+  FROM scored
+)
+SELECT d.doc_id,
+       CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+       p.avg_logp,
+       round(exp(-p.avg_logp), 6) + 0.0 AS perplexity
+FROM documents d LEFT JOIN per p USING (doc_id)
+"""
+
+
 EXTRA_QUERIES = {
     # round-4 rotation: the corpus token ranking is subsumed in the
     # driver window by tfidf_topk (same explode/count core + idf join)
     "top_tokens": QueryDef(q_top_tokens, _TOP_TOKENS_ORACLE),
+    # round-5 addition: corpus-LM perplexity quality filter (CCNet)
+    "lm_perplexity": QueryDef(q_lm_perplexity, _LM_PERPLEXITY_ORACLE),
     "chunk_documents": QueryDef(q_chunk_documents, _CHUNK_ORACLE),
     # round-5 addition: exact duplicate-SPAN mining (substring-level
     # dedup — localizes duplicated regions, unlike the document-level

@@ -56,6 +56,7 @@ QUERIES = [
     # same NULL/empty/multi-space text edges
     "duplicate_span_stats",
     "leakage_safe_split",
+    "lm_perplexity",
 ]
 
 

@@ -44,9 +44,11 @@ QUERIES = [
     "split_contamination",
     "frame_sample",
     "multimodal_features",
-    # round-5 additions: anchored span mining + cluster-hashed split
+    # round-5 additions: anchored span mining + cluster-hashed split +
+    # corpus-LM perplexity
     "duplicate_span_stats",
     "leakage_safe_split",
+    "lm_perplexity",
 ]
 
 _ALPHABET = (

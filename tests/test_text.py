@@ -445,3 +445,37 @@ def test_duplicate_spans_localizes_misaligned_duplicates(spark):
         assert stats[short_id]["n_spans"] == 0
         assert stats[short_id]["dup_ratio"] is None
     assert stats[2]["dup_ratio"] == round(n_dup / stats[2]["n_spans"], 6)
+
+
+def test_lm_perplexity_known_values_and_ordering(spark):
+    """Unigram-LM perplexity (CCNet-style quality filter): known-value
+    check on a tiny corpus, gibberish scores worse than
+    natural-frequency text, and NULL/empty docs are unscorable."""
+    import math
+
+    from chroma_rs_spark.operators.text import lm_perplexity
+
+    df = spark.createDataFrame(
+        [
+            (1, "the the the the"),     # all high-frequency tokens
+            (2, "the zyzzyva"),         # one common + one hapax
+            (3, ""),
+            (4, None),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    rows = {r["doc_id"]: r for r in lm_perplexity(df, k_smooth=0.5).collect()}
+    # corpus: tokens = [the x5, zyzzyva x1]; N=6, V=2
+    p_the = (5 + 0.5) / (6 + 0.5 * 2)
+    p_z = (1 + 0.5) / (6 + 0.5 * 2)
+    avg1 = round(4 * math.log(p_the) / 4, 6)
+    assert rows[1]["avg_logp"] == avg1
+    assert rows[1]["perplexity"] == round(math.exp(-avg1), 6)
+    avg2 = round((math.log(p_the) + math.log(p_z)) / 2, 6)
+    assert rows[2]["avg_logp"] == avg2
+    # the hapax-bearing doc is more perplexing than the all-common doc
+    assert rows[2]["perplexity"] > rows[1]["perplexity"]
+    for empty_id in (3, 4):
+        assert rows[empty_id]["n_tokens"] == 0
+        assert rows[empty_id]["avg_logp"] is None
+        assert rows[empty_id]["perplexity"] is None
