@@ -57,3 +57,21 @@ def test_csv_roundtrip_multiline_document(engine, tmp_path):
     back = read_items(engine.spark, path, fmt="csv").collect()
     assert len(back) == 1
     assert back[0]["document"] == 'line1\nline2 "quoted"'
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "json", "csv"])
+def test_roundtrip_preserves_typed_metadata_encoding(engine, tmp_path, fmt):
+    """Nested/typed metadata values (stored as canonical JSON in the
+    map) must survive export/import byte-for-byte in every format, so
+    decode_meta_value recovers the typed values on the other side."""
+    from chroma_rs_spark import decode_meta_value
+
+    c = engine.create_collection(f"io_typed_{fmt}")
+    meta = {"score": 2.5, "flag": True, "tags": {"a": [1, "x"], "b": 2}}
+    c.add(ids=["t1"], embeddings=[[1.0, 0.0]], metadatas=[meta])
+    path = str(tmp_path / f"typed_{fmt}")
+    export_collection(engine, c, path, fmt=fmt)
+    back = read_items(engine.spark, path, fmt=fmt)
+    row = back.filter("id = 't1'").collect()[0]
+    decoded = {k: decode_meta_value(v) for k, v in row["metadata"].items()}
+    assert decoded == meta, fmt
