@@ -35,6 +35,15 @@ def tokens_col(text: str | Column = "text") -> Column:
     return F.split(c, " ")
 
 
+def nonempty_tokens_col(text_col: str) -> Column:
+    """THE engine-wide non-empty tokenization (split on single space,
+    empty strings dropped) as one shared expression — span mining,
+    perplexity and their oracles must all agree on this definition
+    (the round-4 regex-vs-string_split divergence is the cautionary
+    tale for letting copies drift)."""
+    return F.expr(f"filter(split(`{text_col}`, ' '), x -> x != '')")
+
+
 def shingles_col(toks: Column, k: int = 3) -> Column:
     """Token k-grams as strings, order-preserving (0-based SQL arrays).
 

@@ -585,10 +585,11 @@ def _span_occurrences(
     anchor (probability (1-1/stride)^(k+1) under hash uniformity).
     stride=1 anchors every position (exact mode).
     """
-    toks = F.expr(f"filter(split(`{text_col}`, ' '), x -> x != '')")
-    base = df.select(F.col(id_col), toks.alias("_t")).filter(
-        F.size("_t") >= span_tokens
-    )
+    from chroma_rs_spark.operators.dedup import nonempty_tokens_col
+
+    base = df.select(
+        F.col(id_col), nonempty_tokens_col(text_col).alias("_t")
+    ).filter(F.size("_t") >= span_tokens)
     anchor = (
         f"conv(substring(md5(element_at(_t, i + 1)), 1, 8), 16, 10)"
         f" % {stride} = 0"
@@ -718,26 +719,29 @@ def lm_perplexity(
     p(tok) = (count(tok) + k) / (N + k*V), avg_logp = mean ln p over
     the document's tokens, perplexity = exp(-avg_logp).
 
-    Shapes: vocabulary counts are ONE token-keyed aggregation; corpus
-    totals (N, V) are a broadcast 1-row aggregate; per-doc scoring
-    joins the exploded (doc, pos, token) rows to the vocabulary on the
-    token key (at 100 TB this is the shuffle — hash-uniform; for a
-    bounded vocabulary Catalyst/AQE flips it to broadcast), then folds
-    ln-probabilities in POSITION order (array_sort + left fold — the
-    bm25/centroid float-order discipline), so scores are
+    Shapes: token counts ride an unbounded count window OVER the
+    token-keyed shuffle (the measured tfidf_topk pattern — one shuffle
+    both counts the token and carries the rows to scoring, where a
+    vocabulary groupBy + re-join pays a second aggregation and join);
+    corpus totals (N, V) are a broadcast 1-row aggregate; the per-doc
+    score folds ln-probabilities in POSITION order (array_sort + left
+    fold — the bm25/centroid float-order discipline), so scores are
     engine-reproducible bit-for-bit, rounded to 6 like every score.
 
     NULL/empty documents keep their row with n_tokens=0 and NULL
     scores — the unscorable convention.
     """
-    toks = F.expr(f"filter(split(`{text_col}`, ' '), x -> x != '')")
+    from chroma_rs_spark.operators.dedup import nonempty_tokens_col
+
     tok = df.select(
         F.col(id_col),
-        F.posexplode(toks).alias("_pos", "_tok"),
+        F.posexplode(nonempty_tokens_col(text_col)).alias("_pos", "_tok"),
     )
-    vocab = tok.groupBy("_tok").agg(F.count(F.lit(1)).alias("_cnt"))
-    totals = vocab.agg(
-        F.sum("_cnt").alias("_N"), F.count(F.lit(1)).alias("_V")
+    # corpus totals as ONE broadcast 1-row aggregate over the token
+    # stream (N = tokens, V = distinct tokens)
+    totals = tok.agg(
+        F.count(F.lit(1)).alias("_N"),
+        F.count_distinct(F.col("_tok")).alias("_V"),
     )
     logp = F.log(
         (F.col("_cnt").cast("double") + F.lit(float(k_smooth)))
@@ -746,8 +750,12 @@ def lm_perplexity(
             + F.lit(float(k_smooth)) * F.col("_V").cast("double")
         )
     )
+    from pyspark.sql.window import Window as W
+
     scored = (
-        tok.join(vocab, "_tok")
+        tok.withColumn(
+            "_cnt", F.count(F.lit(1)).over(W.partitionBy("_tok"))
+        )
         .crossJoin(F.broadcast(totals))
         .groupBy(id_col)
         .agg(
