@@ -63,3 +63,77 @@ def quantize_embeddings(
     return staged.select(
         F.col(id_col), scale, F.col("q_embedding"), recon.alias("recon_err")
     )
+
+
+def random_projection(
+    df: DataFrame,
+    out_dim: int = 16,
+    in_dim: int = 64,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """(id, projected ARRAY<DOUBLE>): deterministic sparse random
+    projection — the Johnson-Lindenstrauss dimensionality reducer in
+    Achlioptas' database-friendly form (Achlioptas, JCSS 2003:
+    entries drawn from {+1, 0, -1} with probabilities {1/6, 2/3, 1/6},
+    scaled by sqrt(3/out_dim), preserve pairwise distances in
+    expectation like the Gaussian matrix at a third of the work).
+
+    The projection matrix is DERIVED, not stored: entry (j, i) comes
+    from md5(f"rp:{j}:{i}") reduced mod 6 (0 -> +1, 1 -> -1, else 0) —
+    the same engine-portable hash family as the minhash parameters, so
+    a SQL oracle regenerates the identical matrix and the artifact
+    needs no persistence or broadcast. Each output component is a
+    LEFT-ASSOCIATED sum over input positions in order (the engine's
+    float-order discipline) with -0.0 folded — NOT rounded: the
+    pipeline is pure +/-/x (no libm), so the doubles are bit-identical
+    across engines as-is, and a round-6 would only introduce
+    decimal-repr boundary divergence.
+
+    Use: a 64-dim corpus projects to out_dim doubles for a cheap
+    pre-filter pass (bucket or score in the sketch space, exact-rescore
+    survivors in the original space — the same two-stage recall pattern
+    as PQ's ADC + rescore). NULL or wrong-dimension embeddings are
+    excluded (unscorable).
+    """
+    import hashlib
+
+    def sign(j: int, i: int) -> int:
+        h = int(hashlib.md5(f"rp:{j}:{i}".encode()).hexdigest()[:8], 16) % 6
+        return 1 if h == 0 else (-1 if h == 1 else 0)
+
+    scale = (3.0 / out_dim) ** 0.5
+    comps = []
+    for j in range(out_dim):
+        # sum over _e (the DOUBLE-cast array): float32 elements would
+        # otherwise accumulate in float32 on this side while a SQL
+        # oracle casting to DOUBLE[] first accumulates in double
+        terms = [
+            f"{'+' if s > 0 else '-'} element_at(_e, {i + 1})"
+            for i, s in ((i, sign(j, i)) for i in range(in_dim))
+            if s != 0
+        ]
+        if terms:
+            # first term keeps a unary minus, drops a leading plus
+            first = terms[0][2:] if terms[0].startswith("+ ") else terms[0]
+            expr = " ".join([first] + terms[1:])
+            # no round-6: this pipeline is pure +/-/x (no libm), so
+            # both engines produce bit-identical doubles already —
+            # rounding would INTRODUCE repr-boundary divergence
+            comps.append(f"(({expr}) * {scale!r}D) + 0.0D AS _p{j}")
+        else:
+            comps.append(f"0.0D AS _p{j}")
+    return (
+        df.filter(F.col(emb_col).isNotNull() & (F.size(emb_col) == in_dim))
+        .select(
+            F.col(id_col),
+            F.col(emb_col).cast("array<double>").alias("_e"),
+        )
+        .selectExpr(f"`{id_col}`", *comps)
+        .selectExpr(
+            f"`{id_col}`",
+            "array({}) AS projected".format(
+                ", ".join(f"_p{j}" for j in range(out_dim))
+            ),
+        )
+    )

@@ -1009,6 +1009,61 @@ FROM hits
 """
 
 
+_RP_OUT, _RP_IN = 16, 64
+
+
+def q_embedding_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Achlioptas sparse random projection of the embeddings table
+    (64 -> 16 dims, md5-derived ±1/0 matrix — operators/quantize.py),
+    exploded to (vec_id, pos, value) long form so the driver's value
+    hash covers every component."""
+    from chroma_rs_spark.operators.quantize import random_projection
+
+    proj = random_projection(
+        load_table(spark, sf_dir, "embeddings"), out_dim=_RP_OUT, in_dim=_RP_IN
+    )
+    return proj.select(
+        "vec_id", F.posexplode("projected").alias("pos", "value")
+    ).select("vec_id", F.col("pos").cast("long").alias("pos"), "value")
+
+
+def _embedding_projection_oracle() -> str:
+    """DuckDB replay: the IDENTICAL ± term sequence per output
+    component (generated from the same md5 sign function), the same
+    left-associated fold and the same scale/round."""
+    import hashlib
+
+    def sign(j: int, i: int) -> int:
+        h = int(hashlib.md5(f"rp:{j}:{i}".encode()).hexdigest()[:8], 16) % 6
+        return 1 if h == 0 else (-1 if h == 1 else 0)
+
+    scale = (3.0 / _RP_OUT) ** 0.5
+    comps = []
+    for j in range(_RP_OUT):
+        terms = [
+            f"{'+' if s > 0 else '-'} e[{i + 1}]"
+            for i, s in ((i, sign(j, i)) for i in range(_RP_IN))
+            if s != 0
+        ]
+        if terms:
+            first = terms[0][2:] if terms[0].startswith("+ ") else terms[0]
+            expr = " ".join([first] + terms[1:])
+            comps.append(f"(({expr}) * {scale!r}) + 0.0")
+        else:
+            comps.append("0.0")
+    arr = ", ".join(comps)
+    return f"""
+WITH src AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) = {_RP_IN}
+),
+proj AS (SELECT vec_id, [{arr}] AS p FROM src)
+SELECT vec_id, CAST(i - 1 AS BIGINT) AS pos, p[CAST(i AS BIGINT)] AS value
+FROM proj, unnest(range(1, {_RP_OUT} + 1)) r(i)
+"""
+
+
 def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup-aware dataset split: near-duplicate documents co-assign by
     hashing the split bucket from their LSH-cluster id, so no near-dup
@@ -1043,6 +1098,10 @@ EXTRA_QUERIES = {
     # round-5 addition: structurally leakage-safe splitting (the
     # prevention twin of split_contamination's detection)
     "leakage_safe_split": QueryDef(q_leakage_safe_split, _LEAKAGE_SPLIT_ORACLE),
+    # round-5 addition: JL sketching for cheap ANN pre-filters
+    "embedding_projection": QueryDef(
+        q_embedding_projection, _embedding_projection_oracle()
+    ),
     # round-5 rotation out after four driver-green rounds each (still
     # bit-checked locally): simhash's packed-count plan shape is shared
     # with dedup_minhash_lsh's hash family, embedding_quantize's

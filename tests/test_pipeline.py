@@ -593,3 +593,37 @@ def test_leakage_safe_split_co_assigns_near_dups(spark):
     # (c) proportions stay sane on this corpus
     frac_train = sum(1 for _, s in split_of.values() if s == "train") / len(split_of)
     assert 0.6 < frac_train < 0.95
+
+
+def test_random_projection_preserves_distances_in_expectation(spark):
+    """Achlioptas sparse projection: deterministic (same output twice),
+    excludes NULL/wrong-dim rows, and approximately preserves pairwise
+    squared distances (the JL property) on the real embeddings."""
+    import numpy as np
+
+    from chroma_rs_spark.operators.quantize import random_projection
+    from chroma_rs_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF001_DIR, "embeddings")
+    out = random_projection(emb, out_dim=16, in_dim=64)
+    rows = {r["vec_id"]: np.array(r["projected"]) for r in out.collect()}
+    again = {r["vec_id"]: np.array(r["projected"]) for r in out.collect()}
+    assert all((rows[i] == again[i]).all() for i in rows)  # deterministic
+    orig = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in emb.filter("embedding IS NOT NULL").collect()
+    }
+    assert set(rows) == set(orig)
+    rng = np.random.default_rng(3)
+    ids = sorted(rows)
+    ratios = []
+    for _ in range(50):
+        a, b = rng.choice(ids, size=2, replace=False)
+        d_orig = float(((orig[a] - orig[b]) ** 2).sum())
+        d_proj = float(((rows[a] - rows[b]) ** 2).sum())
+        if d_orig > 0:
+            ratios.append(d_proj / d_orig)
+    ratios = np.array(ratios)
+    # JL in expectation: mean ratio near 1, spread bounded at k=16
+    assert 0.7 < ratios.mean() < 1.3, ratios.mean()
+    assert (ratios > 0.2).all() and (ratios < 3.0).all()
