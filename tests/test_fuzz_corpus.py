@@ -172,6 +172,8 @@ VEC_QUERIES = [
     "embedding_quantize",
     "label_centroids",
     "centroid_assign",
+    # round-5 addition: JL sketch over the same random-magnitude domain
+    "embedding_projection",
 ]
 
 
