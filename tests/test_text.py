@@ -479,3 +479,45 @@ def test_lm_perplexity_known_values_and_ordering(spark):
         assert rows[empty_id]["n_tokens"] == 0
         assert rows[empty_id]["avg_logp"] is None
         assert rows[empty_id]["perplexity"] is None
+
+
+def test_duplicate_spans_property_random_offsets(spark):
+    """Property: for ANY planted shared block and ANY pair of offsets,
+    every in-block anchored span is detected in both documents and
+    nothing is detected in documents without shared content. Driven by
+    a seeded sweep over offsets/lengths (cheaper than hypothesis for a
+    Spark fixture, same guarantee class)."""
+    import hashlib
+    import random
+
+    from chroma_rs_spark.operators.text import duplicate_spans
+
+    rng = random.Random(17)
+    L, S = 10, 3
+
+    def anchored(tok: str) -> bool:
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % S == 0
+
+    for trial in range(6):
+        blk_len = rng.randint(L, L + 25)
+        off1 = rng.randint(0, 17)
+        off2 = rng.randint(0, 17)
+        block = [f"t{trial}w{i}" for i in range(blk_len)]
+        d1 = [f"u{trial}a{i}" for i in range(off1)] + block
+        d2 = [f"u{trial}b{i}" for i in range(off2)] + block + ["tailtok"]
+        d3 = [f"solo{trial}x{i}" for i in range(30)]
+        df = spark.createDataFrame(
+            [(1, " ".join(d1)), (2, " ".join(d2)), (3, " ".join(d3))],
+            "doc_id LONG, text STRING",
+        )
+        got = duplicate_spans(df, span_tokens=L, stride=S).collect()
+        expected_rel = {
+            r for r in range(blk_len - L + 1) if anchored(block[r])
+        }
+        by_doc: dict[int, set[int]] = {}
+        for r in got:
+            by_doc.setdefault(r["doc_id"], set()).add(r["span_pos"])
+        assert by_doc.get(1, set()) == {off1 + r for r in expected_rel}, (
+            trial, off1, off2, blk_len)
+        assert by_doc.get(2, set()) == {off2 + r for r in expected_rel}
+        assert 3 not in by_doc
