@@ -784,3 +784,68 @@ def lm_perplexity(
             "perplexity",
         )
     )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    span_tokens: int = 20,
+    stride: int = 5,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_tokens, n_tokens_removed, clean_text): the CUT
+    operation of substring-level dedup — every duplicated span is
+    removed from every document EXCEPT its globally-first occurrence
+    (min (doc_id, span_pos)), which Lee et al. (ACL 2022) measure as
+    strictly better than dropping whole near-dup documents.
+
+    Built on `_span_occurrences`' content-anchored spans; the keeper
+    per span is a map-side-combinable min of the (doc, pos) struct; a
+    token survives iff no removal interval of its document covers its
+    position (an exists() probe over the doc's bounded removal-start
+    list — no interval merging needed, overlap is absorbed by the
+    coverage test). Removed docs' text reassembles as the space-join
+    of surviving tokens (the engine's tokenized-text convention);
+    NULL-text docs keep NULL, empty docs keep ''.
+    """
+    occ = _span_occurrences(df, span_tokens, stride, id_col, text_col)
+    counts = _span_doc_counts(occ, id_col)
+    dup = occ.join(counts, "span_hash").filter(F.col("n_docs") >= min_docs)
+    keeper = dup.groupBy("span_hash").agg(
+        F.min(F.struct(F.col(id_col), F.col("span_pos"))).alias("_k")
+    )
+    removals = (
+        dup.join(keeper, "span_hash")
+        .filter(
+            ~(
+                (F.col(id_col) == F.col(f"_k.{id_col}"))
+                & (F.col("span_pos") == F.col("_k.span_pos"))
+            )
+        )
+        .select(id_col, "span_pos")
+    )
+    starts = removals.groupBy(id_col).agg(
+        F.collect_set("span_pos").alias("_starts")
+    )
+    from chroma_rs_spark.operators.dedup import nonempty_tokens_col
+
+    base = df.select(F.col(id_col), nonempty_tokens_col(text_col).alias("_t"))
+    return (
+        base.join(starts, id_col, "left")
+        .selectExpr(
+            f"`{id_col}`",
+            "size(_t) AS _n",
+            "filter(transform(_t, (x, i) -> struct(i AS p, x AS tk)),"
+            " y -> _starts IS NULL OR NOT exists(_starts,"
+            f" s -> y.p >= s AND y.p < s + {span_tokens})) AS _kept",
+        )
+        .selectExpr(
+            f"`{id_col}`",
+            "CAST(_n AS BIGINT) AS n_tokens",
+            "CAST(_n - size(_kept) AS BIGINT) AS n_tokens_removed",
+            "CASE WHEN _n IS NULL THEN NULL"
+            " ELSE array_join(transform(_kept, y -> y.tk), ' ') END"
+            " AS clean_text",
+        )
+    )

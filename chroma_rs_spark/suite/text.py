@@ -553,10 +553,93 @@ FROM documents d LEFT JOIN per p USING (doc_id)
 """
 
 
+def q_remove_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The substring-dedup CUT: every duplicated anchored span removed
+    except its globally-first occurrence (Lee et al.'s measured-better
+    alternative to dropping whole near-dup documents)."""
+    from chroma_rs_spark.operators.text import remove_duplicate_spans
+
+    return remove_duplicate_spans(
+        load_table(spark, sf_dir, "documents"), span_tokens=20, stride=5
+    )
+
+
+# the _DUP_SPAN_ORACLE occurrence/count chain, then: keeper = first
+# (doc, pos) per span via row_number; a token is covered iff any of its
+# document's removal starts reaches it; text reassembles as the ordered
+# space-join of survivors (tokenized-text convention — NULL text stays
+# NULL, fully-covered/empty docs become '')
+_REMOVE_SPANS_ORACLE = """
+WITH base AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+),
+long_docs AS (SELECT doc_id, t FROM base WHERE len(t) >= 20),
+occ AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS span_pos,
+         md5(array_to_string(t[CAST(i AS BIGINT) + 1 : CAST(i AS BIGINT) + 20], ' ')) AS span_hash
+  FROM (SELECT doc_id, t, unnest(range(0, len(t) - 20 + 1)) AS i
+        FROM long_docs)
+  WHERE CAST('0x' || substr(md5(t[CAST(i AS BIGINT) + 1]), 1, 8) AS BIGINT) % 5 = 0
+),
+cnt AS (
+  SELECT span_hash, count(DISTINCT doc_id) AS n_docs FROM occ GROUP BY 1
+),
+dup AS (
+  SELECT o.doc_id, o.span_pos, o.span_hash
+  FROM occ o JOIN cnt c USING (span_hash) WHERE c.n_docs >= 2
+),
+keeper AS (
+  SELECT span_hash, doc_id, span_pos
+  FROM (SELECT *, row_number() OVER (PARTITION BY span_hash
+                                     ORDER BY doc_id, span_pos) AS rn
+        FROM dup)
+  WHERE rn = 1
+),
+removals AS (
+  SELECT d.doc_id, d.span_pos
+  FROM dup d JOIN keeper k ON d.span_hash = k.span_hash
+  WHERE NOT (d.doc_id = k.doc_id AND d.span_pos = k.span_pos)
+),
+tokpos AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS p, t[CAST(i AS BIGINT)] AS tk
+  FROM base, unnest(range(1, len(t) + 1)) r(i)
+),
+cov AS (
+  SELECT tp.doc_id, tp.p, tp.tk, count(rm.span_pos) > 0 AS covered
+  FROM tokpos tp
+  LEFT JOIN removals rm
+    ON rm.doc_id = tp.doc_id
+   AND tp.p >= rm.span_pos AND tp.p < rm.span_pos + 20
+  GROUP BY tp.doc_id, tp.p, tp.tk
+),
+agg AS (
+  SELECT doc_id,
+         count(*) AS n_all,
+         string_agg(tk, ' ' ORDER BY p) FILTER (WHERE NOT covered)
+             AS clean_text,
+         sum(CASE WHEN covered THEN 1 ELSE 0 END) AS n_rm
+  FROM cov GROUP BY doc_id
+)
+SELECT b.doc_id,
+       CASE WHEN b.t IS NULL THEN NULL
+            ELSE CAST(coalesce(a.n_all, 0) AS BIGINT) END AS n_tokens,
+       CASE WHEN b.t IS NULL THEN NULL
+            ELSE CAST(coalesce(a.n_rm, 0) AS BIGINT) END AS n_tokens_removed,
+       CASE WHEN b.t IS NULL THEN NULL
+            ELSE coalesce(a.clean_text, '') END AS clean_text
+FROM base b LEFT JOIN agg a USING (doc_id)
+"""
+
+
 EXTRA_QUERIES = {
     # round-4 rotation: the corpus token ranking is subsumed in the
     # driver window by tfidf_topk (same explode/count core + idf join)
     "top_tokens": QueryDef(q_top_tokens, _TOP_TOKENS_ORACLE),
+    # round-5 addition: the substring-dedup cut operation
+    "remove_duplicate_spans": QueryDef(
+        q_remove_duplicate_spans, _REMOVE_SPANS_ORACLE
+    ),
     # round-5 addition: corpus-LM perplexity quality filter (CCNet)
     "lm_perplexity": QueryDef(q_lm_perplexity, _LM_PERPLEXITY_ORACLE),
     "chunk_documents": QueryDef(q_chunk_documents, _CHUNK_ORACLE),

@@ -57,6 +57,7 @@ QUERIES = [
     "duplicate_span_stats",
     "leakage_safe_split",
     "lm_perplexity",
+    "remove_duplicate_spans",
 ]
 
 

@@ -521,3 +521,46 @@ def test_duplicate_spans_property_random_offsets(spark):
             trial, off1, off2, blk_len)
         assert by_doc.get(2, set()) == {off2 + r for r in expected_rel}
         assert 3 not in by_doc
+
+
+def test_remove_duplicate_spans_keeps_first_occurrence(spark):
+    """The cut operation: the globally-first occurrence of a duplicated
+    block survives, later occurrences are removed; unique text and
+    NULL/empty docs pass through under the tokenized-text convention."""
+    import hashlib
+
+    from chroma_rs_spark.operators.text import remove_duplicate_spans
+
+    def anchored(tok: str) -> bool:
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % 5 == 0
+
+    block_toks = [f"w{i}" for i in range(40)]
+    assert any(anchored(t) for t in block_toks[:21])
+    block = " ".join(block_toks)
+    pre2 = " ".join(f"b{i}" for i in range(7))
+    df = spark.createDataFrame(
+        [
+            (1, block),                       # first occurrence -> kept
+            (2, pre2 + " " + block),          # later occurrence -> cut
+            (3, "unique text entirely here"),
+            (4, ""),
+            (5, None),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    rows = {r["doc_id"]: r for r in remove_duplicate_spans(
+        df, span_tokens=20, stride=5).collect()}
+    # doc 1 carries the keeper occurrences: nothing removed
+    assert rows[1]["n_tokens_removed"] == 0
+    assert rows[1]["clean_text"] == block
+    # doc 2 loses the covered region but keeps its unique prefix
+    assert rows[2]["n_tokens_removed"] > 0
+    assert rows[2]["clean_text"].startswith(pre2)
+    assert rows[2]["n_tokens"] == 7 + 40
+    kept2 = rows[2]["clean_text"].split()
+    assert len(kept2) == rows[2]["n_tokens"] - rows[2]["n_tokens_removed"]
+    # the corpus shrank only where duplication was
+    assert rows[3]["n_tokens_removed"] == 0
+    assert rows[3]["clean_text"] == "unique text entirely here"
+    assert rows[4]["n_tokens"] == 0 and rows[4]["clean_text"] == ""
+    assert rows[5]["n_tokens"] is None and rows[5]["clean_text"] is None
