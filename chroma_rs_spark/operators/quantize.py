@@ -93,47 +93,62 @@ def random_projection(
     Use: a 64-dim corpus projects to out_dim doubles for a cheap
     pre-filter pass (bucket or score in the sketch space, exact-rescore
     survivors in the original space — the same two-stage recall pattern
-    as PQ's ADC + rescore). NULL or wrong-dimension embeddings are
-    excluded (unscorable).
+    as PQ's ADC + rescore). NULL or wrong-dimension embeddings keep
+    their row with a NULL projection (the engine's unscorable-row
+    convention).
     """
-    import hashlib
-
-    def sign(j: int, i: int) -> int:
-        h = int(hashlib.md5(f"rp:{j}:{i}".encode()).hexdigest()[:8], 16) % 6
-        return 1 if h == 0 else (-1 if h == 1 else 0)
-
-    scale = (3.0 / out_dim) ** 0.5
-    comps = []
-    for j in range(out_dim):
-        # sum over _e (the DOUBLE-cast array): float32 elements would
+    # NULL / wrong-dimension rows keep their row with NULL projection —
+    # the engine's unscorable convention (char_entropy, lm_perplexity,
+    # duplicate_span_stats all preserve rows the same way)
+    comps = [
+        f"(({expr}) * {scale!r}D) + 0.0D"
+        for expr, scale in projection_sums(
+            out_dim, in_dim, lambda i: f"element_at(_e, {i + 1})"
+        )
+    ]
+    return df.select(
+        F.col(id_col),
+        # sum over the DOUBLE-cast array: float32 elements would
         # otherwise accumulate in float32 on this side while a SQL
         # oracle casting to DOUBLE[] first accumulates in double
+        F.col(emb_col).cast("array<double>").alias("_e"),
+    ).selectExpr(
+        f"`{id_col}`",
+        f"CASE WHEN _e IS NULL OR size(_e) != {in_dim} THEN NULL"
+        " ELSE array({}) END AS projected".format(
+            ", ".join(comps)
+        ),
+    )
+
+
+def projection_sign(j: int, i: int) -> int:
+    """Achlioptas matrix entry (j, i) from md5 of its coordinates:
+    0 -> +1, 1 -> -1, else 0 (probabilities 1/6, 1/6, 2/3). ONE
+    definition shared by the operator and its SQL oracle (the
+    minhash_params single-source-of-truth convention)."""
+    import hashlib
+
+    h = int(hashlib.md5(f"rp:{j}:{i}".encode()).hexdigest()[:8], 16) % 6
+    return 1 if h == 0 else (-1 if h == 1 else 0)
+
+
+def projection_sums(out_dim: int, in_dim: int, elem) -> list:
+    """[(left-associated ± term expression, scale)] per output
+    component, with `elem(i)` formatting the i-th input element — the
+    shared expression builder for the Spark plan and the DuckDB oracle
+    (identical term order and association on both sides)."""
+    scale = (3.0 / out_dim) ** 0.5
+    out = []
+    for j in range(out_dim):
         terms = [
-            f"{'+' if s > 0 else '-'} element_at(_e, {i + 1})"
-            for i, s in ((i, sign(j, i)) for i in range(in_dim))
+            f"{'+' if s > 0 else '-'} {elem(i)}"
+            for i, s in ((i, projection_sign(j, i)) for i in range(in_dim))
             if s != 0
         ]
         if terms:
             # first term keeps a unary minus, drops a leading plus
             first = terms[0][2:] if terms[0].startswith("+ ") else terms[0]
-            expr = " ".join([first] + terms[1:])
-            # no round-6: this pipeline is pure +/-/x (no libm), so
-            # both engines produce bit-identical doubles already —
-            # rounding would INTRODUCE repr-boundary divergence
-            comps.append(f"(({expr}) * {scale!r}D) + 0.0D AS _p{j}")
+            out.append((" ".join([first] + terms[1:]), scale))
         else:
-            comps.append(f"0.0D AS _p{j}")
-    return (
-        df.filter(F.col(emb_col).isNotNull() & (F.size(emb_col) == in_dim))
-        .select(
-            F.col(id_col),
-            F.col(emb_col).cast("array<double>").alias("_e"),
-        )
-        .selectExpr(f"`{id_col}`", *comps)
-        .selectExpr(
-            f"`{id_col}`",
-            "array({}) AS projected".format(
-                ", ".join(f"_p{j}" for j in range(out_dim))
-            ),
-        )
-    )
+            out.append(("0.0", scale))
+    return out

@@ -801,13 +801,16 @@ def remove_duplicate_spans(
     strictly better than dropping whole near-dup documents.
 
     Built on `_span_occurrences`' content-anchored spans; the keeper
-    per span is a map-side-combinable min of the (doc, pos) struct; a
-    token survives iff no removal interval of its document covers its
-    position (an exists() probe over the doc's bounded removal-start
-    list — no interval merging needed, overlap is absorbed by the
-    coverage test). Removed docs' text reassembles as the space-join
-    of surviving tokens (the engine's tokenized-text convention);
-    NULL-text docs keep NULL, empty docs keep ''.
+    per span is a map-side-combinable min of the (doc, pos) struct. A
+    token is cut iff some removal interval of its document covers it
+    AND no KEEPER interval does: keeper occurrences are inviolate, so
+    an overlapping removal from a DIFFERENT duplicated span can never
+    erode the one copy of a span the operation promises to preserve
+    (every duplicated span's full content survives at its keeper).
+    Both probes are exists() over the doc's bounded start lists — no
+    interval merging needed. Cleaned text reassembles as the
+    space-join of surviving tokens (the engine's tokenized-text
+    convention); NULL-text docs keep NULL, empty docs keep ''.
     """
     occ = _span_occurrences(df, span_tokens, stride, id_col, text_col)
     counts = _span_doc_counts(occ, id_col)
@@ -815,18 +818,18 @@ def remove_duplicate_spans(
     keeper = dup.groupBy("span_hash").agg(
         F.min(F.struct(F.col(id_col), F.col("span_pos"))).alias("_k")
     )
-    removals = (
-        dup.join(keeper, "span_hash")
-        .filter(
-            ~(
-                (F.col(id_col) == F.col(f"_k.{id_col}"))
-                & (F.col("span_pos") == F.col("_k.span_pos"))
-            )
-        )
-        .select(id_col, "span_pos")
+    tagged = dup.join(keeper, "span_hash").withColumn(
+        "_is_keeper",
+        (F.col(id_col) == F.col(f"_k.{id_col}"))
+        & (F.col("span_pos") == F.col("_k.span_pos")),
     )
-    starts = removals.groupBy(id_col).agg(
-        F.collect_set("span_pos").alias("_starts")
+    starts = tagged.groupBy(id_col).agg(
+        F.collect_set(
+            F.when(~F.col("_is_keeper"), F.col("span_pos"))
+        ).alias("_starts"),
+        F.collect_set(
+            F.when(F.col("_is_keeper"), F.col("span_pos"))
+        ).alias("_keeps"),
     )
     from chroma_rs_spark.operators.dedup import nonempty_tokens_col
 
@@ -837,8 +840,10 @@ def remove_duplicate_spans(
             f"`{id_col}`",
             "size(_t) AS _n",
             "filter(transform(_t, (x, i) -> struct(i AS p, x AS tk)),"
-            " y -> _starts IS NULL OR NOT exists(_starts,"
-            f" s -> y.p >= s AND y.p < s + {span_tokens})) AS _kept",
+            f" y -> _starts IS NULL"
+            f" OR NOT exists(_starts, s -> y.p >= s AND y.p < s + {span_tokens})"
+            f" OR exists(_keeps, s -> y.p >= s AND y.p < s + {span_tokens})"
+            ") AS _kept",
         )
         .selectExpr(
             f"`{id_col}`",

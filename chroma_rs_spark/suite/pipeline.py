@@ -1028,30 +1028,18 @@ def q_embedding_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _embedding_projection_oracle() -> str:
-    """DuckDB replay: the IDENTICAL ± term sequence per output
-    component (generated from the same md5 sign function), the same
-    left-associated fold and the same scale/round."""
-    import hashlib
+    """DuckDB replay built from the SAME projection_sums expression
+    builder the operator uses (single source of truth for the matrix,
+    term order and association — the minhash_params convention; only
+    the element accessor differs)."""
+    from chroma_rs_spark.operators.quantize import projection_sums
 
-    def sign(j: int, i: int) -> int:
-        h = int(hashlib.md5(f"rp:{j}:{i}".encode()).hexdigest()[:8], 16) % 6
-        return 1 if h == 0 else (-1 if h == 1 else 0)
-
-    scale = (3.0 / _RP_OUT) ** 0.5
-    comps = []
-    for j in range(_RP_OUT):
-        terms = [
-            f"{'+' if s > 0 else '-'} e[{i + 1}]"
-            for i, s in ((i, sign(j, i)) for i in range(_RP_IN))
-            if s != 0
-        ]
-        if terms:
-            first = terms[0][2:] if terms[0].startswith("+ ") else terms[0]
-            expr = " ".join([first] + terms[1:])
-            comps.append(f"(({expr}) * {scale!r}) + 0.0")
-        else:
-            comps.append("0.0")
-    arr = ", ".join(comps)
+    arr = ", ".join(
+        f"(({expr}) * {scale!r}) + 0.0"
+        for expr, scale in projection_sums(
+            _RP_OUT, _RP_IN, lambda i: f"e[{i + 1}]"
+        )
+    )
     return f"""
 WITH src AS (
   SELECT vec_id, embedding::DOUBLE[] AS e

@@ -477,14 +477,18 @@ def q_duplicate_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # trick; alignment-invariant, 0-based, inclusive last start), same
 # md5-of-joined-span hash, exact distinct-doc counts; short/NULL docs
 # keep a zero row with NULL ratio (the unscorable convention)
-_DUP_SPAN_ORACLE = """
+# shared occurrence/count CTE prefix for BOTH span oracles — one
+# definition of tokenization, anchors and span hashes, so the detect
+# and cut oracles can never drift apart (the copy-drift hazard
+# operators/dedup.py:nonempty_tokens_col documents)
+_SPAN_CHAIN = """
 WITH base AS (
   SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
   FROM documents
 ),
 long_docs AS (SELECT doc_id, t FROM base WHERE len(t) >= 20),
 occ AS (
-  SELECT doc_id,
+  SELECT doc_id, CAST(i AS BIGINT) AS span_pos,
          md5(array_to_string(t[CAST(i AS BIGINT) + 1 : CAST(i AS BIGINT) + 20], ' ')) AS span_hash
   FROM (SELECT doc_id, t, unnest(range(0, len(t) - 20 + 1)) AS i
         FROM long_docs)
@@ -492,7 +496,9 @@ occ AS (
 ),
 cnt AS (
   SELECT span_hash, count(DISTINCT doc_id) AS n_docs FROM occ GROUP BY 1
-),
+)"""
+
+_DUP_SPAN_ORACLE = _SPAN_CHAIN + """,
 per_doc AS (
   SELECT o.doc_id,
          count(*) AS n_spans,
@@ -564,27 +570,12 @@ def q_remove_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# the _DUP_SPAN_ORACLE occurrence/count chain, then: keeper = first
-# (doc, pos) per span via row_number; a token is covered iff any of its
-# document's removal starts reaches it; text reassembles as the ordered
-# space-join of survivors (tokenized-text convention — NULL text stays
-# NULL, fully-covered/empty docs become '')
-_REMOVE_SPANS_ORACLE = """
-WITH base AS (
-  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
-  FROM documents
-),
-long_docs AS (SELECT doc_id, t FROM base WHERE len(t) >= 20),
-occ AS (
-  SELECT doc_id, CAST(i AS BIGINT) AS span_pos,
-         md5(array_to_string(t[CAST(i AS BIGINT) + 1 : CAST(i AS BIGINT) + 20], ' ')) AS span_hash
-  FROM (SELECT doc_id, t, unnest(range(0, len(t) - 20 + 1)) AS i
-        FROM long_docs)
-  WHERE CAST('0x' || substr(md5(t[CAST(i AS BIGINT) + 1]), 1, 8) AS BIGINT) % 5 = 0
-),
-cnt AS (
-  SELECT span_hash, count(DISTINCT doc_id) AS n_docs FROM occ GROUP BY 1
-),
+# the shared _SPAN_CHAIN, then: keeper = first (doc, pos) per span via
+# row_number; a token is cut iff a removal start covers it AND no
+# keeper interval does (keeper occurrences are inviolate); text
+# reassembles as the ordered space-join of survivors (tokenized-text
+# convention — NULL text stays NULL, fully-covered/empty docs become '')
+_REMOVE_SPANS_ORACLE = _SPAN_CHAIN + """,
 dup AS (
   SELECT o.doc_id, o.span_pos, o.span_hash
   FROM occ o JOIN cnt c USING (span_hash) WHERE c.n_docs >= 2
@@ -605,12 +596,22 @@ tokpos AS (
   SELECT doc_id, CAST(i - 1 AS BIGINT) AS p, t[CAST(i AS BIGINT)] AS tk
   FROM base, unnest(range(1, len(t) + 1)) r(i)
 ),
+keeps AS (
+  SELECT doc_id, span_pos FROM keeper
+),
 cov AS (
-  SELECT tp.doc_id, tp.p, tp.tk, count(rm.span_pos) > 0 AS covered
+  -- cut iff removal-covered AND NOT keeper-covered: keeper intervals
+  -- are inviolate (the one preserved copy of every duplicated span)
+  SELECT tp.doc_id, tp.p, tp.tk,
+         count(DISTINCT rm.span_pos) > 0
+         AND count(DISTINCT kp.span_pos) = 0 AS covered
   FROM tokpos tp
   LEFT JOIN removals rm
     ON rm.doc_id = tp.doc_id
    AND tp.p >= rm.span_pos AND tp.p < rm.span_pos + 20
+  LEFT JOIN keeps kp
+    ON kp.doc_id = tp.doc_id
+   AND tp.p >= kp.span_pos AND tp.p < kp.span_pos + 20
   GROUP BY tp.doc_id, tp.p, tp.tk
 ),
 agg AS (

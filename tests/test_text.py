@@ -564,3 +564,69 @@ def test_remove_duplicate_spans_keeps_first_occurrence(spark):
     assert rows[3]["clean_text"] == "unique text entirely here"
     assert rows[4]["n_tokens"] == 0 and rows[4]["clean_text"] == ""
     assert rows[5]["n_tokens"] is None and rows[5]["clean_text"] is None
+
+
+def test_remove_duplicate_spans_keeper_survives_overlapping_removal(spark):
+    """Regression (review finding): a removal interval overlapping a
+    KEEPER occurrence of a different span must not erode it — keeper
+    intervals are inviolate, so every duplicated span's content
+    survives intact somewhere in the corpus."""
+    import hashlib
+
+    from chroma_rs_spark.operators.text import (
+        duplicate_spans,
+        remove_duplicate_spans,
+    )
+
+    def anchored(tok: str) -> bool:
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % 5 == 0
+
+    def pick_anchor(prefix: str) -> str:
+        return next(f"{prefix}{i}" for i in range(50) if anchored(f"{prefix}{i}"))
+
+    # Y = m0..m19 with anchored first token; X = x0..x9 + m0..m9 with
+    # anchored first token. Doc1 (earliest) keeps Y; doc2 keeps X but
+    # carries a non-keeper Y at pos 10 overlapping X's interval [0,20);
+    # doc3 carries a non-keeper X.
+    m = [pick_anchor("m")] + [f"mm{i}" for i in range(19)]
+    x = [pick_anchor("x")] + [f"xx{i}" for i in range(9)]
+    pad1 = [f"p1_{i}" for i in range(6)]
+    pad2 = [f"p2_{i}" for i in range(6)]
+    pad3 = [f"p3_{i}" for i in range(6)]
+    doc1 = m + pad1                       # Y keeper
+    doc2 = x + m + pad2                   # X keeper at 0; Y copy at 10
+    doc3 = x + m[:10] + pad3              # X copy (non-keeper)
+    df = spark.createDataFrame(
+        [(1, " ".join(doc1)), (2, " ".join(doc2)), (3, " ".join(doc3))],
+        "doc_id LONG, text STRING",
+    )
+    spans = duplicate_spans(df, span_tokens=20, stride=5).collect()
+    x_hash = hashlib.md5(" ".join(x + m[:10]).encode()).hexdigest()
+    y_hash = hashlib.md5(" ".join(m).encode()).hexdigest()
+    found = {r["span_hash"] for r in spans}
+    assert {x_hash, y_hash} <= found
+    out = {r["doc_id"]: r for r in remove_duplicate_spans(
+        df, span_tokens=20, stride=5).collect()}
+    # Y keeper (doc1) fully intact
+    assert out[1]["clean_text"].startswith(" ".join(m))
+    # X keeper (doc2): the overlapping Y-removal may NOT erode X's
+    # interval [0, 20) — X's 20 tokens survive contiguously
+    assert out[2]["clean_text"].startswith(" ".join(x + m[:10]))
+    # and doc2 still loses the non-protected tail of its Y copy
+    assert out[2]["n_tokens_removed"] > 0
+    # doc3's non-keeper X copy is cut
+    assert out[3]["n_tokens_removed"] > 0
+    # invariant: every duplicated span's content appears contiguously in
+    # some cleaned document
+    clean_toks = {d: (out[d]["clean_text"] or "").split() for d in out}
+    for r in spans:
+        content = None
+        for d, toks in clean_toks.items():
+            joined = " ".join(toks)
+            # reconstruct the span content from the original doc
+            origs = {1: doc1, 2: doc2, 3: doc3}
+            span_toks = origs[r["doc_id"]][r["span_pos"]:r["span_pos"] + 20]
+            if " ".join(span_toks) in joined:
+                content = d
+                break
+        assert content is not None, f"span at {r['doc_id']}:{r['span_pos']} lost"
