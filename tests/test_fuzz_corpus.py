@@ -73,7 +73,7 @@ def _random_text(rng: random.Random) -> str | None:
     return "".join(rng.choice(_ALPHABET) for _ in range(n))
 
 
-@pytest.fixture(scope="module", params=[7, 1234])
+@pytest.fixture(scope="module", params=[7, 1234, 31337])
 def fuzz_dir(request, tmp_path_factory):
     rng = random.Random(request.param)
     dst = str(tmp_path_factory.mktemp(f"fuzz{request.param}"))
