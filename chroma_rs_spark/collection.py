@@ -322,12 +322,27 @@ def _recover_interrupted_overwrite(path: str, cleanup: bool = False) -> None:
     """
     tmp, old = path + ".__tmp", path + ".__old"
     if not os.path.isdir(path):
+        # The renames are best-effort and idempotent: a "missing" live
+        # dir can also be a healthy writer observed inside its
+        # two-rename window, or another reader may win the same
+        # recovery race — in both cases the loser's os.replace raises
+        # (FileNotFound/NotADir) AFTER someone made path live again,
+        # which is exactly the healed state this function wants.
         if os.path.isdir(tmp) and os.path.isfile(os.path.join(tmp, "_SUCCESS")):
-            os.replace(tmp, path)
+            try:
+                os.replace(tmp, path)
+            except OSError:
+                if not os.path.isdir(path):
+                    raise
         elif os.path.isdir(old):
-            os.replace(old, path)
-        shutil.rmtree(tmp, ignore_errors=True)
-        shutil.rmtree(old, ignore_errors=True)
+            try:
+                os.replace(old, path)
+            except OSError:
+                if not os.path.isdir(path):
+                    raise
+        if os.path.isdir(path):
+            shutil.rmtree(tmp, ignore_errors=True)
+            shutil.rmtree(old, ignore_errors=True)
     elif cleanup:
         shutil.rmtree(tmp, ignore_errors=True)
         shutil.rmtree(old, ignore_errors=True)
@@ -349,7 +364,19 @@ def _overwrite(engine: Engine, coll: Collection, df: DataFrame) -> None:
     old = path + ".__old"
     if os.path.isdir(path):
         os.replace(path, old)
-    os.replace(tmp, path)
+    try:
+        os.replace(tmp, path)
+    except FileNotFoundError:
+        # A concurrent reader's _recover_interrupted_overwrite saw the
+        # live dir missing inside this rename window and promoted the
+        # committed tmp itself — the disk already holds exactly the
+        # state this rename was about to produce, so the writer
+        # succeeds rather than crashing spuriously.
+        if not (
+            os.path.isdir(path)
+            and os.path.isfile(os.path.join(path, "_SUCCESS"))
+        ):
+            raise
     shutil.rmtree(old, ignore_errors=True)
 
 

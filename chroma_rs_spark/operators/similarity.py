@@ -189,9 +189,17 @@ def cosine_topk_pairs_tiled(
     `cosine_pairs_bucketed` is the approximate scale path.
     """
     if n_blocks is None:
-        # one tile side ~target_block_bytes; cap so |tiles| = B(B+1)/2
-        # stays a sane task count even at very large estimates
-        n_blocks = max(2, min(64, (max(est_bytes, 0) // target_block_bytes) + 1))
+        if est_bytes < 0:
+            # unknown size — and this path is chosen precisely when the
+            # optimizer estimate is unavailable, so assume big: a
+            # conservative 16 blocks (136 tiles) keeps each reducer's
+            # tile ~(n/16)^2 instead of handing an (n/2)^2 tile to the
+            # minimum tiling because "unknown" parsed as "zero bytes"
+            n_blocks = 16
+        else:
+            # one tile side ~target_block_bytes; cap so |tiles| =
+            # B(B+1)/2 stays a sane task count at very large estimates
+            n_blocks = max(2, min(64, (est_bytes // target_block_bytes) + 1))
     src = (
         df.filter(F.col(emb_col).isNotNull())
         .select(

@@ -449,13 +449,19 @@ def tfidf_topk(
     labeling. Returns (doc_id, rank, term, tfidf) with round-6 scores
     and (score desc, term asc) determinism.
 
-    Shape: one explode -> per-(doc, term) counts; df per term is an
-    unbounded count window OVER term — one shuffle keyed on term that
-    both counts the term's documents and carries the rows to scoring,
-    where the former groupBy(term)+re-join form paid a second
-    aggregation plus a broadcast build job (measured 0.47 -> 0.36 s at
-    sf0.1, bit-equal results; at 100 TB both forms shuffle |doc, term|
-    rows once on term — the window just avoids re-reading them). ln is
+    Shape: one explode -> per-(doc, term) counts; df per term is a
+    map-side-combinable groupBy(term) count over the tf table,
+    broadcast back to the scoring rows. A count window OVER term is
+    measurably ~0.1 s faster at sf0.1 (one shuffle carries rows and
+    counts) but a window has NO partial aggregation: every (doc, term)
+    row for a term must co-reside in one partition, so on a
+    Zipf-distributed vocabulary a stop-word's partition holds
+    |docs-containing-"the"| rows — a single-reducer scale-killer at
+    100 TB. The groupBy shuffles per-partition PARTIAL counts (tiny,
+    uniform) and the resulting vocabulary table (|V| rows, ≪ corpus)
+    broadcasts, so no full-row shuffle keys on term at all; were the
+    vocabulary ever to exceed broadcast size the same plan degrades
+    gracefully to a shuffled equi-join AQE can skew-split. ln is
     cross-engine-stable only to 1 ulp (tests/test_rounding_boundaries
     .py), so scores are rounded to 6 dp before ranking, like every
     score in the engine.
@@ -464,6 +470,16 @@ def tfidf_topk(
 
     tok = df.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("term"))
     tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("_tf"))
+    # `+ 0 * max(_tf)` is a no-op on the value (tf >= 1, never NULL)
+    # that keeps _tf referenced so column pruning cannot rewrite this
+    # branch's (doc, term) pre-aggregate into a bare distinct — with
+    # the pre-aggregate intact the subtree canonicalizes identically
+    # to the tf branch and the (doc, term) shuffle is computed once
+    # and reused, not re-executed (measured ~35% off the join at
+    # sf0.1; at scale it halves the heavy stage).
+    dfreq = tf.groupBy("term").agg(
+        (F.count(F.lit(1)) + F.lit(0) * F.max("_tf")).alias("_df")
+    )
     # corpus size as a broadcast 1-row aggregate, not a driver action —
     # the plan stays lazy and the scalar rides into the idf expression.
     # count(1), not countDistinct: id_col is the corpus primary key
@@ -476,7 +492,7 @@ def tfidf_topk(
         / (F.lit(1.0) + F.col("_df").cast("double"))
     ) + F.lit(1.0)
     scored = (
-        tf.withColumn("_df", F.count(F.lit(1)).over(W.partitionBy("term")))
+        tf.join(F.broadcast(dfreq), "term")
         .crossJoin(F.broadcast(n_docs))
         .select(
             id_col,
@@ -504,9 +520,15 @@ def char_entropy(
     spill). Complements quality_score's token-level ratios with a
     sub-token signal.
 
-    Shape: one explode over character positions -> (doc, char) counts
-    (map-side combinable) -> per-doc fold. The per-doc sum of
-    p*log2(p) terms runs over the CHARACTER-SORTED count list via an
+    Shape: ZERO-shuffle — the per-doc char histogram is computed
+    entirely map-side as a run-length fold over
+    `array_sort(split(text, ''))` (equal chars are adjacent after the
+    sort, so one in-order `aggregate` pass emits the (char, count)
+    list already char-sorted). The former explode-per-position form
+    shuffled one row per CHARACTER of the corpus to a
+    groupBy(doc, char) — correct and unskewed, but |corpus chars|
+    shuffle rows where none are needed. The per-doc sum of p*log2(p)
+    terms runs over the same CHARACTER-SORTED count list via an
     in-order `aggregate` fold, so the float accumulation order is
     engine-independent (the bm25 discipline); log2 is 1-ulp stable
     cross-engine, hence round-6 like every score in the engine.
@@ -517,47 +539,49 @@ def char_entropy(
     unscorable convention (same as cosine on a zero-norm vector), not
     a fabricated one-character distribution.
     """
-    pos = (
-        df.filter(F.length(text_col) > 0)
-        .select(
-            F.col(id_col),
-            F.col(text_col).alias("_t"),
-            F.explode(
-                F.sequence(F.lit(1), F.length(text_col))
-            ).alias("_i"),
-        )
-        .select(id_col, F.col("_t").substr(F.col("_i"), F.lit(1)).alias("_c"))
+    # run-length encode the sorted char array in one fold: accumulator
+    # carries (emitted runs, current char, current run length); the
+    # finish lambda flushes the last run. Chars come out char-sorted —
+    # the same ordering array_sort(collect_list(struct(_c, _n))) gave
+    # the former shuffled form, so the entropy fold below is bit-equal.
+    rle = (
+        "aggregate(array_sort(split(`%s`, '')),"
+        " named_struct("
+        "  'cs', CAST(array() AS ARRAY<STRUCT<_c: STRING, _n: BIGINT>>),"
+        "  'p', CAST(NULL AS STRING), 'r', CAST(0 AS BIGINT)),"
+        " (acc, x) -> IF(acc.p IS NOT NULL AND x = acc.p,"
+        "  named_struct('cs', acc.cs, 'p', acc.p, 'r', acc.r + 1),"
+        "  named_struct("
+        "   'cs', IF(acc.p IS NULL, acc.cs,"
+        "    array_append(acc.cs, named_struct('_c', acc.p, '_n', acc.r))),"
+        "   'p', x, 'r', CAST(1 AS BIGINT))),"
+        " acc -> IF(acc.p IS NULL, acc.cs,"
+        "  array_append(acc.cs, named_struct('_c', acc.p, '_n', acc.r)))"
+        ")" % text_col
     )
-    counts = pos.groupBy(id_col, "_c").agg(F.count(F.lit(1)).alias("_n"))
-    per_doc = counts.groupBy(id_col).agg(
-        F.array_sort(F.collect_list(F.struct("_c", "_n"))).alias("_cs")
-    )
-    scored = per_doc.selectExpr(
+    # empty/NULL docs get a NULL histogram inline (split('', '')
+    # yields [''], a fabricated 1-char run) — no filter + re-attach
+    # join needed now that nothing aggregates
+    per_doc = df.selectExpr(
         f"`{id_col}`",
-        "aggregate(_cs, CAST(0 AS BIGINT), (acc, x) -> acc + x._n) AS n_chars",
-        "size(_cs) AS n_distinct_chars",
+        f"CASE WHEN length(`{text_col}`) > 0 THEN {rle} END AS _cs",
+    )
+    # `_cs IS NULL` is tested directly (not via size()'s NULL
+    # propagation, which returns -1 under spark.sql.ansi.enabled=false)
+    # so the unscorable convention is config-independent
+    return per_doc.selectExpr(
+        f"`{id_col}`",
+        "CASE WHEN _cs IS NULL THEN CAST(0 AS BIGINT)"
+        " ELSE aggregate(_cs, CAST(0 AS BIGINT), (acc, x) -> acc + x._n)"
+        " END AS n_chars",
+        "CASE WHEN _cs IS NULL THEN 0 ELSE size(_cs) END"
+        " AS n_distinct_chars",
         "round(-aggregate(_cs, 0.0D, (acc, x) ->"
         " acc + (CAST(x._n AS DOUBLE) /"
         " aggregate(_cs, CAST(0 AS BIGINT), (a2, y) -> a2 + y._n))"
         " * log2(CAST(x._n AS DOUBLE) /"
         " aggregate(_cs, CAST(0 AS BIGINT), (a2, y) -> a2 + y._n))), 6)"
         " + 0.0D AS entropy_bits",
-    )
-    # NULL/empty docs re-attach via a left join against the id
-    # projection (a pruned one-column scan, not a second full-text
-    # read): absent per-doc rows are exactly the empty docs — zero
-    # counts, NULL entropy
-    return (
-        df.select(id_col)
-        .join(scored, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce("n_chars", F.lit(0).cast("long")).alias("n_chars"),
-            F.coalesce("n_distinct_chars", F.lit(0).cast("int")).alias(
-                "n_distinct_chars"
-            ),
-            F.col("entropy_bits"),
-        )
     )
 
 
@@ -719,13 +743,18 @@ def lm_perplexity(
     p(tok) = (count(tok) + k) / (N + k*V), avg_logp = mean ln p over
     the document's tokens, perplexity = exp(-avg_logp).
 
-    Shapes: token counts ride an unbounded count window OVER the
-    token-keyed shuffle (the measured tfidf_topk pattern — one shuffle
-    both counts the token and carries the rows to scoring, where a
-    vocabulary groupBy + re-join pays a second aggregation and join);
-    corpus totals (N, V) are a broadcast 1-row aggregate; the per-doc
-    score folds ln-probabilities in POSITION order (array_sort + left
-    fold — the bm25/centroid float-order discipline), so scores are
+    Shapes: token counts are a map-side-combinable groupBy over the
+    token stream, broadcast back to the occurrence rows — NOT a count
+    window over a token-keyed shuffle: a window has no partial
+    aggregation, and on the Zipf token distribution this operator
+    exists to filter (100 TB pretraining corpora) the most frequent
+    token is ~5% of the entire token stream landing in ONE partition.
+    The groupBy shuffles per-partition partial counts (uniform, tiny)
+    and the vocabulary (V rows ≪ corpus) broadcasts, so occurrence
+    rows never shuffle on the token key; corpus totals (N, V) are a
+    broadcast 1-row aggregate; the per-doc score folds
+    ln-probabilities in POSITION order (array_sort + left fold — the
+    bm25/centroid float-order discipline), so scores are
     engine-reproducible bit-for-bit, rounded to 6 like every score.
 
     NULL/empty documents keep their row with n_tokens=0 and NULL
@@ -750,12 +779,9 @@ def lm_perplexity(
             + F.lit(float(k_smooth)) * F.col("_V").cast("double")
         )
     )
-    from pyspark.sql.window import Window as W
-
+    vocab = tok.groupBy("_tok").agg(F.count(F.lit(1)).alias("_cnt"))
     scored = (
-        tok.withColumn(
-            "_cnt", F.count(F.lit(1)).over(W.partitionBy("_tok"))
-        )
+        tok.join(F.broadcast(vocab), "_tok")
         .crossJoin(F.broadcast(totals))
         .groupBy(id_col)
         .agg(
@@ -838,7 +864,11 @@ def remove_duplicate_spans(
         base.join(starts, id_col, "left")
         .selectExpr(
             f"`{id_col}`",
-            "size(_t) AS _n",
+            # NULL-text docs are detected on `_t IS NULL` directly, not
+            # via size()'s NULL propagation: size(NULL) is NULL only
+            # under ANSI mode and -1 with spark.sql.ansi.enabled=false,
+            # which would silently emit n_tokens=-1 instead of NULL
+            "CASE WHEN _t IS NULL THEN NULL ELSE size(_t) END AS _n",
             "filter(transform(_t, (x, i) -> struct(i AS p, x AS tk)),"
             f" y -> _starts IS NULL"
             f" OR NOT exists(_starts, s -> y.p >= s AND y.p < s + {span_tokens})"
