@@ -743,9 +743,6 @@ QUERIES.update(
         "split_contamination": QueryDef(
             q_split_contamination, _SPLIT_CONTAMINATION_ORACLE
         ),
-        "temperature_mixture": QueryDef(
-            q_temperature_mixture, _TEMPERATURE_MIXTURE_ORACLE
-        ),
     }
 )
 
@@ -1082,13 +1079,27 @@ FROM (
 """
 
 
+# round-6 rotation IN (VERDICT r5 #2): the two round-5 pipeline
+# operators get their first driver-window pass — leakage-safe
+# splitting (prevention twin of split_contamination) and the
+# Achlioptas JL projection.
+QUERIES.update(
+    {
+        "leakage_safe_split": QueryDef(
+            q_leakage_safe_split, _LEAKAGE_SPLIT_ORACLE
+        ),
+        "embedding_projection": QueryDef(
+            q_embedding_projection, _embedding_projection_oracle()
+        ),
+    }
+)
+
 EXTRA_QUERIES = {
-    # round-5 addition: structurally leakage-safe splitting (the
-    # prevention twin of split_contamination's detection)
-    "leakage_safe_split": QueryDef(q_leakage_safe_split, _LEAKAGE_SPLIT_ORACLE),
-    # round-5 addition: JL sketching for cheap ANN pre-filters
-    "embedding_projection": QueryDef(
-        q_embedding_projection, _embedding_projection_oracle()
+    # round-6 rotation out after 5 driver-green rounds (still
+    # bit-checked locally): the md5 temperature-bucket plan shape
+    # stays gated via split_contamination and leakage_safe_split
+    "temperature_mixture": QueryDef(
+        q_temperature_mixture, _TEMPERATURE_MIXTURE_ORACLE
     ),
     # round-5 rotation out after four driver-green rounds each (still
     # bit-checked locally): simhash's packed-count plan shape is shared

@@ -1091,9 +1091,6 @@ QUERIES = {
     "order_window_frames": QueryDef(
         q_order_window_frames, _ORDER_WINDOW_FRAMES_ORACLE
     ),
-    "approx_distinct_parts": QueryDef(
-        q_approx_distinct_parts, _APPROX_DISTINCT_ORACLE
-    ),
     "lineitem_stats": QueryDef(q_lineitem_stats, _LINEITEM_STATS_ORACLE),
     # round-5 rotation in: set ops were driver-checked only in r2
     "set_ops_tagged": QueryDef(q_set_ops_tagged, _SET_OPS_ORACLE),
@@ -1393,6 +1390,13 @@ FROM lineitem WHERE l_returnflag IS NOT NULL GROUP BY l_returnflag
 
 
 EXTRA_QUERIES = {
+    # round-6 rotation out after 5 driver-green rounds (still
+    # bit-checked locally): the HLL partial-agg plan shape stays
+    # exercised; pricing_summary/orders_grouping_sets keep the
+    # aggregation family's declared rows
+    "approx_distinct_parts": QueryDef(
+        q_approx_distinct_parts, _APPROX_DISTINCT_ORACLE
+    ),
     # round-4 rotation: gap/sessionization coverage stays declared via
     # events_session_windows (streaming family, same lag/gap plan)
     "sessionize_events": QueryDef(q_sessionize_events, _SESSIONIZE_ORACLE),

@@ -174,9 +174,7 @@ LIMIT 50
 
 QUERIES = {
     "lang_id": QueryDef(q_lang_id, _LANG_ID_ORACLE),
-    "token_stats": QueryDef(q_token_stats, _TOKEN_STATS_ORACLE),
     "quality_score": QueryDef(q_quality_score, _QUALITY_ORACLE),
-    "doc_fingerprint": QueryDef(q_doc_fingerprint, _FINGERPRINT_ORACLE),
 }
 
 
@@ -633,23 +631,34 @@ FROM base b LEFT JOIN agg a USING (doc_id)
 """
 
 
+# round-6 rotation IN (VERDICT r5 #2): the four round-5 text operators
+# get their first pass through the driver's window — the substring-dedup
+# pair (detect stats + cut), the CCNet perplexity filter (now with the
+# skew-safe vocabulary plan), and char_entropy, whose zero-shuffle
+# per-row fold rewrite dropped it from 1.96 s to 0.14 s at sf0.1
+# (Spark-faster than the 0.36 s oracle — no longer a bench liability).
+QUERIES.update(
+    {
+        "remove_duplicate_spans": QueryDef(
+            q_remove_duplicate_spans, _REMOVE_SPANS_ORACLE
+        ),
+        "lm_perplexity": QueryDef(q_lm_perplexity, _LM_PERPLEXITY_ORACLE),
+        "duplicate_span_stats": QueryDef(
+            q_duplicate_span_stats, _DUP_SPAN_ORACLE
+        ),
+        "char_entropy": QueryDef(q_char_entropy, _CHAR_ENTROPY_ORACLE),
+    }
+)
+
 EXTRA_QUERIES = {
     # round-4 rotation: the corpus token ranking is subsumed in the
     # driver window by tfidf_topk (same explode/count core + idf join)
     "top_tokens": QueryDef(q_top_tokens, _TOP_TOKENS_ORACLE),
-    # round-5 addition: the substring-dedup cut operation
-    "remove_duplicate_spans": QueryDef(
-        q_remove_duplicate_spans, _REMOVE_SPANS_ORACLE
-    ),
-    # round-5 addition: corpus-LM perplexity quality filter (CCNet)
-    "lm_perplexity": QueryDef(q_lm_perplexity, _LM_PERPLEXITY_ORACLE),
     "chunk_documents": QueryDef(q_chunk_documents, _CHUNK_ORACLE),
-    # round-5 addition: exact duplicate-SPAN mining (substring-level
-    # dedup — localizes duplicated regions, unlike the document-level
-    # minhash/simhash family); rotation candidate for round 6
-    "duplicate_span_stats": QueryDef(q_duplicate_span_stats, _DUP_SPAN_ORACLE),
-    # char-level explode is a measured 1.96s-vs-0.36s row at sf0.1 —
-    # locally hash-checked here rather than spending 5x the per-row
-    # bench floor on a second sub-token signal
-    "char_entropy": QueryDef(q_char_entropy, _CHAR_ENTROPY_ORACLE),
+    # round-6 rotation out after 5 driver-green rounds each (still
+    # bit-checked locally): token_stats' explode/count core stays
+    # gated via tfidf_topk/pack_sequences, doc_fingerprint's rolling
+    # hash via dedup_exact's md5 family
+    "token_stats": QueryDef(q_token_stats, _TOKEN_STATS_ORACLE),
+    "doc_fingerprint": QueryDef(q_doc_fingerprint, _FINGERPRINT_ORACLE),
 }

@@ -656,9 +656,12 @@ FROM ranked WHERE rank <= {TOP_K}
 """
 
 
-QUERIES["knn_filtered"] = QueryDef(q_knn_filtered, _KNN_FILTERED_ORACLE)
-
 EXTRA_QUERIES = {
+    # round-6 rotation out after 5 driver-green rounds (still
+    # bit-checked locally): the filtered-KNN plan composes
+    # where/where_document pushdown with the knn_cosine core, both of
+    # which keep their own declared rows
+    "knn_filtered": QueryDef(q_knn_filtered, _KNN_FILTERED_ORACLE),
     # round-4 rotation: one exact-KNN metric row (cosine, the API
     # default) plus knn_filtered/knn_ivf_trained keep the A8 family in
     # the driver window; the l2/ip metric variants share the identical
