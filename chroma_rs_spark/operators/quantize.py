@@ -97,21 +97,48 @@ def random_projection(
     their row with a NULL projection (the engine's unscorable-row
     convention).
     """
+    import math
+
+    from chroma_rs_spark.plans.partitioning import fan_out
+
     # NULL / wrong-dimension rows keep their row with NULL projection —
     # the engine's unscorable convention (char_entropy, lm_perplexity,
-    # duplicate_span_stats all preserve rows the same way)
-    comps = [
-        f"(({expr}) * {scale!r}D) + 0.0D"
-        for expr, scale in projection_sums(
-            out_dim, in_dim, lambda i: f"element_at(_e, {i + 1})"
+    # duplicate_span_stats all preserve rows the same way).
+    #
+    # Each component is a zip_with(signs) + in-order aggregate fold,
+    # NOT the unrolled out_dim x in_dim literal sum the oracle replays:
+    # the unrolled tree blows past whole-stage-codegen's method limits
+    # and falls back to interpreted eval (measured 2x slower — the same
+    # codegen-limit lesson as the PQ literal-inlining negative result).
+    # Bit-equality with the oracle's skip-zero literal sums holds: the
+    # only extra terms are x*0 products (+/-0.0), and IEEE v + (+/-0.0)
+    # == v for every v except a sign flip on an exactly-zero
+    # accumulator, which the final `+ 0.0D` fold washes either way.
+    scale = math.sqrt(3.0 / out_dim)
+    comps = []
+    for j in range(out_dim):
+        signs = ", ".join(
+            str(projection_sign(j, i)) for i in range(in_dim)
         )
-    ]
-    return df.select(
-        F.col(id_col),
-        # sum over the DOUBLE-cast array: float32 elements would
-        # otherwise accumulate in float32 on this side while a SQL
-        # oracle casting to DOUBLE[] first accumulates in double
-        F.col(emb_col).cast("array<double>").alias("_e"),
+        comps.append(
+            f"(aggregate(zip_with(_e, array({signs}),"
+            " (x, s) -> x * CAST(s AS DOUBLE)),"
+            f" 0.0D, (a, x) -> a + x) * {scale!r}D) + 0.0D"
+        )
+    # unconditional fan-out (min_bytes=0): out_dim x in_dim arithmetic
+    # terms per ROW make this ~1000x more CPU per scan byte than a
+    # scan-bound query, so the tiny-input repartition always pays for
+    # itself (measured 1.05 s -> parallel at sf0.1's single 780 KB
+    # file); once the scan has >= cores partitions it is a no-op
+    return fan_out(
+        df.select(
+            F.col(id_col),
+            # sum over the DOUBLE-cast array: float32 elements would
+            # otherwise accumulate in float32 on this side while a SQL
+            # oracle casting to DOUBLE[] first accumulates in double
+            F.col(emb_col).cast("array<double>").alias("_e"),
+        ),
+        min_bytes=0,
     ).selectExpr(
         f"`{id_col}`",
         f"CASE WHEN _e IS NULL OR size(_e) != {in_dim} THEN NULL"

@@ -201,6 +201,60 @@ def q_item_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.agg(F.count(F.lit(1)).alias("n"))
 
 
+def q_collection_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The maintenance surface (stats + compact) as an oracle row
+    (VERDICT r4 #10 / r5 #5): a real lifecycle — create a collection,
+    bulk-add the sf embeddings in two DELIBERATELY fragmented appends,
+    compact() to one file, stats() — whose deterministic columns
+    (row count, post-compact file count, registered dim, index flags)
+    the oracle pins against the source table. Runs Spark jobs during
+    build (lifecycle + compaction rewrite), hence iterative=True.
+
+    Byte counts and pre-compact file counts are excluded on purpose:
+    parquet encoding size and task counts are legal degrees of freedom.
+    The post-compact file count is NOT — compact(target_file_mb=1024)
+    must merge any fragmentation into exactly one file at these scales.
+    """
+    import shutil
+    import tempfile
+
+    from chroma_rs_spark import collection as item_ops
+    from chroma_rs_spark.catalog import Engine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    items = emb.select(
+        F.col("vec_id").cast("string").alias("id"), F.col("embedding")
+    )
+    root = tempfile.mkdtemp(prefix="stats_row_")
+    try:
+        eng = Engine(spark, root)
+        coll = eng.create_collection("stats_row")
+        # two appends, each repartitioned wide -> many small files,
+        # the exact state compaction exists to fix
+        half = items.filter(F.col("id").cast("long") % 2 == 0)
+        item_ops.add_df(eng, coll, half.repartition(8))
+        item_ops.add_df(
+            eng, coll, items.join(half, "id", "left_anti").repartition(8)
+        )
+        item_ops.compact(eng, coll, target_file_mb=1024)
+        s = item_ops.stats(eng, coll)
+        return spark.createDataFrame(
+            [
+                (
+                    int(s["count"]),
+                    int(s["data_files"]),
+                    int(s["dim"]),
+                    bool(s["ivf_index"]),
+                    bool(s["pq_index"]),
+                )
+            ],
+            "n_rows bigint, data_files bigint, dim bigint,"
+            " ivf_index boolean, pq_index boolean",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 IVF_CENTROIDS = 16
 IVF_PROBE = 4
 KMEANS_ITERS = 3
@@ -670,6 +724,21 @@ EXTRA_QUERIES = {
     "item_count": QueryDef(
         q_item_count,
         "SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings",
+    ),
+    # round-6: the maintenance surface oracle-pinned (VERDICT r5 #5) —
+    # the Spark side runs the real create/add/add/compact/stats
+    # lifecycle; the oracle pins what those numbers must equal
+    "collection_stats": QueryDef(
+        q_collection_stats,
+        """
+SELECT CAST(count(*) AS BIGINT)            AS n_rows,
+       CAST(1 AS BIGINT)                   AS data_files,
+       CAST(max(len(embedding)) AS BIGINT) AS dim,
+       false                               AS ivf_index,
+       false                               AS pq_index
+FROM embeddings
+""",
+        iterative=True,
     ),
     "knn_ivf": QueryDef(q_knn_ivf, _KNN_IVF_ORACLE),
     "knn_cosine_scale": QueryDef(q_knn_cosine_scale, _knn_oracle(_COSINE_EXPR)),
