@@ -92,12 +92,17 @@ def cosine_topk_pairs_blocked(
     SIZE-GATED: the reference matrix is collected to the driver, which
     is only sane while the (id, embedding) projection fits comfortably
     in driver memory. Past `max_collect_bytes` (optimizer estimate, or
-    unknown) the call fails over to `cosine_topk_pairs_tiled` — the
-    EXACT tiled block-pair join with NO driver materialization — so the
-    result is bit-identical on both sides of the gate (pinned by
-    tests/test_similarity_bucketed.py). For corpora where even the
-    O(n^2) distributed compute is too much, `cosine_pairs_bucketed` is
-    the documented approximate successor.
+    unknown) the call fails over to `cosine_topk_pairs_tiled_np` — the
+    EXACT numpy-scored tile join with NO driver materialization, which
+    shares this path's scoring kernel so results are bit-identical on
+    both sides of the gate INCLUDING 6th-decimal rounding boundaries
+    (np.round half-even both sides; pinned by
+    tests/test_similarity_bucketed.py). Measured at 20k vectors the
+    tiled_np path is ~12x faster than this one anyway (2.0 s vs
+    24.5 s, tools notes in SCALE.md) — the gate keeps the collect path
+    only for small corpora where its single-stage shape wins. For
+    corpora where even the O(n^2) distributed compute is too much,
+    `cosine_pairs_bucketed` is the documented approximate successor.
     """
     import numpy as np
     import pandas as pd
@@ -107,7 +112,7 @@ def cosine_topk_pairs_blocked(
     src0 = df.filter(F.col(emb_col).isNotNull()).select(id_col, emb_col)
     est = plan_size_bytes(src0)
     if est < 0 or est > max_collect_bytes:
-        return cosine_topk_pairs_tiled(
+        return cosine_topk_pairs_tiled_np(
             df, id_col=id_col, emb_col=emb_col, top_n=top_n, est_bytes=est
         )
 
@@ -269,6 +274,115 @@ def cosine_topk_pairs_tiled(
         .orderBy(F.col("cosine_sim").desc(), "id_a", "id_b")
         .limit(top_n)
     )
+
+
+def cosine_topk_pairs_tiled_np(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    top_n: int = 20,
+    n_blocks: int | None = None,
+    est_bytes: int = -1,
+    target_block_bytes: int = 64 << 20,
+) -> DataFrame:
+    """Exact top-N most-similar pairs via numpy-scored tiles — the
+    scale successor that replaces BOTH prior exact plans' weak halves:
+    no driver-side matrix collect (unlike `cosine_topk_pairs_blocked`)
+    and one numpy matmul per tile instead of a per-pair SQL HOF dot
+    product (unlike `cosine_topk_pairs_tiled`, measured 7-45x slower
+    per pair than matmul at sf0.1 — tools/tiled_np_proof.py).
+
+    Rows hash into `n_blocks` blocks; each row is shipped to its
+    upper-triangle tile memberships tagged A (its block is the tile's
+    bi) or B (bj) — (B+1) copies per row, the same shuffle volume as
+    the SQL tiled join — and each (bi, bj) group scores its tile with
+    one float64 matmul, masks the diagonal tile's lower triangle, and
+    keeps its tile-local top-N WITH ties at the cutoff (so the global
+    id tie-break never loses a candidate). The global top-N is a
+    TakeOrderedAndProject over |tiles| x ~top_n candidate rows.
+
+    Scoring is the SAME numpy kernel as the blocked path (np.round
+    half-even), so the size-gate failover blocked -> tiled_np is
+    bit-identical INCLUDING values on the 6th-decimal rounding
+    boundary — the half-up-vs-half-even divergence class the SQL
+    tiled fallback documented is gone. Per-tile memory is
+    2*(n/B)*dim*8 bytes, driver memory is O(top_n).
+    """
+    import numpy as np
+    import pandas as pd
+
+    if n_blocks is None:
+        if est_bytes < 0:
+            n_blocks = 16
+        else:
+            n_blocks = max(2, min(64, (est_bytes // target_block_bytes) + 1))
+    src = (
+        df.filter(F.col(emb_col).isNotNull())
+        .select(
+            F.col(id_col).alias("_id"),
+            F.col(emb_col).alias("_emb"),
+            l2_norm(f"`{emb_col}`").alias("_norm"),
+        )
+        .filter(
+            (F.col("_norm") != F.lit(0.0))
+            & ~F.isnan("_norm")
+            & (F.col("_norm") != F.lit(float("inf")))
+        )
+        .withColumn("_blk", F.pmod(F.hash("_id"), F.lit(n_blocks)))
+    )
+    spark = df.sparkSession
+    tiles = spark.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
+        "bi int, bj int",
+    )
+    a = src.join(F.broadcast(tiles), F.col("_blk") == F.col("bi")).select(
+        "bi", "bj", F.lit(0).alias("_side"), "_id", "_emb"
+    )
+    b = src.join(F.broadcast(tiles), F.col("_blk") == F.col("bj")).select(
+        "bi", "bj", F.lit(1).alias("_side"), "_id", "_emb"
+    )
+
+    empty = pd.DataFrame({"id_a": [], "id_b": [], "cosine_sim": []})
+
+    def score_tile(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        bi, bj = key
+        a_rows = pdf[pdf["_side"] == 0]
+        b_rows = pdf[pdf["_side"] == 1]
+        if a_rows.empty or b_rows.empty:
+            return empty
+        ids_a = a_rows["_id"].to_numpy()
+        ids_b = b_rows["_id"].to_numpy()
+        mat_a = np.stack(a_rows["_emb"].to_numpy()).astype(np.float64)
+        mat_b = np.stack(b_rows["_emb"].to_numpy()).astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sims = (mat_a @ mat_b.T) / (
+                np.linalg.norm(mat_a, axis=1)[:, None]
+                * np.linalg.norm(mat_b, axis=1)[None, :]
+            )
+        sims = np.round(sims, 6)
+        if bi == bj:
+            mask = (ids_a[:, None] < ids_b[None, :]) & np.isfinite(sims)
+        else:
+            # cross-block ids are hash-disjoint; keep the inequality
+            # anyway as a cheap invariant guard
+            mask = (ids_a[:, None] != ids_b[None, :]) & np.isfinite(sims)
+        ia, ib = np.nonzero(mask)
+        if ia.size == 0:
+            return empty
+        s = sims[ia, ib]
+        keep = min(top_n, s.size)
+        kth = np.partition(-s, keep - 1)[keep - 1]
+        sel = np.nonzero(s >= -kth)[0]
+        lo = np.minimum(ids_a[ia[sel]], ids_b[ib[sel]])
+        hi = np.maximum(ids_a[ia[sel]], ids_b[ib[sel]])
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cosine_sim": s[sel]})
+
+    cand = (
+        a.unionByName(b)
+        .groupBy("bi", "bj")
+        .applyInPandas(score_tile, schema="id_a long, id_b long, cosine_sim double")
+    )
+    return cand.orderBy(F.col("cosine_sim").desc(), "id_a", "id_b").limit(top_n)
 
 
 def cosine_pairs_bucketed(

@@ -684,18 +684,20 @@ def duplicate_spans(
 def _span_doc_counts(occ: DataFrame, id_col: str) -> DataFrame:
     """(span_hash, n_docs): exact distinct-document count per span.
 
-    Shaped as distinct (hash, doc) pairs -> groupBy(hash) count rather
-    than a dense_rank window: both are exact, but a window over the
+    Shaped as `plans.skew.count_distinct_twophase` — distinct
+    (hash, doc) pairs -> groupBy(hash) count — rather than a
+    dense_rank window: both are exact, but a window over the
     span_hash partition cannot split a skewed key (a boilerplate span
     present in 1M documents becomes one reducer's sort), while the
     distinct shuffles on the PAIR key (uniform) and the count is a
     map-side-combinable aggregate; the join back to occurrences is a
-    plain equi-join AQE's skew-join splitting can handle."""
-    return (
-        occ.select("span_hash", id_col)
-        .distinct()
-        .groupBy("span_hash")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    plain equi-join AQE's skew-join splitting can handle. Using the
+    shared helper wires the skew module into the declared span rows
+    (duplicate_span_stats / remove_duplicate_spans)."""
+    from chroma_rs_spark.plans.skew import count_distinct_twophase
+
+    return count_distinct_twophase(occ, "span_hash", id_col, out="_n_docs").select(
+        "span_hash", F.col("_n_docs").cast("long").alias("n_docs")
     )
 
 

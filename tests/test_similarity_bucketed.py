@@ -104,6 +104,7 @@ def test_blocked_gate_failover_bit_equal(spark):
     from chroma_rs_spark.operators.similarity import (
         cosine_topk_pairs_blocked,
         cosine_topk_pairs_tiled,
+        cosine_topk_pairs_tiled_np,
     )
 
     emb = load_table(spark, SF_DIR, "embeddings")
@@ -113,6 +114,13 @@ def test_blocked_gate_failover_bit_equal(spark):
     for n_blocks in (2, 7):
         tiled = cosine_topk_pairs_tiled(emb, top_n=20, n_blocks=n_blocks).toPandas()
         pd.testing.assert_frame_equal(base, tiled)
+        # the numpy-scored tile path (the actual gate failover target)
+        # must agree at any tiling, including one with more blocks than
+        # some tiles have rows
+        tnp = cosine_topk_pairs_tiled_np(
+            emb, top_n=20, n_blocks=n_blocks
+        ).toPandas()
+        pd.testing.assert_frame_equal(base, tnp)
 
 
 def test_tiled_handles_id_order_opposing_block_order(spark):
