@@ -159,6 +159,98 @@ def split_contamination(
     )
 
 
+def ngram_decontamination(
+    df: DataFrame,
+    weights: dict[str, float],
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    train_split: str = "train",
+) -> DataFrame:
+    """Substring-level decontamination — the GPT-3/Brown et al. 2020
+    (§C) method `split_contamination` cannot express: a non-train
+    document is contaminated if any of its token n-grams (n=13 there
+    and here) also occurs in the train split, catching PARTIAL overlap
+    (a quoted paragraph, a shared boilerplate block) that whole-document
+    fingerprints miss.
+
+    Returns one row per NON-train document: (doc_id, split, n_grams,
+    n_contaminated, contamination_ratio, contaminated), counting
+    DISTINCT n-grams. Documents shorter than n tokens have no grams —
+    n_grams=0, NULL ratio, contaminated=false (nothing to collide).
+
+    Scale shape: grams hash with the engine's md5 family and shuffle on
+    the GRAM key (md5-uniform — a boilerplate gram shared by millions
+    of documents is ONE key on the train side because the train set is
+    distinct-ed before the join, and the eval side distincts per
+    (doc, gram), the same two-phase discipline as _span_doc_counts);
+    the train-membership test is a semi join, counts are
+    map-side-combinable. No broadcast assumption: the train gram set
+    scales with the corpus and joins shuffled.
+    """
+    from chroma_rs_spark.operators.dedup import (
+        nonempty_tokens_col,
+        shingles_col,
+    )
+
+    if train_split not in weights:
+        raise ValueError(
+            f"train_split {train_split!r} is not a split name; "
+            f"weights define {sorted(weights)}"
+        )
+    sp = dataset_split(df, weights, id_col=id_col)
+    grams = sp.select(
+        F.col(id_col),
+        F.col("split"),
+        F.explode(shingles_col(nonempty_tokens_col(text_col), n)).alias("_g"),
+    ).select(id_col, "split", F.md5("_g").alias("_h"))
+    train_grams = (
+        grams.filter(F.col("split") == train_split).select("_h").distinct()
+    )
+    eval_grams = grams.filter(F.col("split") != train_split).select(
+        id_col, "split", "_h"
+    ).distinct()
+    totals = eval_grams.groupBy(id_col, "split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams")
+    )
+    hits = (
+        eval_grams.join(train_grams, "_h", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_contaminated"))
+    )
+    base = sp.filter(F.col("split") != train_split).select(id_col, "split")
+    return (
+        base.join(totals.drop("split"), id_col, "left")
+        .join(hits, id_col, "left")
+        # coalesce FIRST, derive ratio/flag from the coalesced columns:
+        # a doc with grams but zero hits must get ratio 0.0, not the
+        # NULL a raw n_contaminated would propagate
+        .select(
+            id_col,
+            "split",
+            F.coalesce("n_grams", F.lit(0).cast("long")).alias("n_grams"),
+            F.coalesce("n_contaminated", F.lit(0).cast("long")).alias(
+                "n_contaminated"
+            ),
+        )
+        .select(
+            id_col,
+            "split",
+            "n_grams",
+            "n_contaminated",
+            F.when(
+                F.col("n_grams") > 0,
+                F.round(
+                    F.col("n_contaminated").cast("double") / F.col("n_grams"),
+                    6,
+                )
+                + F.lit(0.0),
+            ).alias("contamination_ratio"),
+            (F.col("n_contaminated") > 0).alias("contaminated"),
+        )
+    )
+
+
 def temperature_mixture_sample(
     df: DataFrame,
     total_fraction: float,

@@ -900,3 +900,95 @@ def remove_duplicate_spans(
             " AS clean_text",
         )
     )
+
+
+# Gopher quality-rule thresholds (Rae et al., "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", 2021, §A1.1 —
+# public). Every constant is mirrored verbatim in the suite oracle.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_ALPHA_WORD_FRAC = 0.8
+GOPHER_MIN_STOPWORD_HITS = 2
+# the paper's "must contain >= 2 of" list
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, n_words, mean_word_len, symbol_ratio, alpha_word_frac,
+    stopword_hits, passes): the Gopher repetition-free quality rules
+    (Rae et al. 2021 §A1.1) — the standard cheap pre-filter a
+    pretraining pipeline runs before the expensive dedup/perplexity
+    stages. A document passes iff its word count, mean word length,
+    symbol-to-word ratio ('#' and '...'), alphabetic-word fraction and
+    stop-word presence all sit inside the published thresholds.
+
+    Entirely per-row (map-side, zero shuffle): counts and the mean
+    word length come from size()/aggregate folds over the shared
+    non-empty tokenization; ratios are rounded to 6 like every score.
+    NULL/empty docs keep their row with zeros and passes=false (a
+    document with no words fails the word-count rule by definition —
+    NOT the unscorable convention, because the rule set itself
+    assigns empty documents a verdict).
+    """
+    from chroma_rs_spark.operators.dedup import nonempty_tokens_col
+
+    toks = nonempty_tokens_col(text_col)
+    base = df.select(
+        F.col(id_col),
+        F.coalesce(toks, F.array()).alias("_t"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("_txt"),
+    ).select(
+        id_col,
+        "_t",
+        F.size("_t").cast("long").alias("n_words"),
+        # '#' occurrences + '...' occurrences (non-overlapping, the
+        # regexp_extract_all convention both engines share)
+        (
+            F.size(F.regexp_extract_all(F.col("_txt"), F.lit("#"), F.lit(0)))
+            + F.size(
+                F.regexp_extract_all(F.col("_txt"), F.lit("\\.\\.\\."), F.lit(0))
+            )
+        )
+        .cast("long")
+        .alias("_n_symbols"),
+    )
+    scored = base.selectExpr(
+        f"`{id_col}`",
+        "n_words",
+        "CASE WHEN n_words > 0 THEN round(aggregate(_t, CAST(0 AS BIGINT),"
+        " (a, x) -> a + length(x)) / CAST(n_words AS DOUBLE), 6) + 0.0D"
+        " END AS mean_word_len",
+        "CASE WHEN n_words > 0 THEN"
+        " round(CAST(_n_symbols AS DOUBLE) / n_words, 6) + 0.0D"
+        " END AS symbol_ratio",
+        "CASE WHEN n_words > 0 THEN round(size(filter(_t,"
+        " x -> x rlike '[a-zA-Z]')) / CAST(n_words AS DOUBLE), 6) + 0.0D"
+        " END AS alpha_word_frac",
+        "CAST(size(array_intersect(array_distinct(_t), array({})))"
+        " AS BIGINT) AS stopword_hits".format(
+            ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+        ),
+    )
+    passes = (
+        (F.col("n_words") >= GOPHER_MIN_WORDS)
+        & (F.col("n_words") <= GOPHER_MAX_WORDS)
+        & (F.col("mean_word_len") >= GOPHER_MIN_MEAN_WORD_LEN)
+        & (F.col("mean_word_len") <= GOPHER_MAX_MEAN_WORD_LEN)
+        & (F.col("symbol_ratio") <= GOPHER_MAX_SYMBOL_RATIO)
+        & (F.col("alpha_word_frac") >= GOPHER_MIN_ALPHA_WORD_FRAC)
+        & (F.col("stopword_hits") >= GOPHER_MIN_STOPWORD_HITS)
+    )
+    return scored.select(
+        id_col,
+        "n_words",
+        "mean_word_len",
+        "symbol_ratio",
+        "alpha_word_frac",
+        "stopword_hits",
+        F.coalesce(passes, F.lit(False)).alias("passes"),
+    )

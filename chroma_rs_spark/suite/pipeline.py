@@ -1079,6 +1079,67 @@ FROM (
 """
 
 
+_DECONTAM_N = 13
+
+
+def q_ngram_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chroma_rs_spark.operators.sampling import ngram_decontamination
+
+    return ngram_decontamination(
+        load_table(spark, sf_dir, "documents"),
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        n=_DECONTAM_N,
+    )
+
+
+def _ngram_decontam_oracle() -> str:
+    """Full replay: same split buckets, same non-empty tokenization
+    BEFORE shingling (the operator's order), same md5 gram hashes."""
+    n = _DECONTAM_N
+    gram = "concat_ws(' ', " + ", ".join(f"t[i+{j}]" for j in range(n)) + ")"
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+),
+sp AS (
+  SELECT doc_id,
+         CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                        AS BIGINT) % 10000 < 8000 THEN 'train'
+              WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                        AS BIGINT) % 10000 < 9000 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+),
+g AS (
+  SELECT doc_id, md5({gram}) AS h
+  FROM (SELECT doc_id, t, unnest(range(1, len(t) - {n - 2})) AS i FROM toks)
+),
+gs AS (SELECT g.doc_id, sp.split, g.h FROM g JOIN sp USING (doc_id)),
+tr AS (SELECT DISTINCT h FROM gs WHERE split = 'train'),
+ev AS (SELECT DISTINCT doc_id, split, h FROM gs WHERE split <> 'train'),
+tot AS (SELECT doc_id, count(*) AS n_grams FROM ev GROUP BY 1),
+hit AS (
+  SELECT doc_id, count(*) AS n_contaminated
+  FROM ev WHERE h IN (SELECT h FROM tr) GROUP BY 1
+)
+SELECT sp.doc_id,
+       sp.split,
+       CAST(coalesce(tot.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(coalesce(hit.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+       CASE WHEN coalesce(tot.n_grams, 0) > 0 THEN
+         round(CAST(coalesce(hit.n_contaminated, 0) AS DOUBLE)
+               / tot.n_grams, 6)
+       END AS contamination_ratio,
+       coalesce(hit.n_contaminated, 0) > 0 AS contaminated
+FROM sp
+LEFT JOIN tot ON tot.doc_id = sp.doc_id
+LEFT JOIN hit ON hit.doc_id = sp.doc_id
+WHERE sp.split <> 'train'
+"""
+
+
 # round-6 rotation IN (VERDICT r5 #2): the two round-5 pipeline
 # operators get their first driver-window pass — leakage-safe
 # splitting (prevention twin of split_contamination) and the
@@ -1095,6 +1156,11 @@ QUERIES.update(
 )
 
 EXTRA_QUERIES = {
+    # round-6: GPT-3-style 13-gram substring decontamination (partial
+    # overlap split_contamination's doc fingerprints cannot see)
+    "ngram_decontamination": QueryDef(
+        q_ngram_decontamination, _ngram_decontam_oracle()
+    ),
     # round-6 rotation out after 5 driver-green rounds (still
     # bit-checked locally): the md5 temperature-bucket plan shape
     # stays gated via split_contamination and leakage_safe_split

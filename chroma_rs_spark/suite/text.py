@@ -650,7 +650,72 @@ QUERIES.update(
     }
 )
 
+
+
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chroma_rs_spark.operators.text import gopher_quality
+
+    return gopher_quality(load_table(spark, sf_dir, "documents"))
+
+
+def _gopher_oracle() -> str:
+    from chroma_rs_spark.operators.text import (
+        GOPHER_MAX_MEAN_WORD_LEN,
+        GOPHER_MAX_SYMBOL_RATIO,
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_ALPHA_WORD_FRAC,
+        GOPHER_MIN_MEAN_WORD_LEN,
+        GOPHER_MIN_STOPWORD_HITS,
+        GOPHER_MIN_WORDS,
+        GOPHER_STOPWORDS,
+    )
+
+    stop = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '')
+             AS toks,
+         coalesce(text, '') AS txt
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_words,
+         CASE WHEN len(toks) > 0 THEN
+           round(CAST(list_sum(list_transform(toks, x -> length(x)))
+                      AS DOUBLE) / len(toks), 6)
+         END AS mean_word_len,
+         CASE WHEN len(toks) > 0 THEN
+           round(CAST(len(regexp_extract_all(txt, '#'))
+                      + len(regexp_extract_all(txt, '\\.\\.\\.'))
+                      AS DOUBLE) / len(toks), 6)
+         END AS symbol_ratio,
+         CASE WHEN len(toks) > 0 THEN
+           round(CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]')))
+                      AS DOUBLE) / len(toks), 6)
+         END AS alpha_word_frac,
+         CAST(len(list_intersect(list_distinct(toks), [{stop}]))
+              AS BIGINT) AS stopword_hits
+  FROM t
+)
+SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_word_frac,
+       stopword_hits,
+       coalesce(n_words >= {GOPHER_MIN_WORDS}
+                AND n_words <= {GOPHER_MAX_WORDS}
+                AND mean_word_len >= {GOPHER_MIN_MEAN_WORD_LEN}
+                AND mean_word_len <= {GOPHER_MAX_MEAN_WORD_LEN}
+                AND symbol_ratio <= {GOPHER_MAX_SYMBOL_RATIO}
+                AND alpha_word_frac >= {GOPHER_MIN_ALPHA_WORD_FRAC}
+                AND stopword_hits >= {GOPHER_MIN_STOPWORD_HITS},
+                false) AS passes
+FROM m
+"""
+
+
 EXTRA_QUERIES = {
+    # round-6: the Gopher pre-filter rules (Rae et al. 2021 A1.1)
+    "gopher_quality": QueryDef(q_gopher_quality, _gopher_oracle()),
     # round-4 rotation: the corpus token ranking is subsumed in the
     # driver window by tfidf_topk (same explode/count core + idf join)
     "top_tokens": QueryDef(q_top_tokens, _TOP_TOKENS_ORACLE),
