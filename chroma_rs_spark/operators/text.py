@@ -624,8 +624,13 @@ def _span_occurrences(
     stride=1 anchors every position (exact mode).
     """
     from chroma_rs_spark.operators.dedup import nonempty_tokens_col
+    from chroma_rs_spark.plans.partitioning import fan_out
 
-    base = df.select(
+    # unconditional fan-out: winnowing anchors + per-span md5 hashing
+    # are CPU-dense per scan byte (the char_entropy rationale); a
+    # small single-file corpus must still use every core, and once the
+    # scan has >= cores partitions this is a no-op
+    base = fan_out(df.select(id_col, text_col), min_bytes=0).select(
         F.col(id_col), nonempty_tokens_col(text_col).alias("_t")
     ).filter(F.size("_t") >= span_tokens)
     anchor = (
@@ -777,8 +782,12 @@ def lm_perplexity(
     scores — the unscorable convention.
     """
     from chroma_rs_spark.operators.dedup import nonempty_tokens_col
+    from chroma_rs_spark.plans.partitioning import fan_out
 
-    tok = df.select(
+    # unconditional fan-out of the doc scan before the tokenize +
+    # posexplode (CPU-dense per scan byte; no-op once the scan has
+    # >= cores partitions)
+    tok = fan_out(df.select(id_col, text_col), min_bytes=0).select(
         F.col(id_col),
         F.posexplode(nonempty_tokens_col(text_col)).alias("_pos", "_tok"),
     )
@@ -874,8 +883,13 @@ def remove_duplicate_spans(
         ).alias("_keeps"),
     )
     from chroma_rs_spark.operators.dedup import nonempty_tokens_col
+    from chroma_rs_spark.plans.partitioning import fan_out
 
-    base = df.select(F.col(id_col), nonempty_tokens_col(text_col).alias("_t"))
+    # same unconditional fan-out rationale as _span_occurrences: the
+    # exists()-probe filter over every token is CPU-dense per scan byte
+    base = fan_out(df.select(id_col, text_col), min_bytes=0).select(
+        F.col(id_col), nonempty_tokens_col(text_col).alias("_t")
+    )
     return (
         base.join(starts, id_col, "left")
         .selectExpr(
