@@ -346,9 +346,10 @@ def test_temperature_mixture_flattens_sources(spark):
 def test_temperature_mixture_suite_matches_oracle(spark):
     import duckdb
 
-    from chroma_rs_spark.suite.pipeline import QUERIES
+    from chroma_rs_spark.suite.pipeline import EXTRA_QUERIES
 
-    qd = QUERIES["temperature_mixture"]
+    # rotated out of the declared window in round 6; still oracle-gated
+    qd = EXTRA_QUERIES["temperature_mixture"]
     got = sorted(tuple(r) for r in qd.fn(spark, SF001_DIR).collect())
     con = duckdb.connect()
     con.sql(
