@@ -596,3 +596,80 @@ def incremental_minhash_pairs(
         ),
         (~F.col("_new")).alias("vs_corpus"),
     )
+
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 2,
+) -> DataFrame:
+    """Cross-document LINE-level deduplication — the CCNet / RefinedWeb
+    boilerplate-removal primitive (Wenzek et al. LREC 2020 §3.1; Penedo
+    et al. 2023 §3.3, "line-wise corrections"): a trimmed non-empty
+    line that occurs in >= `min_df` DISTINCT documents is boilerplate
+    (nav bars, cookie banners, copyright footers) and every occurrence
+    is removed from every document. Complements the token-shingle span
+    ops (`duplicate_span_stats` / `remove_duplicate_spans`): spans
+    catch verbatim PROSE reuse at arbitrary alignment; line dedup
+    catches the structural template text that dominates web corpora.
+
+    Returns (id, n_lines, n_lines_removed, text_clean); NULL text keeps
+    its row with NULL stats (the unscorable convention).
+
+    Scale shape (100 TB): document text NEVER shuffles on a line key.
+    1. distinct (doc, md5-line) pairs -> per-line distinct-doc counts
+       via the two-phase re-key (`plans/skew.py:count_distinct_twophase`)
+       so a hot boilerplate line spreads over all reducers instead of
+       routing every occurrence through one task;
+    2. the banned-line join back is keyed on (doc, md5) and only BANNED
+       pairs reach the per-doc collect_set — shuffle volume is
+       O(boilerplate occurrences), not O(corpus);
+    3. the final join on the doc id carries one small array per
+       affected doc (AQE broadcasts it when it fits), and the line
+       filter + reassembly run map-side inside the scan.
+    """
+    from chroma_rs_spark.plans.skew import count_distinct_twophase
+
+    nl = "\n"
+    base = df.select(
+        F.col(id_col),
+        F.col(text_col).alias("_txt"),
+        F.split(F.col(text_col), nl).alias("_lines"),
+    )
+    occ = (
+        base.select(id_col, F.explode("_lines").alias("_l"))
+        .select(id_col, F.trim(F.col("_l")).alias("_lt"))
+        .filter(F.col("_lt") != "")
+        .select(id_col, F.md5(F.col("_lt")).alias("_h"))
+    )
+    counts = count_distinct_twophase(occ, "_h", id_col, out="_df")
+    banned = counts.filter(F.col("_df") >= int(min_df)).select("_h")
+    # only pairs that ARE banned survive to the per-doc aggregation
+    banned_per_doc = (
+        occ.distinct()
+        .join(banned, "_h")
+        .groupBy(id_col)
+        .agg(F.collect_set("_h").alias("_banned"))
+    )
+    out = base.join(banned_per_doc, id_col, "left")
+    kept = F.when(
+        F.col("_banned").isNull(), F.col("_lines")
+    ).otherwise(
+        F.filter(
+            F.col("_lines"),
+            lambda x: ~F.array_contains(F.col("_banned"), F.md5(F.trim(x))),
+        )
+    )
+    return out.select(
+        id_col,
+        F.when(F.col("_txt").isNotNull(), F.size("_lines"))
+        .cast("long")
+        .alias("n_lines"),
+        F.when(F.col("_txt").isNotNull(), F.size("_lines") - F.size(kept))
+        .cast("long")
+        .alias("n_lines_removed"),
+        F.when(F.col("_txt").isNotNull(), F.array_join(kept, nl)).alias(
+            "text_clean"
+        ),
+    )

@@ -533,3 +533,110 @@ def signbucket_ann(
         .select(probe_id, F.col("rank").cast("long").alias("rank"),
                 "neighbor_id", "distance")
     )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    label_col: str = "label",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """SemDeDup — semantic deduplication via within-cluster embedding
+    similarity (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embedding space, then look for near-duplicate pairs ONLY inside
+    each cluster, so the pair join is keyed on the cluster id instead
+    of forming the all-pairs product the exact operators pay.
+
+    Clustering reuses the k-means machinery (label-seeded centroids +
+    nearest-centroid assignment, operators/centroids.py) — clusters
+    come from the ASSIGNED nearest centroid, not the raw label.
+    Dedup rule (the deterministic "tournament" variant of the paper's
+    keep-low-centroid-similarity policy): a vector is a duplicate iff
+    some same-cluster partner has cosine >= threshold AND sits FARTHER
+    from the shared centroid (paper §3: keeping low-centroid-similarity
+    examples preserved the most diversity); exact-tie pairs keep the
+    lower id. One pair join, no sequential greedy chain — every verdict
+    is independent, so the operator is a pure DataFrame plan.
+
+    Returns (id, cluster, sq_dist, is_dup). Zero/NaN/inf-norm vectors
+    are unscorable for the pair test (the shared exact-pair contract,
+    `cosine_topk_pairs`) and are never marked duplicates; their
+    assignment row is kept.
+
+    100 TB shape: centroids broadcast (k rows); the only shuffle of
+    vector rows is the cluster-keyed self-join. Cluster sizes are
+    n/k by construction of k-means (pick k ~ sqrt(n) as the paper
+    does); a degenerate hot cluster is an AQE skew-join split, not a
+    single-task window.
+    """
+    from chroma_rs_spark.operators.centroids import (
+        assign_nearest_centroid,
+        label_centroids,
+    )
+
+    assigned = assign_nearest_centroid(
+        emb, label_centroids(emb, label_col=label_col, vec_col=emb_col),
+        id_col=id_col, vec_col=emb_col,
+    )
+    norm = l2_norm(f"`{emb_col}`")
+    scorable = (
+        emb.select(
+            F.col(id_col), F.col(emb_col).alias("_e"), norm.alias("_n")
+        )
+        .filter(
+            (F.col("_n") != F.lit(0.0))
+            & ~F.isnan("_n")
+            & (F.col("_n") != F.lit(float("inf")))
+        )
+        .join(assigned, id_col)
+        .select(
+            F.col(id_col).alias("_id"),
+            F.col("assigned_label").alias("_c"),
+            F.col("sq_dist").alias("_d"),
+            "_e",
+            "_n",
+        )
+    )
+    a = scorable.select(
+        F.col("_id").alias("_ida"),
+        F.col("_c").alias("_ca"),
+        F.col("_d").alias("_da"),
+        F.col("_e").alias("_ea"),
+        F.col("_n").alias("_na"),
+    )
+    b = scorable.select(
+        F.col("_id").alias("_idb"),
+        F.col("_c").alias("_cb"),
+        F.col("_d").alias("_db"),
+        F.col("_e").alias("_eb"),
+        F.col("_n").alias("_nb"),
+    )
+    sim = F.round(
+        dot_product("_ea", "_eb") / (F.col("_na") * F.col("_nb")), 6
+    )
+    # partner b "wins" (a is the duplicate) iff b is farther from the
+    # centroid, ties to the lower id — rounded sq_dist is the pinned
+    # assignment output, so the comparison is engine-exact
+    dups = (
+        a.join(
+            b,
+            (F.col("_ca") == F.col("_cb"))
+            & (F.col("_ida") != F.col("_idb"))
+            & (
+                (F.col("_db") > F.col("_da"))
+                | ((F.col("_db") == F.col("_da")) & (F.col("_idb") < F.col("_ida")))
+            ),
+            "inner",
+        )
+        .filter(~F.isnan(sim) & (sim >= F.lit(float(threshold))))
+        .select(F.col("_ida").alias(id_col))
+        .distinct()
+        .withColumn("_dup", F.lit(True))
+    )
+    return assigned.join(dups, id_col, "left").select(
+        F.col(id_col),
+        F.col("assigned_label").alias("cluster"),
+        "sq_dist",
+        F.coalesce(F.col("_dup"), F.lit(False)).alias("is_dup"),
+    )

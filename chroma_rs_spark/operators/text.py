@@ -1006,3 +1006,85 @@ def gopher_quality(
         "stopword_hits",
         F.coalesce(passes, F.lit(False)).alias("passes"),
     )
+
+
+# C4 cleaning thresholds (Raffel et al. JMLR 2020 §2.2) — line word
+# minimum, page sentence minimum, and the terminal punctuation set.
+C4_MIN_LINE_WORDS = 5
+C4_MIN_SENTENCES = 3
+C4_TERMINALS = (".", "!", "?", '"')
+
+
+def c4_filters(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The C4 line/page cleaning heuristics (Raffel et al., JMLR 2020
+    §2.2 — the cleaning pass that produced C4 from Common Crawl):
+    keep a line iff it (a) ends in a terminal punctuation mark,
+    (b) has >= 5 words, (c) does not contain the word "javascript"
+    (case-insensitive); drop the whole page iff the kept text has
+    fewer than 3 sentences, contains "lorem ipsum", or contains "{".
+
+    Returns (id, n_lines, n_lines_kept, n_sentences, has_lorem_ipsum,
+    has_brace, passes, text_clean). `n_sentences` counts terminal
+    marks in the KEPT lines (the line filter guarantees each kept
+    line contributes at least one). NULL text keeps its row with NULL
+    stats and passes=false (a page with no text has no 3 sentences —
+    the rule set itself assigns the verdict, like gopher_quality).
+
+    Entirely per-row (map-side, zero shuffle): every rule is a
+    filter/aggregate fold over split(text, '\\n') inside the scan —
+    at 100 TB this runs at parquet-read speed with no exchange.
+    """
+    nl = "\n"
+    base = df.select(
+        F.col(id_col),
+        F.col(text_col).alias("_txt"),
+        F.split(F.col(text_col), nl).alias("_lines"),
+    )
+    term = ", ".join("'" + t.replace("'", "''") + "'" for t in C4_TERMINALS)
+    kept = F.expr(
+        "filter(_lines, x -> substring(trim(x), -1, 1) IN ({term})"
+        " AND size(filter(split(trim(x), ' '), w -> w <> ''))"
+        " >= {mw} AND NOT lower(x) LIKE '%javascript%')".format(
+            term=term, mw=C4_MIN_LINE_WORDS
+        )
+    )
+    scored = base.select(
+        id_col,
+        "_txt",
+        F.when(F.col("_txt").isNotNull(), F.size("_lines"))
+        .cast("long")
+        .alias("n_lines"),
+        F.when(F.col("_txt").isNotNull(), F.size(kept))
+        .cast("long")
+        .alias("n_lines_kept"),
+        F.when(F.col("_txt").isNotNull(), F.array_join(kept, nl)).alias(
+            "text_clean"
+        ),
+    )
+    n_sent = F.when(
+        F.col("_txt").isNotNull(),
+        F.size(
+            F.regexp_extract_all(
+                F.col("text_clean"), F.lit("[.!?\"]"), F.lit(0)
+            )
+        ),
+    ).cast("long")
+    has_lorem = F.lower(F.col("_txt")).contains("lorem ipsum")
+    has_brace = F.col("_txt").contains("{")
+    out = scored.select(
+        id_col,
+        "n_lines",
+        "n_lines_kept",
+        n_sent.alias("n_sentences"),
+        F.coalesce(has_lorem, F.lit(False)).alias("has_lorem_ipsum"),
+        F.coalesce(has_brace, F.lit(False)).alias("has_brace"),
+        (
+            F.coalesce(n_sent >= C4_MIN_SENTENCES, F.lit(False))
+            & ~F.coalesce(has_lorem, F.lit(False))
+            & ~F.coalesce(has_brace, F.lit(False))
+        ).alias("passes"),
+        "text_clean",
+    )
+    return out

@@ -1190,3 +1190,154 @@ EXTRA_QUERIES = {
     # dataset_split / split_contamination / temperature_mixture gated
     "stratified_sample": QueryDef(q_stratified_sample, _STRATIFIED_SAMPLE_ORACLE),
 }
+
+
+# ---------------------------------------------------------------------------
+# round 6: line-level dedup (CCNet/RefinedWeb boilerplate removal) and
+# SemDeDup over the embeddings table
+# ---------------------------------------------------------------------------
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/RefinedWeb cross-document line dedup over the derived
+    line-structured corpus (suite/text.py:lined_corpus): every doc
+    carries one of 3 headers and one of 2 footers, so min_df=5 removes
+    exactly the boilerplate lines while content lines survive."""
+    from chroma_rs_spark.operators.dedup import line_dedup
+    from chroma_rs_spark.suite.text import lined_corpus
+
+    return line_dedup(
+        lined_corpus(load_table(spark, sf_dir, "documents")), min_df=5
+    )
+
+
+def _line_dedup_oracle() -> str:
+    from chroma_rs_spark.suite.text import LINE_CORPUS_CTE
+
+    # same trimmed-line identity, same >= 5 distinct-doc ban rule, same
+    # in-order reassembly; NULL text keeps NULL stats (no expl rows ->
+    # the left join yields NULLs), all-lines-removed docs keep '' like
+    # Spark's array_join over an empty array
+    return (
+        "WITH " + LINE_CORPUS_CTE + ",\n"
+        "expl AS (SELECT doc_id, u.l AS line, u.i AS pos\n"
+        "         FROM corpus, unnest(string_split(text, chr(10)))"
+        " WITH ORDINALITY AS u(l, i)),\n"
+        "banned AS (SELECT trim(line) AS lt FROM expl WHERE trim(line) <> ''\n"
+        "           GROUP BY 1 HAVING count(DISTINCT doc_id) >= 5),\n"
+        "mark AS (SELECT e.doc_id, e.line, e.pos, (b.lt IS NOT NULL) AS is_b\n"
+        "         FROM expl e LEFT JOIN banned b ON trim(e.line) = b.lt),\n"
+        "agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,\n"
+        "               CAST(sum(CASE WHEN is_b THEN 1 ELSE 0 END) AS BIGINT)"
+        " AS n_lines_removed,\n"
+        "               coalesce(array_to_string(list(line ORDER BY pos)"
+        " FILTER (WHERE NOT is_b), chr(10)), '') AS text_clean\n"
+        "        FROM mark GROUP BY 1)\n"
+        "SELECT c.doc_id, a.n_lines, a.n_lines_removed, a.text_clean\n"
+        "FROM corpus c LEFT JOIN agg a USING (doc_id)"
+    )
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) with planted twins: every 5th
+    vector gets an exact twin (vec_id + 100000, cosine 1.0 — a
+    semantic duplicate) and every 10th a NEGATED twin (cosine -1.0 —
+    same cluster geometry test, never a duplicate). The tie rule keeps
+    the lower-id original and marks the twin."""
+    from chroma_rs_spark.operators.similarity import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    twin = emb.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.when(
+            F.col("vec_id") % 10 == 0,
+            F.expr("transform(embedding, x -> -x)"),
+        )
+        .otherwise(F.col("embedding"))
+        .alias("embedding"),
+        "label",
+    )
+    return semantic_dedup(emb.unionByName(twin), threshold=0.9)
+
+
+# full replay: twin planting, per-label mean centroids, nearest-centroid
+# assignment (the _CENTROID_ASSIGN_ORACLE fold, verbatim), then the
+# within-cluster tournament — partner farther from the centroid (or
+# tied with a lower id) at cosine >= 0.9 marks a row duplicate
+_SEMANTIC_DEDUP_ORACLE = """
+WITH corpus AS (
+  SELECT vec_id, embedding, label FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000,
+         CASE WHEN vec_id % 10 = 0
+              THEN list_transform(embedding, x -> -x)
+              ELSE embedding END,
+         label
+  FROM embeddings WHERE vec_id % 5 = 0
+),
+e AS (
+  SELECT label, i - 1 AS pos, embedding[i] AS val
+  FROM corpus, unnest(range(1, len(embedding) + 1)) AS t(i)
+),
+g AS (
+  SELECT label, pos,
+         sum(CAST(round(CAST(val AS DOUBLE) * 1000000.0) AS HUGEINT)) AS s,
+         count(*) AS n_vectors
+  FROM e GROUP BY label, pos
+),
+cent AS (
+  SELECT label, pos,
+         round(CAST(s AS DOUBLE) / (n_vectors * 1000000.0), 6) + 0.0 AS centroid
+  FROM g
+),
+cm AS (SELECT label, list(centroid ORDER BY pos) AS cvec FROM cent GROUP BY label),
+sc AS (
+  SELECT v.vec_id, m.label,
+         round(list_sum(list_transform(range(1, len(v.embedding) + 1),
+               i -> (CAST(v.embedding[i] AS DOUBLE) - m.cvec[i])
+                  * (CAST(v.embedding[i] AS DOUBLE) - m.cvec[i]))), 6) + 0.0
+           AS sq_dist
+  FROM corpus v CROSS JOIN cm m
+),
+r AS (
+  SELECT vec_id, label, sq_dist,
+         row_number() OVER (PARTITION BY vec_id ORDER BY sq_dist, label) AS rn
+  FROM sc
+),
+assigned AS (SELECT vec_id, label AS cluster, sq_dist FROM r WHERE rn = 1),
+scorable AS (
+  SELECT a.vec_id, a.cluster, a.sq_dist, v.embedding,
+         sqrt(list_sum(list_transform(range(1, len(v.embedding) + 1),
+              i -> CAST(v.embedding[i] AS DOUBLE)
+                 * CAST(v.embedding[i] AS DOUBLE)))) AS nrm
+  FROM assigned a JOIN corpus v USING (vec_id)
+),
+ok AS (
+  SELECT * FROM scorable
+  WHERE nrm <> 0.0 AND isfinite(nrm)
+),
+dups AS (
+  SELECT DISTINCT a.vec_id
+  FROM ok a JOIN ok b
+    ON a.cluster = b.cluster AND a.vec_id <> b.vec_id
+   AND (b.sq_dist > a.sq_dist
+        OR (b.sq_dist = a.sq_dist AND b.vec_id < a.vec_id))
+  WHERE round(list_sum(list_transform(range(1, len(a.embedding) + 1),
+              i -> CAST(a.embedding[i] AS DOUBLE)
+                 * CAST(b.embedding[i] AS DOUBLE))) / (a.nrm * b.nrm), 6)
+        >= 0.9
+    AND NOT isnan(round(list_sum(list_transform(range(1, len(a.embedding) + 1),
+              i -> CAST(a.embedding[i] AS DOUBLE)
+                 * CAST(b.embedding[i] AS DOUBLE))) / (a.nrm * b.nrm), 6))
+)
+SELECT s.vec_id, s.cluster, s.sq_dist,
+       (d.vec_id IS NOT NULL) AS is_dup
+FROM assigned s LEFT JOIN dups d USING (vec_id)
+"""
+
+EXTRA_QUERIES.update(
+    {
+        "line_dedup": QueryDef(q_line_dedup, _line_dedup_oracle()),
+        "semantic_dedup": QueryDef(q_semantic_dedup, _SEMANTIC_DEDUP_ORACLE),
+    }
+)

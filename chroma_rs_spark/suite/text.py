@@ -7,6 +7,7 @@ chroma_rs_spark.operators.text — keep them in sync.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from chroma_rs_spark.operators.text import (
     STOPWORDS,
@@ -727,3 +728,124 @@ EXTRA_QUERIES = {
     "token_stats": QueryDef(q_token_stats, _TOKEN_STATS_ORACLE),
     "doc_fingerprint": QueryDef(q_doc_fingerprint, _FINGERPRINT_ORACLE),
 }
+
+
+# ---------------------------------------------------------------------------
+# Shared LINE-structured corpus derivation (round 6). The raw documents
+# table is single-line token soup, so the line-level operators
+# (line_dedup, c4_filters) derive a deterministic multi-line corpus:
+# tokens regrouped into 8-token lines (line i gains a terminal '.'
+# unless (doc_id + i) % 3 = 0), a boilerplate header by doc_id % 3 and
+# footer by doc_id % 2 (the cross-document duplicated lines CCNet-style
+# dedup must remove), plus planted 'lorem ipsum' (every 97th doc) and a
+# brace/javascript line (every 89th) for the C4 page rules — the same
+# planted-structure pattern as split_contamination's planted leaks.
+# Spark builder and DuckDB CTE are defined SIDE BY SIDE so they cannot
+# drift (the _SPAN_CHAIN discipline).
+# ---------------------------------------------------------------------------
+
+_LINED_HEADER = (
+    "CASE CAST(doc_id % 3 AS INT)"
+    " WHEN 0 THEN 'Subscribe to our newsletter today.'"
+    " WHEN 1 THEN 'all rights reserved worldwide'"
+    " ELSE 'Click here to accept cookies now.' END"
+)
+_LINED_FOOTER = (
+    "CASE WHEN doc_id % 2 = 0 THEN 'copyright acme corp'"
+    " ELSE 'Privacy policy and terms of service.' END"
+)
+
+
+def lined_corpus(df: DataFrame) -> DataFrame:
+    """(doc_id, text) with newline-separated lines; NULL text stays
+    NULL so the unscorable convention flows through the line ops."""
+    expr = (
+        "CASE WHEN text IS NULL THEN NULL ELSE array_join(concat("
+        "  array(" + _LINED_HEADER + "),"
+        "  CASE WHEN size(_t) = 0 THEN CAST(array() AS ARRAY<STRING>)"
+        "       ELSE transform(sequence(0, CAST((size(_t) - 1) DIV 8 AS INT)),"
+        "            i -> concat(array_join(slice(_t, i * 8 + 1, 8), ' '),"
+        "                 CASE WHEN (doc_id + i) % 3 = 0 THEN '' ELSE '.' END))"
+        "  END,"
+        "  array(" + _LINED_FOOTER + "),"
+        "  CASE WHEN doc_id % 97 = 0 THEN array('lorem ipsum dolor sit amet.')"
+        "       ELSE CAST(array() AS ARRAY<STRING>) END,"
+        "  CASE WHEN doc_id % 89 = 0 THEN"
+        "       array('function f() { return javascript magic }')"
+        "       ELSE CAST(array() AS ARRAY<STRING>) END"
+        "), char(10)) END"
+    )
+    from chroma_rs_spark.operators.dedup import nonempty_tokens_col
+
+    return df.select(
+        "doc_id",
+        F.coalesce(nonempty_tokens_col("text"), F.array()).alias("_t"),
+        "text",
+    ).selectExpr("doc_id", expr + " AS text")
+
+
+LINE_CORPUS_CTE = (
+    "lc_base AS ("
+    "  SELECT doc_id, text,"
+    "         list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS _t"
+    "  FROM documents"
+    "), corpus AS ("
+    "  SELECT doc_id,"
+    "  CASE WHEN text IS NULL THEN NULL ELSE array_to_string("
+    "    [" + _LINED_HEADER + "]"
+    "    || CASE WHEN len(_t) = 0 THEN CAST([] AS VARCHAR[])"
+    "            ELSE list_transform(range(0, (len(_t) - 1) // 8 + 1),"
+    "                 i -> array_to_string(_t[CAST(i * 8 + 1 AS BIGINT):CAST(i * 8 + 8 AS BIGINT)], ' ')"
+    "                      || CASE WHEN (doc_id + i) % 3 = 0 THEN '' ELSE '.' END)"
+    "       END"
+    "    || [" + _LINED_FOOTER + "]"
+    "    || CASE WHEN doc_id % 97 = 0 THEN ['lorem ipsum dolor sit amet.']"
+    "            ELSE CAST([] AS VARCHAR[]) END"
+    "    || CASE WHEN doc_id % 89 = 0 THEN"
+    "            ['function f() { return javascript magic }']"
+    "            ELSE CAST([] AS VARCHAR[]) END,"
+    "  chr(10)) END AS text"
+    "  FROM lc_base)"
+)
+
+
+def q_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning heuristics (Raffel et al. JMLR 2020 §2.2) over the
+    derived line-structured corpus."""
+    from chroma_rs_spark.operators.text import c4_filters
+
+    return c4_filters(lined_corpus(load_table(spark, sf_dir, "documents")))
+
+
+# same line split, same terminal/word-count/javascript line predicate,
+# same kept-text sentence count, same page rules; NULL text keeps its
+# row with NULL stats and passes=false
+_C4_FILTERS_ORACLE = (
+    "WITH " + LINE_CORPUS_CTE + ",\n"
+    "l AS (SELECT doc_id, text, string_split(text, chr(10)) AS ls FROM corpus),\n"
+    "k AS (SELECT doc_id, text, ls,\n"
+    "        list_filter(ls, x -> right(trim(x), 1) IN ('.', '!', '?', '\"')\n"
+    "            AND len(list_filter(string_split(trim(x), ' '), w -> w <> '')) >= 5\n"
+    "            AND NOT contains(lower(x), 'javascript')) AS kept\n"
+    "      FROM l),\n"
+    "s AS (SELECT doc_id, text,\n"
+    "        CASE WHEN text IS NOT NULL THEN CAST(len(ls) AS BIGINT) END AS n_lines,\n"
+    "        CASE WHEN text IS NOT NULL THEN CAST(len(kept) AS BIGINT) END AS n_lines_kept,\n"
+    "        CASE WHEN text IS NOT NULL THEN array_to_string(kept, chr(10)) END AS text_clean\n"
+    "      FROM k)\n"
+    "SELECT doc_id, n_lines, n_lines_kept,\n"
+    "       CASE WHEN text IS NOT NULL THEN\n"
+    "         CAST(len(regexp_extract_all(text_clean, '[.!?\"]')) AS BIGINT)\n"
+    "       END AS n_sentences,\n"
+    "       coalesce(contains(lower(text), 'lorem ipsum'), false) AS has_lorem_ipsum,\n"
+    "       coalesce(contains(text, '{'), false) AS has_brace,\n"
+    "       coalesce(CASE WHEN text IS NOT NULL THEN\n"
+    "                  CAST(len(regexp_extract_all(text_clean, '[.!?\"]')) AS BIGINT)\n"
+    "                END >= 3, false)\n"
+    "         AND NOT coalesce(contains(lower(text), 'lorem ipsum'), false)\n"
+    "         AND NOT coalesce(contains(text, '{'), false) AS passes,\n"
+    "       text_clean\n"
+    "FROM s"
+)
+
+EXTRA_QUERIES["c4_filters"] = QueryDef(q_c4_filters, _C4_FILTERS_ORACLE)
