@@ -47,6 +47,12 @@ def label_centroids(
     than silently truncating (tests/test_fuzz_corpus.py pins the
     realistic-domain behavior bit-exactly).
     """
+    if decimals != 6:
+        raise ValueError(
+            "label_centroids: the integer-exact mean is pinned to the "
+            "micro-unit (6-decimal) domain; decimals is part of the "
+            "cross-engine contract and cannot vary"
+        )
     e = emb.select(
         F.col(label_col).alias("label"),
         F.posexplode(F.col(vec_col)).alias("pos", "_val"),
@@ -57,10 +63,19 @@ def label_centroids(
     g = e.groupBy("label", "pos").agg(
         F.sum(micro).alias("_s"), F.count(F.lit(1)).alias("n_vectors")
     )
-    centroid = F.round(
-        F.col("_s").cast("double") / (F.col("n_vectors") * F.lit(MICRO)),
-        decimals,
-    )
+    # Rounded mean computed EXACTLY in integer micro-units:
+    # q = round_half_away_from_zero(s / n) = sign(s) * ((2|s| + n) div 2n),
+    # all integer ops (decimal(38,0) / HUGEINT in the oracle replays), then
+    # one correctly-rounded IEEE divide by 1e6 — identical doubles in every
+    # engine BY CONSTRUCTION. The previous round(s/(n*1e6), 6) double form
+    # diverged at exact half-boundaries: Spark's Round works on the double's
+    # SHORTEST decimal repr (BigDecimal.valueOf) while DuckDB rounds near the
+    # exact binary value, so s/n = ...xxx.5 micro-units (e.g. s=-1675414,
+    # n=52 in the round-6 semantic_dedup twin corpus) flipped the 6th decimal
+    # between engines. Away from halves the two forms are bit-identical.
+    q = F.expr("(2 * abs(_s) + n_vectors) div (2 * n_vectors)")
+    sgn = F.when(F.col("_s") < 0, F.lit(-1)).otherwise(F.lit(1))
+    centroid = (sgn * q).cast("double") / F.lit(MICRO)
     # + 0.0 canonicalizes -0.0 (the repo-wide rounding contract,
     # tests/test_distance_rounding.py)
     return g.select(
@@ -171,8 +186,12 @@ def assign_nearest_label_centroid(
         F.count(F.lit(1)).alias("n_vectors"),
         *[F.expr(s) for s in micro],
     )
+    # same integer-exact micro-unit mean as label_centroids (see its
+    # in-code rationale) so the fused path stays bit-identical
     cvec = "array(" + ", ".join(
-        f"round(CAST(_s{i} AS DOUBLE) / (n_vectors * 1000000.0), 6) + 0.0D"
+        f"CAST((CASE WHEN _s{i} < 0 THEN -1 ELSE 1 END)"
+        f" * ((2 * abs(_s{i}) + n_vectors) div (2 * n_vectors))"
+        f" AS DOUBLE) / 1000000.0D + 0.0D"
         for i in range(1, dim + 1)
     ) + ")"
     mats = g.selectExpr("label", f"{cvec} AS cvec")

@@ -562,7 +562,13 @@ g AS (
   FROM e GROUP BY label, pos
 )
 SELECT label, pos,
-       round(CAST(s AS DOUBLE) / (n_vectors * 1000000.0), 6) + 0.0 AS centroid,
+       -- integer-exact micro-unit mean (operators/centroids.py): the
+       -- half-away-from-zero quotient in HUGEINT, then ONE IEEE divide —
+       -- bit-identical to Spark by construction, incl. exact .5 boundaries
+       -- where round(double, 6) diverges across engines
+       CAST((CASE WHEN s < 0 THEN -1 ELSE 1 END)
+            * ((2 * abs(s) + n_vectors) // (2 * n_vectors)) AS DOUBLE)
+           / 1000000.0 + 0.0 AS centroid,
        n_vectors
 FROM g
 """
@@ -594,7 +600,9 @@ g AS (
 ),
 cent AS (
   SELECT label, pos,
-         round(CAST(s AS DOUBLE) / (n_vectors * 1000000.0), 6) + 0.0 AS centroid
+         CAST((CASE WHEN s < 0 THEN -1 ELSE 1 END)
+              * ((2 * abs(s) + n_vectors) // (2 * n_vectors)) AS DOUBLE)
+             / 1000000.0 + 0.0 AS centroid
   FROM g
 ),
 cm AS (
@@ -1287,7 +1295,9 @@ g AS (
 ),
 cent AS (
   SELECT label, pos,
-         round(CAST(s AS DOUBLE) / (n_vectors * 1000000.0), 6) + 0.0 AS centroid
+         CAST((CASE WHEN s < 0 THEN -1 ELSE 1 END)
+              * ((2 * abs(s) + n_vectors) // (2 * n_vectors)) AS DOUBLE)
+             / 1000000.0 + 0.0 AS centroid
   FROM g
 ),
 cm AS (SELECT label, list(centroid ORDER BY pos) AS cvec FROM cent GROUP BY label),

@@ -430,8 +430,8 @@ seeds AS (
 ),
 cent0 AS (
   SELECT s.label, e.pos,
-         round(CAST(CAST(round(e.val * 1000000.0) AS HUGEINT) AS DOUBLE)
-               / 1000000.0, 6) + 0.0 AS centroid
+         CAST(CAST(round(e.val * 1000000.0) AS HUGEINT) AS DOUBLE)
+               / 1000000.0 + 0.0 AS centroid
   FROM seeds s JOIN e_long e USING (vec_id)
 )"""
     ]
@@ -458,11 +458,17 @@ assign{i} AS (
   ) WHERE rn = 1
 ),
 cent{i} AS (
-  SELECT a.label, e.pos,
-         round(CAST(sum(CAST(round(e.val * 1000000.0) AS HUGEINT)) AS DOUBLE)
-               / (count(*) * 1000000.0), 6) + 0.0 AS centroid
-  FROM assign{i} a JOIN e_long e USING (vec_id)
-  GROUP BY a.label, e.pos
+  SELECT label, pos,
+         CAST((CASE WHEN s < 0 THEN -1 ELSE 1 END)
+              * ((2 * abs(s) + n) // (2 * n)) AS DOUBLE)
+             / 1000000.0 + 0.0 AS centroid
+  FROM (
+    SELECT a.label, e.pos,
+           sum(CAST(round(e.val * 1000000.0) AS HUGEINT)) AS s,
+           count(*) AS n
+    FROM assign{i} a JOIN e_long e USING (vec_id)
+    GROUP BY a.label, e.pos
+  )
 )"""
         )
     # the search: identical shape to _KNN_IVF_ORACLE, with the trained

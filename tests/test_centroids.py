@@ -123,3 +123,63 @@ def test_kmeans_deterministic(spark):
     a1, _ = kmeans(emb, k=4, max_iter=3)
     a2, _ = kmeans(emb, k=4, max_iter=3)
     assert sorted(map(tuple, a1.collect())) == sorted(map(tuple, a2.collect()))
+
+
+def test_label_centroids_exact_half_boundary_matches_duckdb(spark):
+    """The round-7 regression class: when the micro-unit mean s/n lands
+    EXACTLY on a half (s = -1675414, n = 52 -> -32219.5 micro in the
+    semantic_dedup twin corpus), Spark's Round (shortest-decimal-repr
+    HALF_UP) and DuckDB's round (near-exact-binary) disagreed by 1e-6.
+    The integer-exact quotient form must give the half-away-from-zero
+    result in BOTH engines, bit-for-bit."""
+    # (micro values, n) engineered so s/n hits .5 exactly, both signs,
+    # plus the real offending sum from the round-6 gate failure
+    cases = [
+        ([1e-6, 2e-6], 2e-6),            # s=3, n=2  -> 1.5 -> 2
+        ([-1e-6, -2e-6], -2e-6),         # s=-3      -> -1.5 -> -2
+        ([-0.032219, -0.03222], -0.03222),  # s=-64439, n=2 -> -32219.5
+        ([0.032219, 0.03222], 0.03222),  # s=64439, n=2 -> 32219.5
+    ]
+    rows = []
+    for lab, (vals, _) in enumerate(cases):
+        for vid, v in enumerate(vals):
+            rows.append((lab * 100 + vid, [float(v)], lab))
+    emb = spark.createDataFrame(
+        rows, "vec_id LONG, embedding ARRAY<FLOAT>, label INT"
+    )
+    got = {
+        r["label"]: r["centroid"] for r in label_centroids(emb).collect()
+    }
+    import struct
+
+    def bits(x):
+        return struct.unpack("<q", struct.pack("<d", x))[0]
+
+    for lab, (_, want) in enumerate(cases):
+        assert bits(got[lab]) == bits(want), (lab, got[lab], want)
+
+    # DuckDB replay of the oracle CTE over the same (label, micro) pairs
+    con = duckdb.connect()
+    vals_sql = ", ".join(
+        f"({lab}, CAST(round(CAST({float(v)} AS DOUBLE) * 1000000.0)"
+        f" AS HUGEINT))"
+        for lab, (vs, _) in enumerate(cases)
+        for v in vs
+    )
+    duck = dict(
+        con.sql(
+            f"""
+            WITH g AS (
+              SELECT label, sum(m) AS s, count(*) AS n_vectors
+              FROM (VALUES {vals_sql}) AS t(label, m) GROUP BY label
+            )
+            SELECT label,
+                   CAST((CASE WHEN s < 0 THEN -1 ELSE 1 END)
+                        * ((2 * abs(s) + n_vectors) // (2 * n_vectors))
+                        AS DOUBLE) / 1000000.0 + 0.0
+            FROM g
+            """
+        ).fetchall()
+    )
+    for lab, (_, want) in enumerate(cases):
+        assert bits(duck[lab]) == bits(got[lab]) == bits(want)
