@@ -539,8 +539,9 @@ def semantic_dedup(
     emb: DataFrame,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
-    label_col: str = "label",
     threshold: float = 0.9,
+    k: int | None = None,
+    max_iter: int = 3,
 ) -> DataFrame:
     """SemDeDup — semantic deduplication via within-cluster embedding
     similarity (Abbas et al. 2023, arXiv:2303.09540): cluster the
@@ -548,36 +549,57 @@ def semantic_dedup(
     each cluster, so the pair join is keyed on the cluster id instead
     of forming the all-pairs product the exact operators pay.
 
-    Clustering reuses the k-means machinery (label-seeded centroids +
-    nearest-centroid assignment, operators/centroids.py) — clusters
-    come from the ASSIGNED nearest centroid, not the raw label.
+    Clustering is the DataFrame-native deterministic k-means
+    (operators/centroids.py): `k` defaults to ceil(sqrt(n)) — the
+    paper's scaling, k grows WITH the corpus — so expected cluster
+    width is n/k ~ sqrt(n) and the within-cluster self-join forms
+    ~n pairs per cluster, ~n^1.5 total, instead of the (n/k)^2-with-
+    fixed-k form that degenerates to all-pairs at scale. The returned
+    cluster id is the k-means label of one final nearest-centroid
+    E-step against the trained centroids (so assignment and centroids
+    are mutually consistent regardless of where Lloyd's early-stopped).
     Dedup rule (the deterministic "tournament" variant of the paper's
     keep-low-centroid-similarity policy): a vector is a duplicate iff
     some same-cluster partner has cosine >= threshold AND sits FARTHER
     from the shared centroid (paper §3: keeping low-centroid-similarity
     examples preserved the most diversity); exact-tie pairs keep the
     lower id. One pair join, no sequential greedy chain — every verdict
-    is independent, so the operator is a pure DataFrame plan.
+    is independent, so the operator is a pure DataFrame plan after the
+    bounded k-means actions.
 
     Returns (id, cluster, sq_dist, is_dup). Zero/NaN/inf-norm vectors
     are unscorable for the pair test (the shared exact-pair contract,
     `cosine_topk_pairs`) and are never marked duplicates; their
     assignment row is kept.
 
-    100 TB shape: centroids broadcast (k rows); the only shuffle of
-    vector rows is the cluster-keyed self-join. Cluster sizes are
-    n/k by construction of k-means (pick k ~ sqrt(n) as the paper
-    does); a degenerate hot cluster is an AQE skew-join split, not a
-    single-task window.
+    100 TB shape: one count() to size k, then per Lloyd's round the
+    corpus never shuffles (centroids broadcast, E-step map-side;
+    M-step shuffles k x dim x partitions partial sums). The only
+    shuffle of vector rows is the cluster-keyed self-join, ~sqrt(n)
+    wide per cluster by construction; a degenerate hot cluster is an
+    AQE skew-join split, not a single-task window.
     """
     from chroma_rs_spark.operators.centroids import (
         assign_nearest_centroid,
-        label_centroids,
+        kmeans,
     )
 
+    if k is None:
+        n = emb.count()
+        # exact integer ceil(sqrt(n)) — no float-boundary ambiguity
+        import math
+
+        r = math.isqrt(max(n, 1))
+        k = max(2, r if r * r == n else r + 1)
+    _, cents = kmeans(
+        emb.select(id_col, emb_col),
+        k=k,
+        max_iter=max_iter,
+        id_col=id_col,
+        vec_col=emb_col,
+    )
     assigned = assign_nearest_centroid(
-        emb, label_centroids(emb, label_col=label_col, vec_col=emb_col),
-        id_col=id_col, vec_col=emb_col,
+        emb, cents, id_col=id_col, vec_col=emb_col
     )
     norm = l2_norm(f"`{emb_col}`")
     scorable = (
@@ -636,7 +658,10 @@ def semantic_dedup(
     )
     return assigned.join(dups, id_col, "left").select(
         F.col(id_col),
-        F.col("assigned_label").alias("cluster"),
+        # bigint cluster id: k-means labels are posexplode int32, SQL
+        # engines' row_number emits int64 — pin the wider type so oracle
+        # hashes stay type-exact (same convention as centroids.py pos)
+        F.col("assigned_label").cast("long").alias("cluster"),
         "sq_dist",
         F.coalesce(F.col("_dup"), F.lit(False)).alias("is_dup"),
     )

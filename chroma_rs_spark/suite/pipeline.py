@@ -1268,12 +1268,24 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(emb.unionByName(twin), threshold=0.9)
 
 
-# full replay: twin planting, per-label mean centroids, nearest-centroid
-# assignment (the _CENTROID_ASSIGN_ORACLE fold, verbatim), then the
-# within-cluster tournament — partner farther from the centroid (or
-# tied with a lower id) at cosine >= 0.9 marks a row duplicate
-_SEMANTIC_DEDUP_ORACLE = """
-WITH corpus AS (
+# DuckDB replay of semantic_dedup: twin planting, the deterministic
+# size-derived-k k-means (seeds = the ceil(sqrt(n)) lowest-md5 ids,
+# `iters` unrolled E/M rounds — equivalent to the operator's
+# early-stopping Lloyd's loop by the fixpoint argument spelled out in
+# suite/vector.py:_kmeans_ivf_trained_oracle), ONE final E-step against
+# the trained centroids (exactly what the operator does, so assignment
+# and centroids stay mutually consistent), then the within-cluster
+# tournament — partner farther from the centroid (or tied with a lower
+# id) at cosine >= 0.9 marks a row duplicate. Centroid means use the
+# integer-exact micro-unit quotient (operators/centroids.py).
+
+
+def _semantic_dedup_oracle(iters: int = 3) -> str:
+    sq_vs = """round(list_sum(list_transform(range(1, len(v.embedding) + 1),
+               j -> (CAST(v.embedding[j] AS DOUBLE) - m.cvec[j])
+                  * (CAST(v.embedding[j] AS DOUBLE) - m.cvec[j]))), 6) + 0.0"""
+    ctes = [
+        """corpus AS (
   SELECT vec_id, embedding, label FROM embeddings
   UNION ALL
   SELECT vec_id + 100000,
@@ -1283,38 +1295,81 @@ WITH corpus AS (
          label
   FROM embeddings WHERE vec_id % 5 = 0
 ),
-e AS (
-  SELECT label, i - 1 AS pos, embedding[i] AS val
+e_long AS (
+  SELECT vec_id, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS val
   FROM corpus, unnest(range(1, len(embedding) + 1)) AS t(i)
 ),
-g AS (
-  SELECT label, pos,
-         sum(CAST(round(CAST(val AS DOUBLE) * 1000000.0) AS HUGEINT)) AS s,
-         count(*) AS n_vectors
-  FROM e GROUP BY label, pos
+seeds AS (
+  -- ceil(sqrt(n)) via float sqrt: exact at any n the gate reaches; the
+  -- operator's math.isqrt ceil agrees everywhere a double represents n
+  SELECT vec_id, rn - 1 AS label FROM (
+    SELECT vec_id,
+           row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+               AS rn
+    FROM corpus
+  ) WHERE rn <= greatest(2, (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT)
+                             FROM corpus))
 ),
-cent AS (
+cent0 AS (
+  SELECT s.label, e.pos,
+         CAST(CAST(round(e.val * 1000000.0) AS HUGEINT) AS DOUBLE)
+             / 1000000.0 + 0.0 AS centroid
+  FROM seeds s JOIN e_long e USING (vec_id)
+)"""
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""cm{i - 1} AS (
+  SELECT label, list(centroid ORDER BY pos) AS cvec
+  FROM cent{i - 1} GROUP BY label
+),
+sc{i} AS (
+  SELECT v.vec_id, m.label,
+         {sq_vs}
+             AS sq_dist
+  FROM corpus v CROSS JOIN cm{i - 1} m
+),
+assign{i} AS (
+  SELECT vec_id, label FROM (
+    SELECT vec_id, label,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY sq_dist, label) AS rn
+    FROM sc{i}
+  ) WHERE rn = 1
+),
+cent{i} AS (
   SELECT label, pos,
          CAST((CASE WHEN s < 0 THEN -1 ELSE 1 END)
-              * ((2 * abs(s) + n_vectors) // (2 * n_vectors)) AS DOUBLE)
+              * ((2 * abs(s) + n) // (2 * n)) AS DOUBLE)
              / 1000000.0 + 0.0 AS centroid
-  FROM g
+  FROM (
+    SELECT a.label, e.pos,
+           sum(CAST(round(e.val * 1000000.0) AS HUGEINT)) AS s,
+           count(*) AS n
+    FROM assign{i} a JOIN e_long e USING (vec_id)
+    GROUP BY a.label, e.pos
+  )
+)"""
+        )
+    ctes.append(
+        f"""cmF AS (
+  SELECT label, list(centroid ORDER BY pos) AS cvec
+  FROM cent{iters} GROUP BY label
 ),
-cm AS (SELECT label, list(centroid ORDER BY pos) AS cvec FROM cent GROUP BY label),
-sc AS (
+scF AS (
   SELECT v.vec_id, m.label,
-         round(list_sum(list_transform(range(1, len(v.embedding) + 1),
-               i -> (CAST(v.embedding[i] AS DOUBLE) - m.cvec[i])
-                  * (CAST(v.embedding[i] AS DOUBLE) - m.cvec[i]))), 6) + 0.0
-           AS sq_dist
-  FROM corpus v CROSS JOIN cm m
+         {sq_vs}
+             AS sq_dist
+  FROM corpus v CROSS JOIN cmF m
 ),
-r AS (
-  SELECT vec_id, label, sq_dist,
-         row_number() OVER (PARTITION BY vec_id ORDER BY sq_dist, label) AS rn
-  FROM sc
+assigned AS (
+  SELECT vec_id, label AS cluster, sq_dist FROM (
+    SELECT vec_id, label, sq_dist,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY sq_dist, label) AS rn
+    FROM scF
+  ) WHERE rn = 1
 ),
-assigned AS (SELECT vec_id, label AS cluster, sq_dist FROM r WHERE rn = 1),
 scorable AS (
   SELECT a.vec_id, a.cluster, a.sq_dist, v.embedding,
          sqrt(list_sum(list_transform(range(1, len(v.embedding) + 1),
@@ -1339,15 +1394,22 @@ dups AS (
     AND NOT isnan(round(list_sum(list_transform(range(1, len(a.embedding) + 1),
               i -> CAST(a.embedding[i] AS DOUBLE)
                  * CAST(b.embedding[i] AS DOUBLE))) / (a.nrm * b.nrm), 6))
-)
+)"""
+    )
+    joined = ",\n".join(ctes)
+    return f"""
+WITH {joined}
 SELECT s.vec_id, s.cluster, s.sq_dist,
        (d.vec_id IS NOT NULL) AS is_dup
 FROM assigned s LEFT JOIN dups d USING (vec_id)
 """
 
+
 EXTRA_QUERIES.update(
     {
         "line_dedup": QueryDef(q_line_dedup, _line_dedup_oracle()),
-        "semantic_dedup": QueryDef(q_semantic_dedup, _SEMANTIC_DEDUP_ORACLE),
+        "semantic_dedup": QueryDef(
+            q_semantic_dedup, _semantic_dedup_oracle(), iterative=True
+        ),
     }
 )

@@ -143,3 +143,74 @@ def test_tiled_handles_id_order_opposing_block_order(spark):
     exact = cosine_topk_pairs(df, top_n=30).toPandas()
     tiled = cosine_topk_pairs_tiled(df, top_n=30, n_blocks=2).toPandas()
     pd.testing.assert_frame_equal(exact, tiled)
+
+
+def test_semantic_dedup_planted_twins(spark):
+    """SemDeDup contract on planted twins: an EXACT twin (cosine 1.0,
+    same cluster by construction) must produce exactly one duplicate
+    per twin pair — the member farther from the centroid, ties to the
+    higher id — while a NEGATED twin (cosine -1.0) must never mark
+    either side. Separated base vectors stay non-duplicates."""
+    from chroma_rs_spark.operators.similarity import semantic_dedup
+
+    rng = np.random.default_rng(7)
+    rows = []
+    # 40 well-spread base vectors (normalized gaussians, dim 8)
+    base = {}
+    for i in range(40):
+        v = rng.normal(0.0, 1.0, size=8)
+        v = v / np.linalg.norm(v)
+        base[i] = [float(x) for x in v]
+        rows.append((i, base[i]))
+    # exact twins for ids 0..9, negated twins for ids 10..19
+    for i in range(10):
+        rows.append((1000 + i, base[i]))
+    for i in range(10, 20):
+        rows.append((1000 + i, [-x for x in base[i]]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in semantic_dedup(df, threshold=0.9).collect()}
+    assert len(out) == 60
+    # every exact-twin pair: both in the same cluster, exactly one dup
+    # (equal sq_dist -> the tie rule keeps the LOWER id)
+    for i in range(10):
+        a, b = out[i], out[1000 + i]
+        assert a["cluster"] == b["cluster"]
+        assert a["sq_dist"] == b["sq_dist"]
+        assert not a["is_dup"] and b["is_dup"]
+    # negated twins are never duplicates (cosine -1 < threshold), and
+    # neither is their original marked because of them
+    for i in range(10, 20):
+        assert not out[1000 + i]["is_dup"]
+    # output is complete and typed: cluster is int64, sq_dist rounded
+    sd = semantic_dedup(df, threshold=0.9)
+    assert dict(sd.dtypes)["cluster"] == "bigint"
+    assert dict(sd.dtypes)["is_dup"] == "boolean"
+
+
+def test_semantic_dedup_size_derived_k_bounds_pair_join(spark):
+    """The round-6 scale flaw: clusters pinned to label cardinality made
+    the within-cluster self-join (n/k)^2 with CONSTANT k. k must now
+    grow as ceil(sqrt(n)) — check the trained cluster count actually
+    scales with the corpus instead of the (absent) label column."""
+    from chroma_rs_spark.operators.similarity import semantic_dedup
+
+    rng = np.random.default_rng(3)
+    rows = [
+        (i, [float(x) for x in rng.normal(0.0, 1.0, size=8)])
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = semantic_dedup(df, threshold=0.99)
+    n_clusters = out.select("cluster").distinct().count()
+    # ceil(sqrt(200)) = 15 seeds; allow a few empty clusters after
+    # Lloyd's but the count must be in sqrt-of-n territory, nowhere
+    # near O(1)
+    assert 8 <= n_clusters <= 15
+    # explicit k override is honored
+    n2 = (
+        semantic_dedup(df, threshold=0.99, k=4)
+        .select("cluster")
+        .distinct()
+        .count()
+    )
+    assert n2 <= 4
