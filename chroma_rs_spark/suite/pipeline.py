@@ -1227,10 +1227,15 @@ def _line_dedup_oracle() -> str:
     # the left join yields NULLs), all-lines-removed docs keep '' like
     # Spark's array_join over an empty array
     return (
+        # ordinal via subscripting a range over the split list — the
+        # installed DuckDB rejects `unnest ... WITH ORDINALITY` (round-6
+        # gate failure); NULL text -> NULL list -> zero expl rows, empty
+        # text -> one '' line, both matching Spark's split semantics
         "WITH " + LINE_CORPUS_CTE + ",\n"
-        "expl AS (SELECT doc_id, u.l AS line, u.i AS pos\n"
-        "         FROM corpus, unnest(string_split(text, chr(10)))"
-        " WITH ORDINALITY AS u(l, i)),\n"
+        "expl AS (SELECT doc_id, ls[i] AS line, i AS pos\n"
+        "         FROM (SELECT doc_id, string_split(text, chr(10)) AS ls\n"
+        "               FROM corpus),\n"
+        "              unnest(range(1, len(ls) + 1)) AS t(i)),\n"
         "banned AS (SELECT trim(line) AS lt FROM expl WHERE trim(line) <> ''\n"
         "           GROUP BY 1 HAVING count(DISTINCT doc_id) >= 5),\n"
         "mark AS (SELECT e.doc_id, e.line, e.pos, (b.lt IS NOT NULL) AS is_b\n"

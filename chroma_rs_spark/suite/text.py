@@ -831,7 +831,11 @@ _C4_FILTERS_ORACLE = (
     "s AS (SELECT doc_id, text,\n"
     "        CASE WHEN text IS NOT NULL THEN CAST(len(ls) AS BIGINT) END AS n_lines,\n"
     "        CASE WHEN text IS NOT NULL THEN CAST(len(kept) AS BIGINT) END AS n_lines_kept,\n"
-    "        CASE WHEN text IS NOT NULL THEN array_to_string(kept, chr(10)) END AS text_clean\n"
+    # coalesce: DuckDB's array_to_string over an EMPTY kept list yields
+    # NULL, Spark's array_join yields '' (adversarial doc with zero kept
+    # lines, round-7) — pin the Spark convention
+    "        CASE WHEN text IS NOT NULL THEN"
+    " coalesce(array_to_string(kept, chr(10)), '') END AS text_clean\n"
     "      FROM k)\n"
     "SELECT doc_id, n_lines, n_lines_kept,\n"
     "       CASE WHEN text IS NOT NULL THEN\n"

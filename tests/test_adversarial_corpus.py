@@ -58,6 +58,12 @@ QUERIES = [
     "leakage_safe_split",
     "lm_perplexity",
     "remove_duplicate_spans",
+    # round-7 additions: the round-6 snapshot operators, replayed over
+    # the same NULL/empty/whitespace text and NULL/zero embedding edges
+    "line_dedup",
+    "c4_filters",
+    "gopher_quality",
+    "semantic_dedup",
 ]
 
 

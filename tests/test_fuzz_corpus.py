@@ -175,6 +175,8 @@ VEC_QUERIES = [
     "centroid_assign",
     # round-5 addition: JL sketch over the same random-magnitude domain
     "embedding_projection",
+    # round-7 addition: k-means-clustered SemDeDup over the same domain
+    "semantic_dedup",
 ]
 
 

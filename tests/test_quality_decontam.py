@@ -106,3 +106,117 @@ def test_ngram_decontamination_rejects_bad_train_name(spark):
     with pytest.raises(ValueError):
         ngram_decontamination(df, {"train": 0.9, "val": 0.1},
                               train_split="trian")
+
+
+# ---------------------------------------------------------------------------
+# round 7: the two snapshot operators that shipped without unit tests
+# ---------------------------------------------------------------------------
+
+
+def test_c4_filters_line_and_page_rules(spark):
+    """C4 §2.2 edge cases, one rule per planted doc: terminal-punct
+    requirement (.!?\"), the 5-word minimum, case-insensitive
+    'javascript' ban, lorem-ipsum / brace page drops, the 3-sentence
+    minimum on KEPT text, and the NULL-text convention."""
+    from chroma_rs_spark.operators.text import c4_filters
+
+    good = "one two three four five.\nsix seven eight nine ten!\neleven twelve thirteen fourteen fifteen?"
+    docs = [
+        (0, good),                                        # 3 kept lines -> passes
+        (1, "no terminal punctuation here at all\n" + good),   # rule (a)
+        (2, "too few words.\n" + good),                        # rule (b)
+        (3, "Enable JavaScript to view this page.\n" + good),  # rule (c), mixed case
+        (4, good + "\nLorem Ipsum dolor sit amet."),           # page drop: lorem
+        (5, good + "\nfunction f() { return 1; }"),            # page drop: brace
+        (6, "just one single sentence with many words."),      # < 3 sentences
+        (7, None),                                             # NULL text
+        (8, 'he said "stop the build" loudly "twice" ok.'),    # quote terminal
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in c4_filters(df).collect()}
+
+    assert out[0]["passes"] and out[0]["n_lines_kept"] == 3
+    assert out[0]["n_sentences"] == 3 and out[0]["text_clean"] == good
+    # bad line dropped, the 3 good lines keep the page passing
+    for i in (1, 2, 3):
+        assert out[i]["n_lines"] == 4 and out[i]["n_lines_kept"] == 3, i
+        assert out[i]["passes"], i
+    assert "JavaScript" not in out[3]["text_clean"]
+    # page-level drops fire even though kept text is fine
+    assert not out[4]["passes"] and out[4]["has_lorem_ipsum"]
+    assert not out[5]["passes"] and out[5]["has_brace"]
+    # the brace line itself also fails the line filter (no terminal '.')
+    assert out[6]["n_lines_kept"] == 1 and out[6]["n_sentences"] == 1
+    assert not out[6]["passes"]
+    # NULL text: NULL stats, passes = false, row kept
+    r7 = out[7]
+    assert r7["n_lines"] is None and r7["text_clean"] is None
+    assert r7["passes"] is False
+    # '"' is a terminal mark and every '"' and '.' counts as a sentence
+    assert out[8]["n_lines_kept"] == 1 and out[8]["n_sentences"] == 5
+    assert out[8]["passes"]
+
+
+def test_line_dedup_planted_boilerplate(spark):
+    """CCNet/RefinedWeb line dedup: a nav-bar line planted in >= min_df
+    docs is removed from EVERY doc (trim-identity), unique content
+    lines survive in order, all-lines-removed docs keep '', and NULL
+    text keeps NULL stats."""
+    from chroma_rs_spark.operators.dedup import line_dedup
+
+    nav = "Home | About | Contact"
+    docs = [
+        (0, f"{nav}\nunique content zero.\nmore zero text."),
+        (1, f"  {nav}  \nunique content one."),   # trimmed identity
+        (2, f"{nav}\nunique content two."),
+        (3, "totally original document three."),
+        (4, nav),                                  # only boilerplate -> ''
+        (5, None),                                 # NULL text
+        (6, f"unique six.\n\n{nav}"),              # empty line never banned
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in line_dedup(df, min_df=3).collect()}
+
+    assert out[0]["n_lines"] == 3 and out[0]["n_lines_removed"] == 1
+    assert out[0]["text_clean"] == "unique content zero.\nmore zero text."
+    # the padded copy is removed too (trim identity), original spacing
+    # of surviving lines untouched
+    assert out[1]["n_lines_removed"] == 1
+    assert out[1]["text_clean"] == "unique content one."
+    assert out[2]["text_clean"] == "unique content two."
+    assert out[3]["n_lines_removed"] == 0
+    assert out[3]["text_clean"] == "totally original document three."
+    # every line banned -> empty string, not NULL
+    assert out[4]["text_clean"] == "" and out[4]["n_lines_removed"] == 1
+    # NULL text -> NULL stats (unscorable convention)
+    assert out[5]["n_lines"] is None and out[5]["text_clean"] is None
+    # blank lines are not candidates for banning; only the nav goes
+    assert out[6]["n_lines"] == 3 and out[6]["n_lines_removed"] == 1
+    assert out[6]["text_clean"] == "unique six.\n"
+
+
+def test_line_dedup_min_df_threshold(spark):
+    """A line in exactly min_df - 1 docs survives everywhere."""
+    from chroma_rs_spark.operators.dedup import line_dedup
+
+    shared = "almost boilerplate line."
+    docs = [
+        (0, f"{shared}\nalpha."),
+        (1, f"{shared}\nbeta."),
+        (2, "gamma only."),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in line_dedup(df, min_df=3).collect()}
+    assert all(r["n_lines_removed"] == 0 for r in out.values())
+    assert out[0]["text_clean"] == f"{shared}\nalpha."
+    # same corpus at min_df=2: the shared line is boilerplate
+    out2 = {r["doc_id"]: r for r in line_dedup(df, min_df=2).collect()}
+    assert out2[0]["n_lines_removed"] == 1 and out2[0]["text_clean"] == "alpha."
+    # a line repeated many times INSIDE one doc is not cross-doc
+    # boilerplate: distinct-doc counting, not occurrence counting
+    rep = spark.createDataFrame(
+        [(0, "echo.\necho.\necho.\nsolo."), (1, "other.")],
+        "doc_id long, text string",
+    )
+    out3 = {r["doc_id"]: r for r in line_dedup(rep, min_df=2).collect()}
+    assert out3[0]["n_lines_removed"] == 0
