@@ -632,10 +632,16 @@ def line_dedup(
     from chroma_rs_spark.plans.skew import count_distinct_twophase
 
     nl = "\n"
-    base = df.select(
-        F.col(id_col),
-        F.col(text_col).alias("_txt"),
-        F.split(F.col(text_col), nl).alias("_lines"),
+    # fan the per-row split/trim/md5 work across cores — a small-file
+    # scan otherwise runs it single-partition (round-6 lesson); no-op
+    # at scale
+    base = fan_out(
+        df.select(
+            F.col(id_col),
+            F.col(text_col).alias("_txt"),
+            F.split(F.col(text_col), nl).alias("_lines"),
+        ),
+        min_bytes=1 << 19,
     )
     occ = (
         base.select(id_col, F.explode("_lines").alias("_l"))
@@ -643,12 +649,24 @@ def line_dedup(
         .filter(F.col("_lt") != "")
         .select(id_col, F.md5(F.col("_lt")).alias("_h"))
     )
-    counts = count_distinct_twophase(occ, "_h", id_col, out="_df")
+    # the two-phase distinct-count discipline (plans/skew.py:
+    # count_distinct_twophase) INLINED so its phase-1 output — the
+    # distinct (doc, line-hash) pairs — is the SAME DataFrame the
+    # banned-line join consumes: identical exchange, so Catalyst reuses
+    # one shuffle for both branches instead of recomputing the
+    # explode/trim/md5 subtree (round-7; same reuse trick as tfidf)
+    # the explicit isNotNull mirrors the predicate the banned-line
+    # inner join would inject into one branch only, keeping both
+    # consumers of `pairs` canonically identical so AQE's runtime
+    # stage reuse can dedupe the (doc, _h) shuffle
+    pairs = occ.filter(
+        F.col("_h").isNotNull()
+    ).distinct()  # shuffle on (doc, _h): hot lines spread
+    counts = pairs.groupBy("_h").agg(F.count(F.lit(1)).alias("_df"))
     banned = counts.filter(F.col("_df") >= int(min_df)).select("_h")
     # only pairs that ARE banned survive to the per-doc aggregation
     banned_per_doc = (
-        occ.distinct()
-        .join(banned, "_h")
+        pairs.join(banned, "_h")
         .groupBy(id_col)
         .agg(F.collect_set("_h").alias("_banned"))
     )

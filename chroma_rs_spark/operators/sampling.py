@@ -199,7 +199,15 @@ def ngram_decontamination(
             f"weights define {sorted(weights)}"
         )
     sp = dataset_split(df, weights, id_col=id_col)
-    grams = sp.select(
+    # fan the CPU-dense tokenize/shingle/md5 explode across cores: a
+    # small-file scan otherwise runs it on ONE partition (the round-6
+    # lesson, plans/partitioning.py); no-op at scale where the scan
+    # already has >= cores partitions. Both gram branches share the
+    # identical round-robin exchange, so the scan is ReusedExchange'd.
+    from chroma_rs_spark.plans import fan_out
+
+    src = fan_out(sp.select(id_col, "split", text_col), min_bytes=0)
+    grams = src.select(
         F.col(id_col),
         F.col("split"),
         F.explode(shingles_col(nonempty_tokens_col(text_col), n)).alias("_g"),
@@ -210,18 +218,24 @@ def ngram_decontamination(
     eval_grams = grams.filter(F.col("split") != train_split).select(
         id_col, "split", "_h"
     ).distinct()
-    totals = eval_grams.groupBy(id_col, "split").agg(
-        F.count(F.lit(1)).cast("long").alias("n_grams")
-    )
-    hits = (
-        eval_grams.join(train_grams, "_h", "left_semi")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).cast("long").alias("n_contaminated"))
+    # ONE aggregation for both counts (round-7): mark each distinct
+    # eval gram by a left join against the train set (same _h-keyed
+    # shuffle a semi join pays) and count total + marked in a single
+    # per-doc groupBy — two fewer stages than separate totals/hits
+    # aggregations joined back per doc
+    per_doc = (
+        eval_grams.join(
+            train_grams.withColumn("_t", F.lit(1)), "_h", "left"
+        )
+        .groupBy(id_col, "split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.count("_t").cast("long").alias("n_contaminated"),
+        )
     )
     base = sp.filter(F.col("split") != train_split).select(id_col, "split")
     return (
-        base.join(totals.drop("split"), id_col, "left")
-        .join(hits, id_col, "left")
+        base.join(per_doc.drop("split"), id_col, "left")
         # coalesce FIRST, derive ratio/flag from the coalesced columns:
         # a doc with grams but zero hits must get ratio 0.0, not the
         # NULL a raw n_contaminated would propagate

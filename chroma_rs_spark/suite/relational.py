@@ -1078,7 +1078,6 @@ WHERE CAST(_rev AS DOUBLE) >
 
 
 QUERIES = {
-    "high_revenue_parts": QueryDef(q_high_revenue_parts, _HIGH_REVENUE_PARTS_ORACLE),
     "pricing_summary": QueryDef(q_pricing_summary, _PRICING_ORACLE),
     "shipping_priority": QueryDef(q_shipping_priority, _SHIPPING_ORACLE),
     "local_supplier_volume": QueryDef(q_local_supplier_volume, _LOCAL_SUPPLIER_ORACLE),
@@ -1396,6 +1395,12 @@ EXTRA_QUERIES = {
     # aggregation family's declared rows
     "approx_distinct_parts": QueryDef(
         q_approx_distinct_parts, _APPROX_DISTINCT_ORACLE
+    ),
+    # round-7 rotation out (driver-green r2-r6): the scalar-subquery +
+    # decimal-agg shape stays declared via orders_above_avg and
+    # pricing_summary
+    "high_revenue_parts": QueryDef(
+        q_high_revenue_parts, _HIGH_REVENUE_PARTS_ORACLE
     ),
     # round-4 rotation: gap/sessionization coverage stays declared via
     # events_session_windows (streaming family, same lag/gap plan)

@@ -714,9 +714,11 @@ FROM m
 """
 
 
+# round-7 rotation in (VERDICT r6 missing #1): the Gopher pre-filter
+# rules (Rae et al. 2021 A1.1) get their first driver-window pass
+QUERIES["gopher_quality"] = QueryDef(q_gopher_quality, _gopher_oracle())
+
 EXTRA_QUERIES = {
-    # round-6: the Gopher pre-filter rules (Rae et al. 2021 A1.1)
-    "gopher_quality": QueryDef(q_gopher_quality, _gopher_oracle()),
     # round-4 rotation: the corpus token ranking is subsumed in the
     # driver window by tfidf_topk (same explode/count core + idf join)
     "top_tokens": QueryDef(q_top_tokens, _TOP_TOKENS_ORACLE),
@@ -852,4 +854,5 @@ _C4_FILTERS_ORACLE = (
     "FROM s"
 )
 
-EXTRA_QUERIES["c4_filters"] = QueryDef(q_c4_filters, _C4_FILTERS_ORACLE)
+# round-7 rotation in (VERDICT r6 missing #1): C4 line/page cleaning
+QUERIES["c4_filters"] = QueryDef(q_c4_filters, _C4_FILTERS_ORACLE)
