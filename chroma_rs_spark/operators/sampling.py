@@ -390,3 +390,151 @@ def leakage_safe_split(
     return dataset_split(clusters, weights, id_col="cluster_id", out=out).select(
         id_col, "cluster_id", out
     )
+
+
+DSIR_BUCKETS = 10_000
+
+
+def dsir_importance(
+    df: DataFrame,
+    target_filter: Column | str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = DSIR_BUCKETS,
+    top_k: int | None = None,
+) -> DataFrame:
+    """Data Selection with Importance Resampling — DSIR (Xie et al.,
+    NeurIPS 2023, arXiv:2302.03169): score every document by how much
+    more likely its hashed n-gram features are under a TARGET domain
+    (the rows matching `target_filter`) than under the raw corpus, then
+    optionally resample `top_k` documents without replacement via
+    deterministic Gumbel-top-k.
+
+    Features are the paper's: unigrams + token bigrams hashed into
+    `buckets` buckets (10k there and here). Bucket models are add-1
+    smoothed multinomials; the importance weight of a document is
+    log w(d) = sum over its feature occurrences of
+    log p_target(b) - log p_raw(b). Selection keys are
+    log w + Gumbel noise, with the uniform drawn from the engine's
+    md5 id hash instead of rand() — reproducible on any engine, any
+    partitioning, the repo-wide sampling discipline (`hash_bucket`).
+
+    Returns (id, n_feats, log_weight[, sel_key, selected]); the last
+    two only when `top_k` is set. NULL/short texts with zero features
+    keep their row with n_feats=0, NULL weight, never selected (the
+    unscorable convention).
+
+    Scale shape (100 TB): the bucket tables are BOUNDED by construction
+    (<= `buckets` rows — broadcast unconditionally, unlike the
+    unbounded vocab joins which gate their hint), occurrence rows never
+    shuffle on a feature key (bucket counts are map-side-combinable
+    partial aggregates; the per-doc score is one id-keyed shuffle), and
+    the log-probability fold runs in POSITION order (array_sort + left
+    fold, the lm_perplexity/bm25 float-order discipline) so weights are
+    engine-reproducible bit-for-bit at round-6. Gumbel-top-k is one
+    TakeOrderedAndProject, no global window.
+    """
+    from chroma_rs_spark.operators.dedup import (
+        base_hash32,
+        nonempty_tokens_col,
+        shingles_col,
+    )
+    from chroma_rs_spark.plans import fan_out
+
+    if buckets < 2:
+        raise ValueError(f"buckets must be >= 2, got {buckets}")
+    pred = F.expr(target_filter) if isinstance(target_filter, str) else target_filter
+    toks = nonempty_tokens_col(text_col)
+    src = fan_out(
+        df.select(
+            F.col(id_col), F.col(text_col), pred.alias("_is_t")
+        ),
+        min_bytes=0,
+    )
+    feats = src.select(
+        F.col(id_col),
+        F.col("_is_t"),
+        F.posexplode(F.concat(toks, shingles_col(toks, 2))).alias(
+            "_pos", "_f"
+        ),
+    ).select(
+        id_col,
+        "_is_t",
+        "_pos",
+        (base_hash32("_f") % F.lit(buckets)).alias("_b"),
+    )
+    # one pass for both bucket models: raw count + target count per
+    # bucket, map-side combinable; <= `buckets` result rows
+    bstats = feats.groupBy("_b").agg(
+        F.count(F.lit(1)).alias("_cr"),
+        F.count_if(F.col("_is_t")).alias("_ct"),
+    )
+    totals = feats.agg(
+        F.count(F.lit(1)).alias("_Nr"),
+        F.count_if(F.col("_is_t")).alias("_Nt"),
+    )
+    lam = (
+        bstats.crossJoin(F.broadcast(totals))
+        .select(
+            "_b",
+            (
+                F.log(
+                    (F.col("_ct").cast("double") + F.lit(1.0))
+                    / (F.col("_Nt").cast("double") + F.lit(float(buckets)))
+                )
+                - F.log(
+                    (F.col("_cr").cast("double") + F.lit(1.0))
+                    / (F.col("_Nr").cast("double") + F.lit(float(buckets)))
+                )
+            ).alias("_lam"),
+        )
+    )
+    scored = (
+        feats.join(F.broadcast(lam), "_b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_feats"),
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_pos"), F.col("_lam")))
+            ).alias("_l"),
+        )
+        .selectExpr(
+            f"`{id_col}`",
+            "n_feats",
+            "round(aggregate(_l, 0.0D, (a, x) -> a + x._lam), 6)"
+            " + 0.0D AS log_weight",
+        )
+    )
+    out = (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_feats", F.lit(0).cast("long")).alias("n_feats"),
+            "log_weight",
+        )
+    )
+    if top_k is None:
+        return out
+    # Gumbel-top-k resampling without replacement: u in (0,1) from the
+    # md5 id hash (deterministic; +0.5 keeps u strictly inside (0,1))
+    u = (base_hash32(F.col(id_col).cast("string")) + F.lit(0.5)) / F.lit(
+        4294967296.0
+    )
+    sel_key = F.round(
+        F.col("log_weight") - F.log(-F.log(u)), 6
+    ) + F.lit(0.0)
+    keyed = out.withColumn("sel_key", sel_key)
+    chosen = (
+        keyed.filter(F.col("sel_key").isNotNull())
+        .orderBy(F.col("sel_key").desc(), F.col(id_col))
+        .limit(int(top_k))
+        .select(F.col(id_col), F.lit(True).alias("_sel"))
+    )
+    return keyed.join(chosen, id_col, "left").select(
+        id_col,
+        "n_feats",
+        "log_weight",
+        "sel_key",
+        F.coalesce("_sel", F.lit(False)).alias("selected"),
+    )

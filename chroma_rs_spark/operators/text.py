@@ -14,6 +14,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from chroma_rs_spark.operators.dedup import shingles_col, tokens_col
+from chroma_rs_spark.plans import maybe_broadcast
 
 # Tiny per-language stopword lists (public common words). Order of
 # LANGS is the deterministic tie-break for argmax.
@@ -492,7 +493,11 @@ def tfidf_topk(
         / (F.lit(1.0) + F.col("_df").cast("double"))
     ) + F.lit(1.0)
     scored = (
-        tf.join(F.broadcast(dfreq), "term")
+        # size-gated hint (ADVICE r6): an explicit broadcast is honored
+        # unconditionally, so a web-scale vocabulary would OOM instead
+        # of degrading — hint only under the estimate gate, shuffled
+        # equi-join (with AQE runtime auto-broadcast) otherwise
+        tf.join(maybe_broadcast(dfreq), "term")
         .crossJoin(F.broadcast(n_docs))
         .select(
             id_col,
@@ -806,7 +811,8 @@ def lm_perplexity(
     )
     vocab = tok.groupBy("_tok").agg(F.count(F.lit(1)).alias("_cnt"))
     scored = (
-        tok.join(F.broadcast(vocab), "_tok")
+        # size-gated hint — same rationale as tfidf_topk's dfreq join
+        tok.join(maybe_broadcast(vocab), "_tok")
         .crossJoin(F.broadcast(totals))
         .groupBy(id_col)
         .agg(

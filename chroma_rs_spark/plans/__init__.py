@@ -9,6 +9,10 @@ materializing the RDD lineage (`df.rdd.getNumPartitions()` costs
 ~40ms per call and builds the whole physical plan twice).
 """
 
-from chroma_rs_spark.plans.partitioning import fan_out, plan_size_bytes
+from chroma_rs_spark.plans.partitioning import (
+    fan_out,
+    maybe_broadcast,
+    plan_size_bytes,
+)
 
-__all__ = ["fan_out", "plan_size_bytes"]
+__all__ = ["fan_out", "maybe_broadcast", "plan_size_bytes"]

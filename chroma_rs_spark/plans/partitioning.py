@@ -55,3 +55,27 @@ def fan_out(df: DataFrame, min_bytes: int = DEFAULT_FAN_OUT_MIN_BYTES) -> DataFr
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
+
+
+# An explicit broadcast hint is honored UNCONDITIONALLY — past
+# spark.sql.maxBroadcastTableBytes (8 GB) the job fails instead of
+# degrading. Hint only when the optimizer's estimate says the build
+# side clearly fits; above (or unknown) leave the join un-hinted so it
+# plans as a shuffled equi-join, with AQE still free to auto-broadcast
+# small actual sizes at runtime.
+DEFAULT_BROADCAST_LIMIT_BYTES = 512 << 20
+
+
+def maybe_broadcast(
+    df: DataFrame, limit_bytes: int = DEFAULT_BROADCAST_LIMIT_BYTES
+) -> DataFrame:
+    """`F.broadcast(df)` iff the optimizer estimates it under
+    `limit_bytes`; the un-hinted `df` otherwise (including unknown
+    size: a web-scale vocabulary must degrade to a shuffled join, not
+    OOM the driver — ADVICE r6)."""
+    from pyspark.sql import functions as F
+
+    size = plan_size_bytes(df)
+    if 0 <= size < limit_bytes:
+        return F.broadcast(df)
+    return df

@@ -1414,6 +1414,79 @@ FROM assigned s LEFT JOIN dups d USING (vec_id)
 """
 
 
+def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights + Gumbel-top-k selection with the 'en'
+    slice of the corpus as the target domain."""
+    from chroma_rs_spark.operators.sampling import dsir_importance
+
+    return dsir_importance(
+        load_table(spark, sf_dir, "documents"),
+        target_filter="lang = 'en'",
+        top_k=100,
+    )
+
+
+# full replay: hashed unigram+bigram features (the engine's md5 bucket
+# hash), add-1 smoothed target/raw bucket models, position-ordered
+# log-ratio fold (round-6 + 0.0), md5-derived Gumbel keys, top-100 by
+# (sel_key DESC, doc_id)
+_DSIR_ORACLE = """
+WITH base AS (
+  SELECT doc_id, (lang = 'en') AS is_t,
+         list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+),
+fl AS (
+  SELECT doc_id, is_t,
+         t || list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])
+             AS fs
+  FROM base
+),
+feats AS (
+  SELECT doc_id, is_t, CAST(i - 1 AS INT) AS pos,
+         CAST('0x' || substr(md5(fs[CAST(i AS BIGINT)]), 1, 8) AS BIGINT)
+             % 10000 AS b
+  FROM fl, unnest(range(1, len(fs) + 1)) r(i)
+),
+bstats AS (
+  SELECT b, count(*) AS cr, count(*) FILTER (WHERE is_t) AS ct
+  FROM feats GROUP BY b
+),
+tot AS (
+  SELECT count(*) AS nr, count(*) FILTER (WHERE is_t) AS nt FROM feats
+),
+lam AS (
+  SELECT b, ln((ct + 1.0) / (nt + 10000.0)) - ln((cr + 1.0) / (nr + 10000.0))
+             AS lam
+  FROM bstats CROSS JOIN tot
+),
+scored AS (
+  SELECT f.doc_id, count(*) AS n_feats,
+         round(list_sum(list(l.lam ORDER BY f.pos)), 6) + 0.0 AS log_weight
+  FROM feats f JOIN lam l USING (b)
+  GROUP BY f.doc_id
+),
+keyed AS (
+  SELECT d.doc_id,
+         CAST(coalesce(s.n_feats, 0) AS BIGINT) AS n_feats,
+         s.log_weight,
+         round(s.log_weight - ln(-ln(
+             (CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)
+                   AS BIGINT) + 0.5) / 4294967296.0)), 6) + 0.0 AS sel_key
+  FROM documents d LEFT JOIN scored s USING (doc_id)
+),
+chosen AS (
+  SELECT doc_id FROM keyed WHERE sel_key IS NOT NULL
+  ORDER BY sel_key DESC, doc_id LIMIT 100
+)
+SELECT k.doc_id, k.n_feats, k.log_weight, k.sel_key,
+       (c.doc_id IS NOT NULL) AS selected
+FROM keyed k LEFT JOIN chosen c USING (doc_id)
+"""
+
+EXTRA_QUERIES["dsir_importance"] = QueryDef(q_dsir_importance, _DSIR_ORACLE)
+
+
 # round-7 rotation in (VERDICT r6 missing #1): cross-document line
 # dedup gets its first driver-window pass now that its oracle runs on
 # the installed DuckDB; semantic_dedup stays EXTRA (its k-means build

@@ -220,3 +220,67 @@ def test_line_dedup_min_df_threshold(spark):
     )
     out3 = {r["doc_id"]: r for r in line_dedup(rep, min_df=2).collect()}
     assert out3[0]["n_lines_removed"] == 0
+
+
+def test_dsir_importance_ranks_target_like_docs(spark):
+    """DSIR contract: documents sharing the target domain's hashed
+    n-gram features score higher log w than off-domain documents;
+    zero-feature docs are unscorable and never selected; top_k
+    membership is deterministic."""
+    from chroma_rs_spark.operators.sampling import dsir_importance
+
+    target_text = "the quick brown fox jumps over the lazy dog"
+    off_text = "zzq vvk qqj wxy kkp mmn bbv ccx"
+    docs = [
+        # target slice (is_target=True): fox-domain
+        (0, target_text, "en"),
+        (1, "quick brown fox and lazy dog again", "en"),
+        # raw-only candidates
+        (10, "the quick brown fox likes the lazy dog", "xx"),  # on-domain
+        (11, off_text, "xx"),                                   # off-domain
+        (12, None, "xx"),                                       # NULL text
+        (13, "", "xx"),                                         # empty text
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, lang string")
+    out = {
+        r["doc_id"]: r
+        for r in dsir_importance(
+            df, target_filter="lang = 'en'", top_k=3
+        ).collect()
+    }
+    assert len(out) == 6
+    # on-domain candidate outranks off-domain
+    assert out[10]["log_weight"] > out[11]["log_weight"]
+    # featureless docs: n_feats 0, NULL weight/key, never selected
+    for d in (12, 13):
+        assert out[d]["n_feats"] == 0
+        assert out[d]["log_weight"] is None
+        assert out[d]["sel_key"] is None
+        assert out[d]["selected"] is False
+    # exactly top_k rows selected among the scorable ones
+    assert sum(1 for r in out.values() if r["selected"]) == 3
+    # deterministic: same inputs -> identical selection + weights
+    again = {
+        r["doc_id"]: r
+        for r in dsir_importance(
+            df, target_filter="lang = 'en'", top_k=3
+        ).collect()
+    }
+    assert {d: r["selected"] for d, r in out.items()} == {
+        d: r["selected"] for d, r in again.items()
+    }
+    assert {d: r["log_weight"] for d, r in out.items()} == {
+        d: r["log_weight"] for d, r in again.items()
+    }
+    # without top_k the selection columns are absent
+    cols = dsir_importance(df, target_filter="lang = 'en'").columns
+    assert cols == ["doc_id", "n_feats", "log_weight"]
+
+
+def test_dsir_importance_rejects_bad_buckets(spark):
+    from chroma_rs_spark.operators.sampling import dsir_importance
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(0, "a b", "en")], "doc_id long, text string, lang string")
+    with _pytest.raises(ValueError, match="buckets"):
+        dsir_importance(df, target_filter="lang = 'en'", buckets=1)

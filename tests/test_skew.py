@@ -58,3 +58,23 @@ def test_salted_join_rejects_outer(spark):
     df = spark.range(3).select(F.col("id").alias("k"))
     with pt.raises(ValueError, match="inner"):
         salted_join(df, df, on="k", how="full")
+
+
+def test_maybe_broadcast_gates_on_size(spark):
+    """ADVICE r6: the vocab joins must hint broadcast only under the
+    estimate gate — an oversized (or unknown-size) build side stays
+    un-hinted so the join degrades to a shuffled equi-join instead of
+    failing at the 8 GB broadcast ceiling."""
+    from chroma_rs_spark.plans import maybe_broadcast, plan_size_bytes
+
+    small = spark.range(10).toDF("k")
+    hinted = maybe_broadcast(small)
+    assert "ResolvedHint" in hinted._jdf.queryExecution().analyzed().toString()
+    # force the gate shut: a limit below the (known, positive) estimate
+    est = plan_size_bytes(small)
+    assert est > 0
+    unhinted = maybe_broadcast(small, limit_bytes=1)
+    assert (
+        "ResolvedHint"
+        not in unhinted._jdf.queryExecution().analyzed().toString()
+    )
