@@ -64,6 +64,7 @@ QUERIES = [
     "c4_filters",
     "gopher_quality",
     "semantic_dedup",
+    "dsir_importance",
 ]
 
 
