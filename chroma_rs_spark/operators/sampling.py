@@ -469,9 +469,11 @@ def dsir_importance(
         F.count(F.lit(1)).alias("_cr"),
         F.count_if(F.col("_is_t")).alias("_ct"),
     )
-    totals = feats.agg(
-        F.count(F.lit(1)).alias("_Nr"),
-        F.count_if(F.col("_is_t")).alias("_Nt"),
+    # corpus totals derived FROM the bucket table, not a third pass
+    # over the feature explode: one fewer full scan+tokenize branch
+    totals = bstats.agg(
+        F.sum("_cr").alias("_Nr"),
+        F.sum("_ct").alias("_Nt"),
     )
     lam = (
         bstats.crossJoin(F.broadcast(totals))
