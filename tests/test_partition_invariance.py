@@ -1,0 +1,130 @@
+"""Partition-order invariance gate.
+
+Every operator in this repo claims its output is "a deterministic
+function of the data, not of the partitioning" — the property the
+fixed-point sums, position-ordered folds, md5 sampling and round-6
+discipline exist to deliver. This suite checks the claim MECHANICALLY:
+each operator runs once over a single-partition layout and once over an
+adversarial layout (7 partitions keyed on an unrelated expression, row
+order scrambled within each), and the two results must match as sorted
+row multisets with EXACT float bits.
+
+A plain parallel sum of doubles fails this gate; in-order folds and
+integer/decimal fixed-point accumulation pass. This is the local
+analogue of a cluster re-running a stage with different task layouts.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF001_DIR
+
+
+def _bits(x):
+    if x is None:
+        return None
+    if isinstance(x, float):
+        if math.isnan(x):
+            return "nan"
+        return struct.unpack("<q", struct.pack("<d", x))[0]
+    if isinstance(x, list):
+        return tuple(_bits(v) for v in x)
+    return x
+
+
+def _canon(df):
+    return sorted(
+        tuple(_bits(v) for v in row) for row in (tuple(r) for r in df.collect())
+    )
+
+
+def _layouts(df, key_col):
+    """(single-partition, adversarial) variants of the same rows."""
+    one = df.coalesce(1)
+    scrambled = (
+        df.repartition(7, (F.col(key_col) % F.lit(3)).cast("int"))
+        .sortWithinPartitions(F.col(key_col).desc())
+    )
+    return one, scrambled
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF001_DIR}/documents.parquet")
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF001_DIR}/embeddings.parquet")
+
+
+def test_label_centroids_partition_invariant(spark):
+    from chroma_rs_spark.operators.centroids import label_centroids
+
+    a, b = _layouts(_emb(spark), "vec_id")
+    assert _canon(label_centroids(a)) == _canon(label_centroids(b))
+
+
+def test_lm_perplexity_partition_invariant(spark):
+    from chroma_rs_spark.operators.text import lm_perplexity
+
+    a, b = _layouts(_docs(spark), "doc_id")
+    assert _canon(lm_perplexity(a)) == _canon(lm_perplexity(b))
+
+
+def test_tfidf_topk_partition_invariant(spark):
+    from chroma_rs_spark.operators.text import tfidf_topk
+
+    a, b = _layouts(_docs(spark), "doc_id")
+    assert _canon(tfidf_topk(a)) == _canon(tfidf_topk(b))
+
+
+def test_bm25_partition_invariant(spark):
+    from chroma_rs_spark.operators.text import bm25_scores
+    from chroma_rs_spark.suite.text import _BM25_TERMS
+
+    a, b = _layouts(_docs(spark), "doc_id")
+    assert _canon(bm25_scores(a, list(_BM25_TERMS))) == _canon(
+        bm25_scores(b, list(_BM25_TERMS))
+    )
+
+
+def test_line_dedup_partition_invariant(spark):
+    from chroma_rs_spark.operators.dedup import line_dedup
+
+    a, b = _layouts(_docs(spark), "doc_id")
+    assert _canon(line_dedup(a, min_df=2)) == _canon(line_dedup(b, min_df=2))
+
+
+def test_dsir_partition_invariant(spark):
+    from chroma_rs_spark.operators.sampling import dsir_importance
+
+    a, b = _layouts(_docs(spark), "doc_id")
+    got_a = _canon(dsir_importance(a, target_filter="lang = 'en'", top_k=50))
+    got_b = _canon(dsir_importance(b, target_filter="lang = 'en'", top_k=50))
+    assert got_a == got_b
+
+
+def test_semantic_dedup_partition_invariant(spark):
+    from chroma_rs_spark.operators.similarity import semantic_dedup
+
+    # a 120-vector sample keeps the two k-means runs fast while still
+    # exercising seeds, Lloyd's E/M rounds and the pair tournament
+    emb = _emb(spark).filter(F.col("vec_id") < 120)
+    a, b = _layouts(emb, "vec_id")
+    assert _canon(semantic_dedup(a, threshold=0.9)) == _canon(
+        semantic_dedup(b, threshold=0.9)
+    )
+
+
+def test_ngram_decontamination_partition_invariant(spark):
+    from chroma_rs_spark.operators.sampling import ngram_decontamination
+
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a, b = _layouts(_docs(spark), "doc_id")
+    assert _canon(ngram_decontamination(a, w)) == _canon(
+        ngram_decontamination(b, w)
+    )
