@@ -21,6 +21,25 @@ from pyspark.sql import functions as F
 from chroma_rs_spark.functions.vector import cosine_distance, dot_product, l2_norm
 from chroma_rs_spark.plans import fan_out
 
+_INTEGRAL_ID_TYPES = ("tinyint", "smallint", "int", "bigint")
+
+
+def _require_integral_id(df: DataFrame, id_col: str, op: str) -> None:
+    """The numpy pair kernels emit a fixed `id_a long, id_b long`
+    schema and orient pairs with integer min/max — a string id would
+    miscast or crash at runtime, and the gate failover
+    (blocked -> tiled_np) would silently inherit the constraint
+    (ADVICE r6). Fail loudly at plan-build instead."""
+    t = dict(df.dtypes).get(id_col)
+    if t not in _INTEGRAL_ID_TYPES:
+        raise TypeError(
+            f"{op}: id column {id_col!r} must be an integral type "
+            f"({', '.join(_INTEGRAL_ID_TYPES)}), got {t!r} — the tile "
+            "kernels emit 'id_a long, id_b long' and orient pairs by "
+            "integer id. Map string ids to a surrogate integer first "
+            "(e.g. monotonically_increasing_id or a dense rank)."
+        )
+
 
 def cosine_topk_pairs(
     df: DataFrame,
@@ -109,6 +128,7 @@ def cosine_topk_pairs_blocked(
 
     from chroma_rs_spark.plans.partitioning import plan_size_bytes
 
+    _require_integral_id(df, id_col, "cosine_topk_pairs_blocked")
     src0 = df.filter(F.col(emb_col).isNotNull()).select(id_col, emb_col)
     est = plan_size_bytes(src0)
     if est < 0 or est > max_collect_bytes:
@@ -311,6 +331,7 @@ def cosine_topk_pairs_tiled_np(
     import numpy as np
     import pandas as pd
 
+    _require_integral_id(df, id_col, "cosine_topk_pairs_tiled_np")
     if n_blocks is None:
         if est_bytes < 0:
             n_blocks = 16

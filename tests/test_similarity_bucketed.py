@@ -214,3 +214,24 @@ def test_semantic_dedup_size_derived_k_bounds_pair_join(spark):
         .count()
     )
     assert n2 <= 4
+
+
+def test_pair_kernels_reject_non_integral_ids(spark):
+    """ADVICE r6: the numpy pair kernels hardcode 'id_a long, id_b
+    long' — a string id must fail LOUDLY at plan-build, on both sides
+    of the blocked -> tiled_np gate failover."""
+    import pytest as _pytest
+
+    from chroma_rs_spark.operators.similarity import (
+        cosine_topk_pairs_blocked,
+        cosine_topk_pairs_tiled_np,
+    )
+
+    df = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [0.0, 1.0])],
+        "vec_id string, embedding array<double>",
+    )
+    with _pytest.raises(TypeError, match="integral"):
+        cosine_topk_pairs_blocked(df)
+    with _pytest.raises(TypeError, match="integral"):
+        cosine_topk_pairs_tiled_np(df)
