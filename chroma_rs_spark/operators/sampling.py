@@ -540,3 +540,119 @@ def dsir_importance(
         "sel_key",
         F.coalesce("_sel", F.lit(False)).alias("selected"),
     )
+
+
+TOKEN_BUDGET_BUCKETS = 64
+
+
+def token_budget_sample(
+    df: DataFrame,
+    budget: int,
+    budgets: dict[str, int] | None = None,
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = TOKEN_BUDGET_BUCKETS,
+) -> DataFrame:
+    """Deterministic per-language token-budget sampling — the mixing
+    step a pretraining pipeline runs after choosing proportions
+    (`temperature_mixture_sample` picks WEIGHTS; this op realizes a
+    TOKEN COUNT): within each language, documents are taken in md5-id
+    order until the cumulative token count reaches the language's
+    budget (`budgets[lang]`, else `budget`). The md5 order makes the
+    sample reproducible, growth-stable (a new doc displaces only docs
+    hashed after it) and engine-portable, like every sampler here.
+
+    Returns (id, lang, n_tokens, cum_tokens, selected): `cum_tokens`
+    is the running total INCLUDING this row, `selected` means
+    cum_tokens <= budget — so a doc is kept iff it fits entirely.
+    NULL text counts 0 tokens; NULL language forms its own group.
+
+    Scale shape — a running sum per language is the textbook hot
+    window (PARTITION BY lang routes an entire language through one
+    task; 'en' at 100 TB is most of the corpus). The cumsum is
+    therefore HIERARCHICAL: rows bucket by the leading 16 bits of
+    their md5 (order-preserving: every hash in bucket b sorts before
+    every hash in bucket b+1, ties stay in-bucket), the window runs
+    per (lang, bucket) — hottest partition is |lang|/n_buckets — and
+    bucket offsets come from a (langs x n_buckets)-row aggregate whose
+    own exclusive prefix sum is computed on that tiny table and
+    broadcast back. All-integer arithmetic end to end, so the result
+    is bit-exact and partition-order independent.
+    """
+    from pyspark.sql.window import Window
+
+    from chroma_rs_spark.operators.dedup import nonempty_tokens_col
+
+    if not (1 <= n_buckets <= 65536 and 65536 % n_buckets == 0):
+        raise ValueError(
+            f"n_buckets must divide 65536 (got {n_buckets}): buckets are "
+            "equal slices of the 16-bit md5 prefix"
+        )
+    if budget < 0 or (budgets and any(v < 0 for v in budgets.values())):
+        raise ValueError("token budgets must be >= 0")
+    width = 65536 // n_buckets
+    h = F.md5(F.col(id_col).cast("string"))
+    base = df.select(
+        F.col(id_col),
+        F.col(lang_col).alias("_lang"),
+        # explicit NULL test, not coalesce(size(...)): size(NULL) is -1
+        # with ANSI off and NULL with ANSI on — this form is correct
+        # under both (the r5 `_t IS NULL` convention)
+        F.when(F.col(text_col).isNull(), F.lit(0))
+        .otherwise(F.size(nonempty_tokens_col(text_col)))
+        .cast("long")
+        .alias("n_tokens"),
+        h.alias("_h"),
+        (F.conv(F.substring(h, 1, 4), 16, 10).cast("long") / F.lit(width))
+        .cast("int")
+        .alias("_bk"),
+    )
+    w_local = (
+        Window.partitionBy("_lang", "_bk")
+        .orderBy("_h", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = base.withColumn("_cum_local", F.sum("n_tokens").over(w_local))
+    # bucket totals: langs x n_buckets rows; exclusive prefix over the
+    # tiny table, broadcast back — no language-wide window anywhere
+    w_off = (
+        Window.partitionBy("_lang")
+        .orderBy("_bk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        base.groupBy("_lang", "_bk")
+        .agg(F.sum("n_tokens").alias("_btot"))
+        .withColumn(
+            "_off", F.coalesce(F.sum("_btot").over(w_off), F.lit(0).cast("long"))
+        )
+        .select("_lang", "_bk", "_off")
+    )
+    lim = F.lit(int(budget)).cast("long")
+    for k, v in (budgets or {}).items():
+        lim = F.when(F.col("_lang") == k, F.lit(int(v)).cast("long")).otherwise(
+            lim
+        )
+    # null-safe on the language key: a NULL language is a legitimate
+    # budget group (its own window partition) and a plain equi-join
+    # would silently drop every one of its rows
+    off = offsets.select(
+        F.col("_lang").alias("_lang2"),
+        F.col("_bk").alias("_bk2"),
+        "_off",
+    )
+    return (
+        local.join(
+            F.broadcast(off),
+            F.col("_lang").eqNullSafe(F.col("_lang2"))
+            & (F.col("_bk") == F.col("_bk2")),
+        )
+        .select(
+            id_col,
+            F.col("_lang").alias(lang_col),
+            "n_tokens",
+            (F.col("_off") + F.col("_cum_local")).alias("cum_tokens"),
+            ((F.col("_off") + F.col("_cum_local")) <= lim).alias("selected"),
+        )
+    )

@@ -1487,6 +1487,50 @@ FROM keyed k LEFT JOIN chosen c USING (doc_id)
 EXTRA_QUERIES["dsir_importance"] = QueryDef(q_dsir_importance, _DSIR_ORACLE)
 
 
+def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token-budget mixing: 'en' gets a larger budget,
+    every other language the default — sized so both selected and
+    rejected docs exist at the gate scale."""
+    from chroma_rs_spark.operators.sampling import token_budget_sample
+
+    return token_budget_sample(
+        load_table(spark, sf_dir, "documents"),
+        budget=3000,
+        budgets={"en": 8000},
+    )
+
+
+# same tokenization, same (md5, id) order, same integer running sum —
+# the oracle uses ONE language-wide window; the engine's hierarchical
+# bucket form must be exactly equal (bucket boundaries are
+# order-preserving slices of the md5 prefix). CAST the windowed sum:
+# DuckDB widens it to HUGEINT (the round-3 pack_sequences type leak).
+_TOKEN_BUDGET_ORACLE = """
+WITH t AS (
+  SELECT doc_id, lang,
+         CAST(CASE WHEN text IS NULL THEN 0
+              ELSE len(list_filter(string_split(text, ' '), x -> x <> ''))
+              END AS BIGINT) AS n_tokens,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+),
+c AS (
+  SELECT doc_id, lang, n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_tokens
+  FROM t
+)
+SELECT doc_id, lang, n_tokens, cum_tokens,
+       cum_tokens <= CASE WHEN lang = 'en' THEN 8000 ELSE 3000 END AS selected
+FROM c
+"""
+
+EXTRA_QUERIES["token_budget_sample"] = QueryDef(
+    q_token_budget_sample, _TOKEN_BUDGET_ORACLE
+)
+
+
 # round-7 rotation in (VERDICT r6 missing #1): cross-document line
 # dedup gets its first driver-window pass now that its oracle runs on
 # the installed DuckDB; semantic_dedup stays EXTRA (its k-means build

@@ -65,6 +65,7 @@ QUERIES = [
     "gopher_quality",
     "semantic_dedup",
     "dsir_importance",
+    "token_budget_sample",
 ]
 
 

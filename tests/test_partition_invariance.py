@@ -128,3 +128,12 @@ def test_ngram_decontamination_partition_invariant(spark):
     assert _canon(ngram_decontamination(a, w)) == _canon(
         ngram_decontamination(b, w)
     )
+
+
+def test_token_budget_sample_partition_invariant(spark):
+    from chroma_rs_spark.operators.sampling import token_budget_sample
+
+    a, b = _layouts(_docs(spark), "doc_id")
+    assert _canon(token_budget_sample(a, budget=3000)) == _canon(
+        token_budget_sample(b, budget=3000)
+    )

@@ -628,3 +628,90 @@ def test_random_projection_preserves_distances_in_expectation(spark):
     # JL in expectation: mean ratio near 1, spread bounded at k=16
     assert 0.7 < ratios.mean() < 1.3, ratios.mean()
     assert (ratios > 0.2).all() and (ratios < 3.0).all()
+
+
+def test_token_budget_sample_boundary_and_order(spark):
+    """Selection is cum_tokens <= budget in md5-id order: a doc that
+    fits exactly is kept, the next one is cut; NULL text costs 0
+    tokens and NULL language forms its own budget group."""
+    from chroma_rs_spark.operators.sampling import token_budget_sample
+
+    docs = [
+        (i, "tok " * 10, "en") for i in range(8)
+    ]  # 10 tokens each ("tok"*10 split -> 10 non-empty)
+    docs += [(100, None, "en"), (200, "a b c", None)]
+    df = spark.createDataFrame(docs, "doc_id long, text string, lang string")
+    out = {
+        r["doc_id"]: r
+        for r in token_budget_sample(df, budget=30).collect()
+    }
+    en = sorted(
+        (r["cum_tokens"], d)
+        for d, r in out.items()
+        if r["lang"] == "en" and r["n_tokens"] > 0
+    )
+    # exactly three 10-token docs fit a 30-token budget
+    kept = [d for c, d in en if c <= 30]
+    assert len(kept) == 3
+    for c, d in en:
+        assert out[d]["selected"] == (c <= 30)
+    # the boundary doc (cum == 30) is kept, the next (cum == 40) is not
+    assert en[2][0] == 30 and out[en[2][1]]["selected"]
+    assert en[3][0] == 40 and not out[en[3][1]]["selected"]
+    # NULL text: zero tokens, cumulative total unchanged by it
+    assert out[100]["n_tokens"] == 0
+    # NULL lang is its own group with the default budget
+    assert out[200]["lang"] is None and out[200]["selected"]
+
+
+def test_token_budget_sample_hierarchical_equals_naive(spark):
+    """The bucketed prefix sum must equal a single language-wide
+    window exactly (order-preserving bucket boundaries, integer
+    arithmetic) — across several bucket widths."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+
+    from chroma_rs_spark.operators.dedup import nonempty_tokens_col
+    from chroma_rs_spark.operators.sampling import token_budget_sample
+
+    docs = spark.read.parquet(f"{SF001_DIR}/documents.parquet")
+    h = F.md5(F.col("doc_id").cast("string"))
+    naive = docs.select(
+        "doc_id",
+        F.when(F.col("text").isNull(), F.lit(0))
+        .otherwise(F.size(nonempty_tokens_col("text")))
+        .cast("long")
+        .alias("n_tokens"),
+        h.alias("_h"),
+        "lang",
+    ).withColumn(
+        "cum_tokens",
+        F.sum("n_tokens").over(
+            Window.partitionBy("lang")
+            .orderBy("_h", "doc_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    want = {
+        r["doc_id"]: r["cum_tokens"] for r in naive.collect()
+    }
+    for nb in (1, 16, 256):
+        got = {
+            r["doc_id"]: r["cum_tokens"]
+            for r in token_budget_sample(docs, budget=5000, n_buckets=nb).collect()
+        }
+        assert got == want, f"n_buckets={nb}"
+
+
+def test_token_budget_sample_validation(spark):
+    from chroma_rs_spark.operators.sampling import token_budget_sample
+
+    df = spark.createDataFrame(
+        [(0, "a", "en")], "doc_id long, text string, lang string"
+    )
+    with pytest.raises(ValueError, match="divide 65536"):
+        token_budget_sample(df, budget=10, n_buckets=100)
+    with pytest.raises(ValueError, match=">= 0"):
+        token_budget_sample(df, budget=-1)
+    with pytest.raises(ValueError, match=">= 0"):
+        token_budget_sample(df, budget=10, budgets={"en": -5})
