@@ -617,20 +617,22 @@ def line_dedup(
     Returns (id, n_lines, n_lines_removed, text_clean); NULL text keeps
     its row with NULL stats (the unscorable convention).
 
-    Scale shape (100 TB): document text NEVER shuffles on a line key.
-    1. distinct (doc, md5-line) pairs -> per-line distinct-doc counts
-       via the two-phase re-key (`plans/skew.py:count_distinct_twophase`)
-       so a hot boilerplate line spreads over all reducers instead of
-       routing every occurrence through one task;
-    2. the banned-line join back is keyed on (doc, md5) and only BANNED
-       pairs reach the per-doc collect_set — shuffle volume is
+    Scale shape (100 TB): document text NEVER shuffles on a line key,
+    and the per-doc line dedup is FREE — it happens map-side inside
+    the row (`array_distinct` over the doc's own line hashes), so no
+    corpus-wide (doc, line) distinct shuffle exists at all:
+    1. per-line distinct-doc counts are one groupBy over the already-
+       per-doc-distinct hash rows — map-side partial aggregation means
+       the reducer holding a hot boilerplate line receives at most one
+       partial row per map task (the two-phase property of
+       `plans/skew.py:count_distinct_twophase`, with phase 1 free);
+    2. the banned-line join back is keyed on the line hash and only
+       BANNED rows reach the per-doc collect_set — shuffle volume is
        O(boilerplate occurrences), not O(corpus);
     3. the final join on the doc id carries one small array per
        affected doc (AQE broadcasts it when it fits), and the line
        filter + reassembly run map-side inside the scan.
     """
-    from chroma_rs_spark.plans.skew import count_distinct_twophase
-
     nl = "\n"
     # fan the per-row split/trim/md5 work across cores — a small-file
     # scan otherwise runs it single-partition (round-6 lesson); no-op
@@ -643,30 +645,25 @@ def line_dedup(
         ),
         min_bytes=1 << 19,
     )
-    occ = (
-        base.select(id_col, F.explode("_lines").alias("_l"))
-        .select(id_col, F.trim(F.col("_l")).alias("_lt"))
-        .filter(F.col("_lt") != "")
-        .select(id_col, F.md5(F.col("_lt")).alias("_h"))
+    # per-doc DISTINCT trimmed-line hashes, computed inside the row —
+    # the (doc, line) dedup a corpus-wide distinct() used to pay a
+    # full shuffle for (round-7)
+    occ1 = base.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(filter(_lines, x -> trim(x) != ''),"
+                    " x -> md5(trim(x)))"
+                )
+            )
+        ).alias("_h"),
     )
-    # the two-phase distinct-count discipline (plans/skew.py:
-    # count_distinct_twophase) INLINED so its phase-1 output — the
-    # distinct (doc, line-hash) pairs — is the SAME DataFrame the
-    # banned-line join consumes: identical exchange, so Catalyst reuses
-    # one shuffle for both branches instead of recomputing the
-    # explode/trim/md5 subtree (round-7; same reuse trick as tfidf)
-    # the explicit isNotNull mirrors the predicate the banned-line
-    # inner join would inject into one branch only, keeping both
-    # consumers of `pairs` canonically identical so AQE's runtime
-    # stage reuse can dedupe the (doc, _h) shuffle
-    pairs = occ.filter(
-        F.col("_h").isNotNull()
-    ).distinct()  # shuffle on (doc, _h): hot lines spread
-    counts = pairs.groupBy("_h").agg(F.count(F.lit(1)).alias("_df"))
+    counts = occ1.groupBy("_h").agg(F.count(F.lit(1)).alias("_df"))
     banned = counts.filter(F.col("_df") >= int(min_df)).select("_h")
-    # only pairs that ARE banned survive to the per-doc aggregation
+    # only rows whose line IS banned survive to the per-doc aggregation
     banned_per_doc = (
-        pairs.join(banned, "_h")
+        occ1.join(banned, "_h")
         .groupBy(id_col)
         .agg(F.collect_set("_h").alias("_banned"))
     )
