@@ -187,6 +187,14 @@ def ngram_decontamination(
     the train-membership test is a semi join, counts are
     map-side-combinable. No broadcast assumption: the train gram set
     scales with the corpus and joins shuffled.
+
+    Measured negative result (round-7): replacing the (doc, gram)
+    distinct shuffle with an in-row array_distinct over the gram array
+    (the line_dedup move) is 2x SLOWER here — interleaved best-of-7 at
+    sf0.1: 1.01 s vs 2.11 s — because a doc carries ~90 thirteen-token
+    gram strings and array_distinct evaluates interpreted per element;
+    line_dedup wins the same trade with ~10 short lines per doc. The
+    shuffle stays.
     """
     from chroma_rs_spark.operators.dedup import (
         nonempty_tokens_col,
