@@ -50,6 +50,14 @@ QUERIES = [
     "leakage_safe_split",
     "lm_perplexity",
     "remove_duplicate_spans",
+    # round-7 additions: the quality/dedup/selection operators over the
+    # same random unicode/NULL/whitespace text domain
+    "gopher_quality",
+    "c4_filters",
+    "line_dedup",
+    "ngram_decontamination",
+    "dsir_importance",
+    "token_budget_sample",
 ]
 
 _ALPHABET = (
