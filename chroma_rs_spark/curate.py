@@ -1,0 +1,253 @@
+"""End-to-end corpus curation — the recipe that chains the
+LLM-data-pipeline operators the way a real pretraining pipeline runs
+them, with a per-stage attrition report.
+
+Stage order (the standard public recipe: C4's line/page cleaning and
+Gopher's cheap rules BEFORE the expensive dedup stages — Raffel et al.
+JMLR 2020 §2.2, Rae et al. 2021 §A1.2, Lee et al. ACL 2022, Penedo et
+al. 2023):
+
+  1. c4_filters         — line cleaning + lorem-ipsum/brace page drops
+  2. gopher_quality     — word-count / word-length / symbol / stopword
+                          rules over the CLEANED text
+  3. line_dedup         — cross-document boilerplate line removal
+  4. exact_dedup        — byte-identical documents, keep min id
+  5. minhash LSH + CC   — near-duplicate clusters, keep one per cluster
+  6. remove_duplicate_spans — substring-level CUT of duplicated spans
+  7. leakage_safe_split — near-dups co-assign to one split
+  8. ngram_decontamination — drop non-train docs sharing a 13-gram
+                          with train (against the stage-7 split, NOT a
+                          re-derived id-hash split)
+
+Every stage is one of the repo's oracle-checked operators; this module
+adds NO new semantics — only composition and accounting.
+
+Lineage MUST be cut between stages: each stage's plan references its
+input 2-4x (semi-joins against aggregates derived from the same
+input), so the analyzed logical tree of the naive 8-stage composition
+grows ~3^8 copies of the scan — measured on a 36-doc corpus, analysis
+alone took 220 s and `collect()` died with a JVM heap OOM before
+touching data. `persist()` does NOT help (the cache is substituted
+after analysis, on the already-exponential tree). With `cache=True`
+(default) each stage is `localCheckpoint()`ed — materialized once,
+plan truncated to a LogicalRDD — which is both the lineage cut and
+the persist. On a real cluster swap local checkpoints for reliable
+ones (`sparkContext.setCheckpointDir` + `.checkpoint()`) or a parquet
+write/read after stage 5 where most bytes are gone; local checkpoints
+don't survive executor loss. `cache=False` skips the cut and is only
+safe when most stages are `skip`ped (the caller owns lineage breaks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _tokens_sum(df: DataFrame, text_col: str):
+    from chroma_rs_spark.operators.dedup import nonempty_tokens_col
+
+    n = F.when(F.col(text_col).isNull(), F.lit(0)).otherwise(
+        F.size(nonempty_tokens_col(text_col))
+    )
+    return F.coalesce(F.sum(n.cast("long")), F.lit(0).cast("long"))
+
+
+def curate_corpus(
+    docs: DataFrame,
+    weights: dict[str, float] | None = None,
+    *,
+    line_min_df: int = 5,
+    span_tokens: int = 20,
+    stride: int = 5,
+    near_dup_threshold: float = 0.7,
+    decontam_n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cache: bool = True,
+    skip: frozenset[str] | set[str] = frozenset(),
+) -> tuple[DataFrame, DataFrame]:
+    """Run the 8-stage curation recipe; return (corpus, report).
+
+    `corpus` is (id, text, split) — the cleaned, deduplicated,
+    decontaminated documents with their leakage-safe split assignment.
+    `report` is (stage_no, stage, n_docs, n_tokens) — the attrition
+    ledger after each stage (stage 0 = the input), the numbers a
+    curation run is judged by.
+
+    `skip` names stages to leave out (any of "c4_filters",
+    "gopher_quality", "line_dedup", "exact_dedup", "near_dup_clusters",
+    "remove_duplicate_spans", "ngram_decontamination") — rule stages
+    are corpus-dependent (C4's terminal-punctuation rule zeroes a
+    corpus of unpunctuated text) and a pipeline operator chooses its
+    stages; the split stage always runs (the output contract includes
+    it). Unknown names raise.
+    """
+    from chroma_rs_spark.operators.dedup import (
+        exact_dedup,
+        line_dedup,
+        minhash_lsh_pairs,
+    )
+    from chroma_rs_spark.operators.graph import dedup_clusters
+    from chroma_rs_spark.operators.sampling import (
+        leakage_safe_split,
+        ngram_decontamination,
+    )
+    from chroma_rs_spark.operators.text import (
+        c4_filters,
+        gopher_quality,
+        remove_duplicate_spans,
+    )
+
+    _known = {
+        "c4_filters", "gopher_quality", "line_dedup", "exact_dedup",
+        "near_dup_clusters", "remove_duplicate_spans",
+        "ngram_decontamination",
+    }
+    unknown = set(skip) - _known
+    if unknown:
+        raise ValueError(f"curate_corpus: unknown skip stages {sorted(unknown)}")
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    stages: list[tuple[str, DataFrame]] = []
+
+    def _stage(name: str, sdf: DataFrame) -> DataFrame:
+        if cache:
+            # eager: truncates the logical plan (the exponential-tree
+            # cut — see module docstring) AND materializes the stage
+            # once for the report + downstream consumers
+            sdf = sdf.localCheckpoint()
+        stages.append((name, sdf))
+        return sdf
+
+    s0 = _stage("input", docs.select(F.col(id_col), F.col(text_col)))
+
+    # 1. C4 line cleaning + page drops (operates on raw text; its
+    # text_clean becomes the working text)
+    s1 = s0
+    if "c4_filters" not in skip:
+        c4 = c4_filters(s0, id_col=id_col, text_col=text_col)
+        s1 = _stage(
+            "c4_filters",
+            c4.filter(F.col("passes")).select(
+                F.col(id_col), F.col("text_clean").alias(text_col)
+            ),
+        )
+
+    # 2. Gopher quality rules over the cleaned text
+    s2 = s1
+    if "gopher_quality" not in skip:
+        g_ok = (
+            gopher_quality(s1, id_col=id_col, text_col=text_col)
+            .filter(F.col("passes"))
+            .select(id_col)
+        )
+        s2 = _stage("gopher_quality", s1.join(g_ok, id_col, "left_semi"))
+
+    # 3. cross-document boilerplate lines removed everywhere; docs
+    # reduced to nothing are dropped
+    s3 = s2
+    if "line_dedup" not in skip:
+        ld = line_dedup(
+            s2, id_col=id_col, text_col=text_col, min_df=line_min_df
+        )
+        s3 = _stage(
+            "line_dedup",
+            ld.select(F.col(id_col), F.col("text_clean").alias(text_col))
+            .filter(F.trim(F.col(text_col)) != ""),
+        )
+
+    # 4. byte-identical duplicates: keep the min-id representative
+    s4 = s3
+    if "exact_dedup" not in skip:
+        ex_keep = (
+            exact_dedup(s3, id_col=id_col, text_col=text_col)
+            .filter(F.col("keep"))
+            .select(id_col)
+        )
+        s4 = _stage("exact_dedup", s3.join(ex_keep, id_col, "left_semi"))
+
+    # 5. near-duplicate clusters (banded MinHash candidates -> CC),
+    # keep one doc per cluster. The pair list is reused by the
+    # leakage-safe split below, so it is built even when the dedup
+    # stage itself is skipped.
+    pairs = minhash_lsh_pairs(s4, id_col=id_col, text_col=text_col)
+    s5 = s4
+    if "near_dup_clusters" not in skip:
+        cl_keep = (
+            dedup_clusters(
+                s4,
+                pairs,
+                id_col=id_col,
+                threshold=near_dup_threshold,
+                lazy_local=True,
+            )
+            .filter(F.col("keep"))
+            .select(id_col)
+        )
+        s5 = _stage(
+            "near_dup_clusters", s4.join(cl_keep, id_col, "left_semi")
+        )
+
+    # 6. substring-level CUT: duplicated spans removed except their
+    # globally-first occurrence; emptied docs dropped
+    s6 = s5
+    if "remove_duplicate_spans" not in skip:
+        sp = remove_duplicate_spans(
+            s5,
+            span_tokens=span_tokens,
+            stride=stride,
+            id_col=id_col,
+            text_col=text_col,
+        )
+        s6 = _stage(
+            "remove_duplicate_spans",
+            sp.select(F.col(id_col), F.col("clean_text").alias(text_col))
+            .filter(F.trim(F.col(text_col)) != ""),
+        )
+
+    # 7. leakage-safe split over the SURVIVING docs: restrict the
+    # candidate pairs to both-surviving endpoints so clustering matches
+    # the corpus being split
+    ids6 = s6.select(id_col)
+    pairs6 = (
+        pairs.join(ids6.withColumnRenamed(id_col, "id_a"), "id_a", "left_semi")
+        .join(ids6.withColumnRenamed(id_col, "id_b"), "id_b", "left_semi")
+    )
+    split = leakage_safe_split(
+        s6, pairs6, weights, id_col=id_col, threshold=near_dup_threshold
+    ).select(id_col, "split")
+    s7 = _stage("leakage_safe_split", s6.join(split, id_col))
+
+    # 8. decontamination against the ACTUAL split from stage 7:
+    # non-train docs sharing any 13-gram with train are dropped
+    corpus = s7
+    if "ngram_decontamination" not in skip:
+        contaminated = (
+            ngram_decontamination(
+                s7,
+                n=decontam_n,
+                id_col=id_col,
+                text_col=text_col,
+                split_col="split",
+            )
+            .filter(F.col("contaminated"))
+            .select(id_col)
+        )
+        corpus = _stage(
+            "ngram_decontamination",
+            s7.join(contaminated, id_col, "left_anti"),
+        )
+
+    report = None
+    for i, (name, sdf) in enumerate(stages):
+        row = sdf.agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            _tokens_sum(sdf, text_col).alias("n_tokens"),
+        ).select(
+            F.lit(i).cast("int").alias("stage_no"),
+            F.lit(name).alias("stage"),
+            "n_docs",
+            "n_tokens",
+        )
+        report = row if report is None else report.unionByName(row)
+    return corpus, report

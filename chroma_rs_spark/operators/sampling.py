@@ -161,11 +161,12 @@ def split_contamination(
 
 def ngram_decontamination(
     df: DataFrame,
-    weights: dict[str, float],
+    weights: dict[str, float] | None = None,
     n: int = 13,
     id_col: str = "doc_id",
     text_col: str = "text",
     train_split: str = "train",
+    split_col: str | None = None,
 ) -> DataFrame:
     """Substring-level decontamination — the GPT-3/Brown et al. 2020
     (§C) method `split_contamination` cannot express: a non-train
@@ -201,12 +202,26 @@ def ngram_decontamination(
         shingles_col,
     )
 
-    if train_split not in weights:
-        raise ValueError(
-            f"train_split {train_split!r} is not a split name; "
-            f"weights define {sorted(weights)}"
-        )
-    sp = dataset_split(df, weights, id_col=id_col)
+    # either derive the split here (weights) or decontaminate against a
+    # caller-provided assignment (split_col — e.g. curate_corpus's
+    # leakage-safe split, which an id-hash re-derivation would NOT match)
+    if split_col is not None:
+        if split_col not in df.columns:
+            raise ValueError(
+                f"split_col {split_col!r} is not a column of df"
+            )
+        sp = df.withColumn("split", F.col(split_col))
+    else:
+        if weights is None:
+            raise ValueError(
+                "ngram_decontamination: pass either weights or split_col"
+            )
+        if train_split not in weights:
+            raise ValueError(
+                f"train_split {train_split!r} is not a split name; "
+                f"weights define {sorted(weights)}"
+            )
+        sp = dataset_split(df, weights, id_col=id_col)
     # fan the CPU-dense tokenize/shingle/md5 explode across cores: a
     # small-file scan otherwise runs it on ONE partition (the round-6
     # lesson, plans/partitioning.py); no-op at scale where the scan

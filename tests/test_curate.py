@@ -1,0 +1,200 @@
+"""End-to-end curation recipe (chroma_rs_spark/curate.py).
+
+A planted corpus where EVERY stage has a victim: a lorem-ipsum page
+(C4), a symbol-soup page (Gopher), a nav-bar line shared by most docs
+(line dedup), an exact duplicate, a near duplicate, a long shared span
+between otherwise-different docs (span CUT), and a 13-gram planted
+into ten "carrier" docs (decontamination). The recipe must drop each
+at its own stage and the attrition report must account for all of it.
+
+Corpus design constraint (learned the hard way): every sentence
+carries a doc-specific marker token at least every 3 words, so two
+DIFFERENT documents never share a 13-token run (decontamination
+would otherwise drop every non-train doc via the common sentence
+frame) and their shingle Jaccard stays far below the 0.7 near-dup
+threshold (the span pair must survive stage 5 to reach the span CUT).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from chroma_rs_spark.curate import curate_corpus
+
+NAV = "Home | About us page here. Contact and support links here."
+
+# 14 common tokens >= the 13-gram window ("says" .. "mike.")
+GRAM = (
+    "says alpha bravo charlie delta echo foxtrot golf hotel india "
+    "juliet kilo lima mike."
+)
+CARRIERS = list(range(106, 116))
+
+
+def _doc(i: int, extra: str = "") -> str:
+    # 5 sentences x 15 words, a doc-specific marker (zq{i}?{j}) every
+    # <=3 words: passes Gopher (75+ words, stopword-rich, mean word
+    # length ~5) and C4 (terminal '.', >=5 words/line), while no two
+    # docs share a 13-token run or meaningful shingle overlap
+    body = "\n".join(
+        f"the zq{i}a{j} keeper saw zq{i}b{j} ships near zq{i}c{j} "
+        f"docks and zq{i}d{j} storms with zq{i}e{j} patience."
+        for j in range(5)
+    )
+    return NAV + "\n" + body + (("\n" + extra) if extra else "")
+
+
+SPAN = (
+    "one two three four five six seven eight nine ten eleven twelve "
+    "thirteen fourteen fifteen sixteen seventeen eighteen nineteen "
+    "twenty twentyone twentytwo twentythree twentyfour twentyfive."
+)
+
+
+def _rows() -> list[tuple[int, str]]:
+    rows = [(i, _doc(i)) for i in range(30)]
+    rows.append((100, rows[0][1]))          # exact duplicate of doc 0
+    # near duplicate of doc 1: same text plus one extra sentence
+    rows.append(
+        (101, rows[1][1] + "\nthe last light of the evening faded away.")
+    )
+    # two otherwise-different docs sharing a 25-token span
+    rows.append((102, _doc(102, extra=SPAN)))
+    rows.append((103, _doc(103, extra=SPAN)))
+    # page-level drops
+    rows.append((104, _doc(104, extra="lorem ipsum dolor sit amet today.")))
+    # symbol soup: 12 '####' of ~93 words -> symbol_ratio ~0.5, over
+    # the Gopher 0.1 cap, while C4 still keeps the page
+    rows.append(
+        (105, ("#### " * 12).strip() + " and then the end came fast.\n"
+         + _doc(105).split("\n", 1)[1])
+    )
+    # decontamination carriers: a unique line whose tail is the same
+    # 14-token run; whichever land outside train must be dropped once
+    # any of them lands in train
+    for c in CARRIERS:
+        rows.append((c, _doc(c, extra=f"carrier c{c}k {GRAM}")))
+    return rows
+
+
+@pytest.fixture(scope="module")
+def curated(spark):
+    rows = _rows()
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    corpus, report = curate_corpus(df, line_min_df=5)
+    out = {r["doc_id"]: r for r in corpus.collect()}
+    rep = {r["stage"]: r for r in report.collect()}
+    return df, out, rep
+
+
+def test_stage_victims(curated):
+    _, out, rep = curated
+    # lorem-ipsum page dropped by C4, symbol page by Gopher
+    assert 104 not in out and 105 not in out
+    # exact duplicate dropped, original kept
+    assert 100 not in out and 0 in out
+    # near duplicate dropped, original kept
+    assert 101 not in out and 1 in out
+    # the shared-span pair both SURVIVE (they are not near-dups) but
+    # only the globally-first occurrence keeps the span text
+    assert 102 in out and 103 in out
+    joined = out[102]["text"] + "\n" + out[103]["text"]
+    assert joined.count("twentyfive") == 1
+    # the nav boilerplate line is gone from every surviving doc
+    for r in out.values():
+        assert NAV not in r["text"]
+    # decontamination: at least one carrier was dropped (the split mix
+    # is deterministic — md5-hashed ids), survivors are all train, and
+    # nothing BUT carriers is dropped at that stage
+    dropped = {d for d, _ in _rows()} - set(out)
+    decontam_dropped = dropped - {100, 101, 104, 105}
+    assert decontam_dropped and decontam_dropped <= set(CARRIERS)
+    for c in set(CARRIERS) & set(out):
+        assert out[c]["split"] == "train"
+    # every unplanted regular doc survives end-to-end
+    assert set(range(30)) - {0, 1} <= set(out)
+
+
+def test_report_accounting(curated):
+    _, out, rep = curated
+    order = [
+        "input", "c4_filters", "gopher_quality", "line_dedup",
+        "exact_dedup", "near_dup_clusters", "remove_duplicate_spans",
+        "leakage_safe_split", "ngram_decontamination",
+    ]
+    assert [s for s in order if s in rep] == list(
+        dict(sorted(((r["stage_no"], r["stage"]) for r in rep.values()))).values()
+    )
+    assert rep["input"]["n_docs"] == 46
+    assert rep["c4_filters"]["n_docs"] == 45          # lorem page gone
+    assert rep["gopher_quality"]["n_docs"] == 44      # symbol page gone
+    # line dedup removes LINES, not docs; token count must drop
+    assert rep["line_dedup"]["n_docs"] == 44
+    assert rep["line_dedup"]["n_tokens"] < rep["gopher_quality"]["n_tokens"]
+    assert rep["exact_dedup"]["n_docs"] == 43
+    assert rep["near_dup_clusters"]["n_docs"] == 42
+    # span CUT removes tokens, not documents
+    assert rep["remove_duplicate_spans"]["n_docs"] == 42
+    assert (
+        rep["remove_duplicate_spans"]["n_tokens"]
+        < rep["near_dup_clusters"]["n_tokens"]
+    )
+    assert rep["leakage_safe_split"]["n_docs"] == 42
+    # decontamination drops the non-train carriers and nothing else
+    assert rep["ngram_decontamination"]["n_docs"] < 42
+    # doc counts never increase
+    counts = [rep[s]["n_docs"] for s in order if s in rep]
+    assert all(a >= b for a, b in zip(counts, counts[1:]))
+    # final corpus matches the last report row
+    assert len(out) == rep["ngram_decontamination"]["n_docs"]
+
+
+def test_no_cross_split_13gram_leak(curated, spark):
+    """The decontamination contract, checked from first principles: no
+    surviving non-train document shares any 13-token gram with any
+    surviving train document."""
+    from chroma_rs_spark.operators.dedup import (
+        nonempty_tokens_col,
+        shingles_col,
+    )
+
+    _, out, _ = curated
+    rows = [(d, r["text"], r["split"]) for d, r in out.items()]
+    df = spark.createDataFrame(rows, "doc_id long, text string, split string")
+    grams = df.select(
+        "split",
+        F.explode(shingles_col(nonempty_tokens_col("text"), 13)).alias("_g"),
+    )
+    leak = (
+        grams.filter(F.col("split") != "train")
+        .join(
+            grams.filter(F.col("split") == "train").select("_g").distinct(),
+            "_g",
+            "left_semi",
+        )
+        .count()
+    )
+    assert leak == 0
+
+
+def test_skip_validation_and_passthrough(spark):
+    df = spark.createDataFrame([(0, "a b c.")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="unknown skip"):
+        curate_corpus(df, skip={"nonsense"})
+    # skipping every optional stage leaves split assignment only
+    corpus, report = curate_corpus(
+        df,
+        skip={
+            "c4_filters", "gopher_quality", "line_dedup", "exact_dedup",
+            "near_dup_clusters", "remove_duplicate_spans",
+            "ngram_decontamination",
+        },
+    )
+    rows = corpus.collect()
+    assert len(rows) == 1 and rows[0]["text"] == "a b c."
+    assert rows[0]["split"] in ("train", "val", "test")
+    assert [r["stage"] for r in report.orderBy("stage_no").collect()] == [
+        "input",
+        "leakage_safe_split",
+    ]
