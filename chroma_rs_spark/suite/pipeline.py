@@ -1545,3 +1545,256 @@ EXTRA_QUERIES.update(
         ),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# round 7: the end-to-end curation recipe (chroma_rs_spark/curate.py) as a
+# single oracle-checked row — the attrition report IS the contract a real
+# curation run is judged by, so the oracle replays EVERY stage
+# ---------------------------------------------------------------------------
+
+
+def q_curate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """curate_corpus attrition report over the documents table. The two
+    corpus-dependent rule stages are skipped (C4's terminal-punctuation
+    rule zeroes the synthetic corpus — a true but trivial fixpoint that
+    would let stages 2-8 pass vacuously); the six data-driven stages
+    (line dedup -> exact dedup -> minhash-LSH near-dup clusters ->
+    duplicate-span CUT -> leakage-safe split -> 13-gram
+    decontamination) all run and all attrit for real. iterative=True:
+    curate_corpus localCheckpoints each stage (the exponential-lineage
+    cut documented in curate.py), so the fn call itself executes."""
+    from chroma_rs_spark.curate import curate_corpus
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    _, report = curate_corpus(docs, skip={"c4_filters", "gopher_quality"})
+    return report
+
+
+def _curate_report_oracle() -> str:
+    """Full-pipeline replay as one chained-CTE query: each stage's CTE
+    is the SAME SQL its standalone oracle uses (_line_dedup_oracle,
+    _DEDUP_EXACT_ORACLE, _CLUSTERS_WITH_CHAIN, _SPAN_CHAIN /
+    _REMOVE_SPANS_ORACLE, _LEAKAGE_SPLIT_ORACLE, _ngram_decontam_oracle)
+    re-rooted on the previous stage's output instead of `documents`, so
+    the composition can only diverge from the stage oracles by the
+    chaining itself. Two recursive CTEs (near-dup components at stage 3
+    and split components at stage 5 — the second clustering runs on the
+    SAME stage-2 pair graph restricted to stage-4 survivors, exactly
+    what curate_corpus does with pairs6)."""
+    ntok = (
+        "CAST(coalesce(sum(coalesce(len(list_filter(string_split(text, ' '),"
+        " x -> x <> '')), 0)), 0) AS BIGINT)"
+    )
+
+    def report_row(no: int, stage: str, src: str) -> str:
+        return (
+            f"SELECT CAST({no} AS INTEGER) AS stage_no, '{stage}' AS stage,"
+            f" CAST(count(*) AS BIGINT) AS n_docs, {ntok} AS n_tokens"
+            f" FROM {src}"
+        )
+
+    rows = "\nUNION ALL\n".join(
+        report_row(no, stage, src)
+        for no, stage, src in [
+            (0, "input", "d0"),
+            (1, "line_dedup", "d1"),
+            (2, "exact_dedup", "d2"),
+            (3, "near_dup_clusters", "d3"),
+            (4, "remove_duplicate_spans", "d4"),
+            (5, "leakage_safe_split", "d5"),
+            (6, "ngram_decontamination", "d6"),
+        ]
+    )
+    gram13 = "md5(concat_ws(' ', " + ", ".join(
+        f"t[i+{j}]" for j in range(13)
+    ) + "))"
+    return f"""
+WITH RECURSIVE
+d0 AS (SELECT doc_id, text FROM documents),
+-- stage 1: cross-document line dedup (min_df=5); emptied docs dropped
+l_expl AS (
+  SELECT doc_id, ls[i] AS line, i AS pos
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM d0),
+       unnest(range(1, len(ls) + 1)) AS t(i)
+),
+l_banned AS (
+  SELECT trim(line) AS lt FROM l_expl WHERE trim(line) <> ''
+  GROUP BY 1 HAVING count(DISTINCT doc_id) >= 5
+),
+d1 AS (
+  SELECT doc_id, text FROM (
+    SELECT e.doc_id,
+           coalesce(array_to_string(list(e.line ORDER BY e.pos)
+               FILTER (WHERE b.lt IS NULL), chr(10)), '') AS text
+    FROM l_expl e LEFT JOIN l_banned b ON trim(e.line) = b.lt
+    GROUP BY e.doc_id
+  ) WHERE trim(text) <> ''
+),
+-- stage 2: exact dedup, keep the min-id representative per sha256
+d2 AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           min(doc_id) OVER (PARTITION BY sha256(text)) AS keep_id
+    FROM d1
+  ) WHERE doc_id = keep_id
+),
+-- minhash over the stage-2 corpus (16 hashes / 16 bands / 3-shingles):
+-- mined ONCE here, used by both stage 3 (near-dup clusters) and
+-- stage 5 (leakage-safe split), exactly like curate_corpus's `pairs`
+sh AS (
+  SELECT doc_id, concat_ws(' ', toks[i], toks[i+1], toks[i+2]) AS shingle
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM d2))
+  WHERE toks[i] <> '' AND toks[i+1] <> '' AND toks[i+2] <> ''
+),
+params(i, a, b) AS (
+  VALUES {_MINHASH_PARAM_ROWS}
+),
+h AS (
+  SELECT doc_id, CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT) AS h
+  FROM sh
+),
+mh AS (
+  SELECT doc_id, p.i AS band, min((h.h * p.a + p.b) % {MINHASH_P}) AS band_key
+  FROM h, params p
+  GROUP BY doc_id, p.i
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM mh a JOIN mh b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+agree AS (
+  SELECT c.id_a, c.id_b,
+         sum(CASE WHEN ma.band_key = mb.band_key THEN 1 ELSE 0 END) AS n_match
+  FROM cand c
+  JOIN mh ma ON ma.doc_id = c.id_a
+  JOIN mh mb ON mb.doc_id = c.id_b AND mb.band = ma.band
+  GROUP BY c.id_a, c.id_b
+),
+nd_edges AS (
+  SELECT id_a AS u, id_b AS v FROM agree
+  WHERE CAST(n_match AS DOUBLE) / 16.0 >= 0.7
+  UNION ALL
+  SELECT id_b AS u, id_a AS v FROM agree
+  WHERE CAST(n_match AS DOUBLE) / 16.0 >= 0.7
+),
+-- stage 3: near-dup connected components, keep = component-min doc
+reach(node, lbl) AS (
+  SELECT doc_id, doc_id FROM d2
+  UNION
+  SELECT e.v, r.lbl FROM reach r JOIN nd_edges e ON e.u = r.node
+),
+comp AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node),
+d3 AS (
+  SELECT d2.doc_id, d2.text
+  FROM d2 JOIN comp USING (doc_id) WHERE doc_id = cluster_id
+),
+-- stage 4: duplicate-span CUT (20-token spans, stride-5 content
+-- anchors, keeper interval inviolate); emptied docs dropped; text
+-- reassembles in the tokenized-text convention (space-joined)
+sbase AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM d3
+),
+socc AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS span_pos,
+         md5(array_to_string(t[CAST(i AS BIGINT) + 1 : CAST(i AS BIGINT) + 20], ' ')) AS span_hash
+  FROM (SELECT doc_id, t, unnest(range(0, len(t) - 20 + 1)) AS i
+        FROM (SELECT * FROM sbase WHERE len(t) >= 20))
+  WHERE CAST('0x' || substr(md5(t[CAST(i AS BIGINT) + 1]), 1, 8) AS BIGINT) % 5 = 0
+),
+scnt AS (SELECT span_hash, count(DISTINCT doc_id) AS n_docs FROM socc GROUP BY 1),
+sdup AS (
+  SELECT o.doc_id, o.span_pos, o.span_hash
+  FROM socc o JOIN scnt c USING (span_hash) WHERE c.n_docs >= 2
+),
+skeeper AS (
+  SELECT span_hash, doc_id, span_pos
+  FROM (SELECT *, row_number() OVER (PARTITION BY span_hash
+                                     ORDER BY doc_id, span_pos) AS rn
+        FROM sdup)
+  WHERE rn = 1
+),
+sremovals AS (
+  SELECT d.doc_id, d.span_pos
+  FROM sdup d JOIN skeeper k ON d.span_hash = k.span_hash
+  WHERE NOT (d.doc_id = k.doc_id AND d.span_pos = k.span_pos)
+),
+stokpos AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS p, t[CAST(i AS BIGINT)] AS tk
+  FROM sbase, unnest(range(1, len(t) + 1)) r(i)
+),
+scov AS (
+  SELECT tp.doc_id, tp.p, tp.tk,
+         count(DISTINCT rm.span_pos) > 0
+         AND count(DISTINCT kp.span_pos) = 0 AS covered
+  FROM stokpos tp
+  LEFT JOIN sremovals rm
+    ON rm.doc_id = tp.doc_id
+   AND tp.p >= rm.span_pos AND tp.p < rm.span_pos + 20
+  LEFT JOIN skeeper kp
+    ON kp.doc_id = tp.doc_id
+   AND tp.p >= kp.span_pos AND tp.p < kp.span_pos + 20
+  GROUP BY tp.doc_id, tp.p, tp.tk
+),
+d4 AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id,
+           coalesce(string_agg(tk, ' ' ORDER BY p)
+               FILTER (WHERE NOT covered), '') AS text
+    FROM scov GROUP BY doc_id
+  ) WHERE trim(text) <> ''
+),
+-- stage 5: leakage-safe split — the stage-2 pair graph restricted to
+-- both-surviving endpoints, re-clustered, bucket hashed on cluster_id
+s_edges AS (
+  SELECT u, v FROM nd_edges
+  WHERE u IN (SELECT doc_id FROM d4) AND v IN (SELECT doc_id FROM d4)
+),
+reach2(node, lbl) AS (
+  SELECT doc_id, doc_id FROM d4
+  UNION
+  SELECT e.v, r.lbl FROM reach2 r JOIN s_edges e ON e.u = r.node
+),
+comp2 AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach2 GROUP BY node),
+d5 AS (
+  SELECT d4.doc_id, d4.text,
+         CASE WHEN bk < 9000 THEN 'train'
+              WHEN bk < 9500 THEN 'val'
+              ELSE 'test' END AS split
+  FROM d4 JOIN (
+    SELECT doc_id,
+           CAST('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8) AS BIGINT)
+               % 10000 AS bk
+    FROM comp2
+  ) USING (doc_id)
+),
+-- stage 6: 13-gram decontamination against the ACTUAL stage-5 split
+gtoks AS (
+  SELECT doc_id, split,
+         list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM d5
+),
+g AS (
+  SELECT doc_id, split, {gram13} AS h
+  FROM (SELECT doc_id, split, t, unnest(range(1, len(t) - 11)) AS i
+        FROM gtoks)
+),
+tr AS (SELECT DISTINCT h FROM g WHERE split = 'train'),
+contam AS (
+  SELECT DISTINCT doc_id FROM g
+  WHERE split <> 'train' AND h IN (SELECT h FROM tr)
+),
+d6 AS (
+  SELECT doc_id, text FROM d5
+  WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+)
+{rows}
+"""
+
+
+EXTRA_QUERIES["curate_report"] = QueryDef(
+    q_curate_report, _curate_report_oracle(), iterative=True
+)
