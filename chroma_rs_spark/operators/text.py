@@ -1014,6 +1014,161 @@ def gopher_quality(
     )
 
 
+# Gopher repetition-filter thresholds (Rae et al. 2021, Table A1) — a
+# document is removed when ANY fraction exceeds its cap.
+GOPHER_REP_MAX_DUP_LINE_FRAC = 0.30
+GOPHER_REP_MAX_DUP_PARA_FRAC = 0.30
+GOPHER_REP_MAX_DUP_LINE_CHAR_FRAC = 0.20
+GOPHER_REP_MAX_DUP_PARA_CHAR_FRAC = 0.20
+GOPHER_REP_MAX_TOP_NGRAM_CHAR_FRAC = {2: 0.20, 3: 0.18, 4: 0.16}
+GOPHER_REP_MAX_DUP_NGRAM_CHAR_FRAC = {
+    5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10,
+}
+
+
+def gopher_repetition(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The OTHER half of the Gopher filter: the repetition rules of
+    Rae et al. 2021 Table A1 (`gopher_quality` implements the quality
+    half). Thirteen fractions, a document fails when any exceeds its
+    published cap:
+
+    * dup_line_frac / dup_para_frac — fraction of line / paragraph
+      occurrences beyond each unit's first (units are trimmed,
+      non-empty; lines split on \\n, paragraphs on \\n\\n);
+    * dup_line_char_frac / dup_para_char_frac — characters in those
+      beyond-first occurrences over characters in all occurrences;
+    * top_{2,3,4}gram_char_frac — len(gram)·count of the most frequent
+      n-gram (ties: lexicographically smallest) over len(text), the
+      `repetition_signals` top-bigram construction generalized;
+    * dup_{5..10}gram_char_frac — characters of token positions
+      covered by ANY occurrence of a within-doc duplicated n-gram,
+      each character counted once (the paper's "taking care not to
+      count characters more than once"), over len(text).
+
+    Tokens are the non-empty single-space split (the corpus-wide
+    convention); grams join with ' '. NULL text keeps its row with
+    n_tokens=0, NULL fractions and passes=false (unscorable fails
+    closed — the gopher_quality/c4 precedent); EMPTY text measures 0.0
+    everywhere and passes (no repetition to measure — the word-count
+    rule that fails empties lives in gopher_quality).
+
+    Physical shape: ONE vectorized Arrow pass (mapInPandas over
+    fan_out), per-doc Counter tallies + a coverage bitmap — zero
+    shuffle, |docs| in / |docs| out, the same measured-faster
+    rationale as `repetition_signals`. Rounding is the exact-binary
+    decimal HALF_UP at 6 dp that matches both engines.
+    """
+    import pandas as pd
+
+    from chroma_rs_spark.plans import fan_out
+
+    frac_cols = (
+        ["dup_line_frac", "dup_line_char_frac", "dup_para_frac",
+         "dup_para_char_frac"]
+        + [f"top_{n}gram_char_frac" for n in (2, 3, 4)]
+        + [f"dup_{n}gram_char_frac" for n in range(5, 11)]
+    )
+    schema = (
+        f"{id_col} long, n_tokens long, "
+        + ", ".join(f"{c} double" for c in frac_cols)
+        + ", passes boolean"
+    )
+    top_caps = dict(GOPHER_REP_MAX_TOP_NGRAM_CHAR_FRAC)
+    dup_caps = dict(GOPHER_REP_MAX_DUP_NGRAM_CHAR_FRAC)
+    unit_caps = (
+        GOPHER_REP_MAX_DUP_LINE_FRAC,
+        GOPHER_REP_MAX_DUP_LINE_CHAR_FRAC,
+        GOPHER_REP_MAX_DUP_PARA_FRAC,
+        GOPHER_REP_MAX_DUP_PARA_CHAR_FRAC,
+    )
+
+    def signals(batches):
+        from collections import Counter
+        from decimal import ROUND_HALF_UP, Decimal
+
+        six = Decimal("0.000001")
+
+        def r6(v: float) -> float:
+            return float(Decimal(v).quantize(six, ROUND_HALF_UP)) + 0.0
+
+        def dup_unit_fracs(units: list[str]) -> tuple[float, float]:
+            total = len(units)
+            if total == 0:
+                return 0.0, 0.0
+            ct = Counter(units)
+            dup_units = total - len(ct)
+            dup_chars = sum((c - 1) * len(u) for u, c in ct.items())
+            tot_chars = sum(c * len(u) for u, c in ct.items())
+            return r6(dup_units / total), r6(dup_chars / tot_chars)
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:
+                    rows.append(
+                        (doc_id, 0) + (None,) * len(frac_cols) + (False,)
+                    )
+                    continue
+                toks = [t for t in text.split(" ") if t]
+                n = len(toks)
+                lines = [x for x in
+                         (s.strip() for s in text.split("\n")) if x]
+                paras = [x for x in
+                         (s.strip() for s in text.split("\n\n")) if x]
+                dl, dlc = dup_unit_fracs(lines)
+                dp, dpc = dup_unit_fracs(paras)
+                fracs = [dl, dlc, dp, dpc]
+                ok = (
+                    dl <= unit_caps[0] and dlc <= unit_caps[1]
+                    and dp <= unit_caps[2] and dpc <= unit_caps[3]
+                )
+                grams_at = {
+                    nn: [" ".join(toks[i:i + nn]) for i in range(n - nn + 1)]
+                    for nn in (2, 3, 4, 5, 6, 7, 8, 9, 10)
+                }
+                for nn in (2, 3, 4):
+                    grams = grams_at[nn]
+                    if grams:
+                        cb = Counter(grams)
+                        best_c, best_g = 0, ""
+                        for g_, c in sorted(cb.items()):
+                            if c > best_c:  # ties: smallest gram
+                                best_c, best_g = c, g_
+                        f = r6(len(best_g) * best_c / len(text))
+                    else:
+                        f = 0.0
+                    fracs.append(f)
+                    ok = ok and f <= top_caps[nn]
+                for nn in range(5, 11):
+                    grams = grams_at[nn]
+                    if grams:
+                        cg = Counter(grams)
+                        covered = bytearray(n)
+                        for i, g_ in enumerate(grams):
+                            if cg[g_] >= 2:
+                                covered[i:i + nn] = b"\x01" * nn
+                        cov = sum(
+                            len(t) for t, c in zip(toks, covered) if c
+                        )
+                        f = r6(cov / len(text))
+                    else:
+                        f = 0.0
+                    fracs.append(f)
+                    ok = ok and f <= dup_caps[nn]
+                rows.append((doc_id, n, *fracs, ok))
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=[id_col, "n_tokens", *frac_cols, "passes"],
+                )
+
+    return fan_out(df.select(id_col, text_col)).mapInPandas(
+        signals, schema=schema
+    )
+
+
 # C4 cleaning thresholds (Raffel et al. JMLR 2020 §2.2) — line word
 # minimum, page sentence minimum, and the terminal punctuation set.
 C4_MIN_LINE_WORDS = 5

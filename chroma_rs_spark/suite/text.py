@@ -856,3 +856,174 @@ _C4_FILTERS_ORACLE = (
 
 # round-7 rotation in (VERDICT r6 missing #1): C4 line/page cleaning
 QUERIES["c4_filters"] = QueryDef(q_c4_filters, _C4_FILTERS_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# round 7: the Gopher REPETITION rules (Rae et al. 2021 Table A1) — the
+# other half of the Gopher filter (gopher_quality is the quality half)
+# ---------------------------------------------------------------------------
+
+
+def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chroma_rs_spark.operators.text import gopher_repetition
+
+    return gopher_repetition(load_table(spark, sf_dir, "documents"))
+
+
+def _gopher_repetition_oracle() -> str:
+    """Full SQL replay of all 13 repetition fractions: unit stats from
+    per-(doc, unit) counts, top-n-gram via a (count DESC, gram ASC)
+    row_number, duplicated-n-gram character coverage via DISTINCT
+    covered token positions (each character counted once, the paper's
+    rule); same tokenization, same trimmed-unit identity, same round-6
+    discipline as the engine kernel."""
+    from chroma_rs_spark.operators.text import (
+        GOPHER_REP_MAX_DUP_LINE_CHAR_FRAC,
+        GOPHER_REP_MAX_DUP_LINE_FRAC,
+        GOPHER_REP_MAX_DUP_NGRAM_CHAR_FRAC,
+        GOPHER_REP_MAX_DUP_PARA_CHAR_FRAC,
+        GOPHER_REP_MAX_DUP_PARA_FRAC,
+        GOPHER_REP_MAX_TOP_NGRAM_CHAR_FRAC,
+    )
+
+    def gram(nn: int) -> str:
+        return "concat_ws(' ', " + ", ".join(
+            f"t[i+{j}]" for j in range(nn)
+        ) + ")"
+
+    ctes = [
+        """base AS (
+  SELECT doc_id, text,
+         list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+)""",
+        """tokpos AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS p, t[CAST(i AS BIGINT)] AS tk
+  FROM base, unnest(range(1, len(t) + 1)) r(i)
+  WHERE text IS NOT NULL
+)""",
+        """lunits AS (
+  SELECT doc_id, u FROM (
+    SELECT doc_id, trim(x) AS u FROM (
+      SELECT doc_id, unnest(string_split(text, chr(10))) AS x
+      FROM base WHERE text IS NOT NULL)
+  ) WHERE u <> ''
+)""",
+        """punits AS (
+  SELECT doc_id, u FROM (
+    SELECT doc_id, trim(x) AS u FROM (
+      SELECT doc_id, unnest(string_split(text, chr(10) || chr(10))) AS x
+      FROM base WHERE text IS NOT NULL)
+  ) WHERE u <> ''
+)""",
+    ]
+    for tag, src in (("lstat", "lunits"), ("pstat", "punits")):
+        ctes.append(f"""{tag} AS (
+  SELECT doc_id,
+         CAST(sum(c) AS BIGINT) AS total,
+         CAST(sum(c) - count(*) AS BIGINT) AS dups,
+         CAST(sum((c - 1) * length(u)) AS BIGINT) AS dup_chars,
+         CAST(sum(c * length(u)) AS BIGINT) AS tot_chars
+  FROM (SELECT doc_id, u, count(*) AS c FROM {src} GROUP BY 1, 2)
+  GROUP BY doc_id
+)""")
+    for nn in (2, 3, 4):
+        ctes.append(f"""top{nn} AS (
+  SELECT doc_id, CAST(length(g) * c AS BIGINT) AS chars
+  FROM (
+    SELECT doc_id, g, count(*) AS c,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY count(*) DESC, g ASC) AS rn
+    FROM (SELECT doc_id, {gram(nn)} AS g
+          FROM (SELECT doc_id, t, unnest(range(1, len(t) - {nn - 2})) AS i
+                FROM base WHERE text IS NOT NULL))
+    GROUP BY doc_id, g
+  ) WHERE rn = 1
+)""")
+    for nn in range(5, 11):
+        ctes.append(f"""occ{nn} AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS s, {gram(nn)} AS g
+  FROM (SELECT doc_id, t, unnest(range(1, len(t) - {nn - 2})) AS i
+        FROM base WHERE text IS NOT NULL)
+)""")
+        ctes.append(f"""cov{nn} AS (
+  SELECT doc_id, CAST(sum(length(tk)) AS BIGINT) AS chars FROM (
+    SELECT DISTINCT tp.doc_id, tp.p, tp.tk
+    FROM tokpos tp
+    JOIN (SELECT o.doc_id, o.s FROM occ{nn} o
+          JOIN (SELECT doc_id, g FROM occ{nn}
+                GROUP BY 1, 2 HAVING count(*) >= 2) d
+            ON o.doc_id = d.doc_id AND o.g = d.g) dd
+      ON dd.doc_id = tp.doc_id AND tp.p >= dd.s AND tp.p < dd.s + {nn}
+  ) GROUP BY doc_id
+)""")
+
+    def unit_frac(alias: str, num: str, den: str) -> str:
+        return (
+            f"CASE WHEN b.text IS NULL THEN NULL"
+            f" WHEN {alias}.total IS NULL THEN 0.0"
+            f" ELSE round(CAST({alias}.{num} AS DOUBLE) / {alias}.{den}, 6)"
+            f" + 0.0 END"
+        )
+
+    def char_frac(alias: str) -> str:
+        return (
+            f"CASE WHEN b.text IS NULL THEN NULL"
+            f" WHEN {alias}.chars IS NULL THEN 0.0"
+            f" ELSE round(CAST({alias}.chars AS DOUBLE) / length(b.text), 6)"
+            f" + 0.0 END"
+        )
+
+    fracs = [
+        ("dup_line_frac", unit_frac("ls", "dups", "total"),
+         GOPHER_REP_MAX_DUP_LINE_FRAC),
+        ("dup_line_char_frac", unit_frac("ls", "dup_chars", "tot_chars"),
+         GOPHER_REP_MAX_DUP_LINE_CHAR_FRAC),
+        ("dup_para_frac", unit_frac("ps", "dups", "total"),
+         GOPHER_REP_MAX_DUP_PARA_FRAC),
+        ("dup_para_char_frac", unit_frac("ps", "dup_chars", "tot_chars"),
+         GOPHER_REP_MAX_DUP_PARA_CHAR_FRAC),
+    ]
+    for nn in (2, 3, 4):
+        fracs.append((
+            f"top_{nn}gram_char_frac", char_frac(f"t{nn}"),
+            GOPHER_REP_MAX_TOP_NGRAM_CHAR_FRAC[nn],
+        ))
+    for nn in range(5, 11):
+        fracs.append((
+            f"dup_{nn}gram_char_frac", char_frac(f"c{nn}"),
+            GOPHER_REP_MAX_DUP_NGRAM_CHAR_FRAC[nn],
+        ))
+    select_cols = ",\n       ".join(
+        f"{expr} AS {name}" for name, expr, _ in fracs
+    )
+    passes = " AND ".join(f"({expr}) <= {cap}" for _, expr, cap in fracs)
+    joins = (
+        "LEFT JOIN lstat ls USING (doc_id)\n"
+        "LEFT JOIN pstat ps USING (doc_id)\n"
+        + "\n".join(
+            f"LEFT JOIN top{nn} t{nn} ON t{nn}.doc_id = b.doc_id"
+            for nn in (2, 3, 4)
+        )
+        + "\n"
+        + "\n".join(
+            f"LEFT JOIN cov{nn} c{nn} ON c{nn}.doc_id = b.doc_id"
+            for nn in range(5, 11)
+        )
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT b.doc_id,
+       CAST(CASE WHEN b.text IS NULL THEN 0 ELSE len(b.t) END AS BIGINT)
+           AS n_tokens,
+       {select_cols},
+       CASE WHEN b.text IS NULL THEN false ELSE ({passes}) END AS passes
+FROM base b
+{joins}
+"""
+    )
+
+
+EXTRA_QUERIES["gopher_repetition"] = QueryDef(
+    q_gopher_repetition, _gopher_repetition_oracle()
+)

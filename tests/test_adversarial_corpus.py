@@ -66,6 +66,7 @@ QUERIES = [
     "semantic_dedup",
     "dsir_importance",
     "token_budget_sample",
+    "gopher_repetition",
 ]
 
 

@@ -58,6 +58,7 @@ QUERIES = [
     "ngram_decontamination",
     "dsir_importance",
     "token_budget_sample",
+    "gopher_repetition",
 ]
 
 _ALPHABET = (

@@ -284,3 +284,67 @@ def test_dsir_importance_rejects_bad_buckets(spark):
     df = spark.createDataFrame([(0, "a b", "en")], "doc_id long, text string, lang string")
     with _pytest.raises(ValueError, match="buckets"):
         dsir_importance(df, target_filter="lang = 'en'", buckets=1)
+
+
+def test_gopher_repetition_unit_rules(spark):
+    from chroma_rs_spark.operators.text import gopher_repetition
+
+    clean = "\n".join(
+        f"w{i}a w{i}b w{i}c w{i}d w{i}e" for i in range(8)
+    )
+    liney = "\n".join(["the same exact line here"] * 5 + ["one", "two", "three"])
+    paras = "alpha beta\n\nalpha beta\n\ngamma delta"
+    df = spark.createDataFrame(
+        [(1, clean), (2, liney), (3, paras), (4, None), (5, "")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in gopher_repetition(df).collect()}
+    assert out[1]["passes"] is True
+    assert out[1]["dup_line_frac"] == 0.0
+    # 5 copies of one line among 8 -> 4/8 beyond-first, over the 0.30 cap
+    assert out[2]["dup_line_frac"] == 0.5
+    assert out[2]["passes"] is False
+    # 'alpha beta' paragraph repeated: 1 of 3 occurrences beyond first
+    assert out[3]["dup_para_frac"] == round(1 / 3, 6)
+    # 10 beyond-first chars over 10+10+11 total unit chars
+    assert out[3]["dup_para_char_frac"] == round(10 / 31, 6)
+    assert out[3]["passes"] is False
+    # NULL: unscorable fails closed with NULL fractions
+    assert out[4]["n_tokens"] == 0
+    assert out[4]["dup_line_frac"] is None
+    assert out[4]["passes"] is False
+    # EMPTY: measurable, zero repetition, passes (word-count lives in
+    # gopher_quality)
+    assert out[5]["n_tokens"] == 0
+    assert out[5]["dup_line_frac"] == 0.0
+    assert out[5]["passes"] is True
+
+
+def test_gopher_repetition_top_gram_and_coverage(spark):
+    from chroma_rs_spark.operators.text import gopher_repetition
+
+    spam = " ".join(["spam"] * 30)
+    # a duplicated 10-token block inside otherwise-unique text
+    block = " ".join(f"blk{i}" for i in range(10))
+    filler1 = " ".join(f"fil{i}" for i in range(30))
+    filler2 = " ".join(f"gil{i}" for i in range(30))
+    blocky = f"{filler1} {block} {filler2} {block}"
+    tiny = "x x x"
+    df = spark.createDataFrame(
+        [(1, spam), (2, blocky), (3, tiny)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r.asDict() for r in gopher_repetition(df).collect()}
+    # "spam spam" 29 times, len 9 -> 29*9/149
+    assert out[1]["top_2gram_char_frac"] == round(29 * 9 / len(spam), 6)
+    assert out[1]["passes"] is False
+    # both block occurrences are covered by duplicated 10-grams: 20
+    # tokens' characters over len(text); sub-grams duplicate too
+    cov = 2 * sum(len(f"blk{i}") for i in range(10))
+    assert out[2]["dup_10gram_char_frac"] == round(cov / len(blocky), 6)
+    assert out[2]["dup_5gram_char_frac"] == round(cov / len(blocky), 6)
+    assert out[2]["dup_10gram_char_frac"] > 0.10
+    assert out[2]["passes"] is False
+    # hand-computed tiny case: 2-grams ['x x','x x'] -> 2*3/5
+    assert out[3]["top_2gram_char_frac"] == 1.2
+    assert out[3]["dup_5gram_char_frac"] == 0.0
+    assert out[3]["passes"] is False
