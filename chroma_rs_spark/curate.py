@@ -10,13 +10,15 @@ al. 2023):
   1. c4_filters         — line cleaning + lorem-ipsum/brace page drops
   2. gopher_quality     — word-count / word-length / symbol / stopword
                           rules over the CLEANED text
-  3. line_dedup         — cross-document boilerplate line removal
-  4. exact_dedup        — byte-identical documents, keep min id
-  5. minhash LSH + CC   — near-duplicate clusters, keep one per cluster
-  6. remove_duplicate_spans — substring-level CUT of duplicated spans
-  7. leakage_safe_split — near-dups co-assign to one split
-  8. ngram_decontamination — drop non-train docs sharing a 13-gram
-                          with train (against the stage-7 split, NOT a
+  3. gopher_repetition  — the Table-A1 repetition caps (dup lines/
+                          paragraphs, top/duplicated n-gram coverage)
+  4. line_dedup         — cross-document boilerplate line removal
+  5. exact_dedup        — byte-identical documents, keep min id
+  6. minhash LSH + CC   — near-duplicate clusters, keep one per cluster
+  7. remove_duplicate_spans — substring-level CUT of duplicated spans
+  8. leakage_safe_split — near-dups co-assign to one split
+  9. ngram_decontamination — drop non-train docs sharing a 13-gram
+                          with train (against the stage-8 split, NOT a
                           re-derived id-hash split)
 
 Every stage is one of the repo's oracle-checked operators; this module
@@ -76,8 +78,9 @@ def curate_corpus(
     curation run is judged by.
 
     `skip` names stages to leave out (any of "c4_filters",
-    "gopher_quality", "line_dedup", "exact_dedup", "near_dup_clusters",
-    "remove_duplicate_spans", "ngram_decontamination") — rule stages
+    "gopher_quality", "gopher_repetition", "line_dedup", "exact_dedup",
+    "near_dup_clusters", "remove_duplicate_spans",
+    "ngram_decontamination") — rule stages
     are corpus-dependent (C4's terminal-punctuation rule zeroes a
     corpus of unpunctuated text) and a pipeline operator chooses its
     stages; the split stage always runs (the output contract includes
@@ -96,12 +99,13 @@ def curate_corpus(
     from chroma_rs_spark.operators.text import (
         c4_filters,
         gopher_quality,
+        gopher_repetition,
         remove_duplicate_spans,
     )
 
     _known = {
-        "c4_filters", "gopher_quality", "line_dedup", "exact_dedup",
-        "near_dup_clusters", "remove_duplicate_spans",
+        "c4_filters", "gopher_quality", "gopher_repetition", "line_dedup",
+        "exact_dedup", "near_dup_clusters", "remove_duplicate_spans",
         "ngram_decontamination",
     }
     unknown = set(skip) - _known
@@ -142,6 +146,15 @@ def curate_corpus(
             .select(id_col)
         )
         s2 = _stage("gopher_quality", s1.join(g_ok, id_col, "left_semi"))
+
+    # 2b. Gopher repetition caps over the same cleaned text
+    if "gopher_repetition" not in skip:
+        r_ok = (
+            gopher_repetition(s2, id_col=id_col, text_col=text_col)
+            .filter(F.col("passes"))
+            .select(id_col)
+        )
+        s2 = _stage("gopher_repetition", s2.join(r_ok, id_col, "left_semi"))
 
     # 3. cross-document boilerplate lines removed everywhere; docs
     # reduced to nothing are dropped

@@ -1567,7 +1567,9 @@ def q_curate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from chroma_rs_spark.curate import curate_corpus
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    _, report = curate_corpus(docs, skip={"c4_filters", "gopher_quality"})
+    _, report = curate_corpus(
+        docs, skip={"c4_filters", "gopher_quality", "gopher_repetition"}
+    )
     return report
 
 

@@ -70,6 +70,13 @@ def _rows() -> list[tuple[int, str]]:
         (105, ("#### " * 12).strip() + " and then the end came fast.\n"
          + _doc(105).split("\n", 1)[1])
     )
+    # repetition soup: passes C4 + the quality rules (140 words,
+    # terminal '.', stopword-rich) but one line repeated 6 times of 12
+    # -> dup_line_frac 5/12 over the 0.30 cap
+    rows.append(
+        (117, _doc(117) + "\n"
+         + "\n".join(["the rain of sector returned again and again tonight."] * 6))
+    )
     # decontamination carriers: a unique line whose tail is the same
     # 14-token run; whichever land outside train must be dropped once
     # any of them lands in train
@@ -90,8 +97,9 @@ def curated(spark):
 
 def test_stage_victims(curated):
     _, out, rep = curated
-    # lorem-ipsum page dropped by C4, symbol page by Gopher
-    assert 104 not in out and 105 not in out
+    # lorem-ipsum page dropped by C4, symbol page by Gopher quality,
+    # repeated-line page by the Gopher repetition caps
+    assert 104 not in out and 105 not in out and 117 not in out
     # exact duplicate dropped, original kept
     assert 100 not in out and 0 in out
     # near duplicate dropped, original kept
@@ -108,7 +116,7 @@ def test_stage_victims(curated):
     # is deterministic — md5-hashed ids), survivors are all train, and
     # nothing BUT carriers is dropped at that stage
     dropped = {d for d, _ in _rows()} - set(out)
-    decontam_dropped = dropped - {100, 101, 104, 105}
+    decontam_dropped = dropped - {100, 101, 104, 105, 117}
     assert decontam_dropped and decontam_dropped <= set(CARRIERS)
     for c in set(CARRIERS) & set(out):
         assert out[c]["split"] == "train"
@@ -119,16 +127,18 @@ def test_stage_victims(curated):
 def test_report_accounting(curated):
     _, out, rep = curated
     order = [
-        "input", "c4_filters", "gopher_quality", "line_dedup",
-        "exact_dedup", "near_dup_clusters", "remove_duplicate_spans",
-        "leakage_safe_split", "ngram_decontamination",
+        "input", "c4_filters", "gopher_quality", "gopher_repetition",
+        "line_dedup", "exact_dedup", "near_dup_clusters",
+        "remove_duplicate_spans", "leakage_safe_split",
+        "ngram_decontamination",
     ]
     assert [s for s in order if s in rep] == list(
         dict(sorted(((r["stage_no"], r["stage"]) for r in rep.values()))).values()
     )
-    assert rep["input"]["n_docs"] == 46
-    assert rep["c4_filters"]["n_docs"] == 45          # lorem page gone
-    assert rep["gopher_quality"]["n_docs"] == 44      # symbol page gone
+    assert rep["input"]["n_docs"] == 47
+    assert rep["c4_filters"]["n_docs"] == 46          # lorem page gone
+    assert rep["gopher_quality"]["n_docs"] == 45      # symbol page gone
+    assert rep["gopher_repetition"]["n_docs"] == 44   # repeated-line page
     # line dedup removes LINES, not docs; token count must drop
     assert rep["line_dedup"]["n_docs"] == 44
     assert rep["line_dedup"]["n_tokens"] < rep["gopher_quality"]["n_tokens"]
@@ -186,9 +196,9 @@ def test_skip_validation_and_passthrough(spark):
     corpus, report = curate_corpus(
         df,
         skip={
-            "c4_filters", "gopher_quality", "line_dedup", "exact_dedup",
-            "near_dup_clusters", "remove_duplicate_spans",
-            "ngram_decontamination",
+            "c4_filters", "gopher_quality", "gopher_repetition",
+            "line_dedup", "exact_dedup", "near_dup_clusters",
+            "remove_duplicate_spans", "ngram_decontamination",
         },
     )
     rows = corpus.collect()
