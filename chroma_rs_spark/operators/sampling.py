@@ -603,79 +603,153 @@ def token_budget_sample(
     broadcast back. All-integer arithmetic end to end, so the result
     is bit-exact and partition-order independent.
     """
-    from pyspark.sql.window import Window
-
     from chroma_rs_spark.operators.dedup import nonempty_tokens_col
+
+    if budget < 0 or (budgets and any(v < 0 for v in budgets.values())):
+        raise ValueError("token budgets must be >= 0")
+    # explicit NULL test, not coalesce(size(...)): size(NULL) is -1
+    # with ANSI off and NULL with ANSI on — this form is correct
+    # under both (the r5 `_t IS NULL` convention)
+    qty = (
+        F.when(F.col(text_col).isNull(), F.lit(0))
+        .otherwise(F.size(nonempty_tokens_col(text_col)))
+        .cast("long")
+    )
+    return _hierarchical_capped_cumsum(
+        df,
+        qty=qty,
+        key_col=lang_col,
+        id_col=id_col,
+        cap=budget,
+        caps=budgets,
+        n_buckets=n_buckets,
+        qty_out="n_tokens",
+        cum_out="cum_tokens",
+    )
+
+
+def _hierarchical_capped_cumsum(
+    df: DataFrame,
+    qty: Column,
+    key_col: str,
+    id_col: str,
+    cap: int,
+    caps: dict[str, int] | None,
+    n_buckets: int,
+    qty_out: str,
+    cum_out: str,
+) -> DataFrame:
+    """Shared scale shape of the budgeted samplers (`token_budget_sample`,
+    `domain_cap_sample`): per-key running sum of `qty` in md5-id order,
+    realized hierarchically — rows bucket on the leading 16 bits of the
+    md5 (order-preserving slices), the window runs per (key, bucket) so
+    the hottest partition is |key|/n_buckets, bucket offsets come from
+    a (keys x n_buckets)-row broadcast aggregate. All-integer, bit-exact,
+    partition-order independent. Returns (id, key, qty_out, cum_out,
+    selected) with selected = cum_out <= caps.get(key, cap)."""
+    from pyspark.sql.window import Window
 
     if not (1 <= n_buckets <= 65536 and 65536 % n_buckets == 0):
         raise ValueError(
             f"n_buckets must divide 65536 (got {n_buckets}): buckets are "
             "equal slices of the 16-bit md5 prefix"
         )
-    if budget < 0 or (budgets and any(v < 0 for v in budgets.values())):
-        raise ValueError("token budgets must be >= 0")
     width = 65536 // n_buckets
     h = F.md5(F.col(id_col).cast("string"))
     base = df.select(
         F.col(id_col),
-        F.col(lang_col).alias("_lang"),
-        # explicit NULL test, not coalesce(size(...)): size(NULL) is -1
-        # with ANSI off and NULL with ANSI on — this form is correct
-        # under both (the r5 `_t IS NULL` convention)
-        F.when(F.col(text_col).isNull(), F.lit(0))
-        .otherwise(F.size(nonempty_tokens_col(text_col)))
-        .cast("long")
-        .alias("n_tokens"),
+        F.col(key_col).alias("_key"),
+        qty.alias(qty_out),
         h.alias("_h"),
         (F.conv(F.substring(h, 1, 4), 16, 10).cast("long") / F.lit(width))
         .cast("int")
         .alias("_bk"),
     )
     w_local = (
-        Window.partitionBy("_lang", "_bk")
+        Window.partitionBy("_key", "_bk")
         .orderBy("_h", id_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    local = base.withColumn("_cum_local", F.sum("n_tokens").over(w_local))
-    # bucket totals: langs x n_buckets rows; exclusive prefix over the
-    # tiny table, broadcast back — no language-wide window anywhere
+    local = base.withColumn("_cum_local", F.sum(qty_out).over(w_local))
+    # bucket totals: keys x n_buckets rows; exclusive prefix over the
+    # tiny table, broadcast back — no key-wide window anywhere
     w_off = (
-        Window.partitionBy("_lang")
+        Window.partitionBy("_key")
         .orderBy("_bk")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offsets = (
-        base.groupBy("_lang", "_bk")
-        .agg(F.sum("n_tokens").alias("_btot"))
+        base.groupBy("_key", "_bk")
+        .agg(F.sum(qty_out).alias("_btot"))
         .withColumn(
             "_off", F.coalesce(F.sum("_btot").over(w_off), F.lit(0).cast("long"))
         )
-        .select("_lang", "_bk", "_off")
+        .select("_key", "_bk", "_off")
     )
-    lim = F.lit(int(budget)).cast("long")
-    for k, v in (budgets or {}).items():
-        lim = F.when(F.col("_lang") == k, F.lit(int(v)).cast("long")).otherwise(
+    lim = F.lit(int(cap)).cast("long")
+    for k, v in (caps or {}).items():
+        lim = F.when(F.col("_key") == k, F.lit(int(v)).cast("long")).otherwise(
             lim
         )
-    # null-safe on the language key: a NULL language is a legitimate
-    # budget group (its own window partition) and a plain equi-join
-    # would silently drop every one of its rows
+    # null-safe on the key: a NULL key is a legitimate budget group
+    # (its own window partition) and a plain equi-join would silently
+    # drop every one of its rows
     off = offsets.select(
-        F.col("_lang").alias("_lang2"),
+        F.col("_key").alias("_key2"),
         F.col("_bk").alias("_bk2"),
         "_off",
     )
     return (
         local.join(
             F.broadcast(off),
-            F.col("_lang").eqNullSafe(F.col("_lang2"))
+            F.col("_key").eqNullSafe(F.col("_key2"))
             & (F.col("_bk") == F.col("_bk2")),
         )
         .select(
             id_col,
-            F.col("_lang").alias(lang_col),
-            "n_tokens",
-            (F.col("_off") + F.col("_cum_local")).alias("cum_tokens"),
+            F.col("_key").alias(key_col),
+            qty_out,
+            (F.col("_off") + F.col("_cum_local")).alias(cum_out),
             ((F.col("_off") + F.col("_cum_local")) <= lim).alias("selected"),
         )
     )
+
+
+def domain_cap_sample(
+    df: DataFrame,
+    cap: int,
+    caps: dict[str, int] | None = None,
+    key_col: str = "source",
+    id_col: str = "doc_id",
+    n_buckets: int = TOKEN_BUDGET_BUCKETS,
+) -> DataFrame:
+    """Per-domain document caps — the Dolma/FineWeb-style guard against
+    any single source (domain, crawl host, dump) dominating the mix:
+    within each `key_col` value, documents are taken in md5-id order
+    until the domain has `caps.get(source, cap)` documents; the rest
+    are rejected. The md5 order makes the sample reproducible and
+    growth-stable, like every sampler here; a NULL source is its own
+    capped group.
+
+    Returns (id, source, cum_docs, selected) with `cum_docs` the
+    1-based rank of the doc within its domain in md5-id order and
+    `selected = cum_docs <= cap(source)`.
+
+    Scale shape: identical to `token_budget_sample` (the shared
+    hierarchical prefix sum — no domain-wide window; the hottest
+    partition is |domain|/n_buckets even when one crawl host is most
+    of the corpus).
+    """
+    if cap < 0 or (caps and any(v < 0 for v in caps.values())):
+        raise ValueError("domain caps must be >= 0")
+    return _hierarchical_capped_cumsum(
+        df,
+        qty=F.lit(1).cast("long"),
+        key_col=key_col,
+        id_col=id_col,
+        cap=cap,
+        caps=caps,
+        n_buckets=n_buckets,
+        qty_out="_one",
+        cum_out="cum_docs",
+    ).drop("_one")

@@ -1800,3 +1800,38 @@ d6 AS (
 EXTRA_QUERIES["curate_report"] = QueryDef(
     q_curate_report, _curate_report_oracle(), iterative=True
 )
+
+
+def q_domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain doc caps: 20 synthetic sources x 25 docs; the default
+    cap (15) rejects inside every source, one raised and one tightened
+    per-source cap exercise the override path."""
+    from chroma_rs_spark.operators.sampling import domain_cap_sample
+
+    return domain_cap_sample(
+        load_table(spark, sf_dir, "documents"),
+        cap=15,
+        caps={"src3": 25, "src7": 5},
+    )
+
+
+# one source-wide window (the oracle may be hot; the engine may not):
+# same md5-id order, same 1-based rank, same cap CASE
+_DOMAIN_CAP_ORACLE = """
+WITH c AS (
+  SELECT doc_id, source,
+         CAST(row_number() OVER (PARTITION BY source
+              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+             AS cum_docs
+  FROM documents
+)
+SELECT doc_id, source, cum_docs,
+       cum_docs <= CASE WHEN source = 'src3' THEN 25
+                        WHEN source = 'src7' THEN 5
+                        ELSE 15 END AS selected
+FROM c
+"""
+
+EXTRA_QUERIES["domain_cap_sample"] = QueryDef(
+    q_domain_cap_sample, _DOMAIN_CAP_ORACLE
+)

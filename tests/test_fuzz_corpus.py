@@ -59,6 +59,7 @@ QUERIES = [
     "dsir_importance",
     "token_budget_sample",
     "gopher_repetition",
+    "domain_cap_sample",
 ]
 
 _ALPHABET = (

@@ -715,3 +715,64 @@ def test_token_budget_sample_validation(spark):
         token_budget_sample(df, budget=-1)
     with pytest.raises(ValueError, match=">= 0"):
         token_budget_sample(df, budget=10, budgets={"en": -5})
+
+
+def test_domain_cap_sample_caps_and_order(spark):
+    """Per-domain caps hold in md5-id order; per-source overrides beat
+    the default; a NULL source is its own capped group."""
+    from chroma_rs_spark.operators.sampling import domain_cap_sample
+
+    docs = [(i, "a") for i in range(10)]            # source 'a' x 10
+    docs += [(100 + i, "b") for i in range(4)]      # source 'b' x 4
+    docs += [(200 + i, None) for i in range(3)]     # NULL source x 3
+    df = spark.createDataFrame(docs, "doc_id long, source string")
+    out = {
+        r["doc_id"]: r
+        for r in domain_cap_sample(df, cap=2, caps={"a": 6}).collect()
+    }
+    assert sum(1 for r in out.values() if r["source"] == "a" and r["selected"]) == 6
+    assert sum(1 for r in out.values() if r["source"] == "b" and r["selected"]) == 2
+    assert sum(1 for r in out.values() if r["source"] is None and r["selected"]) == 2
+    # cum_docs is the 1-based md5-id rank within the domain
+    import hashlib
+
+    a_ids = sorted(
+        (hashlib.md5(str(d).encode()).hexdigest(), d)
+        for d in range(10)
+    )
+    for rank, (_, d) in enumerate(a_ids, 1):
+        assert out[d]["cum_docs"] == rank
+        assert out[d]["selected"] == (rank <= 6)
+    with pytest.raises(ValueError, match=">= 0"):
+        domain_cap_sample(df, cap=-1)
+    with pytest.raises(ValueError, match=">= 0"):
+        domain_cap_sample(df, cap=3, caps={"a": -2})
+
+
+def test_domain_cap_sample_hierarchical_equals_naive(spark):
+    """The shared bucketed prefix sum equals one source-wide
+    row_number across bucket widths (the token_budget twin check)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+
+    from chroma_rs_spark.operators.sampling import domain_cap_sample
+
+    docs = spark.read.parquet(f"{SF001_DIR}/documents.parquet")
+    naive = docs.select(
+        "doc_id",
+        F.row_number()
+        .over(
+            Window.partitionBy("source").orderBy(
+                F.md5(F.col("doc_id").cast("string")), "doc_id"
+            )
+        )
+        .cast("long")
+        .alias("cum_docs"),
+    )
+    want = {r["doc_id"]: r["cum_docs"] for r in naive.collect()}
+    for nb in (1, 16, 256):
+        got = {
+            r["doc_id"]: r["cum_docs"]
+            for r in domain_cap_sample(docs, cap=15, n_buckets=nb).collect()
+        }
+        assert got == want, f"n_buckets={nb}"
