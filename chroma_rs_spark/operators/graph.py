@@ -325,3 +325,58 @@ def dedup_clusters(
             ).alias("keep"),
         )
     )
+
+
+def dedup_keep_best(
+    docs: DataFrame,
+    pairs: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    sim_col: str = "est_jaccard",
+    lazy_local: bool = False,
+) -> DataFrame:
+    """`dedup_clusters` with the keeper policy production pipelines
+    actually use: keep the BEST-scoring document of each near-dup
+    cluster (highest `score_col`; ties and all-NULL clusters fall back
+    to the lowest id), not the arbitrary min-id member — when a page
+    and its truncated mirror collide, the longer/cleaner copy should
+    survive.
+
+    Returns (id, cluster_id, cluster_size, <score_col>, keep). NULL
+    scores rank below every non-NULL score.
+
+    Scale shape: the clustering is `dedup_clusters` unchanged; the
+    selection adds ONE hash shuffle on cluster_id (a groupBy argmax as
+    max(struct(score, -id)) — map-side partials apply — plus the join
+    back). No window over an unbounded partition: the argmax is an
+    aggregate, so a pathological mega-cluster costs a skewed-key
+    reduce (AQE-splittable), never a single-task sort.
+    """
+    cl = dedup_clusters(
+        docs,
+        pairs,
+        id_col=id_col,
+        threshold=threshold,
+        sim_col=sim_col,
+        lazy_local=lazy_local,
+    ).select(id_col, "cluster_id", "cluster_size")
+    scored = cl.join(docs.select(id_col, score_col), id_col)
+    # lexicographic argmax key: (score with NULL -> -inf, -id) — ties
+    # on score resolve to the LOWEST id, matching dedup_clusters'
+    # deterministic-keeper convention
+    sk = F.coalesce(
+        F.col(score_col).cast("double"), F.lit(float("-inf"))
+    )
+    best = scored.groupBy("cluster_id").agg(
+        F.max(F.struct(sk.alias("s"), (-F.col(id_col)).alias("ni"))).alias(
+            "_b"
+        )
+    )
+    return scored.join(best, "cluster_id").select(
+        id_col,
+        "cluster_id",
+        "cluster_size",
+        score_col,
+        (F.col(id_col) == -F.col("_b.ni")).alias("keep"),
+    )

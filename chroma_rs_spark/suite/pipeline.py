@@ -1835,3 +1835,34 @@ FROM c
 EXTRA_QUERIES["domain_cap_sample"] = QueryDef(
     q_domain_cap_sample, _DOMAIN_CAP_ORACLE
 )
+
+
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware near-dup dedup: same LSH pair graph as
+    dedup_clusters (threshold 0.5), keeper = the LONGEST document of
+    each cluster (n_chars as the quality score) instead of min-id."""
+    from chroma_rs_spark.operators.graph import dedup_keep_best
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, num_hashes=16, bands=16, shingle_k=3)
+    return dedup_keep_best(
+        docs, pairs, score_col="n_chars", threshold=0.5, lazy_local=True
+    )
+
+
+# the dedup_clusters WITH-chain verbatim, then the per-cluster argmax:
+# highest n_chars, ties -> lowest doc_id (NULLS LAST matches the
+# engine's NULL -> -inf coalesce)
+_DEDUP_KEEP_BEST_ORACLE = _CLUSTERS_WITH_CHAIN + """
+SELECT c.doc_id, c.cluster_id,
+       COUNT(*) OVER (PARTITION BY c.cluster_id) AS cluster_size,
+       d.n_chars,
+       row_number() OVER (PARTITION BY c.cluster_id
+                          ORDER BY d.n_chars DESC NULLS LAST,
+                                   c.doc_id ASC) = 1 AS keep
+FROM comp c JOIN documents d USING (doc_id)
+"""
+
+EXTRA_QUERIES["dedup_keep_best"] = QueryDef(
+    q_dedup_keep_best, _DEDUP_KEEP_BEST_ORACLE
+)

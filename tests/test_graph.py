@@ -169,3 +169,49 @@ def test_lazy_local_cc_matches_adaptive(spark):
         ).collect()
     }
     assert lazy == adaptive and len(lazy) > 0
+
+
+def test_dedup_keep_best_picks_highest_score(spark):
+    from chroma_rs_spark.operators.graph import dedup_keep_best
+
+    docs = spark.createDataFrame(
+        [(1, 50), (2, 90), (3, 70), (10, 40), (11, 40), (20, None), (30, 5)],
+        "doc_id long, n_chars long",
+    )
+    # clusters: {1,2,3} (2 wins on score), {10,11} (tie -> min id 10),
+    # {20} and {30} singletons keep themselves
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.9), (2, 3, 0.9), (10, 11, 0.8), (1, 3, 0.2)],
+        "id_a long, id_b long, est_jaccard double",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup_keep_best(
+            docs, pairs, score_col="n_chars", threshold=0.5, lazy_local=True
+        ).collect()
+    }
+    assert [d for d, r in out.items() if r["keep"] and r["cluster_id"] == 1] == [2]
+    assert out[2]["cluster_size"] == 3 and out[2]["n_chars"] == 90
+    assert out[10]["keep"] and not out[11]["keep"]     # tie -> lowest id
+    assert out[20]["keep"] and out[30]["keep"]         # singletons
+    # the sub-threshold (1,3) pair must not merge anything by itself
+    assert out[30]["cluster_id"] == 30
+
+
+def test_dedup_keep_best_all_null_scores_fall_back_to_min_id(spark):
+    from chroma_rs_spark.operators.graph import dedup_keep_best
+
+    docs = spark.createDataFrame(
+        [(5, None), (6, None), (7, 1)], "doc_id long, n_chars long"
+    )
+    pairs = spark.createDataFrame(
+        [(5, 6, 0.9)], "id_a long, id_b long, est_jaccard double"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup_keep_best(
+            docs, pairs, score_col="n_chars", lazy_local=True
+        ).collect()
+    }
+    assert out[5]["keep"] and not out[6]["keep"]
+    assert out[7]["keep"]
