@@ -1573,7 +1573,7 @@ def q_curate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return report
 
 
-def _curate_report_oracle() -> str:
+def _curate_oracle(final_select: str) -> str:
     """Full-pipeline replay as one chained-CTE query: each stage's CTE
     is the SAME SQL its standalone oracle uses (_line_dedup_oracle,
     _DEDUP_EXACT_ORACLE, _CLUSTERS_WITH_CHAIN, _SPAN_CHAIN /
@@ -1583,31 +1583,9 @@ def _curate_report_oracle() -> str:
     chaining itself. Two recursive CTEs (near-dup components at stage 3
     and split components at stage 5 — the second clustering runs on the
     SAME stage-2 pair graph restricted to stage-4 survivors, exactly
-    what curate_corpus does with pairs6)."""
-    ntok = (
-        "CAST(coalesce(sum(coalesce(len(list_filter(string_split(text, ' '),"
-        " x -> x <> '')), 0)), 0) AS BIGINT)"
-    )
-
-    def report_row(no: int, stage: str, src: str) -> str:
-        return (
-            f"SELECT CAST({no} AS INTEGER) AS stage_no, '{stage}' AS stage,"
-            f" CAST(count(*) AS BIGINT) AS n_docs, {ntok} AS n_tokens"
-            f" FROM {src}"
-        )
-
-    rows = "\nUNION ALL\n".join(
-        report_row(no, stage, src)
-        for no, stage, src in [
-            (0, "input", "d0"),
-            (1, "line_dedup", "d1"),
-            (2, "exact_dedup", "d2"),
-            (3, "near_dup_clusters", "d3"),
-            (4, "remove_duplicate_spans", "d4"),
-            (5, "leakage_safe_split", "d5"),
-            (6, "ngram_decontamination", "d6"),
-        ]
-    )
+    what curate_corpus does with pairs6). `final_select` chooses the
+    output: the attrition report or the surviving corpus itself."""
+    rows = final_select
     gram13 = "md5(concat_ws(' ', " + ", ".join(
         f"t[i+{j}]" for j in range(13)
     ) + "))"
@@ -1790,15 +1768,65 @@ contam AS (
   WHERE split <> 'train' AND h IN (SELECT h FROM tr)
 ),
 d6 AS (
-  SELECT doc_id, text FROM d5
+  SELECT doc_id, text, split FROM d5
   WHERE doc_id NOT IN (SELECT doc_id FROM contam)
 )
 {rows}
 """
 
 
+def _curate_report_oracle() -> str:
+    ntok = (
+        "CAST(coalesce(sum(coalesce(len(list_filter(string_split(text, ' '),"
+        " x -> x <> '')), 0)), 0) AS BIGINT)"
+    )
+
+    def report_row(no: int, stage: str, src: str) -> str:
+        return (
+            f"SELECT CAST({no} AS INTEGER) AS stage_no, '{stage}' AS stage,"
+            f" CAST(count(*) AS BIGINT) AS n_docs, {ntok} AS n_tokens"
+            f" FROM {src}"
+        )
+
+    return _curate_oracle(
+        "\nUNION ALL\n".join(
+            report_row(no, stage, src)
+            for no, stage, src in [
+                (0, "input", "d0"),
+                (1, "line_dedup", "d1"),
+                (2, "exact_dedup", "d2"),
+                (3, "near_dup_clusters", "d3"),
+                (4, "remove_duplicate_spans", "d4"),
+                (5, "leakage_safe_split", "d5"),
+                (6, "ngram_decontamination", "d6"),
+            ]
+        )
+    )
+
+
+def q_curate_corpus_out(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The surviving corpus itself, bit-pinned: (doc_id, split,
+    md5(text)) — the report row proves the attrition COUNTS, this row
+    proves the survivor SET, their split assignments, and their
+    post-cleaning text bytes."""
+    from chroma_rs_spark.curate import curate_corpus
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus, _ = curate_corpus(
+        docs, skip={"c4_filters", "gopher_quality", "gopher_repetition"}
+    )
+    return corpus.select(
+        "doc_id", "split", F.md5("text").alias("text_md5")
+    )
+
+
 EXTRA_QUERIES["curate_report"] = QueryDef(
     q_curate_report, _curate_report_oracle(), iterative=True
+)
+EXTRA_QUERIES["curate_corpus_out"] = QueryDef(
+    q_curate_corpus_out,
+    _curate_oracle("SELECT doc_id, split, md5(text) AS text_md5 FROM d6"),
+    iterative=True,
 )
 
 
