@@ -137,3 +137,35 @@ def test_token_budget_sample_partition_invariant(spark):
     assert _canon(token_budget_sample(a, budget=3000)) == _canon(
         token_budget_sample(b, budget=3000)
     )
+
+
+def test_gopher_repetition_partition_invariant(spark):
+    from chroma_rs_spark.operators.text import gopher_repetition
+
+    a, b = _layouts(_docs(spark), "doc_id")
+    assert _canon(gopher_repetition(a)) == _canon(gopher_repetition(b))
+
+
+def test_domain_cap_sample_partition_invariant(spark):
+    from chroma_rs_spark.operators.sampling import domain_cap_sample
+
+    a, b = _layouts(_docs(spark), "doc_id")
+    assert _canon(domain_cap_sample(a, cap=15)) == _canon(
+        domain_cap_sample(b, cap=15)
+    )
+
+
+def test_dedup_keep_best_partition_invariant(spark):
+    from chroma_rs_spark.operators.dedup import minhash_lsh_pairs
+    from chroma_rs_spark.operators.graph import dedup_keep_best
+
+    a, b = _layouts(_docs(spark), "doc_id")
+    assert _canon(
+        dedup_keep_best(
+            a, minhash_lsh_pairs(a), score_col="n_chars", lazy_local=True
+        )
+    ) == _canon(
+        dedup_keep_best(
+            b, minhash_lsh_pairs(b), score_col="n_chars", lazy_local=True
+        )
+    )
