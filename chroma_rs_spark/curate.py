@@ -63,6 +63,7 @@ def curate_corpus(
     span_tokens: int = 20,
     stride: int = 5,
     near_dup_threshold: float = 0.7,
+    minhash_max_bucket: int | None = None,
     decontam_n: int = 13,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -87,6 +88,7 @@ def curate_corpus(
     it). Unknown names raise.
     """
     from chroma_rs_spark.operators.dedup import (
+        MINHASH_MAX_BUCKET,
         exact_dedup,
         line_dedup,
         minhash_lsh_pairs,
@@ -183,7 +185,11 @@ def curate_corpus(
     # keep one doc per cluster. The pair list is reused by the
     # leakage-safe split below, so it is built even when the dedup
     # stage itself is skipped.
-    pairs = minhash_lsh_pairs(s4, id_col=id_col, text_col=text_col)
+    if minhash_max_bucket is None:
+        minhash_max_bucket = MINHASH_MAX_BUCKET
+    pairs = minhash_lsh_pairs(
+        s4, id_col=id_col, text_col=text_col, max_bucket=minhash_max_bucket
+    )
     s5 = s4
     if "near_dup_clusters" not in skip:
         cl_keep = (

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from chroma_rs_spark.operators.dedup import (
+    MINHASH_MAX_BUCKET as _MINHASH_MAX_BUCKET,
     MINHASH_P,
     SHINGLE_MAX_DF,
     exact_dedup,
@@ -1640,10 +1641,19 @@ mh AS (
   FROM h, params p
   GROUP BY doc_id, p.i
 ),
+-- curate_corpus mines pairs with the MINHASH_MAX_BUCKET hot-bucket
+-- cap (operators/dedup.py); est_jaccard stays the FULL signature
+-- agreement — the cap only restricts candidate generation
+okb AS (
+  SELECT band, band_key FROM mh GROUP BY 1, 2
+  HAVING count(*) >= 2 AND count(*) <= {_MINHASH_MAX_BUCKET}
+),
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM mh a JOIN mh b
-    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+  FROM okb k
+  JOIN mh a ON a.band = k.band AND a.band_key = k.band_key
+  JOIN mh b ON b.band = k.band AND b.band_key = k.band_key
+             AND a.doc_id < b.doc_id
 ),
 agree AS (
   SELECT c.id_a, c.id_b,

@@ -70,3 +70,33 @@ def test_rows_per_band_gt_1_rejected(spark, docs):
         minhash_band_index(docs, num_hashes=16, bands=4)
     with pytest.raises(ValueError, match="rows-per-band"):
         incremental_minhash_pairs(docs, minhash_band_index(docs), bands=8)
+
+
+def test_minhash_max_bucket_prunes_hot_buckets_only(spark):
+    """max_bucket drops candidate generation from oversize buckets and
+    nothing else: a twin pair (bucket size 2) survives max_bucket=2, a
+    triplet (all its buckets size 3) is pruned; uncapped finds both."""
+    from chroma_rs_spark.operators.dedup import minhash_lsh_pairs
+
+    text_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    text_c = "one two three four five six seven eight nine ten eleven"
+    docs = spark.createDataFrame(
+        [(1, text_a), (2, text_a), (10, text_c), (11, text_c), (12, text_c)],
+        "doc_id long, text string",
+    )
+    def pairset(**kw):
+        return {
+            (r["id_a"], r["id_b"], r["est_jaccard"])
+            for r in minhash_lsh_pairs(docs, **kw).collect()
+        }
+
+    capped = pairset(max_bucket=2)
+    assert capped == {(1, 2, 1.0)}
+    uncapped = pairset()
+    assert {(1, 2, 1.0), (10, 11, 1.0), (10, 12, 1.0), (11, 12, 1.0)} <= uncapped
+    # a cap wide enough for the triplet keeps everything, bit-equal
+    assert pairset(max_bucket=3) == uncapped
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_bucket"):
+        minhash_lsh_pairs(docs, max_bucket=1)
