@@ -84,8 +84,15 @@ def knn_exact(
     query_emb: str = "query_embedding",
     item_norm: str | None = None,
     dim: int | None = None,
+    exclude_self: bool = False,
 ) -> DataFrame:
     """Exact top-k per query via broadcast cross join + window.
+
+    `exclude_self=True` drops pairs whose item id equals the query id
+    (for self-retrieval evaluations where probes are drawn from the
+    item table, e.g. `similarity.ann_recall`); default off preserves
+    the vector-DB query semantics where a stored twin of the probe is
+    a legitimate hit.
 
     Returns (query_id, rank, item_id, distance) with distance rounded
     to DIST_DECIMALS. For cosine, pass `item_norm` (a stored column
@@ -124,6 +131,8 @@ def knn_exact(
     # Query sets are tiny relative to the collection: broadcast so the
     # cross product is computed map-side with zero pre-join shuffle.
     joined = it.crossJoin(F.broadcast(q))
+    if exclude_self:
+        joined = joined.filter(F.col("__iid") != F.col("__qid"))
     # `+ 0.0` canonicalizes IEEE -0.0 to +0.0 after rounding (self-match
     # rows produce tiny negatives that round to -0.0 on some engines but
     # +0.0 on others; -0.0 + 0.0 == +0.0 bit-wise everywhere). The DuckDB

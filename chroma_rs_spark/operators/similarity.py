@@ -505,6 +505,17 @@ def sign_bucket(emb_col: str, n_planes: int = 8):
     )
 
 
+def _bucket_variants(n_planes: int, radius: int) -> list[tuple[int, ...]]:
+    """All flip-masks (index tuples) within Hamming distance <= radius,
+    the empty mask included."""
+    from itertools import combinations
+
+    masks: list[tuple[int, ...]] = [()]
+    for r in range(1, radius + 1):
+        masks.extend(combinations(range(n_planes), r))
+    return masks
+
+
 def signbucket_ann(
     items: DataFrame,
     probes: DataFrame,
@@ -515,11 +526,28 @@ def signbucket_ann(
     probe_id: str = "query_id",
     probe_emb: str = "query_embedding",
     dim: int | None = None,
+    hamming_probes: int = 0,
 ) -> DataFrame:
     """ANN: top-k by cosine distance within the probe's sign bucket,
     excluding the probe row itself. Returns
-    (query_id, rank, neighbor_id, distance)."""
+    (query_id, rank, neighbor_id, distance).
+
+    `hamming_probes` enables multi-probe LSH (Lv et al., VLDB 2007):
+    each query also searches every bucket within that Hamming radius
+    of its own sign pattern — the standard recall lever for sign
+    bucketing, whose single-bucket recall collapses as n_planes grows
+    (measured in SCALE.md: recall@5 0.019 at radius 0 / 8 planes on
+    the 64-dim gate corpus). Radius r probes sum(C(n_planes, i),
+    i<=r) buckets; the item side is computed ONCE — only the tiny
+    broadcast probe side fans out, and an item can match a query in
+    at most one bucket (items hash to a single bucket), so no
+    dedup pass is needed."""
     from chroma_rs_spark.functions.vector import l2_norm_sql
+
+    if not 0 <= hamming_probes <= n_planes:
+        raise ValueError(
+            f"hamming_probes must be in [0, n_planes], got {hamming_probes}"
+        )
 
     it = items.filter(F.col(item_emb).isNotNull()).filter(
         F.expr(f"{l2_norm_sql(f'`{item_emb}`', dim)} <> 0.0D")
@@ -535,6 +563,38 @@ def signbucket_ann(
         F.col(probe_emb).alias("_qemb"),
         sign_bucket(probe_emb, n_planes).alias("_bucket"),
     )
+    if hamming_probes > 0:
+        # one variant expression per flip mask, exploded on the tiny
+        # probe side: flip = '1'+'0' minus the original char
+        def variant(mask: tuple[int, ...]):
+            if not mask:
+                return F.col("_bucket")
+            parts, prev = [], 1
+            for j in sorted(mask):
+                if j + 1 > prev:
+                    parts.append(
+                        F.substring("_bucket", prev, j + 1 - prev)
+                    )
+                parts.append(
+                    F.when(
+                        F.substring("_bucket", j + 1, 1) == "1", F.lit("0")
+                    ).otherwise(F.lit("1"))
+                )
+                prev = j + 2
+            if prev <= n_planes:
+                parts.append(
+                    F.substring("_bucket", prev, n_planes - prev + 1)
+                )
+            return F.concat(*parts)
+
+        masks = _bucket_variants(n_planes, hamming_probes)
+        pr = pr.select(
+            "_qid",
+            "_qemb",
+            F.explode(F.array(*[variant(m) for m in masks])).alias(
+                "_bucket"
+            ),
+        )
     dist = F.round(cosine_distance("_iemb", "_qemb", dim=dim), 6)
     scored = (
         it.join(F.broadcast(pr), "_bucket")
@@ -685,4 +745,99 @@ def semantic_dedup(
         F.col("assigned_label").cast("long").alias("cluster"),
         "sq_dist",
         F.coalesce(F.col("_dup"), F.lit(False)).alias("is_dup"),
+    )
+
+
+def ann_recall(
+    items: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    item_id: str = "vec_id",
+    item_emb: str = "embedding",
+    probe_id: str = "query_id",
+    probe_emb: str = "query_embedding",
+    dim: int | None = None,
+    hamming_probes: int = 0,
+) -> DataFrame:
+    """Measured recall@k of the sign-bucket ANN against exact KNN —
+    the evaluation every approximate index owes its users (an ANN
+    whose recall is assumed rather than measured is a guess, not an
+    index). Per probe: the exact cosine top-k over the scorable
+    universe (non-NULL, non-zero-norm, self excluded) and the
+    sign-bucket top-k are intersected.
+
+    Returns (query_id, n_exact, n_approx, n_hits, recall) with
+    recall = round(n_hits / k, 6); a probe with no scorable exact
+    neighbors (NULL/zero-norm probe vector) keeps its row with zeros
+    and NULL recall (unscorable convention). n_approx < k happens
+    legitimately when the probe's bucket is thin — recall = n_hits/k
+    charges the miss to the index, as it should.
+
+    Scale shape: exact side is the broadcast-probe cross join of
+    `knn_exact` (|probes| is small by construction of an evaluation);
+    approx side is the bucket-equijoin of `signbucket_ann`; the
+    intersection is a (query, neighbor) equi-join on two k-bounded
+    sets. Nothing quadratic in |items| beyond the exact baseline the
+    evaluation exists to compare against.
+    """
+    from chroma_rs_spark.functions.vector import l2_norm_sql
+    from chroma_rs_spark.operators.knn import knn_exact
+
+    universe = items.filter(F.col(item_emb).isNotNull()).filter(
+        F.expr(f"{l2_norm_sql(f'`{item_emb}`', dim)} <> 0.0D")
+    )
+    exact = knn_exact(
+        universe,
+        probes,
+        k,
+        metric="cosine",
+        item_id=item_id,
+        item_emb=item_emb,
+        query_id=probe_id,
+        query_emb=probe_emb,
+        dim=dim,
+        exclude_self=True,
+    ).select(F.col(probe_id), F.col(item_id).alias("_nid"))
+    approx = signbucket_ann(
+        items,
+        probes,
+        k=k,
+        n_planes=n_planes,
+        item_id=item_id,
+        item_emb=item_emb,
+        probe_id=probe_id,
+        probe_emb=probe_emb,
+        dim=dim,
+        hamming_probes=hamming_probes,
+    ).select(F.col(probe_id), F.col("neighbor_id").alias("_nid"))
+    n_exact = exact.groupBy(probe_id).agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact")
+    )
+    n_approx = approx.groupBy(probe_id).agg(
+        F.count(F.lit(1)).cast("long").alias("n_approx")
+    )
+    hits = (
+        approx.join(exact, [probe_id, "_nid"])
+        .groupBy(probe_id)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    zero = F.lit(0).cast("long")
+    return (
+        probes.select(F.col(probe_id)).distinct()
+        .join(n_exact, probe_id, "left")
+        .join(n_approx, probe_id, "left")
+        .join(hits, probe_id, "left")
+        .select(
+            probe_id,
+            F.coalesce("n_exact", zero).alias("n_exact"),
+            F.coalesce("n_approx", zero).alias("n_approx"),
+            F.coalesce("n_hits", zero).alias("n_hits"),
+            F.when(
+                F.coalesce("n_exact", zero) > 0,
+                F.round(
+                    F.coalesce("n_hits", zero) / F.lit(float(k)), 6
+                ) + F.lit(0.0),
+            ).alias("recall"),
+        )
     )

@@ -1904,3 +1904,213 @@ FROM comp c JOIN documents d USING (doc_id)
 EXTRA_QUERIES["dedup_keep_best"] = QueryDef(
     q_dedup_keep_best, _DEDUP_KEEP_BEST_ORACLE
 )
+
+
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@5 of the sign-bucket ANN vs exact cosine KNN over 32
+    self-retrieval probes — the evaluation row that keeps the ANN
+    family honest (recall measured, not assumed)."""
+    from chroma_rs_spark.operators.similarity import ann_recall
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 32).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_embedding"),
+    )
+    return ann_recall(emb, probes, k=5, n_planes=8).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        "n_exact",
+        "n_approx",
+        "n_hits",
+        "recall",
+    )
+
+
+# exact side: full cross join over the scorable universe, self
+# excluded, NaN dropped (knn_exact's rule); approx side: the
+# _ANN_SIGNBUCKET_ORACLE bucketing verbatim; recall = hits/5
+_ANN_RECALL_ORACLE = """
+WITH u AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE embedding IS NOT NULL
+    AND sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) <> 0
+),
+ex_ranked AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY distance, neighbor_id) AS rank
+  FROM (
+    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+           round(1.0 - list_dot_product(e.embedding::DOUBLE[], q.embedding::DOUBLE[])
+                 / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))),
+                 6) AS distance
+    FROM u q JOIN u e ON e.vec_id != q.vec_id
+    WHERE q.vec_id < 32
+  ) WHERE NOT isnan(distance)
+),
+ex AS (SELECT query_id, neighbor_id FROM ex_ranked WHERE rank <= 5),
+b AS (
+  SELECT vec_id, embedding,
+         concat(
+           CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,
+           CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END,
+           CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END,
+           CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END,
+           CASE WHEN embedding[5] >= 0 THEN '1' ELSE '0' END,
+           CASE WHEN embedding[6] >= 0 THEN '1' ELSE '0' END,
+           CASE WHEN embedding[7] >= 0 THEN '1' ELSE '0' END,
+           CASE WHEN embedding[8] >= 0 THEN '1' ELSE '0' END) AS bucket
+  FROM u
+),
+ap_ranked AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY distance, neighbor_id) AS rank
+  FROM (
+    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+           round(1.0 - list_dot_product(e.embedding::DOUBLE[], q.embedding::DOUBLE[])
+                 / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))),
+                 6) AS distance
+    FROM b q JOIN b e ON q.bucket = e.bucket AND e.vec_id != q.vec_id
+    WHERE q.vec_id < 32
+  )
+),
+ap AS (SELECT query_id, neighbor_id FROM ap_ranked WHERE rank <= 5),
+nx AS (SELECT query_id, count(*) AS n FROM ex GROUP BY 1),
+na AS (SELECT query_id, count(*) AS n FROM ap GROUP BY 1),
+nh AS (
+  SELECT ap.query_id, count(*) AS n
+  FROM ap JOIN ex ON ap.query_id = ex.query_id
+                 AND ap.neighbor_id = ex.neighbor_id
+  GROUP BY 1
+)
+SELECT p.vec_id AS query_id,
+       CAST(coalesce(nx.n, 0) AS BIGINT) AS n_exact,
+       CAST(coalesce(na.n, 0) AS BIGINT) AS n_approx,
+       CAST(coalesce(nh.n, 0) AS BIGINT) AS n_hits,
+       CASE WHEN coalesce(nx.n, 0) > 0
+            THEN round(coalesce(nh.n, 0) / 5.0, 6) + 0.0 END AS recall
+FROM (SELECT DISTINCT vec_id FROM embeddings WHERE vec_id < 32) p
+LEFT JOIN nx ON nx.query_id = p.vec_id
+LEFT JOIN na ON na.query_id = p.vec_id
+LEFT JOIN nh ON nh.query_id = p.vec_id
+"""
+
+EXTRA_QUERIES["ann_recall"] = QueryDef(q_ann_recall, _ANN_RECALL_ORACLE)
+
+
+def q_ann_recall_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same evaluation with multi-probe LSH at Hamming radius 2
+    (37 of 256 buckets probed): measured avg recall@5 rises 0.019 ->
+    0.394 on this corpus — the recall lever the radius-0 row shows is
+    needed."""
+    from chroma_rs_spark.operators.similarity import ann_recall
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 32).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_embedding"),
+    )
+    return ann_recall(emb, probes, k=5, n_planes=8, hamming_probes=2).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        "n_exact",
+        "n_approx",
+        "n_hits",
+        "recall",
+    )
+
+
+def _ann_recall_multiprobe_oracle(radius: int = 2, n_planes: int = 8) -> str:
+    """The radius-0 oracle with the query side expanded to every
+    flip-mask bucket variant (one UNION ALL branch per mask), exactly
+    the multi-probe expansion the operator does."""
+    from chroma_rs_spark.operators.similarity import _bucket_variants
+
+    def variant_expr(mask: tuple[int, ...]) -> str:
+        terms = []
+        for j in range(1, n_planes + 1):
+            if j - 1 in mask:
+                terms.append(
+                    f"CASE WHEN substr(bucket, {j}, 1) = '1'"
+                    " THEN '0' ELSE '1' END"
+                )
+            else:
+                terms.append(f"substr(bucket, {j}, 1)")
+        return "concat(" + ", ".join(terms) + ")"
+
+    qv = "\n  UNION ALL\n".join(
+        f"  SELECT vec_id, embedding, {variant_expr(m)} AS bucket"
+        f" FROM b WHERE vec_id < 32"
+        for m in _bucket_variants(n_planes, radius)
+    )
+    sign_cases = ", ".join(
+        f"CASE WHEN embedding[{i + 1}] >= 0 THEN '1' ELSE '0' END"
+        for i in range(n_planes)
+    )
+    return f"""
+WITH u AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE embedding IS NOT NULL
+    AND sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) <> 0
+),
+ex_ranked AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY distance, neighbor_id) AS rank
+  FROM (
+    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+           round(1.0 - list_dot_product(e.embedding::DOUBLE[], q.embedding::DOUBLE[])
+                 / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))),
+                 6) AS distance
+    FROM u q JOIN u e ON e.vec_id != q.vec_id
+    WHERE q.vec_id < 32
+  ) WHERE NOT isnan(distance)
+),
+ex AS (SELECT query_id, neighbor_id FROM ex_ranked WHERE rank <= 5),
+b AS (
+  SELECT vec_id, embedding, concat({sign_cases}) AS bucket FROM u
+),
+qv AS (
+{qv}
+),
+ap_ranked AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY distance, neighbor_id) AS rank
+  FROM (
+    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+           round(1.0 - list_dot_product(e.embedding::DOUBLE[], q.embedding::DOUBLE[])
+                 / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))),
+                 6) AS distance
+    FROM qv q JOIN b e ON q.bucket = e.bucket AND e.vec_id != q.vec_id
+  )
+),
+ap AS (SELECT query_id, neighbor_id FROM ap_ranked WHERE rank <= 5),
+nx AS (SELECT query_id, count(*) AS n FROM ex GROUP BY 1),
+na AS (SELECT query_id, count(*) AS n FROM ap GROUP BY 1),
+nh AS (
+  SELECT ap.query_id, count(*) AS n
+  FROM ap JOIN ex ON ap.query_id = ex.query_id
+                 AND ap.neighbor_id = ex.neighbor_id
+  GROUP BY 1
+)
+SELECT p.vec_id AS query_id,
+       CAST(coalesce(nx.n, 0) AS BIGINT) AS n_exact,
+       CAST(coalesce(na.n, 0) AS BIGINT) AS n_approx,
+       CAST(coalesce(nh.n, 0) AS BIGINT) AS n_hits,
+       CASE WHEN coalesce(nx.n, 0) > 0
+            THEN round(coalesce(nh.n, 0) / 5.0, 6) + 0.0 END AS recall
+FROM (SELECT DISTINCT vec_id FROM embeddings WHERE vec_id < 32) p
+LEFT JOIN nx ON nx.query_id = p.vec_id
+LEFT JOIN na ON na.query_id = p.vec_id
+LEFT JOIN nh ON nh.query_id = p.vec_id
+"""
+
+
+EXTRA_QUERIES["ann_recall_multiprobe"] = QueryDef(
+    q_ann_recall_multiprobe, _ann_recall_multiprobe_oracle()
+)

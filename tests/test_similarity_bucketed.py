@@ -235,3 +235,79 @@ def test_pair_kernels_reject_non_integral_ids(spark):
         cosine_topk_pairs_blocked(df)
     with _pytest.raises(TypeError, match="integral"):
         cosine_topk_pairs_tiled_np(df)
+
+
+def test_ann_recall_perfect_and_missed(spark):
+    """A probe whose true neighbor shares its sign bucket scores
+    recall 1 at k=1; a probe whose nearest neighbor lies across a sign
+    boundary scores 0 — the miss the evaluation exists to expose."""
+    from chroma_rs_spark.operators.similarity import ann_recall
+
+    rows = [
+        (0, [1.0, 1.0, 1.0, 1.0]),     # probe A
+        (1, [0.9, 1.0, 1.0, 1.0]),     # same bucket, true NN of A
+        (2, [-1.0, 1.0, 1.0, 1.0]),    # probe B
+        (3, [0.001, 1.0, 1.0, 1.0]),   # true NN of B, bucket differs at bit 1
+        (4, [-1.0, -1.0, -1.0, -1.0]), # B's only same-bucket company... not
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    probes = emb.filter("vec_id IN (0, 2)").select(
+        emb.vec_id.alias("query_id"), emb.embedding.alias("query_embedding")
+    )
+    out = {
+        r["query_id"]: r
+        for r in ann_recall(emb, probes, k=1, n_planes=4).collect()
+    }
+    assert out[0]["n_hits"] == 1 and out[0]["recall"] == 1.0
+    # B's exact NN (vec 3) hashes to a different bucket -> missed
+    assert out[2]["n_hits"] == 0 and out[2]["recall"] == 0.0
+    assert out[2]["n_exact"] == 1
+
+
+def test_ann_recall_unscorable_probe(spark):
+    from chroma_rs_spark.operators.similarity import ann_recall
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [1.0, 1.9]), (2, None), (3, [0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    probes = emb.select(
+        emb.vec_id.alias("query_id"), emb.embedding.alias("query_embedding")
+    )
+    out = {
+        r["query_id"]: r
+        for r in ann_recall(emb, probes, k=1, n_planes=2).collect()
+    }
+    assert out[0]["recall"] == 1.0 and out[1]["recall"] == 1.0
+    for q in (2, 3):   # NULL / zero-norm probes: zeros + NULL recall
+        assert out[q]["n_exact"] == 0 and out[q]["recall"] is None
+
+
+def test_ann_recall_multiprobe_recovers_boundary_miss(spark):
+    """The radius-1 probe reaches across the sign boundary that made
+    probe B miss its true neighbor at radius 0."""
+    from chroma_rs_spark.operators.similarity import ann_recall, signbucket_ann
+
+    rows = [
+        (0, [1.0, 1.0, 1.0, 1.0]),
+        (1, [0.9, 1.0, 1.0, 1.0]),
+        (2, [-1.0, 1.0, 1.0, 1.0]),
+        (3, [0.001, 1.0, 1.0, 1.0]),
+        (4, [-1.0, -1.0, -1.0, -1.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    probes = emb.filter("vec_id IN (0, 2)").select(
+        emb.vec_id.alias("query_id"), emb.embedding.alias("query_embedding")
+    )
+    out = {
+        r["query_id"]: r
+        for r in ann_recall(
+            emb, probes, k=1, n_planes=4, hamming_probes=1
+        ).collect()
+    }
+    assert out[2]["n_hits"] == 1 and out[2]["recall"] == 1.0
+    assert out[0]["recall"] == 1.0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="hamming_probes"):
+        signbucket_ann(emb, probes, n_planes=4, hamming_probes=5)
