@@ -811,6 +811,19 @@ def ann_recall(
         dim=dim,
         hamming_probes=hamming_probes,
     ).select(F.col(probe_id), F.col("neighbor_id").alias("_nid"))
+    return _recall_report(probes, exact, approx, k, probe_id)
+
+
+def _recall_report(
+    probes: DataFrame,
+    exact: DataFrame,
+    approx: DataFrame,
+    k: int,
+    probe_id: str,
+) -> DataFrame:
+    """Shared recall assembly: `exact` and `approx` are (probe_id,
+    _nid) neighbor sets; emits one row per distinct probe id with the
+    ann_recall output contract."""
     n_exact = exact.groupBy(probe_id).agg(
         F.count(F.lit(1)).cast("long").alias("n_exact")
     )
@@ -841,3 +854,41 @@ def ann_recall(
             ).alias("recall"),
         )
     )
+
+
+def recall_vs_exact(
+    items: DataFrame,
+    probes: DataFrame,
+    approx: DataFrame,
+    k: int,
+    item_id: str = "vec_id",
+    item_emb: str = "embedding",
+    probe_id: str = "query_id",
+    probe_emb: str = "query_embedding",
+    neighbor_col: str = "neighbor_id",
+    dim: int | None = None,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Recall@k of ANY approximate neighbor result against exact
+    cosine KNN over the same items — `approx` is a DataFrame carrying
+    (probe_id, neighbor_col) rows from whichever index is being
+    evaluated (`ivf_topk`, `signbucket_ann`, a future HNSW...).
+    Output contract and conventions are `ann_recall`'s; pass the same
+    `exclude_self` the evaluated index uses so both sides define the
+    neighbor universe identically."""
+    from chroma_rs_spark.operators.knn import knn_exact
+
+    exact = knn_exact(
+        items,
+        probes,
+        k,
+        metric="cosine",
+        item_id=item_id,
+        item_emb=item_emb,
+        query_id=probe_id,
+        query_emb=probe_emb,
+        dim=dim,
+        exclude_self=exclude_self,
+    ).select(F.col(probe_id), F.col(item_id).alias("_nid"))
+    ap = approx.select(F.col(probe_id), F.col(neighbor_col).alias("_nid"))
+    return _recall_report(probes, exact, ap, k, probe_id)

@@ -403,6 +403,7 @@ def _kmeans_ivf_trained_oracle(
     n_probe: int = IVF_PROBE,
     n_queries: int = N_PROBES,
     top_k: int = TOP_K,
+    final_select: str | None = None,
 ) -> str:
     """DuckDB replay of the deterministic k-means index build followed
     by the probed-cell IVF search.
@@ -512,10 +513,14 @@ ranked AS (
 )"""
     )
     joined = ",\n".join(ctes)
+    if final_select is None:
+        final_select = (
+            f"SELECT query_id, rank, neighbor_id, distance\n"
+            f"FROM ranked WHERE rank <= {top_k}"
+        )
     return f"""
 WITH {joined}
-SELECT query_id, rank, neighbor_id, distance
-FROM ranked WHERE rank <= {top_k}
+{final_select}
 """
 
 
@@ -791,4 +796,82 @@ FROM embeddings
             iterative=True,
         ),
     }
+)
+
+
+def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@10 of the TRAINED IVF index against exact cosine KNN
+    over the same 5 query vectors — the measured counterpart to
+    SCALE.md's 'IVF is the serious scale path' claim (the sign-bucket
+    twin rows measure the LSH side). Self is included on both sides,
+    matching ivf_topk's retrieval semantics."""
+    from chroma_rs_spark.operators.ivf import ivf_topk
+    from chroma_rs_spark.operators.similarity import recall_vs_exact
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    approx = ivf_topk(
+        emb,
+        k=TOP_K,
+        n_centroids=IVF_CENTROIDS,
+        n_probe=IVF_PROBE,
+        n_queries=N_PROBES,
+        precollected=(
+            _trained_centroids(spark, sf_dir),
+            _small_vectors(spark, sf_dir, N_PROBES),
+        ),
+    )
+    probes = emb.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_embedding"),
+    )
+    return recall_vs_exact(emb, probes, approx, k=TOP_K).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        "n_exact",
+        "n_approx",
+        "n_hits",
+        "recall",
+    )
+
+
+# the trained-IVF WITH chain verbatim, final select swapped for the
+# exact-KNN intersection (same NaN/NULL drop rule as knn_exact)
+_IVF_RECALL_FINAL = f"""
+, ex_ranked AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY distance, neighbor_id) AS rank
+  FROM (
+    SELECT p.query_id, a.vec_id AS neighbor_id,
+           ROUND(({_COSINE_AQ}), 6) + 0.0 AS distance
+    FROM q p CROSS JOIN embeddings a
+  ) WHERE distance IS NOT NULL AND NOT isnan(distance)
+),
+ex AS (SELECT query_id, neighbor_id FROM ex_ranked WHERE rank <= {TOP_K}),
+ap AS (SELECT query_id, neighbor_id FROM ranked WHERE rank <= {TOP_K}),
+nx AS (SELECT query_id, count(*) AS n FROM ex GROUP BY 1),
+na AS (SELECT query_id, count(*) AS n FROM ap GROUP BY 1),
+nh AS (
+  SELECT ap.query_id, count(*) AS n
+  FROM ap JOIN ex ON ap.query_id = ex.query_id
+                 AND ap.neighbor_id = ex.neighbor_id
+  GROUP BY 1
+)
+SELECT p.vec_id AS query_id,
+       CAST(coalesce(nx.n, 0) AS BIGINT) AS n_exact,
+       CAST(coalesce(na.n, 0) AS BIGINT) AS n_approx,
+       CAST(coalesce(nh.n, 0) AS BIGINT) AS n_hits,
+       CASE WHEN coalesce(nx.n, 0) > 0
+            THEN round(coalesce(nh.n, 0) / {TOP_K}.0, 6) + 0.0 END AS recall
+FROM (SELECT DISTINCT vec_id FROM embeddings WHERE vec_id < {N_PROBES}) p
+LEFT JOIN nx ON nx.query_id = p.vec_id
+LEFT JOIN na ON na.query_id = p.vec_id
+LEFT JOIN nh ON nh.query_id = p.vec_id
+"""
+
+EXTRA_QUERIES["ivf_recall"] = QueryDef(
+    q_ivf_recall,
+    # _IVF_RECALL_FINAL leads with ", ex_ranked AS" — it CONTINUES the
+    # trained-IVF WITH chain before its own final SELECT
+    _kmeans_ivf_trained_oracle(final_select=_IVF_RECALL_FINAL),
+    iterative=True,
 )
