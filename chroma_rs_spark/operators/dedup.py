@@ -582,6 +582,7 @@ def incremental_minhash_pairs(
     num_hashes: int = 16,
     bands: int = 16,
     shingle_k: int = 3,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup candidate pairs INVOLVING the new batch: new-vs-corpus
     and new-vs-new, against a persisted `minhash_band_index` — the
@@ -595,6 +596,13 @@ def incremental_minhash_pairs(
     Completeness: full-corpus pairs over (corpus ∪ new) ==
     pairs-within-corpus (mined when the index was built) ∪ this result
     — pinned by tests/test_incremental_dedup.py.
+
+    `max_bucket` is the same hot-bucket guard as `minhash_lsh_pairs`:
+    bucket sizes are measured over corpus ∪ new (the true bucket a
+    daily ingest joins into — ONE degenerate index bucket would
+    otherwise cost |new ∩ bucket| x |bucket| rows on EVERY batch), and
+    est_jaccard for surviving candidates is recomputed from the full
+    band sets of both members, so the cap changes recall only.
     """
     if num_hashes != bands:
         raise ValueError(
@@ -615,6 +623,54 @@ def incremental_minhash_pairs(
     # each unordered pair matches once per agreeing band: new-vs-corpus
     # pairs orient (new, old); new-vs-new pairs keep only the
     # (smaller, larger) orientation
+    if max_bucket is not None:
+        if max_bucket < 2:
+            raise ValueError(f"max_bucket must be >= 2, got {max_bucket}")
+        ok = (
+            right.groupBy("band", "band_key")
+            .agg(F.count(F.lit(1)).alias("_bc"))
+            .filter((F.col("_bc") >= 2) & (F.col("_bc") <= max_bucket))
+            .select("band", "band_key")
+        )
+        cand = (
+            left.join(ok, ["band", "band_key"], "left_semi")
+            .join(
+                right.join(ok, ["band", "band_key"], "left_semi"),
+                ["band", "band_key"],
+            )
+            .filter((~F.col("_new")) | (F.col("_nid") < F.col("_oid")))
+            .select("_nid", "_oid", "_new")
+            .distinct()
+        )
+        # full agreement from the band sets of BOTH members (the
+        # capped batch path's signature re-join, in index-row form)
+        all_idx = band_index.select("id", "band", "band_key").unionByName(
+            new_idx.select("id", "band", "band_key")
+        )
+        a_keys = all_idx.select(
+            F.col("id").alias("_nid"), "band", F.col("band_key").alias("_ka")
+        )
+        b_keys = all_idx.select(
+            F.col("id").alias("_oid"), "band", F.col("band_key").alias("_kb")
+        )
+        agree = (
+            cand.join(a_keys, "_nid")
+            .join(b_keys, ["_oid", "band"])
+            .groupBy("_nid", "_oid", "_new")
+            .agg(
+                F.sum(
+                    (F.col("_ka") == F.col("_kb")).cast("int")
+                ).alias("_n_match")
+            )
+        )
+        return agree.select(
+            F.least("_nid", "_oid").alias("id_a"),
+            F.greatest("_nid", "_oid").alias("id_b"),
+            (
+                F.col("_n_match").cast("double") / F.lit(float(num_hashes))
+            ).alias("est_jaccard"),
+            (~F.col("_new")).alias("vs_corpus"),
+        )
     hits = left.join(right, ["band", "band_key"]).filter(
         (~F.col("_new")) | (F.col("_nid") < F.col("_oid"))
     )

@@ -100,3 +100,44 @@ def test_minhash_max_bucket_prunes_hot_buckets_only(spark):
 
     with _pytest.raises(ValueError, match="max_bucket"):
         minhash_lsh_pairs(docs, max_bucket=1)
+
+
+def test_incremental_max_bucket_caps_index_hot_bucket(spark):
+    """A degenerate index bucket (12 identical corpus docs) must not
+    flood a capped incremental batch; a clean twin pair survives with
+    its FULL-agreement est_jaccard."""
+    from chroma_rs_spark.operators.dedup import (
+        incremental_minhash_pairs,
+        minhash_band_index,
+    )
+
+    hot = "same boilerplate page body repeated across the whole corpus"
+    corpus = [(i, hot) for i in range(12)]
+    corpus.append((20, "a quiet unique document about rivers and stones"))
+    cdf = spark.createDataFrame(corpus, "doc_id long, text string")
+    idx = minhash_band_index(cdf)
+    new = spark.createDataFrame(
+        [(100, "a quiet unique document about rivers and stones"),
+         (101, hot)],
+        "doc_id long, text string",
+    )
+    capped = {
+        (r["id_a"], r["id_b"]): r
+        for r in incremental_minhash_pairs(new, idx, max_bucket=8).collect()
+    }
+    # the twin of the unique doc survives at full agreement
+    assert (20, 100) in capped
+    assert capped[(20, 100)]["est_jaccard"] == 1.0
+    assert capped[(20, 100)]["vs_corpus"]
+    # every pair into the 12-doc hot bucket is pruned
+    assert all(a == 20 or b == 20 for a, b in capped)
+    # uncapped floods: 12 corpus partners for the hot newcomer
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in incremental_minhash_pairs(new, idx).collect()
+    }
+    assert sum(1 for a, b in full if b == 101) == 12
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_bucket"):
+        incremental_minhash_pairs(new, idx, max_bucket=1)
