@@ -33,7 +33,6 @@ def label_centroids(
     emb: DataFrame,
     label_col: str = "label",
     vec_col: str = "embedding",
-    decimals: int = 6,
 ) -> DataFrame:
     """(label, pos, centroid, n_vectors): per-label mean of each
     embedding component, in long form (one row per component — the
@@ -46,13 +45,11 @@ def label_centroids(
     bound; values beyond it raise Spark's ANSI overflow loudly rather
     than silently truncating (tests/test_fuzz_corpus.py pins the
     realistic-domain behavior bit-exactly).
+
+    The quantization is pinned to micro-units (6 decimals): it is part
+    of the cross-engine contract with every oracle replay, so it is
+    deliberately not a parameter.
     """
-    if decimals != 6:
-        raise ValueError(
-            "label_centroids: the integer-exact mean is pinned to the "
-            "micro-unit (6-decimal) domain; decimals is part of the "
-            "cross-engine contract and cannot vary"
-        )
     e = emb.select(
         F.col(label_col).alias("label"),
         F.posexplode(F.col(vec_col)).alias("pos", "_val"),

@@ -39,6 +39,26 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+_INTEGRAL_ID_TYPES = ("tinyint", "smallint", "int", "bigint")
+
+
+def _require_integral_id(df: DataFrame, id_col: str, op: str) -> None:
+    """The union-find kernels (_cc_local / _cc_local_lazy) emit a
+    fixed `node LONG` schema and run integer path compression — a
+    string id would fail mid-job with an opaque ANSI cast error (or,
+    pre-guard, silently NULL out an argmax built on unary minus,
+    ADVICE r7). Fail loudly at plan-build instead."""
+    t = dict(df.dtypes).get(id_col)
+    if t not in _INTEGRAL_ID_TYPES:
+        raise TypeError(
+            f"{op}: id column {id_col!r} must be an integral type "
+            f"({', '.join(_INTEGRAL_ID_TYPES)}), got {t!r} — the "
+            "union-find kernels label components as LONG min-ids. Map "
+            "string ids to a surrogate integer first (e.g. "
+            "monotonically_increasing_id or a dense rank)."
+        )
+
+
 def _symmetrize(edges: DataFrame) -> DataFrame:
     """Undirected neighborhood view: both directions, no self-loops."""
     fwd = edges.select(F.col("u"), F.col("v"))
@@ -293,6 +313,7 @@ def dedup_clusters(
     caller here does). An id present only in `pairs` would leave its
     cluster without a keeper row when it is the component minimum.
     """
+    _require_integral_id(docs, id_col, "dedup_clusters")
     edges = pairs.where(F.col(sim_col) >= F.lit(threshold)).select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     )
@@ -362,14 +383,17 @@ def dedup_keep_best(
         lazy_local=lazy_local,
     ).select(id_col, "cluster_id", "cluster_size")
     scored = cl.join(docs.select(id_col, score_col), id_col)
-    # lexicographic argmax key: (score with NULL -> -inf, -id) — ties
-    # on score resolve to the LOWEST id, matching dedup_clusters'
-    # deterministic-keeper convention
+    # lexicographic argmin key: (-score with NULL -> +inf, id) — the
+    # min over the negated score is the max score, and ties on score
+    # resolve to the LOWEST id, matching dedup_clusters'
+    # deterministic-keeper convention. The id is compared UN-negated,
+    # so non-numeric (string) ids order lexicographically instead of
+    # silently casting to NULL under unary minus (ADVICE r7).
     sk = F.coalesce(
-        F.col(score_col).cast("double"), F.lit(float("-inf"))
+        -F.col(score_col).cast("double"), F.lit(float("inf"))
     )
     best = scored.groupBy("cluster_id").agg(
-        F.max(F.struct(sk.alias("s"), (-F.col(id_col)).alias("ni"))).alias(
+        F.min(F.struct(sk.alias("ns"), F.col(id_col).alias("i"))).alias(
             "_b"
         )
     )
@@ -378,5 +402,5 @@ def dedup_keep_best(
         "cluster_id",
         "cluster_size",
         score_col,
-        (F.col(id_col) == -F.col("_b.ni")).alias("keep"),
+        (F.col(id_col) == F.col("_b.i")).alias("keep"),
     )

@@ -19,6 +19,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from chroma_rs_spark.operators.dedup import base_hash32
+from chroma_rs_spark.plans.partitioning import maybe_broadcast
 
 SAMPLE_BUCKETS = 10_000
 
@@ -699,9 +700,14 @@ def _hierarchical_capped_cumsum(
         F.col("_bk").alias("_bk2"),
         "_off",
     )
+    # size-gated hint, not F.broadcast: the offsets table is
+    # |keys| x n_buckets rows and for domain_cap_sample the key is an
+    # unbounded crawl-host domain — millions of hosts x 64 buckets must
+    # degrade to a shuffled join (AQE can still auto-broadcast small
+    # actuals), not fail at the 8 GB broadcast ceiling (ADVICE r7)
     return (
         local.join(
-            F.broadcast(off),
+            maybe_broadcast(off),
             F.col("_key").eqNullSafe(F.col("_key2"))
             & (F.col("_bk") == F.col("_bk2")),
         )

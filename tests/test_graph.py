@@ -215,3 +215,25 @@ def test_dedup_keep_best_all_null_scores_fall_back_to_min_id(spark):
     }
     assert out[5]["keep"] and not out[6]["keep"]
     assert out[7]["keep"]
+
+
+def test_dedup_clusters_string_ids_fail_loudly(spark):
+    """Non-integral ids must raise at plan-build (ADVICE r7): the
+    union-find kernels emit `node LONG`, so a string id would
+    otherwise die mid-job with an opaque ANSI cast error — or, worse,
+    silently NULL the keep column in dedup_keep_best's old
+    unary-minus tie-break."""
+    import pytest
+
+    from chroma_rs_spark.operators.graph import dedup_clusters, dedup_keep_best
+
+    docs = spark.createDataFrame(
+        [("a", 10), ("b", 90)], "doc_id string, n_chars long"
+    )
+    pairs = spark.createDataFrame(
+        [("a", "b", 0.9)], "id_a string, id_b string, est_jaccard double"
+    )
+    with pytest.raises(TypeError, match="integral"):
+        dedup_clusters(docs, pairs, lazy_local=True)
+    with pytest.raises(TypeError, match="integral"):
+        dedup_keep_best(docs, pairs, score_col="n_chars", lazy_local=True)
