@@ -173,6 +173,36 @@ def _signature_df(
 
 
 MINHASH_MAX_BUCKET = 1024
+# Below this optimizer-estimated corpus size the uncapped quadratic
+# worst case is bounded (≲1 MB of text → ≲10⁷ candidate rows even if
+# one bucket swallowed the whole corpus) and "auto" resolves to
+# uncapped, preserving the historical single-shuffle collision-count
+# plan for small corpora and every existing gate row.
+MINHASH_AUTO_CAP_BYTES = 1 << 20
+
+
+def _resolve_max_bucket(
+    size_source: DataFrame, max_bucket: int | None | str
+) -> int | None:
+    """Resolve the ``"auto"`` sentinel with the same optimizer-estimate
+    gate as `maybe_broadcast`/`cosine_topk_pairs_blocked`: provably
+    small corpora keep the uncapped historical behavior; large or
+    unknown-size corpora default to `MINHASH_MAX_BUCKET` — the measured
+    zipf hot-bucket degeneration (one bucket = 49% of a 50k-doc corpus,
+    >15 min uncapped vs seconds capped, SCALE.md) must not be the
+    behavior a user gets from the public default (VERDICT r7)."""
+    if isinstance(max_bucket, str) and max_bucket != "auto":
+        raise ValueError(
+            f"max_bucket must be an int, None, or 'auto'; got {max_bucket!r}"
+        )
+    if max_bucket != "auto":
+        return max_bucket  # type: ignore[return-value]
+    from chroma_rs_spark.plans.partitioning import plan_size_bytes
+
+    est = plan_size_bytes(size_source)
+    if 0 <= est < MINHASH_AUTO_CAP_BYTES:
+        return None
+    return MINHASH_MAX_BUCKET
 
 
 def minhash_lsh_pairs(
@@ -182,7 +212,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 16,
     bands: int = 16,
     shingle_k: int = 3,
-    max_bucket: int | None = None,
+    max_bucket: int | None | str = "auto",
 ) -> DataFrame:
     """Near-dup candidate pairs via MinHash + LSH banding.
 
@@ -202,13 +232,20 @@ def minhash_lsh_pairs(
     uncapped join ran >15 min where the capped one takes seconds. A
     bucket beyond any plausible duplicate-group size carries no
     near-dup signal: a true near-dup pair agrees at ~J*num_hashes
-    positions and keeps colliding in the small buckets. Default None
-    preserves the historical uncapped behavior (and the cheaper
-    collision-count plan for 1-row bands); pipelines pass
-    MINHASH_MAX_BUCKET (curate_corpus does).
+    positions and keeps colliding in the small buckets.
+
+    The default ``"auto"`` size-gates the cap (`_resolve_max_bucket`):
+    corpora the optimizer can prove under `MINHASH_AUTO_CAP_BYTES` run
+    uncapped (bounded worst case, historical plan bit-for-bit); larger
+    or unknown-size corpora get `MINHASH_MAX_BUCKET` so the public
+    default survives zipf text. Pass ``None`` explicitly for the
+    uncapped path at any size.
     """
     rows_per_band = num_hashes // bands
     assert bands * rows_per_band == num_hashes
+    max_bucket = _resolve_max_bucket(
+        df.select(id_col, text_col), max_bucket
+    )
     sig = _signature_df(df, id_col, text_col, num_hashes, shingle_k)
     # band-key structs as one parsed SQL expression (same plan-build
     # rationale as the signature aggregates above)
@@ -582,7 +619,7 @@ def incremental_minhash_pairs(
     num_hashes: int = 16,
     bands: int = 16,
     shingle_k: int = 3,
-    max_bucket: int | None = None,
+    max_bucket: int | None | str = "auto",
 ) -> DataFrame:
     """Near-dup candidate pairs INVOLVING the new batch: new-vs-corpus
     and new-vs-new, against a persisted `minhash_band_index` — the
@@ -602,13 +639,16 @@ def incremental_minhash_pairs(
     daily ingest joins into — ONE degenerate index bucket would
     otherwise cost |new ∩ bucket| x |bucket| rows on EVERY batch), and
     est_jaccard for surviving candidates is recomputed from the full
-    band sets of both members, so the cap changes recall only.
+    band sets of both members, so the cap changes recall only. The
+    default ``"auto"`` size-gates on the persisted index (the side a
+    degenerate bucket lives in), like `minhash_lsh_pairs`.
     """
     if num_hashes != bands:
         raise ValueError(
             "incremental_minhash_pairs supports rows-per-band == 1 "
             f"(num_hashes == bands); got {num_hashes=}, {bands=}"
         )
+    max_bucket = _resolve_max_bucket(band_index, max_bucket)
     new_idx = minhash_band_index(
         new_docs, id_col, text_col, num_hashes, bands, shingle_k
     )
