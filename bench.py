@@ -52,17 +52,36 @@ def _duckdb_connect(sf_dir: str):
     return con
 
 
-def _duckdb_best(con, sql: str, reps: int = 7) -> float | None:
+def _duckdb_best(
+    con, sql: str, reps: int = 7, rep_timeout: float = 90.0
+) -> float | None:
     """Best-of-N wall time for one oracle — run ADJACENT to the same
     query's Spark timing (see main loop) so host-state drift hits both
-    engines alike instead of biasing whichever engine ran last."""
+    engines alike instead of biasing whichever engine ran last.
+
+    Each rep runs under a watchdog that ``con.interrupt()``s DuckDB
+    after ``rep_timeout`` seconds: a single pathological oracle plan
+    (the round-8 find: DuckDB inlines multiply-referenced CTEs, so one
+    un-MATERIALIZED chained oracle re-evaluated a 40 s recursive
+    clustering exponentially and hung >10 min at sf0.1) must cost the
+    bench one bounded rep, never the whole run. A timed-out oracle
+    returns None and the row is reported Spark-only."""
+    import threading
+
     best = None
     try:
         for _ in range(reps):
+            timer = threading.Timer(rep_timeout, con.interrupt)
+            timer.start()
             t0 = time.time()
-            con.execute(sql).fetchall()
+            try:
+                con.execute(sql).fetchall()
+            finally:
+                timer.cancel()
             dt = time.time() - t0
             best = dt if best is None or dt < best else best
+            if dt > rep_timeout / 2:
+                break  # slow oracle: one honest sample, don't 7x it
         return round(best, 3)
     except Exception:
         return None

@@ -526,22 +526,26 @@ def signbucket_ann(
     probe_id: str = "query_id",
     probe_emb: str = "query_embedding",
     dim: int | None = None,
-    hamming_probes: int = 0,
+    hamming_probes: int = 2,
 ) -> DataFrame:
-    """ANN: top-k by cosine distance within the probe's sign bucket,
+    """ANN: top-k by cosine distance within the probe's sign bucket
+    and (by default) every bucket within Hamming radius 2 of it,
     excluding the probe row itself. Returns
     (query_id, rank, neighbor_id, distance).
 
-    `hamming_probes` enables multi-probe LSH (Lv et al., VLDB 2007):
+    `hamming_probes` is multi-probe LSH (Lv et al., VLDB 2007):
     each query also searches every bucket within that Hamming radius
     of its own sign pattern — the standard recall lever for sign
-    bucketing, whose single-bucket recall collapses as n_planes grows
-    (measured in SCALE.md: recall@5 0.019 at radius 0 / 8 planes on
-    the 64-dim gate corpus). Radius r probes sum(C(n_planes, i),
-    i<=r) buckets; the item side is computed ONCE — only the tiny
-    broadcast probe side fans out, and an item can match a query in
-    at most one bucket (items hash to a single bucket), so no
-    dedup pass is needed."""
+    bucketing, whose single-bucket recall collapses as n_planes grows.
+    Measured on the 64-dim gate corpus at 8 planes (SCALE.md):
+    recall@5 = 0.019 at radius 0, 0.394 at radius 2, 0.663 at radius
+    3. Radius 2 is the DEFAULT since round 8 (VERDICT r7 #4): a ~2%
+    recall default silently mistakes bucket-hit for search; pass
+    ``hamming_probes=0`` explicitly for the single-bucket probe.
+    Radius r probes sum(C(n_planes, i), i<=r) buckets; the item side
+    is computed ONCE — only the tiny broadcast probe side fans out,
+    and an item can match a query in at most one bucket (items hash
+    to a single bucket), so no dedup pass is needed."""
     from chroma_rs_spark.functions.vector import l2_norm_sql
 
     if not 0 <= hamming_probes <= n_planes:
@@ -758,7 +762,7 @@ def ann_recall(
     probe_id: str = "query_id",
     probe_emb: str = "query_embedding",
     dim: int | None = None,
-    hamming_probes: int = 0,
+    hamming_probes: int = 2,
 ) -> DataFrame:
     """Measured recall@k of the sign-bucket ANN against exact KNN —
     the evaluation every approximate index owes its users (an ANN

@@ -331,21 +331,50 @@ def q_ann_signbucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_ANN_SIGNBUCKET_ORACLE = """
+def _bucket_variant_sql(mask: tuple[int, ...], n_planes: int) -> str:
+    """SQL for one multi-probe flip-mask applied to a `bucket` sign
+    string — the DuckDB twin of the operator's `variant()` expression
+    (operators/similarity.py:signbucket_ann)."""
+    terms = []
+    for j in range(1, n_planes + 1):
+        if j - 1 in mask:
+            terms.append(
+                f"CASE WHEN substr(bucket, {j}, 1) = '1'"
+                " THEN '0' ELSE '1' END"
+            )
+        else:
+            terms.append(f"substr(bucket, {j}, 1)")
+    return "concat(" + ", ".join(terms) + ")"
+
+
+def _ann_signbucket_oracle(radius: int = 2, n_planes: int = 8) -> str:
+    """Sign-bucket top-5 with the query side expanded to every bucket
+    within the Hamming radius (one UNION ALL branch per flip mask) —
+    the round-8 multi-probe DEFAULT (hamming_probes=2) mirrored in
+    SQL. Items hash to a single bucket, so a (query, item) pair can
+    match in at most one variant and no dedup is needed — same
+    argument as the operator."""
+    from chroma_rs_spark.operators.similarity import _bucket_variants
+
+    sign_cases = ", ".join(
+        f"CASE WHEN embedding[{i + 1}] >= 0 THEN '1' ELSE '0' END"
+        for i in range(n_planes)
+    )
+    qv = "\n  UNION ALL\n".join(
+        f"  SELECT vec_id, embedding,"
+        f" {_bucket_variant_sql(m, n_planes)} AS bucket"
+        f" FROM b WHERE vec_id < 5"
+        for m in _bucket_variants(n_planes, radius)
+    )
+    return f"""
 WITH b AS (
-  SELECT vec_id, embedding,
-         concat(
-           CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,
-           CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END,
-           CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END,
-           CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END,
-           CASE WHEN embedding[5] >= 0 THEN '1' ELSE '0' END,
-           CASE WHEN embedding[6] >= 0 THEN '1' ELSE '0' END,
-           CASE WHEN embedding[7] >= 0 THEN '1' ELSE '0' END,
-           CASE WHEN embedding[8] >= 0 THEN '1' ELSE '0' END) AS bucket
+  SELECT vec_id, embedding, concat({sign_cases}) AS bucket
   FROM embeddings
   WHERE embedding IS NOT NULL
     AND sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) <> 0
+),
+qv AS (
+{qv}
 ),
 scored AS (
   SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
@@ -353,8 +382,7 @@ scored AS (
                / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
                   * sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))),
                6) AS distance
-  FROM b q JOIN b e ON q.bucket = e.bucket AND e.vec_id != q.vec_id
-  WHERE q.vec_id < 5
+  FROM qv q JOIN b e ON q.bucket = e.bucket AND e.vec_id != q.vec_id
 ),
 ranked AS (
   SELECT query_id, neighbor_id, distance,
@@ -365,6 +393,9 @@ ranked AS (
 SELECT query_id, rank, neighbor_id, distance
 FROM ranked WHERE rank <= 5
 """
+
+
+_ANN_SIGNBUCKET_ORACLE = _ann_signbucket_oracle()
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1613,7 +1644,7 @@ d1 AS (
   ) WHERE trim(text) <> ''
 ),
 -- stage 2: exact dedup, keep the min-id representative per sha256
-d2 AS (
+d2 AS MATERIALIZED (
   SELECT doc_id, text FROM (
     SELECT doc_id, text,
            min(doc_id) OVER (PARTITION BY sha256(text)) AS keep_id
@@ -1636,7 +1667,7 @@ h AS (
   SELECT doc_id, CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT) AS h
   FROM sh
 ),
-mh AS (
+mh AS MATERIALIZED (
   SELECT doc_id, p.i AS band, min((h.h * p.a + p.b) % {MINHASH_P}) AS band_key
   FROM h, params p
   GROUP BY doc_id, p.i
@@ -1655,7 +1686,7 @@ cand AS (
   JOIN mh b ON b.band = k.band AND b.band_key = k.band_key
              AND a.doc_id < b.doc_id
 ),
-agree AS (
+agree AS MATERIALIZED (
   SELECT c.id_a, c.id_b,
          sum(CASE WHEN ma.band_key = mb.band_key THEN 1 ELSE 0 END) AS n_match
   FROM cand c
@@ -1663,7 +1694,7 @@ agree AS (
   JOIN mh mb ON mb.doc_id = c.id_b AND mb.band = ma.band
   GROUP BY c.id_a, c.id_b
 ),
-nd_edges AS (
+nd_edges AS MATERIALIZED (
   SELECT id_a AS u, id_b AS v FROM agree
   WHERE CAST(n_match AS DOUBLE) / 16.0 >= 0.7
   UNION ALL
@@ -1676,15 +1707,15 @@ reach(node, lbl) AS (
   UNION
   SELECT e.v, r.lbl FROM reach r JOIN nd_edges e ON e.u = r.node
 ),
-comp AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node),
-d3 AS (
+comp AS MATERIALIZED (SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node),
+d3 AS MATERIALIZED (
   SELECT d2.doc_id, d2.text
   FROM d2 JOIN comp USING (doc_id) WHERE doc_id = cluster_id
 ),
 -- stage 4: duplicate-span CUT (20-token spans, stride-5 content
 -- anchors, keeper interval inviolate); emptied docs dropped; text
 -- reassembles in the tokenized-text convention (space-joined)
-sbase AS (
+sbase AS MATERIALIZED (
   SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
   FROM d3
 ),
@@ -1729,7 +1760,7 @@ scov AS (
    AND tp.p >= kp.span_pos AND tp.p < kp.span_pos + 20
   GROUP BY tp.doc_id, tp.p, tp.tk
 ),
-d4 AS (
+d4 AS MATERIALIZED (
   SELECT doc_id, text FROM (
     SELECT doc_id,
            coalesce(string_agg(tk, ' ' ORDER BY p)
@@ -1739,7 +1770,7 @@ d4 AS (
 ),
 -- stage 5: leakage-safe split — the stage-2 pair graph restricted to
 -- both-surviving endpoints, re-clustered, bucket hashed on cluster_id
-s_edges AS (
+s_edges AS MATERIALIZED (
   SELECT u, v FROM nd_edges
   WHERE u IN (SELECT doc_id FROM d4) AND v IN (SELECT doc_id FROM d4)
 ),
@@ -1748,8 +1779,8 @@ reach2(node, lbl) AS (
   UNION
   SELECT e.v, r.lbl FROM reach2 r JOIN s_edges e ON e.u = r.node
 ),
-comp2 AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach2 GROUP BY node),
-d5 AS (
+comp2 AS MATERIALIZED (SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach2 GROUP BY node),
+d5 AS MATERIALIZED (
   SELECT d4.doc_id, d4.text,
          CASE WHEN bk < 9000 THEN 'train'
               WHEN bk < 9500 THEN 'val'
@@ -1762,18 +1793,18 @@ d5 AS (
   ) USING (doc_id)
 ),
 -- stage 6: 13-gram decontamination against the ACTUAL stage-5 split
-gtoks AS (
+gtoks AS MATERIALIZED (
   SELECT doc_id, split,
          list_filter(string_split(text, ' '), x -> x <> '') AS t
   FROM d5
 ),
-g AS (
+g AS MATERIALIZED (
   SELECT doc_id, split, {gram13} AS h
   FROM (SELECT doc_id, split, t, unnest(range(1, len(t) - 11)) AS i
         FROM gtoks)
 ),
-tr AS (SELECT DISTINCT h FROM g WHERE split = 'train'),
-contam AS (
+tr AS MATERIALIZED (SELECT DISTINCT h FROM g WHERE split = 'train'),
+contam AS MATERIALIZED (
   SELECT DISTINCT doc_id FROM g
   WHERE split <> 'train' AND h IN (SELECT h FROM tr)
 ),
@@ -1998,14 +2029,12 @@ LEFT JOIN na ON na.query_id = p.vec_id
 LEFT JOIN nh ON nh.query_id = p.vec_id
 """
 
-EXTRA_QUERIES["ann_recall"] = QueryDef(q_ann_recall, _ANN_RECALL_ORACLE)
-
-
-def q_ann_recall_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The same evaluation with multi-probe LSH at Hamming radius 2
-    (37 of 256 buckets probed): measured avg recall@5 rises 0.019 ->
-    0.394 on this corpus — the recall lever the radius-0 row shows is
-    needed."""
+def q_ann_recall_singleprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The radius-0 single-bucket evaluation, kept reachable and
+    bit-gated after the round-8 default change (hamming_probes=2 —
+    VERDICT r7 #4): pins the explicit ``hamming_probes=0`` path
+    against the radius-0 oracle. Its measured recall@5 = 0.019 on the
+    gate corpus is the number that motivated the default change."""
     from chroma_rs_spark.operators.similarity import ann_recall
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -2013,7 +2042,37 @@ def q_ann_recall_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("query_embedding"),
     )
-    return ann_recall(emb, probes, k=5, n_planes=8, hamming_probes=2).select(
+    return ann_recall(
+        emb, probes, k=5, n_planes=8, hamming_probes=0
+    ).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        "n_exact",
+        "n_approx",
+        "n_hits",
+        "recall",
+    )
+
+
+EXTRA_QUERIES["ann_recall_singleprobe"] = QueryDef(
+    q_ann_recall_singleprobe, _ANN_RECALL_ORACLE
+)
+
+
+def q_ann_recall_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same evaluation at Hamming radius 3 (93 of 256 buckets
+    probed): measured avg recall@5 = 0.663 on this corpus vs 0.394 at
+    the radius-2 default and 0.019 single-bucket — the declared
+    `ann_recall` row now pins the radius-2 DEFAULT (round-8 change),
+    so this row gates the deeper probe setting a recall-sensitive
+    user would reach for."""
+    from chroma_rs_spark.operators.similarity import ann_recall
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 32).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_embedding"),
+    )
+    return ann_recall(emb, probes, k=5, n_planes=8, hamming_probes=3).select(
         F.col("query_id").cast("long").alias("query_id"),
         "n_exact",
         "n_approx",
@@ -2028,20 +2087,9 @@ def _ann_recall_multiprobe_oracle(radius: int = 2, n_planes: int = 8) -> str:
     the multi-probe expansion the operator does."""
     from chroma_rs_spark.operators.similarity import _bucket_variants
 
-    def variant_expr(mask: tuple[int, ...]) -> str:
-        terms = []
-        for j in range(1, n_planes + 1):
-            if j - 1 in mask:
-                terms.append(
-                    f"CASE WHEN substr(bucket, {j}, 1) = '1'"
-                    " THEN '0' ELSE '1' END"
-                )
-            else:
-                terms.append(f"substr(bucket, {j}, 1)")
-        return "concat(" + ", ".join(terms) + ")"
-
     qv = "\n  UNION ALL\n".join(
-        f"  SELECT vec_id, embedding, {variant_expr(m)} AS bucket"
+        f"  SELECT vec_id, embedding,"
+        f" {_bucket_variant_sql(m, n_planes)} AS bucket"
         f" FROM b WHERE vec_id < 32"
         for m in _bucket_variants(n_planes, radius)
     )
@@ -2112,5 +2160,58 @@ LEFT JOIN nh ON nh.query_id = p.vec_id
 
 
 EXTRA_QUERIES["ann_recall_multiprobe"] = QueryDef(
-    q_ann_recall_multiprobe, _ann_recall_multiprobe_oracle()
+    q_ann_recall_multiprobe, _ann_recall_multiprobe_oracle(radius=3)
 )
+# round-8 (VERDICT r7 #4): `ann_recall` now exercises the operator
+# DEFAULT, which moved to multi-probe radius 2 — its oracle is the
+# radius-2 expansion; the radius-0 path stays gated via
+# ann_recall_singleprobe's explicit hamming_probes=0.
+EXTRA_QUERIES["ann_recall"] = QueryDef(
+    q_ann_recall, _ann_recall_multiprobe_oracle(radius=2)
+)
+
+
+# ---------------------------------------------------------------------------
+# round-8 rotation (VERDICT r7 next-step #1): the round-7 operators that
+# have only ever passed the local type-strict gate get their first pass
+# through the driver's 50-row correctness window; an equal number of
+# long-green rows (r1-r7 streaks, every family keeping at least one
+# declared representative) rotate out to EXTRA where tools/check.py
+# --extra keeps them bit-checked each round.
+#
+# In:  semantic_dedup (sqrt-k SemDeDup), dsir_importance,
+#      domain_cap_sample, dedup_keep_best, curate_report (the 8-stage
+#      end-to-end recipe's attrition contract), token_budget_sample,
+#      ann_recall (measured-recall harness), incremental_minhash.
+# Out: ann_signbucket (r1-r7; the ANN family stays declared via
+#      knn_ivf_trained + ann_recall, which *contains* the full exact-KNN
+#      baseline), multimodal_features + frame_sample (r1-r7/r4-r7; the
+#      decode plumbing keeps its pytest planted-media gate),
+#      embedding_near_dup (r4-r7; near_dup_bucketed + semantic_dedup keep
+#      the embedding-similarity family declared), centroid_assign
+#      (r3-r7; label_centroids stays), split_contamination (r3-r7;
+#      ngram_decontamination + leakage_safe_split keep decontamination
+#      declared).
+# ---------------------------------------------------------------------------
+
+for _name in (
+    "semantic_dedup",
+    "dsir_importance",
+    "domain_cap_sample",
+    "dedup_keep_best",
+    "curate_report",
+    "token_budget_sample",
+    "ann_recall",
+    "incremental_minhash",
+):
+    QUERIES[_name] = EXTRA_QUERIES.pop(_name)
+
+for _name in (
+    "ann_signbucket",
+    "multimodal_features",
+    "frame_sample",
+    "embedding_near_dup",
+    "centroid_assign",
+    "split_contamination",
+):
+    EXTRA_QUERIES[_name] = QUERIES.pop(_name)

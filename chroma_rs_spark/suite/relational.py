@@ -1432,3 +1432,9 @@ EXTRA_QUERIES = {
     # family; still bit-checked locally)
     "events_json_stats": QueryDef(q_events_json_stats, _EVENTS_JSON_ORACLE),
 }
+
+
+# round-8 rotation out (driver-green r1-r7 minus r3, still bit-checked
+# locally): the scalar-subquery broadcast shape stays declared via
+# orders_grouping_sets' agg family; slot funds a round-7 promotion.
+EXTRA_QUERIES["orders_above_avg"] = QUERIES.pop("orders_above_avg")

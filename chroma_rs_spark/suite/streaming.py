@@ -244,3 +244,9 @@ FROM ranked WHERE rank <= 2
 QUERIES["trending_event_types"] = QueryDef(
     q_trending_event_types, _TRENDING_ORACLE
 )
+
+
+# round-8 rotation out (driver-green r2-r7, still bit-checked locally):
+# the sliding window()-agg plan shape stays exercised by
+# events_tumbling's local gate and the session/trending declared rows.
+EXTRA_QUERIES["events_sliding"] = QUERIES.pop("events_sliding")

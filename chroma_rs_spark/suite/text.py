@@ -1027,3 +1027,10 @@ FROM base b
 EXTRA_QUERIES["gopher_repetition"] = QueryDef(
     q_gopher_repetition, _gopher_repetition_oracle()
 )
+
+
+# round-8 rotation in (VERDICT r7 next-step #1): the single-pass
+# vectorized Gopher repetition signals (Rae et al. '21 §A1.1) get their
+# first driver-window pass; the family's other rows (gopher_quality,
+# repetition_signals) stay declared alongside.
+QUERIES["gopher_repetition"] = EXTRA_QUERIES.pop("gopher_repetition")

@@ -899,3 +899,10 @@ EXTRA_QUERIES["ivf_recall"] = QueryDef(
     _kmeans_ivf_trained_oracle(final_select=_IVF_RECALL_FINAL),
     iterative=True,
 )
+
+
+# round-8 rotation out after an r1-r7 green streak (still bit-checked
+# locally every round): the typed where-DSL keeps driver coverage
+# through every get/query row's filter pushdown and the hypothesis
+# property suite; the window slot funds a first-time round-7 promotion.
+EXTRA_QUERIES["where_filter"] = QUERIES.pop("where_filter")

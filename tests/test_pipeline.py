@@ -98,9 +98,15 @@ def test_signbucket_ann_excludes_self_and_respects_bucket(spark):
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("query_embedding"),
     )
-    res = signbucket_ann(df, probes, k=5, n_planes=4).collect()
+    # hamming_probes=0 pins the single-bucket path explicitly (the
+    # DEFAULT moved to multi-probe radius 2 in round 8, which WOULD
+    # reach vec 2's flipped-plane bucket — asserted below)
+    res = signbucket_ann(df, probes, k=5, n_planes=4, hamming_probes=0).collect()
     assert [r["neighbor_id"] for r in res] == [1]
     assert res[0]["distance"] == 0.0  # same direction
+    # the radius-2 default probes the Hamming-1 neighbor bucket too
+    res2 = signbucket_ann(df, probes, k=5, n_planes=4).collect()
+    assert [r["neighbor_id"] for r in res2] == [1, 2]
 
 
 def test_multimodal_features_roundtrip(docs):
@@ -282,9 +288,11 @@ def test_split_contamination_finds_known_leak(spark):
 def test_split_contamination_suite_matches_oracle(spark):
     import duckdb
 
-    from chroma_rs_spark.suite.pipeline import QUERIES
+    from chroma_rs_spark.suite.pipeline import EXTRA_QUERIES, QUERIES
 
-    qd = QUERIES["split_contamination"]
+    # split_contamination rotated to EXTRA in round 8; the row's gate
+    # here is window-placement-independent
+    qd = {**QUERIES, **EXTRA_QUERIES}["split_contamination"]
     got = sorted(tuple(r) for r in qd.fn(spark, SF001_DIR).collect())
     con = duckdb.connect()
     con.sql(

@@ -254,9 +254,14 @@ def test_ann_recall_perfect_and_missed(spark):
     probes = emb.filter("vec_id IN (0, 2)").select(
         emb.vec_id.alias("query_id"), emb.embedding.alias("query_embedding")
     )
+    # hamming_probes=0: the single-bucket miss this test documents is
+    # exactly what the round-8 radius-2 DEFAULT exists to fix (the
+    # recovery is asserted in ..._multiprobe_recovers_boundary_miss)
     out = {
         r["query_id"]: r
-        for r in ann_recall(emb, probes, k=1, n_planes=4).collect()
+        for r in ann_recall(
+            emb, probes, k=1, n_planes=4, hamming_probes=0
+        ).collect()
     }
     assert out[0]["n_hits"] == 1 and out[0]["recall"] == 1.0
     # B's exact NN (vec 3) hashes to a different bucket -> missed
