@@ -208,3 +208,36 @@ def test_skip_validation_and_passthrough(spark):
         "input",
         "leakage_safe_split",
     ]
+
+
+def test_checkpoint_dir_bit_equal_and_reloadable(curated, spark, tmp_path):
+    """checkpoint_dir= (VERDICT r7 #3): the durable parquet-spill cut
+    produces a corpus and report bit-equal to the localCheckpoint run,
+    and every stage output is independently re-readable from disk with
+    the doc count the report claims for it — the restart contract."""
+    df, out, rep = curated
+    ckpt = str(tmp_path / "curate_ckpt")
+    corpus2, report2 = curate_corpus(df, line_min_df=5, checkpoint_dir=ckpt)
+
+    got = sorted(tuple(r) for r in corpus2.collect())
+    want = sorted((d, r["text"], r["split"]) for d, r in out.items())
+    assert got == want
+
+    rep2 = {r["stage"]: r for r in report2.collect()}
+    assert set(rep2) == set(rep)
+    for name, row in rep.items():
+        assert (rep2[name]["stage_no"], rep2[name]["n_docs"],
+                rep2[name]["n_tokens"]) == (
+            row["stage_no"], row["n_docs"], row["n_tokens"])
+
+    # every stage directory is a standalone parquet artifact whose
+    # row count matches the report line it produced
+    import os
+
+    stage_dirs = sorted(os.listdir(ckpt))
+    assert len(stage_dirs) == len(rep)
+    for d in stage_dirs:
+        no, name = int(d.split("_")[1]), d.split("_", 2)[2]
+        reloaded = spark.read.parquet(f"{ckpt}/{d}")
+        assert reloaded.count() == rep[name]["n_docs"], d
+        assert rep[name]["stage_no"] == no
