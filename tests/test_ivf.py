@@ -107,3 +107,57 @@ def test_kmeans_train_collapse_strict_vs_tolerant(spark):
         precollected=(cents, [(0, [1.0, 2.0, 3.0, 4.0])]),
     ).collect()
     assert len(res) == 3 and res[0]["distance"] == 0.0
+
+
+def test_ivf_recall_beats_probe_fraction_on_clustered_corpus(spark):
+    """The round-8 clustered-corpus proof (tools/clustered_ann_proof.py)
+    in miniature: on a mixture-of-gaussians corpus whose clusters the
+    k-means cells can track, IVF recall@k far exceeds the probed
+    corpus fraction — the property that makes IVF the scale path on
+    real (clustered) embedding spaces. md5-seeded like the tool, so
+    the corpus is deterministic without RNG state."""
+    import hashlib
+
+    from chroma_rs_spark.operators.ivf import ivf_topk, train_centroids_kmeans
+    from chroma_rs_spark.operators.similarity import recall_vs_exact
+    from pyspark.sql import functions as F
+
+    def u(key: str) -> float:
+        return int(hashlib.md5(key.encode()).hexdigest()[:8], 16) / 16**8
+
+    k_true, dim, n = 4, 16, 256
+    centers = [
+        [2.0 * u(f"c|{c}|{d}") - 1.0 for d in range(dim)]
+        for c in range(k_true)
+    ]
+    rows = [
+        (
+            i,
+            [
+                centers[i % k_true][d] + 0.4 * (u(f"p|{i}|{d}") - 0.5)
+                for d in range(dim)
+            ],
+        )
+        for i in range(n)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    trained = train_centroids_kmeans(
+        emb, n_centroids=k_true, max_iter=5, strict=False
+    )
+    queries = [(i, rows[i][1]) for i in range(8)]
+    approx = ivf_topk(
+        emb, k=10, n_probe=1, precollected=(trained, queries)
+    )
+    probes = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_embedding"),
+    )
+    recalls = [
+        r["recall"]
+        for r in recall_vs_exact(emb, probes, approx, k=10).collect()
+    ]
+    avg = sum(recalls) / len(recalls)
+    # probing 1 of >=3 surviving cells scores <=~40% of the corpus;
+    # on the clustered corpus recall must be far above that fraction
+    assert len(trained) >= 3
+    assert avg >= 0.9, avg
