@@ -242,6 +242,16 @@ def kmeans(
     """
     if max_iter < 1:
         raise ValueError("kmeans: max_iter must be >= 1")
+    # Spread a narrow input across the cores ONCE for the whole loop:
+    # the E-step does k x dim interpreted work PER ROW, so a
+    # single-file corpus (1 scan partition) would serialize the loop's
+    # hot path on one core while the rest idle, and the eager
+    # checkpoint stops each iteration re-running the upstream plan.
+    # Bit-safe: the E-step is per-row, the M-step's decimal sums and
+    # the seed sort are partitioning-independent.
+    from chroma_rs_spark.plans.partitioning import spread_compute
+
+    emb = spread_compute(emb)
     seeds = (
         emb.select(id_col, vec_col)
         .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))

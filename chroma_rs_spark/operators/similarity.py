@@ -627,6 +627,8 @@ def semantic_dedup(
     threshold: float = 0.9,
     k: int | None = None,
     max_iter: int = 3,
+    dim: int | None = None,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup — semantic deduplication via within-cluster embedding
     similarity (Abbas et al. 2023, arXiv:2303.09540): cluster the
@@ -669,24 +671,44 @@ def semantic_dedup(
         kmeans,
     )
 
-    if k is None:
+    # same narrow-input spread as kmeans (plans/partitioning.py): the
+    # final E-step and the within-cluster pair join both do
+    # per-row/per-pair interpreted vector work, which a single-file
+    # corpus would serialize on one core. Bit-safe for the same
+    # reasons; no-op at cluster scale or on pytest-sized inputs.
+    from chroma_rs_spark.plans.partitioning import spread_compute
+
+    emb = spread_compute(emb)
+
+    if k is None and centroids is None:
         n = emb.count()
         # exact integer ceil(sqrt(n)) — no float-boundary ambiguity
         import math
 
         r = math.isqrt(max(n, 1))
         k = max(2, r if r * r == n else r + 1)
-    _, cents = kmeans(
-        emb.select(id_col, emb_col),
-        k=k,
-        max_iter=max_iter,
-        id_col=id_col,
-        vec_col=emb_col,
-    )
+    # `centroids` takes a pre-trained label_centroids-form DataFrame
+    # (label, pos, centroid, ...) and skips the Lloyd's loop — the
+    # same build-once-search-many contract as ivf_topk(precollected=):
+    # at 100 TB the clustering trains once at index-build time and
+    # every dedup pass reuses it. The final E-step below re-assigns
+    # against whatever centroids are used, so assignment and centroids
+    # stay mutually consistent either way.
+    if centroids is not None:
+        cents = centroids
+    else:
+        _, cents = kmeans(
+            emb.select(id_col, emb_col),
+            k=k,
+            max_iter=max_iter,
+            id_col=id_col,
+            vec_col=emb_col,
+            dim=dim,
+        )
     assigned = assign_nearest_centroid(
-        emb, cents, id_col=id_col, vec_col=emb_col
+        emb, cents, id_col=id_col, vec_col=emb_col, dim=dim
     )
-    norm = l2_norm(f"`{emb_col}`")
+    norm = l2_norm(f"`{emb_col}`", dim)
     scorable = (
         emb.select(
             F.col(id_col), F.col(emb_col).alias("_e"), norm.alias("_n")
@@ -720,7 +742,7 @@ def semantic_dedup(
         F.col("_n").alias("_nb"),
     )
     sim = F.round(
-        dot_product("_ea", "_eb") / (F.col("_na") * F.col("_nb")), 6
+        dot_product("_ea", "_eb", dim) / (F.col("_na") * F.col("_nb")), 6
     )
     # partner b "wins" (a is the duplicate) iff b is farther from the
     # centroid, ties to the lower id — rounded sq_dist is the pinned
@@ -787,7 +809,13 @@ def ann_recall(
     """
     from chroma_rs_spark.functions.vector import l2_norm_sql
     from chroma_rs_spark.operators.knn import knn_exact
+    from chroma_rs_spark.plans.partitioning import spread_compute
 
+    # the exact baseline scores |probes| x dim per item row — spread a
+    # narrow (single-file) item side so the scoring parallelizes; the
+    # approximate side reuses the same materialization. No-op at
+    # cluster scale or on pytest-sized inputs.
+    items = spread_compute(items)
     universe = items.filter(F.col(item_emb).isNotNull()).filter(
         F.expr(f"{l2_norm_sql(f'`{item_emb}`', dim)} <> 0.0D")
     )

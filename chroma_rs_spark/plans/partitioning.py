@@ -79,3 +79,35 @@ def maybe_broadcast(
     if 0 <= size < limit_bytes:
         return F.broadcast(df)
     return df
+
+
+# compute-bound loops (k-means E-steps, exact-KNN scoring) do k x dim
+# work PER ROW, so a single-file input serializes the hot path on one
+# core long before its bytes would justify a fan_out. 256 KB keeps the
+# pytest-sized inputs (a few rows) from paying an eager checkpoint.
+SPREAD_COMPUTE_MIN_BYTES = 256 << 10
+
+
+def spread_compute(
+    df: DataFrame, min_bytes: int = SPREAD_COMPUTE_MIN_BYTES
+) -> DataFrame:
+    """Spread a narrow-but-nontrivial input across all cores and cut
+    its lineage — for inputs an iterative or per-row-compute-bound
+    operator will score repeatedly.
+
+    Differs from `fan_out` in both gate and effect: fan_out guards
+    byte-bound scans (big bytes, cheap per row) and stays lazy;
+    spread_compute guards compute-bound kernels (small bytes, k x dim
+    work per row) and eagerly localCheckpoints so every loop iteration
+    reuses the spread materialization instead of re-running the
+    upstream plan. Bit-safe wherever downstream reductions are exact
+    (decimal sums), pre-rounded, or per-row. At cluster scale inputs
+    arrive with >= parallelism partitions and this is a no-op.
+    """
+    size = plan_size_bytes(df)
+    if size < min_bytes:  # tiny or unknown (-1): not worth a job
+        return df
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target).localCheckpoint(eager=True)
