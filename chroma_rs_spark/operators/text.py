@@ -1249,3 +1249,107 @@ def c4_filters(
         "text_clean",
     )
     return out
+
+
+def canonicalize_url(
+    url,
+    tracking_params: tuple[str, ...] = (
+        "utm_source", "utm_medium", "utm_campaign", "utm_term",
+        "utm_content", "gclid", "fbclid", "ref",
+    ),
+) -> Column:
+    """Canonical form of a URL for URL-level dedup — the FIRST dedup
+    stage of the public curation pipelines (RefinedWeb §3.2 dedupes by
+    URL before touching content; CCNet groups by URL): two crawls of
+    the same page must collapse to one key even when the fetch URLs
+    differ by host case, a fragment, tracking parameters, default
+    ports, or query-parameter order.
+
+    Steps (pure JVM column expressions — regexp/split/array built-ins,
+    zero UDFs, no shuffle):
+      1. trim; drop the fragment (#...),
+      2. lowercase the scheme and host (NOT the path — paths are
+         case-sensitive on most origins),
+      3. drop default ports (:80 for http, :443 for https),
+      4. drop tracking query parameters (utm_*, gclid, fbclid, ref by
+         default), sort the survivors lexicographically (parameter
+         order is transport noise), drop an empty query entirely,
+      5. collapse an empty path to "/" and strip ONE trailing slash
+         from a non-root path ("/a/" == "/a"; root keeps its slash).
+
+    NULL in -> NULL out. Inputs WITHOUT a scheme are returned
+    trimmed/defragmented but otherwise untouched (no scheme means no
+    reliable host/path split — refuse to guess). The dedup that
+    follows is an exact hash-groupBy on the canonical string
+    (`url_dedup`), map-side combinable like every exact dedup here.
+    """
+    u = F.col(url) if isinstance(url, str) else url
+    u0 = F.regexp_replace(F.trim(u), r"#.*$", "")
+    scheme = F.lower(
+        F.regexp_extract(u0, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
+    )
+    rest = F.regexp_replace(u0, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    hostport = F.lower(F.regexp_extract(rest, r"^([^/?]*)", 1))
+    host = (
+        F.when(scheme == "http", F.regexp_replace(hostport, r":80$", ""))
+        .when(scheme == "https", F.regexp_replace(hostport, r":443$", ""))
+        .otherwise(hostport)
+    )
+    path_q = F.regexp_replace(rest, r"^[^/?]*", "")
+    raw_path = F.regexp_extract(path_q, r"^([^?]*)", 1)
+    query = F.regexp_extract(path_q, r"\?(.*)$", 1)
+    path = F.when(raw_path == "", F.lit("/")).otherwise(raw_path)
+    path = F.when(
+        path != "/", F.regexp_replace(path, r"/$", "")
+    ).otherwise(path)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "")
+        & ~F.split(p, "=").getItem(0).isin(*tracking_params),
+    )
+    sorted_q = F.array_join(F.array_sort(params), "&")
+    canon = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(sorted_q != "", F.concat(F.lit("?"), sorted_q)).otherwise(
+            F.lit("")
+        ),
+    )
+    return F.when(scheme == "", u0).otherwise(canon)
+
+
+def url_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+) -> DataFrame:
+    """URL-level exact dedup: one row per input doc with its canonical
+    URL and `keep` = True iff the doc is the min-id representative of
+    its canonical-URL group (the same keeper rule as `exact_dedup`).
+    NULL / scheme-less-unparseable URLs canonicalize to themselves and
+    dedup within their own group; NULL urls are all kept (no key).
+
+    Scale shape: one map-side canonicalization expression + one
+    hash-groupBy window-free keeper (min over a partial-aggregable
+    struct), identical to the exact-dedup plan audited at 100 TB.
+    """
+    canon = canonicalize_url(url_col)
+    with_key = docs.withColumn("canonical_url", canon)
+    keeper = (
+        with_key.filter(F.col("canonical_url").isNotNull())
+        .groupBy("canonical_url")
+        .agg(F.min(F.col(id_col)).alias("_keep_id"))
+    )
+    return (
+        with_key.join(keeper, "canonical_url", "left")
+        .select(
+            F.col(id_col),
+            F.col(url_col),
+            "canonical_url",
+            F.when(F.col("canonical_url").isNull(), F.lit(True))
+            .otherwise(F.col(id_col) == F.col("_keep_id"))
+            .alias("keep"),
+        )
+    )

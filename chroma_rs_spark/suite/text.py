@@ -1034,3 +1034,147 @@ EXTRA_QUERIES["gopher_repetition"] = QueryDef(
 # first driver-window pass; the family's other rows (gopher_quality,
 # repetition_signals) stay declared alongside.
 QUERIES["gopher_repetition"] = EXTRA_QUERIES.pop("gopher_repetition")
+
+
+# ---------------------------------------------------------------------------
+# round 8: URL-level dedup (RefinedWeb §3.2 / CCNet stage 1) — the first
+# dedup stage of the public curation pipelines, previously missing.
+# URLs are DERIVED deterministically from the documents table (the
+# lined_corpus/twin-corpus pattern) so that every canonicalization rule
+# has planted cases: doc pairs (2j, 2j+1) fetch the SAME page through
+# different transport noise (host case, default port, fragment,
+# tracking params, parameter order, trailing slash) and must collapse
+# to one canonical key; every 10th doc gets a scheme-less string that
+# must pass through untouched.
+# ---------------------------------------------------------------------------
+
+
+def _derived_url_col():
+    # host/path derive from PAGE (= doc_id // 2), NOT from the row's
+    # own source/lang columns — pair members (2j, 2j+1) must fetch the
+    # SAME page (the first draft used per-row source/lang and silently
+    # produced zero duplicate groups; caught by the end-to-end drive)
+    page = (F.col("doc_id") / 2).cast("long")
+    scheme = F.when(page % 2 == 0, F.lit("https")).otherwise(F.lit("http"))
+    site = F.concat(F.lit("s"), page % 7)
+    clean_host = F.concat(F.lit("www."), site, F.lit(".example.com"))
+    noisy_host = F.concat(
+        F.lit("WWW."),
+        F.upper(site),
+        F.lit(".Example.COM"),
+        F.when(page % 2 == 0, F.lit(":443")).otherwise(F.lit(":80")),
+    )
+    path = F.concat(F.lit("/docs/p"), page)
+    clean_q = F.lit("?a=1&b=2")
+    noisy = F.concat(
+        scheme, F.lit("://"), noisy_host, path, F.lit("/"),
+        F.lit("?b=2&utm_source=feed&a=1&fbclid=XYZ"), F.lit("#frag"),
+    )
+    clean = F.concat(scheme, F.lit("://"), clean_host, path, clean_q)
+    schemeless = F.concat(F.lit("www.bare/"), page, F.lit("#frag"))
+    return (
+        F.when(F.col("doc_id") % 10 == 9, schemeless)
+        .when(F.col("doc_id") % 2 == 1, noisy)
+        .otherwise(clean)
+    )
+
+
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chroma_rs_spark.operators.text import url_dedup
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source"
+    )
+    return url_dedup(docs.withColumn("url", _derived_url_col())).select(
+        "doc_id", "url", "canonical_url", "keep"
+    )
+
+
+_URL_TRACKING = (
+    "'utm_source', 'utm_medium', 'utm_campaign', 'utm_term', "
+    "'utm_content', 'gclid', 'fbclid', 'ref'"
+)
+
+_URL_DEDUP_ORACLE = f"""
+WITH src AS (
+  SELECT doc_id,
+         CASE
+           WHEN doc_id % 10 = 9 THEN
+             concat('www.bare/', CAST(doc_id // 2 AS VARCHAR), '#frag')
+           WHEN doc_id % 2 = 1 THEN
+             concat(
+               CASE WHEN (doc_id // 2) % 2 = 0 THEN 'https' ELSE 'http' END,
+               '://WWW.S', CAST((doc_id // 2) % 7 AS VARCHAR), '.Example.COM',
+               CASE WHEN (doc_id // 2) % 2 = 0 THEN ':443' ELSE ':80' END,
+               '/docs/p', CAST(doc_id // 2 AS VARCHAR),
+               '/', '?b=2&utm_source=feed&a=1&fbclid=XYZ', '#frag')
+           ELSE
+             concat(
+               CASE WHEN (doc_id // 2) % 2 = 0 THEN 'https' ELSE 'http' END,
+               '://www.s', CAST((doc_id // 2) % 7 AS VARCHAR), '.example.com',
+               '/docs/p', CAST(doc_id // 2 AS VARCHAR),
+               '?a=1&b=2')
+         END AS url
+  FROM documents
+),
+c1 AS (
+  SELECT doc_id, url,
+         regexp_replace(trim(url), '#.*$', '') AS u0
+  FROM src
+),
+c2 AS (
+  SELECT *,
+         lower(regexp_extract(u0, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+         regexp_replace(u0, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+  FROM c1
+),
+c3 AS (
+  SELECT *,
+         lower(regexp_extract(rest, '^([^/?]*)', 1)) AS hostport,
+         regexp_replace(rest, '^[^/?]*', '') AS path_q
+  FROM c2
+),
+c4 AS (
+  SELECT *,
+         CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+              WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+              ELSE hostport END AS host,
+         regexp_extract(path_q, '^([^?]*)', 1) AS raw_path,
+         regexp_extract(path_q, '\\?(.*)$', 1) AS query
+  FROM c3
+),
+c5 AS (
+  SELECT *,
+         CASE WHEN raw_path = '' THEN '/'
+              WHEN raw_path <> '/' THEN regexp_replace(raw_path, '/$', '')
+              ELSE raw_path END AS path,
+         array_to_string(
+           list_sort(
+             list_filter(
+               string_split(query, '&'),
+               p -> p <> '' AND NOT list_contains(
+                 [{_URL_TRACKING}], string_split(p, '=')[1])
+             )
+           ), '&') AS sorted_q
+  FROM c4
+),
+canon AS (
+  SELECT doc_id, url,
+         CASE WHEN scheme = '' THEN u0
+              ELSE concat(scheme, '://', host, path,
+                          CASE WHEN sorted_q <> ''
+                               THEN concat('?', sorted_q) ELSE '' END)
+         END AS canonical_url
+  FROM c5
+),
+keeper AS (
+  SELECT canonical_url, min(doc_id) AS keep_id
+  FROM canon WHERE canonical_url IS NOT NULL GROUP BY 1
+)
+SELECT c.doc_id, c.url, c.canonical_url,
+       CASE WHEN c.canonical_url IS NULL THEN TRUE
+            ELSE c.doc_id = k.keep_id END AS keep
+FROM canon c LEFT JOIN keeper k USING (canonical_url)
+"""
+
+EXTRA_QUERIES["url_dedup"] = QueryDef(q_url_dedup, _URL_DEDUP_ORACLE)
