@@ -71,3 +71,141 @@ def stream_add(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_dedup_ingest(
+    spark,
+    stream_docs: DataFrame,
+    corpus_dir: str,
+    index_dir: str,
+    threshold: float = 0.7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+    num_hashes: int = 16,
+    bands: int = 16,
+    shingle_k: int = 3,
+    max_bucket: int | None | str = "auto",
+):
+    """Continuously ingest documents with near-duplicate dedup against
+    the ALREADY-INGESTED corpus — the daily-crawl shape every public
+    curation pipeline runs (RefinedWeb/Dolma: new snapshot arrives,
+    dedup it against the accumulated corpus, append only the novel
+    docs) expressed as one Structured Streaming query.
+
+    Per micro-batch (foreachBatch):
+      1. replay safety: drop in-batch id duplicates, then anti-join on
+         the corpus's ids — a re-delivered batch is a no-op at the id
+         level, same contract as `stream_add`;
+      2. mine candidate pairs with `incremental_minhash_pairs` against
+         the PERSISTED band index (never re-reads old text; the
+         hot-bucket ``max_bucket="auto"`` guard applies);
+      3. reject policy — "corpus wins, then min-id wins": a new doc
+         near-dupping ANY indexed doc (est_jaccard >= threshold) is
+         dropped; the remaining new-vs-new pairs are clustered
+         (connected components, the transitive convention all dedup
+         here uses) and only each cluster's min-id member survives.
+         Note the transitive consequence: if X hits the corpus and Y's
+         only near-dup link is to X, Y is still dropped — X's cluster
+         is represented in the corpus;
+      4. append survivors to ``corpus_dir`` (parquet, full input
+         schema) and their `minhash_band_index` rows to ``index_dir``.
+
+    Durability note (two-write commit gap): the corpus append lands
+    BEFORE the index append, so a crash between them leaves docs in
+    the corpus whose index rows are missing. On replay those docs are
+    anti-joined away (no duplicates, no self-pairs — the incremental
+    miner's disjoint-ids contract holds) but future duplicates OF
+    those docs would not be caught until the index is repaired:
+    ``minhash_band_index(corpus.join(index_ids, anti))`` appended to
+    the index dir is the one-line repair. The reverse order would be
+    worse — index rows for absent docs make every replayed batch
+    self-collide and reject forever.
+
+    Scale: the index is |corpus| x bands narrow rows; each batch joins
+    only its own band keys against it (band_key-partitionable), and
+    the appended text is survivors-only.
+    """
+    import os as _os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.utils import AnalysisException
+
+    from chroma_rs_spark.operators.dedup import (
+        incremental_minhash_pairs,
+        minhash_band_index,
+    )
+    from chroma_rs_spark.operators.graph import dedup_clusters
+
+    index_schema = "id long, band int, band_key long"
+
+    def _read_or_empty(path: str, schema) -> DataFrame:
+        try:
+            return spark.read.parquet(path)
+        except AnalysisException:
+            return spark.createDataFrame([], schema)
+
+    def write_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        batch = batch_df.dropDuplicates([id_col])
+        corpus_ids = _read_or_empty(corpus_dir, batch_df.schema).select(
+            id_col
+        )
+        fresh = batch.join(corpus_ids, id_col, "left_anti").localCheckpoint()
+        if not fresh.take(1):
+            return
+        index = _read_or_empty(index_dir, index_schema)
+        pairs = incremental_minhash_pairs(
+            fresh,
+            index,
+            id_col=id_col,
+            text_col=text_col,
+            num_hashes=num_hashes,
+            bands=bands,
+            shingle_k=shingle_k,
+            max_bucket=max_bucket,
+        ).filter(F.col("est_jaccard") >= F.lit(float(threshold)))
+        pairs = pairs.localCheckpoint()
+        # corpus wins: exactly one side of a vs_corpus pair is fresh
+        fresh_ids = fresh.select(F.col(id_col).alias("_fid"))
+        ch = pairs.filter(F.col("vs_corpus"))
+        corpus_hit = (
+            ch.select(F.col("id_a").alias("_fid"))
+            .unionByName(ch.select(F.col("id_b").alias("_fid")))
+            .join(fresh_ids, "_fid", "left_semi")
+            .distinct()
+            .withColumnRenamed("_fid", id_col)
+        )
+        # then min-id wins within the batch's own near-dup clusters
+        nn = pairs.filter(~F.col("vs_corpus"))
+        keep_nn = dedup_clusters(
+            fresh, nn, id_col=id_col, threshold=threshold, lazy_local=True
+        ).filter(F.col("keep")).select(id_col)
+        survivors = (
+            fresh.join(keep_nn, id_col, "left_semi")
+            .join(corpus_hit, id_col, "left_anti")
+            .localCheckpoint()
+        )
+        if not survivors.take(1):
+            return
+        survivors.write.mode("append").parquet(corpus_dir)
+        minhash_band_index(
+            survivors,
+            id_col=id_col,
+            text_col=text_col,
+            num_hashes=num_hashes,
+            bands=bands,
+            shingle_k=shingle_k,
+        ).write.mode("append").parquet(index_dir)
+
+    checkpoint = checkpoint_dir or _os.path.join(
+        _os.path.dirname(corpus_dir.rstrip("/")), "_dedup_ingest_checkpoint"
+    )
+    writer = (
+        stream_docs.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

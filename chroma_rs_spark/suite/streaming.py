@@ -250,3 +250,182 @@ QUERIES["trending_event_types"] = QueryDef(
 # the sliding window()-agg plan shape stays exercised by
 # events_tumbling's local gate and the session/trending declared rows.
 EXTRA_QUERIES["events_sliding"] = QUERIES.pop("events_sliding")
+
+
+# ---------------------------------------------------------------------------
+# round 8: streaming near-dup ingest (streaming/ingest.py:
+# stream_dedup_ingest) — the daily-crawl shape: batch 0 (even doc_ids)
+# then batch 1 (odd doc_ids) drain through the real foreachBatch
+# pipeline with a persisted band index; the oracle replays the SAME
+# sequential fold in one DuckDB statement (round-0 within-batch CC,
+# then round-1 corpus-wins + within-batch CC), reusing the minhash
+# band skeleton the dedup oracles share. EXTRA by the stream_ingest
+# precedent: ~3 s of stream-startup floor vs a ~100 ms oracle would
+# distort the declared-50 bench; bit-checked locally every round.
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two file micro-batches (even ids, then odd ids — file mtimes
+    pinned so FileStreamSource's oldest-first order is deterministic)
+    through stream_dedup_ingest at threshold 0.7; returns the final
+    corpus. iterative=True: the stream runs during build."""
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from pyspark.sql import functions as F
+
+    from chroma_rs_spark.streaming.ingest import stream_dedup_ingest
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="dedup_ingest_twin_")
+    try:
+        inbox = f"{root}/inbox"
+        now = time.time()
+        for b in (0, 1):
+            path = f"{inbox}/batch_{b}"
+            docs.filter(F.col("doc_id") % 2 == b).coalesce(1).write.parquet(
+                path, mode="overwrite"
+            )
+            for f in os.listdir(path):
+                os.utime(f"{path}/{f}", (now - 100 + b, now - 100 + b))
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{inbox}/*")
+        )
+        q = stream_dedup_ingest(
+            spark,
+            stream,
+            f"{root}/corpus",
+            f"{root}/index",
+            threshold=0.7,
+            checkpoint_dir=f"{root}/ckpt",
+        )
+        q.awaitTermination(600)
+        out = spark.read.parquet(f"{root}/corpus").select("doc_id", "text")
+        out = out.localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+def _dedup_ingest_oracle() -> str:
+    from chroma_rs_spark.operators.dedup import MINHASH_P, minhash_params
+
+    params = ",\n         ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in enumerate(minhash_params(16))
+    )
+    toks = "list_filter(string_split(text, ' '), x -> x <> '')"
+    # agreement >= 12 bands == est_jaccard >= 0.7 at 16 single-row bands
+    return f"""
+WITH RECURSIVE
+sh AS (
+  SELECT doc_id, concat_ws(' ', toks[i], toks[i+1], toks[i+2]) AS shingle
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i
+        FROM (SELECT doc_id, {toks} AS toks FROM documents))
+  WHERE toks[i] <> '' AND toks[i+1] <> '' AND toks[i+2] <> ''
+),
+params(i, a, b) AS (
+  VALUES {params}
+),
+h AS (
+  SELECT doc_id, CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT) AS h
+  FROM sh
+),
+mh AS MATERIALIZED (
+  SELECT doc_id, p.i AS band, min((h.h * p.a + p.b) % {MINHASH_P}) AS band_key
+  FROM h, params p
+  GROUP BY doc_id, p.i
+),
+b0 AS MATERIALIZED (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+b1 AS MATERIALIZED (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
+-- round 0: batch 0 against an empty corpus — within-batch pairs only
+cand0 AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM mh a JOIN mh b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+  WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 0
+),
+e0 AS MATERIALIZED (
+  SELECT id_a AS u, id_b AS v FROM (
+    SELECT c.id_a, c.id_b,
+           sum(CASE WHEN ma.band_key = mb.band_key THEN 1 ELSE 0 END) AS nm
+    FROM cand0 c
+    JOIN mh ma ON ma.doc_id = c.id_a
+    JOIN mh mb ON mb.doc_id = c.id_b AND mb.band = ma.band
+    GROUP BY 1, 2
+  ) WHERE nm >= 12
+),
+e0b AS MATERIALIZED (
+  SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0
+),
+reach0(node, lbl) AS (
+  SELECT doc_id, doc_id FROM b0
+  UNION
+  SELECT e.v, r.lbl FROM reach0 r JOIN e0b e ON e.u = r.node
+),
+comp0 AS MATERIALIZED (
+  SELECT node AS doc_id, min(lbl) AS cid FROM reach0 GROUP BY 1
+),
+s0 AS MATERIALIZED (
+  SELECT b0.doc_id, b0.text FROM b0 JOIN comp0 USING (doc_id)
+  WHERE doc_id = cid
+),
+-- round 1: batch 1 — corpus (= s0) wins, then min-id within batch
+hit1 AS MATERIALIZED (
+  SELECT DISTINCT n FROM (
+    SELECT a.doc_id AS n, s.doc_id AS o
+    FROM mh a JOIN mh s ON a.band = s.band AND a.band_key = s.band_key
+    WHERE a.doc_id % 2 = 1 AND s.doc_id IN (SELECT doc_id FROM s0)
+    GROUP BY 1, 2
+    HAVING count(*) >= 1
+  ) c
+  WHERE (
+    SELECT sum(CASE WHEN ma.band_key = mb.band_key THEN 1 ELSE 0 END)
+    FROM mh ma JOIN mh mb ON mb.doc_id = c.o AND mb.band = ma.band
+    WHERE ma.doc_id = c.n
+  ) >= 12
+),
+cand1 AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM mh a JOIN mh b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+  WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 1
+),
+e1 AS MATERIALIZED (
+  SELECT id_a AS u, id_b AS v FROM (
+    SELECT c.id_a, c.id_b,
+           sum(CASE WHEN ma.band_key = mb.band_key THEN 1 ELSE 0 END) AS nm
+    FROM cand1 c
+    JOIN mh ma ON ma.doc_id = c.id_a
+    JOIN mh mb ON mb.doc_id = c.id_b AND mb.band = ma.band
+    GROUP BY 1, 2
+  ) WHERE nm >= 12
+),
+e1b AS MATERIALIZED (
+  SELECT u, v FROM e1 UNION ALL SELECT v AS u, u AS v FROM e1
+),
+reach1(node, lbl) AS (
+  SELECT doc_id, doc_id FROM b1
+  UNION
+  SELECT e.v, r.lbl FROM reach1 r JOIN e1b e ON e.u = r.node
+),
+comp1 AS MATERIALIZED (
+  SELECT node AS doc_id, min(lbl) AS cid FROM reach1 GROUP BY 1
+),
+s1 AS (
+  SELECT b1.doc_id, b1.text FROM b1 JOIN comp1 USING (doc_id)
+  WHERE doc_id = cid AND doc_id NOT IN (SELECT n FROM hit1)
+)
+SELECT doc_id, text FROM s0
+UNION ALL
+SELECT doc_id, text FROM s1
+"""
+
+
+EXTRA_QUERIES["dedup_ingest"] = QueryDef(
+    q_dedup_ingest, _dedup_ingest_oracle(), iterative=True
+)
