@@ -67,6 +67,7 @@ def curate_corpus(
     decontam_n: int = 13,
     id_col: str = "doc_id",
     text_col: str = "text",
+    url_col: str | None = None,
     cache: bool = True,
     checkpoint_dir: str | None = None,
     skip: frozenset[str] | set[str] = frozenset(),
@@ -79,9 +80,14 @@ def curate_corpus(
     ledger after each stage (stage 0 = the input), the numbers a
     curation run is judged by.
 
-    `skip` names stages to leave out (any of "c4_filters",
-    "gopher_quality", "gopher_repetition", "line_dedup", "exact_dedup",
-    "near_dup_clusters", "remove_duplicate_spans",
+    `url_col` enables stage 0 — URL-level dedup via
+    `canonicalize_url` (RefinedWeb §3.2 runs it FIRST: the cheapest
+    dedup granularity goes before any content-touching stage); leave
+    it None when the corpus has no URL column.
+
+    `skip` names stages to leave out (any of "url_dedup",
+    "c4_filters", "gopher_quality", "gopher_repetition", "line_dedup",
+    "exact_dedup", "near_dup_clusters", "remove_duplicate_spans",
     "ngram_decontamination") — rule stages
     are corpus-dependent (C4's terminal-punctuation rule zeroes a
     corpus of unpunctuated text) and a pipeline operator chooses its
@@ -123,9 +129,9 @@ def curate_corpus(
     )
 
     _known = {
-        "c4_filters", "gopher_quality", "gopher_repetition", "line_dedup",
-        "exact_dedup", "near_dup_clusters", "remove_duplicate_spans",
-        "ngram_decontamination",
+        "url_dedup", "c4_filters", "gopher_quality", "gopher_repetition",
+        "line_dedup", "exact_dedup", "near_dup_clusters",
+        "remove_duplicate_spans", "ngram_decontamination",
     }
     unknown = set(skip) - _known
     if unknown:
@@ -149,6 +155,24 @@ def curate_corpus(
         return sdf
 
     s0 = _stage("input", docs.select(F.col(id_col), F.col(text_col)))
+
+    # 0. URL-level dedup (RefinedWeb §3.2 runs it FIRST — the cheapest
+    # dedup granularity goes before any content-touching stage). Runs
+    # only when the caller names a URL column; the keeper list from
+    # the full input (id + url) semi-joins the text working set.
+    if url_col is not None and "url_dedup" not in skip:
+        from chroma_rs_spark.operators.text import url_dedup
+
+        u_keep = (
+            url_dedup(
+                docs.select(F.col(id_col), F.col(url_col)),
+                id_col=id_col,
+                url_col=url_col,
+            )
+            .filter(F.col("keep"))
+            .select(id_col)
+        )
+        s0 = _stage("url_dedup", s0.join(u_keep, id_col, "left_semi"))
 
     # 1. C4 line cleaning + page drops (operates on raw text; its
     # text_clean becomes the working text)

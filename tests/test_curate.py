@@ -241,3 +241,39 @@ def test_checkpoint_dir_bit_equal_and_reloadable(curated, spark, tmp_path):
         reloaded = spark.read.parquet(f"{ckpt}/{d}")
         assert reloaded.count() == rep[name]["n_docs"], d
         assert rep[name]["stage_no"] == no
+
+
+def test_url_dedup_stage_runs_first(spark):
+    """url_col= enables stage 0: two docs with DIFFERENT text but the
+    same canonical URL collapse before any content stage sees them —
+    content dedup alone could never have caught this pair."""
+    rows = [
+        (0, "alpha bravo charlie.", "https://EX.com/page/?utm_source=x"),
+        (1, "delta echo foxtrot.", "https://ex.com/page"),
+        (2, "golf hotel india.", "https://ex.com/other"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, url string")
+    corpus, report = curate_corpus(
+        df,
+        url_col="url",
+        skip={
+            "c4_filters", "gopher_quality", "gopher_repetition",
+            "line_dedup", "exact_dedup", "near_dup_clusters",
+            "remove_duplicate_spans", "ngram_decontamination",
+        },
+    )
+    ids = {r["doc_id"] for r in corpus.collect()}
+    assert ids == {0, 2}
+    rep = {r["stage"]: r["n_docs"] for r in report.collect()}
+    assert rep["input"] == 3 and rep["url_dedup"] == 2
+    # without url_col the stage never runs
+    c2, r2 = curate_corpus(
+        df.select("doc_id", "text"),
+        skip={
+            "c4_filters", "gopher_quality", "gopher_repetition",
+            "line_dedup", "exact_dedup", "near_dup_clusters",
+            "remove_duplicate_spans", "ngram_decontamination",
+        },
+    )
+    assert "url_dedup" not in {r["stage"] for r in r2.collect()}
+    assert c2.count() == 3
