@@ -149,7 +149,16 @@ def curate_corpus(
         elif cache:
             # eager: truncates the logical plan (the exponential-tree
             # cut — see module docstring) AND materializes the stage
-            # once for the report + downstream consumers
+            # once for the report + downstream consumers. Measured
+            # negative result (r8): spreading each narrow stage
+            # checkpoint across the cores (the spread_compute
+            # treatment that won for the k-means/KNN loops) DOUBLES
+            # this pipeline's wall at sf0.1 (6.99 s -> 13.4 s) — a
+            # per-stage repartition shuffle plus 32-task stages cost
+            # more than the single-thread scans they parallelize when
+            # every stage is a fresh sub-second plan rather than a
+            # reused loop body. Stage checkpoints keep the input's
+            # partitioning.
             sdf = sdf.localCheckpoint()
         stages.append((name, sdf))
         return sdf
