@@ -1320,6 +1320,170 @@ def canonicalize_url(
     return F.when(scheme == "", u0).otherwise(canon)
 
 
+def bigram_perplexity(
+    df: DataFrame,
+    train_frac: float = 0.5,
+    alpha: float = 0.4,
+    k_smooth: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_transitions, n_backoff, avg_logscore, perplexity):
+    per-document bigram language-model quality score under stupid
+    backoff (Brants et al., "Large Language Models in Machine
+    Translation", EMNLP 2007 — the backoff scheme built FOR
+    distributed web-scale counts: no discounting pass, no
+    normalization, just raw count ratios with a fixed backoff
+    penalty). This is the bigram upgrade of `lm_perplexity`'s
+    CCNet-style unigram filter: word-order gibberish ("the of and a
+    in") that a unigram model scores as perfectly natural gets a low
+    bigram score.
+
+    The model is trained on a deterministic held-in half of the corpus
+    (`hash_bucket(id) < train_frac` — the same md5 bucket construction
+    as `deterministic_sample`, so the split is reproducible and
+    growth-stable) and scores EVERY document. Training on a subset is
+    what CCNet does (wiki-trained KenLM scoring Common Crawl) and is
+    what keeps the backoff branch meaningful: a model trained on the
+    scored corpus itself has seen every bigram by construction.
+
+    Per transition (w1 -> w2), position order:
+      seen in train:  S = count(w1 w2) / count(w1)
+      unseen:         S = alpha * (count(w2) + k) / (N + k * V)
+    avg_logscore = mean ln S over the document's size-1 transitions,
+    perplexity = exp(-avg_logscore). Stupid-backoff scores are not
+    probabilities (the point — Brants et al. §3), so "perplexity" here
+    is the same monotone quality statistic, not a true LM perplexity.
+
+    Scale shapes (mirrors `lm_perplexity`, audited there):
+    - bigram + unigram counts are map-side-combinable groupBys over
+      the TRAIN half's token stream — never a count window (the
+      hottest bigram of a 100 TB crawl is ~1% of all transitions in
+      one partition if windowed).
+    - transition rows join the count tables on their token keys with
+      the size-gated `maybe_broadcast` hint (a 100 TB corpus's bigram
+      vocabulary does NOT fit in a broadcast; the gate degrades to a
+      shuffled join with AQE skew-split on the zipf-hot keys).
+    - corpus totals (N, V) are one broadcast 1-row aggregate.
+    - the per-doc score folds ln-scores in POSITION order (array_sort
+      + left fold — the bm25/centroid float-order discipline), so
+      scores are engine-reproducible bit-for-bit, rounded to 6.
+
+    Documents with < 2 tokens (incl. NULL/empty) keep their row with
+    n_transitions = n_backoff = 0 and NULL scores — the unscorable
+    convention.
+    """
+    from chroma_rs_spark.operators.dedup import nonempty_tokens_col
+    from chroma_rs_spark.operators.sampling import _cutoff, hash_bucket
+    from chroma_rs_spark.plans.partitioning import fan_out
+
+    if not 0.0 < train_frac <= 1.0:
+        raise ValueError(f"train_frac must be in (0, 1], got {train_frac}")
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    cut = _cutoff(train_frac)
+
+    # unconditional fan-out of the doc scan before tokenize + explode
+    # (CPU-dense per scan byte), exactly as in lm_perplexity
+    base = fan_out(df.select(id_col, text_col), min_bytes=0).select(
+        F.col(id_col), nonempty_tokens_col(text_col).alias("_t")
+    )
+    is_train = hash_bucket(id_col) < F.lit(cut)
+
+    # train-half token stream -> unigram counts + totals (map-side
+    # combinable groupBy; 1-row broadcast totals)
+    train_tok = base.filter(is_train).select(F.explode("_t").alias("_tok"))
+    uni = train_tok.groupBy("_tok").agg(F.count(F.lit(1)).alias("_c"))
+    totals = train_tok.agg(
+        F.count(F.lit(1)).alias("_N"),
+        F.count_distinct(F.col("_tok")).alias("_V"),
+    )
+
+    # every document's transitions with 0-based position:
+    # zip(t[0:n-1], t[1:n]) — pure array expressions, no shuffle
+    trans_expr = (
+        "zip_with(slice(_t, 1, greatest(size(_t) - 1, 0)),"
+        " slice(_t, 2, greatest(size(_t) - 1, 0)),"
+        " (a, b) -> struct(a AS w1, b AS w2))"
+    )
+    trans = base.select(
+        F.col(id_col), F.posexplode(F.expr(trans_expr)).alias("_pos", "_bg")
+    ).select(id_col, "_pos", F.col("_bg.w1").alias("_w1"), F.col("_bg.w2").alias("_w2"))
+
+    # train-half bigram counts (reuses the transition derivation so the
+    # train counts and the scored transitions can never disagree)
+    bg = (
+        base.filter(is_train)
+        .select(F.explode(F.expr(trans_expr)).alias("_bg"))
+        .select(F.col("_bg.w1").alias("_w1"), F.col("_bg.w2").alias("_w2"))
+        .groupBy("_w1", "_w2")
+        .agg(F.count(F.lit(1)).alias("_cb"))
+    )
+
+    seen = F.col("_cb").isNotNull()
+    log_s = F.when(
+        seen, F.log(F.col("_cb").cast("double") / F.col("_c1").cast("double"))
+    ).otherwise(
+        F.log(
+            F.lit(float(alpha))
+            * (
+                (F.coalesce(F.col("_c2"), F.lit(0)).cast("double") + F.lit(float(k_smooth)))
+                / (
+                    F.col("_N").cast("double")
+                    + F.lit(float(k_smooth)) * F.col("_V").cast("double")
+                )
+            )
+        )
+    )
+    scored = (
+        trans.join(maybe_broadcast(bg), ["_w1", "_w2"], "left")
+        .join(
+            maybe_broadcast(uni.select(F.col("_tok").alias("_w1"), F.col("_c").alias("_c1"))),
+            "_w1",
+            "left",
+        )
+        .join(
+            maybe_broadcast(uni.select(F.col("_tok").alias("_w2"), F.col("_c").alias("_c2"))),
+            "_w2",
+            "left",
+        )
+        .crossJoin(F.broadcast(totals))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_transitions"),
+            F.sum(F.when(seen, F.lit(0)).otherwise(F.lit(1)))
+            .cast("long")
+            .alias("n_backoff"),
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_pos"), log_s.alias("_lp")))
+            ).alias("_l"),
+        )
+        .selectExpr(
+            f"`{id_col}`",
+            "n_transitions",
+            "n_backoff",
+            "round(aggregate(_l, 0.0D, (a, x) -> a + x._lp)"
+            " / n_transitions, 6) + 0.0D AS avg_logscore",
+        )
+        .withColumn(
+            "perplexity", F.round(F.exp(-F.col("avg_logscore")), 6) + F.lit(0.0)
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_transitions", F.lit(0).cast("long")).alias(
+                "n_transitions"
+            ),
+            F.coalesce("n_backoff", F.lit(0).cast("long")).alias("n_backoff"),
+            "avg_logscore",
+            "perplexity",
+        )
+    )
+
+
 def url_dedup(
     docs: DataFrame,
     id_col: str = "doc_id",

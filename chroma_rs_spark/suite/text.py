@@ -1178,3 +1178,78 @@ FROM canon c LEFT JOIN keeper k USING (canonical_url)
 """
 
 EXTRA_QUERIES["url_dedup"] = QueryDef(q_url_dedup, _URL_DEDUP_ORACLE)
+
+
+def q_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid-backoff bigram LM quality score (Brants et al. 2007),
+    trained on the deterministic md5 held-in half, scoring every doc —
+    the bigram upgrade of the CCNet-style `lm_perplexity` filter."""
+    from chroma_rs_spark.operators.text import bigram_perplexity
+
+    return bigram_perplexity(load_table(spark, sf_dir, "documents"))
+
+
+# same non-empty tokens, same md5 train-half bucket as
+# deterministic_sample's oracle, same count ratios over the train half,
+# same single-ln backoff product alpha * ((c2+k)/(N+kV)), same
+# position-ordered ln fold (list_sum over ORDER BY pos), same
+# round-then-exp-then-round; <2-token docs keep a zero row with NULL
+# scores. train_frac=0.5 -> cutoff 5000 of the 10000 md5 buckets.
+_BIGRAM_PERPLEXITY_ORACLE = """
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS t,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+           % 10000 < 5000 AS is_train
+  FROM documents
+),
+train_tok AS (
+  SELECT t[CAST(i AS BIGINT)] AS tk
+  FROM base, unnest(range(1, len(t) + 1)) r(i)
+  WHERE is_train
+),
+uni AS (SELECT tk, count(*) AS c FROM train_tok GROUP BY tk),
+tot AS (
+  SELECT coalesce(sum(c), 0) AS n, count(*) AS v FROM uni
+),
+trans AS (
+  SELECT doc_id, is_train, CAST(i - 1 AS INT) AS pos,
+         t[CAST(i AS BIGINT)] AS w1, t[CAST(i + 1 AS BIGINT)] AS w2
+  FROM base, unnest(range(1, len(t))) r(i)
+),
+bg AS (
+  SELECT w1, w2, count(*) AS cb FROM trans WHERE is_train GROUP BY w1, w2
+),
+scored AS (
+  SELECT tr.doc_id,
+         count(*) AS n_transitions,
+         sum(CASE WHEN b.cb IS NOT NULL THEN 0 ELSE 1 END) AS n_backoff,
+         list(CASE WHEN b.cb IS NOT NULL
+                   THEN ln(CAST(b.cb AS DOUBLE) / CAST(u1.c AS DOUBLE))
+                   ELSE ln(0.4 * ((CAST(coalesce(u2.c, 0) AS DOUBLE) + 0.5)
+                                  / (CAST(t.n AS DOUBLE)
+                                     + 0.5 * CAST(t.v AS DOUBLE))))
+              END ORDER BY tr.pos) AS lps
+  FROM trans tr
+  LEFT JOIN bg b ON tr.w1 = b.w1 AND tr.w2 = b.w2
+  LEFT JOIN uni u1 ON tr.w1 = u1.tk
+  LEFT JOIN uni u2 ON tr.w2 = u2.tk
+  CROSS JOIN tot t
+  GROUP BY tr.doc_id
+),
+per AS (
+  SELECT doc_id, n_transitions, n_backoff,
+         round(list_sum(lps) / n_transitions, 6) + 0.0 AS avg_logscore
+  FROM scored
+)
+SELECT d.doc_id,
+       CAST(coalesce(p.n_transitions, 0) AS BIGINT) AS n_transitions,
+       CAST(coalesce(p.n_backoff, 0) AS BIGINT) AS n_backoff,
+       p.avg_logscore,
+       round(exp(-p.avg_logscore), 6) + 0.0 AS perplexity
+FROM documents d LEFT JOIN per p USING (doc_id)
+"""
+
+EXTRA_QUERIES["bigram_perplexity"] = QueryDef(
+    q_bigram_perplexity, _BIGRAM_PERPLEXITY_ORACLE
+)

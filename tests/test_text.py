@@ -630,3 +630,131 @@ def test_remove_duplicate_spans_keeper_survives_overlapping_removal(spark):
                 content = d
                 break
         assert content is not None, f"span at {r['doc_id']}:{r['span_pos']} lost"
+
+
+def test_bigram_perplexity_known_values_self_trained(spark):
+    """Stupid-backoff bigram LM with train_frac=1.0 (model trained on
+    the scored corpus itself): every transition is seen, n_backoff=0,
+    and the count-ratio math matches a hand computation."""
+    import math
+
+    from chroma_rs_spark.operators.text import bigram_perplexity
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a"),
+            (2, "b a zyz"),
+            (3, ""),
+            (4, None),
+            (5, "solo"),  # 1 token: no transitions, unscorable
+        ],
+        "doc_id LONG, text STRING",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in bigram_perplexity(df, train_frac=1.0).collect()
+    }
+    # bigram counts: (a,b):2 (b,a):3 (a,zyz):1; unigrams: a:4 b:3 zyz:1
+    avg1 = round(
+        (math.log(2 / 4) + math.log(3 / 3) + math.log(2 / 4) + math.log(3 / 3))
+        / 4,
+        6,
+    )
+    assert rows[1]["n_transitions"] == 4
+    assert rows[1]["n_backoff"] == 0
+    assert rows[1]["avg_logscore"] == avg1
+    assert rows[1]["perplexity"] == round(math.exp(-avg1), 6)
+    avg2 = round((math.log(3 / 3) + math.log(1 / 4)) / 2, 6)
+    assert rows[2]["avg_logscore"] == avg2
+    # doc2 carries the hapax transition -> more perplexing than doc1
+    assert rows[2]["perplexity"] > rows[1]["perplexity"]
+    for unscorable in (3, 4, 5):
+        assert rows[unscorable]["n_transitions"] == 0
+        assert rows[unscorable]["n_backoff"] == 0
+        assert rows[unscorable]["avg_logscore"] is None
+        assert rows[unscorable]["perplexity"] is None
+
+
+def test_bigram_perplexity_backoff_branch(spark):
+    """With the default half-corpus train split, a held-out document's
+    unseen bigrams take the backoff branch: alpha * add-k unigram,
+    including the fully-unseen-word case (count 0). Doc ids are chosen
+    by replaying the md5 bucket (6,7 train; 1 held-out)."""
+    import hashlib
+    import math
+
+    from chroma_rs_spark.operators.text import bigram_perplexity
+
+    def bucket(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 10000
+
+    assert bucket(6) < 5000 and bucket(7) < 5000 and bucket(1) >= 5000
+
+    df = spark.createDataFrame(
+        [
+            (6, "the cat sat"),       # train
+            (7, "the cat ran"),       # train
+            (1, "cat the qqq"),       # held out: both bigrams unseen
+        ],
+        "doc_id LONG, text STRING",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in bigram_perplexity(df, train_frac=0.5, alpha=0.4).collect()
+    }
+    # train counts: unigrams the:2 cat:2 sat:1 ran:1, N=6 V=4
+    # bigrams (the,cat):2 (cat,sat):1 (cat,ran):1
+    n, v = 6, 4
+    # (cat,the): unseen bigram, seen w2 -> 0.4 * (2+0.5)/(6+0.5*4)
+    lp1 = math.log(0.4 * ((2 + 0.5) / (n + 0.5 * v)))
+    # (the,qqq): unseen bigram, UNSEEN w2 -> count 0
+    lp2 = math.log(0.4 * ((0 + 0.5) / (n + 0.5 * v)))
+    avg = round((lp1 + lp2) / 2, 6)
+    assert rows[1]["n_transitions"] == 2
+    assert rows[1]["n_backoff"] == 2
+    assert rows[1]["avg_logscore"] == avg
+    # train doc 6: (the,cat) 2/2, (cat,sat) 1/2 — all seen
+    avg6 = round((math.log(2 / 2) + math.log(1 / 2)) / 2, 6)
+    assert rows[6]["n_backoff"] == 0
+    assert rows[6]["avg_logscore"] == avg6
+    # held-out gibberish is more perplexing than in-domain text
+    assert rows[1]["perplexity"] > rows[6]["perplexity"]
+
+
+def test_bigram_perplexity_validates_params(spark):
+    import pytest as _pytest
+
+    from chroma_rs_spark.operators.text import bigram_perplexity
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id LONG, text STRING")
+    with _pytest.raises(ValueError):
+        bigram_perplexity(df, train_frac=0.0)
+    with _pytest.raises(ValueError):
+        bigram_perplexity(df, train_frac=1.5)
+    with _pytest.raises(ValueError):
+        bigram_perplexity(df, alpha=0.0)
+
+
+def test_bigram_perplexity_word_order_sensitivity(spark):
+    """The reason the bigram model exists: shuffled word salad scores
+    worse than the natural-order text the unigram model cannot tell
+    apart (identical token multiset -> identical unigram score)."""
+    from chroma_rs_spark.operators.text import bigram_perplexity, lm_perplexity
+
+    natural = "the cat sat on the mat and the dog sat on the rug"
+    salad = "the the sat cat mat on rug the and on dog sat the"  # same bag
+    # both scored docs held out (bucket >= 5000); training docs supply
+    # natural-order bigram statistics
+    df = spark.createDataFrame(
+        [
+            (6, natural),
+            (7, "the dog sat on the mat and the cat sat on the rug"),
+            (1, natural),
+            (2, salad),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    uni = {r["doc_id"]: r for r in lm_perplexity(df).collect()}
+    assert uni[1]["perplexity"] == uni[2]["perplexity"]  # unigram is blind
+    bi = {r["doc_id"]: r for r in bigram_perplexity(df).collect()}
+    assert bi[2]["perplexity"] > bi[1]["perplexity"]
