@@ -1484,6 +1484,74 @@ def bigram_perplexity(
     )
 
 
+# decode order matters: '&amp;' LAST, so literal escapes survive as
+# text ("&amp;lt;" -> "&lt;", not "<") — the standard single-pass rule
+_HTML_ENTITIES = (
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&apos;", "'"),
+    ("&amp;", "&"),
+)
+
+# block-level elements whose close tag ends a text line (C4's unit of
+# filtering is the LINE; inline tags like <a>/<b> must NOT split lines)
+_HTML_BLOCK_CLOSE = (
+    "p|div|li|ul|ol|h[1-6]|tr|table|blockquote|pre|section|article|"
+    "header|footer|figure|figcaption|nav|aside|title|head|body|html"
+)
+
+
+def html_extract_text(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    html_col: str = "html",
+    out: str = "text",
+) -> DataFrame:
+    """Adds `out`: the visible text of a raw HTML page — the stage-0
+    step every C4/CCNet-style crawl pipeline runs before any quality
+    or dedup operator (Raffel et al. 2020 §2.2 start from
+    WET-extracted text; this is that extraction for raw WARC HTML).
+
+    Pipeline (pure column expressions — regexp_replace/replace only,
+    zero UDFs, so the whole operator is one map-side whole-stage
+    codegen pass over the scan):
+      1. strip comments `<!-- -->` and whole script/style/noscript
+         blocks (lazy dot-all match — `1 < 2` inside a script cannot
+         leak into the text or break tag stripping)
+      2. close tags of block-level elements (and <br>/<hr>) become
+         newlines — C4's line structure; inline tags (<a>, <b>) do not
+         split lines
+      3. every remaining tag drops to a space
+      4. the 7 standard named/numeric entities decode, `&amp;` last so
+         literal escapes survive as text
+      5. whitespace normalizes: space runs collapse, blank lines drop,
+         edges trim
+    Regexes are Java/RE2-portable (lazy quantifiers + inline (?is)
+    flags, no backreferences) — the pii_scrub discipline, so the DuckDB
+    oracle replays them verbatim. Malformed HTML degrades, never
+    throws: an unterminated `<` with no closing `>` survives as text.
+    NULL html stays NULL.
+    """
+    c = F.col(html_col)
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+    for tag in ("script", "style", "noscript"):
+        c = F.regexp_replace(c, rf"(?is)<{tag}\b[^>]*>.*?</{tag}\s*>", " ")
+    c = F.regexp_replace(c, r"(?i)<(?:br|hr)\s*/?\s*>", "\n")
+    c = F.regexp_replace(c, rf"(?is)</(?:{_HTML_BLOCK_CLOSE})\s*>", "\n")
+    c = F.regexp_replace(c, r"(?s)<[^>]*>", " ")
+    for ent, rep in _HTML_ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(rep))
+    c = F.regexp_replace(c, r"[ \t\r\f]+", " ")
+    c = F.regexp_replace(c, r" ?\n ?", "\n")
+    c = F.regexp_replace(c, r"\n+", "\n")
+    c = F.regexp_replace(c, r"^\s+", "")
+    c = F.regexp_replace(c, r"\s+$", "")
+    return df.withColumn(out, c)
+
+
 def url_dedup(
     docs: DataFrame,
     id_col: str = "doc_id",

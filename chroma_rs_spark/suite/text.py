@@ -1253,3 +1253,134 @@ FROM documents d LEFT JOIN per p USING (doc_id)
 EXTRA_QUERIES["bigram_perplexity"] = QueryDef(
     q_bigram_perplexity, _BIGRAM_PERPLEXITY_ORACLE
 )
+
+
+# ---------------------------------------------------------------------------
+# Synthetic raw-HTML corpus (round 8). The documents table is extracted
+# text, so the html_extract_text query wraps each doc back into a full
+# HTML page — title/style/script head (the script plants `1 < 2` and a
+# fake "</p>" inside a string literal, the two classic tag-stripper
+# traps), a comment, an <h1> with escaped angle entities, the doc text
+# split across two <p> blocks, planted &quot;/&#39; entities and a <br/>
+# + footer <div>. Spark builder and DuckDB CTE are side by side so they
+# cannot drift (the lined_corpus discipline).
+# ---------------------------------------------------------------------------
+
+
+def q_html_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-stage-0 HTML -> visible text extraction over a deterministic
+    raw-HTML wrapping of every document: script/style/comment blocks
+    dropped, block closes -> line breaks, entities decoded, whitespace
+    normalized — all as one map-side column-expression pass."""
+    from chroma_rs_spark.operators.text import html_extract_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = (
+        docs.select(
+            "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("_txt")
+        )
+        .withColumn(
+            "_t", F.expr("filter(split(_txt, ' '), x -> x <> '')")
+        )
+        .withColumn("_h", F.expr("cast((size(_t) + 1) div 2 as int)"))
+        .withColumn("_first", F.expr("array_join(slice(_t, 1, _h), ' ')"))
+        .withColumn(
+            "_second",
+            F.expr(
+                "array_join(slice(_t, _h + 1, greatest(size(_t) - _h, 0)), ' ')"
+            ),
+        )
+    )
+    did = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit("<html><head><title>Doc "),
+        did,
+        F.lit(' &amp; friends</title><style type="text/css">body { color: #fff; }</style>'),
+        F.lit('<script type="text/javascript">var t = "page'),
+        did,
+        F.lit('"; if (1 < 2) { alert("</p> trap"); }</script></head><body>'),
+        F.lit("<!-- crawl "),
+        did,
+        F.lit(" --><h1>Title &lt;"),
+        did,
+        F.lit("&gt;</h1><p>"),
+        F.col("_first"),
+        F.lit('</p><p id="second">'),
+        F.col("_second"),
+        F.lit(' &quot;end&quot;</p><br/><div class="footer">footer &#39;x&#39;</div></body></html>'),
+    )
+    corpus = base.select("doc_id", html.alias("html"))
+    return html_extract_text(corpus).select("doc_id", "text")
+
+
+# same corpus wrapping (|| propagates nothing NULL: text coalesced),
+# same regex pipeline verbatim (RE2 == Java here: lazy quantifiers,
+# inline (?is), \b, no backreferences), same entity decode order with
+# &amp; last, chr(10)/chr(39) for the newline/quote replacement chars
+_HTML_EXTRACT_ORACLE = r"""
+WITH src AS (
+  SELECT doc_id, list_filter(string_split(coalesce(text, ''), ' '),
+                             x -> x <> '') AS t
+  FROM documents
+),
+hs AS (
+  SELECT doc_id, t, CAST((len(t) + 1) // 2 AS INT) AS h FROM src
+),
+parts AS (
+  SELECT doc_id,
+         array_to_string(t[1:h], ' ') AS p1,
+         array_to_string(t[h+1:len(t)], ' ') AS p2
+  FROM hs
+),
+page AS (
+  SELECT doc_id,
+         '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+         || ' &amp; friends</title><style type="text/css">body { color: #fff; }</style>'
+         || '<script type="text/javascript">var t = "page' || CAST(doc_id AS VARCHAR)
+         || '"; if (1 < 2) { alert("</p> trap"); }</script></head><body>'
+         || '<!-- crawl ' || CAST(doc_id AS VARCHAR)
+         || ' --><h1>Title &lt;' || CAST(doc_id AS VARCHAR)
+         || '&gt;</h1><p>' || p1
+         || '</p><p id="second">' || p2
+         || ' &quot;end&quot;</p><br/><div class="footer">footer &#39;x&#39;</div></body></html>'
+           AS html
+  FROM parts
+),
+s1 AS (SELECT doc_id, regexp_replace(html, '(?s)<!--.*?-->', ' ', 'g') AS c FROM page),
+s2 AS (SELECT doc_id, regexp_replace(c, '(?is)<script\b[^>]*>.*?</script\s*>', ' ', 'g') AS c FROM s1),
+s3 AS (SELECT doc_id, regexp_replace(c, '(?is)<style\b[^>]*>.*?</style\s*>', ' ', 'g') AS c FROM s2),
+s4 AS (SELECT doc_id, regexp_replace(c, '(?is)<noscript\b[^>]*>.*?</noscript\s*>', ' ', 'g') AS c FROM s3),
+s5 AS (SELECT doc_id, regexp_replace(c, '(?i)<(?:br|hr)\s*/?\s*>', chr(10), 'g') AS c FROM s4),
+s6 AS (SELECT doc_id, regexp_replace(c,
+         '(?is)</(?:__BLOCKS__)\s*>',
+         chr(10), 'g') AS c FROM s5),
+s7 AS (SELECT doc_id, regexp_replace(c, '(?s)<[^>]*>', ' ', 'g') AS c FROM s6),
+ents AS (
+  SELECT doc_id,
+         replace(replace(replace(replace(replace(replace(replace(c,
+           '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+           '&#39;', chr(39)), '&apos;', chr(39)), '&amp;', '&') AS c
+  FROM s7
+),
+ws1 AS (SELECT doc_id, regexp_replace(c, '[ \t\r\f]+', ' ', 'g') AS c FROM ents),
+ws2 AS (SELECT doc_id, regexp_replace(c, ' ?\n ?', chr(10), 'g') AS c FROM ws1),
+ws3 AS (SELECT doc_id, regexp_replace(c, '\n+', chr(10), 'g') AS c FROM ws2),
+fin AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(c, '^\s+', ''), '\s+$', '') AS text
+  FROM ws3
+)
+SELECT doc_id, text FROM fin
+"""
+
+def _html_extract_oracle() -> str:
+    # the block-close alternation comes from the operator's own
+    # constant, so the oracle cannot drift from the implementation
+    from chroma_rs_spark.operators.text import _HTML_BLOCK_CLOSE
+
+    return _HTML_EXTRACT_ORACLE.replace("__BLOCKS__", _HTML_BLOCK_CLOSE)
+
+
+EXTRA_QUERIES["html_extract_text"] = QueryDef(
+    q_html_extract_text, _html_extract_oracle()
+)

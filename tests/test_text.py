@@ -758,3 +758,40 @@ def test_bigram_perplexity_word_order_sensitivity(spark):
     assert uni[1]["perplexity"] == uni[2]["perplexity"]  # unigram is blind
     bi = {r["doc_id"]: r for r in bigram_perplexity(df).collect()}
     assert bi[2]["perplexity"] > bi[1]["perplexity"]
+
+
+def test_html_extract_text_planted_page(spark):
+    """Script/style/comment content never leaks into text (including a
+    '</p>' planted inside a script string and '1 < 2' arithmetic),
+    block closes become line breaks while inline tags do not, entities
+    decode with '&amp;' last, whitespace normalizes, NULL stays NULL."""
+    from chroma_rs_spark.operators.text import html_extract_text
+
+    page = (
+        '<html><head><title>T &amp; Co</title>'
+        '<style>p { color: red; }</style>'
+        '<script>if (1 < 2) { alert("</p> trap"); }</script></head>'
+        "<body><!-- secret note -->"
+        "<h1>Head</h1>"
+        '<p>one <a href="#">link</a> two</p>'
+        "<p>three&nbsp;&lt;tag&gt; &quot;q&quot; &#39;a&#39; &amp;lt;</p>"
+        "<br/><div>last   line</div></body></html>"
+    )
+    df = spark.createDataFrame(
+        [(1, page), (2, None), (3, "no tags at all"), (4, "broken <unclosed")],
+        "doc_id LONG, html STRING",
+    )
+    rows = {r["doc_id"]: r["text"] for r in html_extract_text(df).collect()}
+    lines = rows[1].split("\n")
+    assert lines[0] == "T & Co"
+    assert "Head" in lines
+    # inline <a> did not split the line; block </p> did
+    assert "one link two" in lines
+    assert 'three <tag> "q" \'a\' &lt;' in lines
+    assert "last line" in lines
+    for junk in ("secret", "alert", "trap", "color", "1 < 2", "<p>", "</p>"):
+        assert junk not in rows[1]
+    assert rows[2] is None
+    assert rows[3] == "no tags at all"
+    # malformed: unterminated '<' survives as text, never throws
+    assert rows[4] == "broken <unclosed"
