@@ -2266,3 +2266,135 @@ for _name in (
     "split_contamination",
 ):
     EXTRA_QUERIES[_name] = QUERIES.pop(_name)
+
+
+# ---------------------------------------------------------------------------
+# Model-based quality classification (round 8): distributed logistic
+# regression on hashed bag-of-words (the FineWeb-Edu / GPT-3
+# WebText-filter pattern). The label is deterministic in both engines
+# (document contains the token 'join'), the training loop is
+# engine-exact (integer micro-unit weights, floor-quantized gradient
+# sums), so the oracle replays ALL GD iterations as unrolled CTEs —
+# the knn_ivf_trained discipline applied to a learned model.
+# ---------------------------------------------------------------------------
+
+_QC_FEATURES = 64
+_QC_ITERS = 3
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a 65-parameter logistic-regression quality filter with 3
+    full-batch GD steps (engine-exact micro-unit arithmetic), then
+    score every document: (doc_id, label, score, pred)."""
+    from chroma_rs_spark.operators.classifier import (
+        featurize_text,
+        score_quality_classifier,
+        train_quality_classifier,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        F.array_contains(
+            F.expr("filter(split(coalesce(text, ''), ' '), x -> x <> '')"),
+            "join",
+        )
+        .cast("int")
+        .alias("label"),
+    )
+    feat = featurize_text(
+        docs, n_features=_QC_FEATURES, extra_cols=("label",)
+    )
+    w = train_quality_classifier(
+        feat, n_features=_QC_FEATURES, iters=_QC_ITERS, lr=1.0
+    )
+    return score_quality_classifier(feat, w).select(
+        "doc_id", "label", "score", F.col("score_pred").alias("pred")
+    )
+
+
+def _quality_classifier_oracle(iters: int = _QC_ITERS) -> str:
+    """Unrolled-GD replay: same md5 feature hash, same tf features +
+    bias row, same floor-quantized BIGINT gradient sums, same
+    floor(lr*g/m) micro-unit weight updates, same ordered margin fold."""
+    d = _QC_FEATURES
+    head = f"""
+WITH docs0 AS (
+  SELECT doc_id,
+         list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS t
+  FROM documents
+),
+lab AS (
+  SELECT doc_id,
+         CASE WHEN list_contains(t, 'join') THEN 1 ELSE 0 END AS y
+  FROM docs0
+),
+occ AS (
+  SELECT doc_id,
+         CAST(CAST('0x' || substr(md5(tk), 1, 8) AS BIGINT) % {d} AS INT) AS j,
+         count(*) AS cnt
+  FROM (SELECT doc_id, unnest(t) AS tk FROM docs0) u
+  GROUP BY doc_id, j
+),
+nn AS (SELECT doc_id, sum(cnt) AS n FROM occ GROUP BY doc_id),
+feat AS (
+  SELECT o.doc_id, o.j, CAST(o.cnt AS DOUBLE) / CAST(nn.n AS DOUBLE) AS x
+  FROM occ o JOIN nn USING (doc_id)
+  UNION ALL
+  SELECT doc_id, {d} AS j, 1.0 AS x FROM docs0
+),
+mm AS (SELECT count(*) AS m FROM docs0),
+e1 AS (
+  SELECT doc_id, round(0.5 - CAST(y AS DOUBLE), 6) AS e FROM lab
+),
+g1 AS (
+  SELECT f.j, sum(CAST(floor(e1.e * f.x * 1000000.0) AS BIGINT)) AS g
+  FROM feat f JOIN e1 USING (doc_id) GROUP BY f.j
+),
+w1 AS (
+  SELECT j, 0 - CAST(floor((1.0 * g) / m) AS BIGINT) AS w
+  FROM g1 CROSS JOIN mm
+)"""
+    parts = [head]
+    for t in range(2, iters + 1):
+        parts.append(f""",
+mar{t} AS (
+  SELECT f.doc_id,
+         round(list_sum(list((CAST(coalesce(w{t - 1}.w, 0) AS DOUBLE)
+                              / 1000000.0) * f.x ORDER BY f.j)), 6) AS mg
+  FROM feat f LEFT JOIN w{t - 1} USING (j)
+  GROUP BY f.doc_id
+),
+e{t} AS (
+  SELECT l.doc_id,
+         round(1.0 / (1.0 + exp(-m.mg)) - CAST(l.y AS DOUBLE), 6) AS e
+  FROM lab l JOIN mar{t} m USING (doc_id)
+),
+g{t} AS (
+  SELECT f.j, sum(CAST(floor(e{t}.e * f.x * 1000000.0) AS BIGINT)) AS g
+  FROM feat f JOIN e{t} USING (doc_id) GROUP BY f.j
+),
+w{t} AS (
+  SELECT g{t}.j, w{t - 1}.w - CAST(floor((1.0 * g{t}.g) / m) AS BIGINT) AS w
+  FROM g{t} JOIN w{t - 1} USING (j) CROSS JOIN mm
+)""")
+    parts.append(f""",
+marF AS (
+  SELECT f.doc_id,
+         round(list_sum(list((CAST(coalesce(w{iters}.w, 0) AS DOUBLE)
+                              / 1000000.0) * f.x ORDER BY f.j)), 6) AS mg
+  FROM feat f LEFT JOIN w{iters} USING (j)
+  GROUP BY f.doc_id
+),
+fin AS (
+  SELECT l.doc_id, l.y AS label,
+         round(1.0 / (1.0 + exp(-m.mg)), 6) + 0.0 AS score
+  FROM lab l JOIN marF m USING (doc_id)
+)
+SELECT doc_id, label, score, score >= 0.5 AS pred FROM fin""")
+    return "".join(parts)
+
+
+EXTRA_QUERIES["quality_classifier"] = QueryDef(
+    q_quality_classifier, _quality_classifier_oracle(), iterative=True
+)
