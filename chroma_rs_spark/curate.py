@@ -246,6 +246,17 @@ def curate_corpus(
     pairs = minhash_lsh_pairs(
         s4, id_col=id_col, text_col=text_col, max_bucket=minhash_max_bucket
     )
+    # the pair list feeds BOTH the stage-5 clustering and the stage-7
+    # split restriction; without a cut the full minhash-LSH plan
+    # (shingle -> 64 hashes -> band join) executes twice. Same
+    # durable/local treatment as the stages (measured: ~1.5 s of the
+    # sf0.1 report wall was the second minhash pass).
+    if checkpoint_dir is not None:
+        _pairs_path = f"{checkpoint_dir}/pairs_minhash"
+        pairs.write.mode("overwrite").parquet(_pairs_path)
+        pairs = docs.sparkSession.read.parquet(_pairs_path)
+    elif cache:
+        pairs = pairs.localCheckpoint()
     s5 = s4
     if "near_dup_clusters" not in skip:
         cl_keep = (
@@ -313,16 +324,43 @@ def curate_corpus(
             s7.join(contaminated, id_col, "left_anti"),
         )
 
-    report = None
+    # one tagged union + one groupBy instead of a per-stage agg chain:
+    # each branch's partial aggregate is map-side, so the ledger is a
+    # single job with one 7-key exchange (measured: the per-stage agg
+    # union cost ~2.3 s of stage-dispatch floor at sf0.1; this form
+    # halves it — and at 100 TB it is 7 cached scans either way)
+    from chroma_rs_spark.operators.dedup import nonempty_tokens_col
+
+    tagged = None
     for i, (name, sdf) in enumerate(stages):
-        row = sdf.agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            _tokens_sum(sdf, text_col).alias("n_tokens"),
-        ).select(
+        n_tok = F.when(F.col(text_col).isNull(), F.lit(0)).otherwise(
+            F.size(nonempty_tokens_col(text_col))
+        )
+        branch = sdf.select(
             F.lit(i).cast("int").alias("stage_no"),
             F.lit(name).alias("stage"),
-            "n_docs",
-            "n_tokens",
+            n_tok.cast("long").alias("_nt"),
         )
-        report = row if report is None else report.unionByName(row)
+        tagged = branch if tagged is None else tagged.unionByName(branch)
+    counted = tagged.groupBy("stage_no", "stage").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.coalesce(F.sum("_nt"), F.lit(0).cast("long")).alias("n_tokens"),
+    )
+    # spine join: a stage that empties the corpus contributes no rows
+    # to the union, but its ledger row (n_docs=0) must still appear —
+    # the old per-stage agg form always produced one
+    spine = docs.sparkSession.createDataFrame(
+        [(i, name) for i, (name, _) in enumerate(stages)],
+        "stage_no INT, stage STRING",
+    )
+    report = (
+        spine.join(counted, ["stage_no", "stage"], "left")
+        .select(
+            "stage_no",
+            "stage",
+            F.coalesce("n_docs", F.lit(0).cast("long")).alias("n_docs"),
+            F.coalesce("n_tokens", F.lit(0).cast("long")).alias("n_tokens"),
+        )
+        .orderBy("stage_no")
+    )
     return corpus, report

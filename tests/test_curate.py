@@ -234,7 +234,15 @@ def test_checkpoint_dir_bit_equal_and_reloadable(curated, spark, tmp_path):
     # row count matches the report line it produced
     import os
 
-    stage_dirs = sorted(os.listdir(ckpt))
+    listing = sorted(os.listdir(ckpt))
+    # the reused minhash pair list is its own durable restart artifact
+    assert "pairs_minhash" in listing
+    assert spark.read.parquet(f"{ckpt}/pairs_minhash").columns == [
+        "id_a",
+        "id_b",
+        "est_jaccard",
+    ]
+    stage_dirs = [d for d in listing if d.startswith("stage_")]
     assert len(stage_dirs) == len(rep)
     for d in stage_dirs:
         no, name = int(d.split("_")[1]), d.split("_", 2)[2]
