@@ -1508,8 +1508,9 @@ def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # full replay: hashed unigram+bigram features (the engine's md5 bucket
-# hash), add-1 smoothed target/raw bucket models, position-ordered
-# log-ratio fold (round-6 + 0.0), md5-derived Gumbel keys, top-100 by
+# hash), per-doc bucket counts (the single-explode form), add-1
+# smoothed target/raw bucket models, bucket-ordered cnt*lambda fold
+# (round-6 + 0.0), md5-derived Gumbel keys, top-100 by
 # (sel_key DESC, doc_id)
 _DSIR_ORACLE = """
 WITH base AS (
@@ -1524,17 +1525,20 @@ fl AS (
   FROM base
 ),
 feats AS (
-  SELECT doc_id, is_t, CAST(i - 1 AS INT) AS pos,
+  SELECT doc_id, is_t,
          CAST('0x' || substr(md5(fs[CAST(i AS BIGINT)]), 1, 8) AS BIGINT)
              % 10000 AS b
   FROM fl, unnest(range(1, len(fs) + 1)) r(i)
 ),
+bc AS (
+  SELECT doc_id, is_t, b, count(*) AS cnt FROM feats GROUP BY doc_id, is_t, b
+),
 bstats AS (
-  SELECT b, count(*) AS cr, count(*) FILTER (WHERE is_t) AS ct
-  FROM feats GROUP BY b
+  SELECT b, sum(cnt) AS cr, sum(CASE WHEN is_t THEN cnt ELSE 0 END) AS ct
+  FROM bc GROUP BY b
 ),
 tot AS (
-  SELECT count(*) AS nr, count(*) FILTER (WHERE is_t) AS nt FROM feats
+  SELECT sum(cr) AS nr, sum(ct) AS nt FROM bstats
 ),
 lam AS (
   SELECT b, ln((ct + 1.0) / (nt + 10000.0)) - ln((cr + 1.0) / (nr + 10000.0))
@@ -1542,10 +1546,11 @@ lam AS (
   FROM bstats CROSS JOIN tot
 ),
 scored AS (
-  SELECT f.doc_id, count(*) AS n_feats,
-         round(list_sum(list(l.lam ORDER BY f.pos)), 6) + 0.0 AS log_weight
-  FROM feats f JOIN lam l USING (b)
-  GROUP BY f.doc_id
+  SELECT bc.doc_id, CAST(sum(bc.cnt) AS BIGINT) AS n_feats,
+         round(list_sum(list(CAST(bc.cnt AS DOUBLE) * l.lam ORDER BY bc.b)), 6)
+           + 0.0 AS log_weight
+  FROM bc JOIN lam l USING (b)
+  GROUP BY bc.doc_id
 ),
 keyed AS (
   SELECT d.doc_id,
