@@ -147,19 +147,20 @@ def curate_corpus(
             sdf.write.mode("overwrite").parquet(path)
             sdf = sdf.sparkSession.read.parquet(path)
         elif cache:
-            # eager: truncates the logical plan (the exponential-tree
-            # cut — see module docstring) AND materializes the stage
-            # once for the report + downstream consumers. Measured
-            # negative result (r8): spreading each narrow stage
-            # checkpoint across the cores (the spread_compute
-            # treatment that won for the k-means/KNN loops) DOUBLES
-            # this pipeline's wall at sf0.1 (6.99 s -> 13.4 s) — a
-            # per-stage repartition shuffle plus 32-task stages cost
-            # more than the single-thread scans they parallelize when
-            # every stage is a fresh sub-second plan rather than a
-            # reused loop body. Stage checkpoints keep the input's
-            # partitioning.
-            sdf = sdf.localCheckpoint()
+            # truncates the logical plan IMMEDIATELY (the
+            # exponential-tree cut — see module docstring; the plan
+            # becomes a LogicalRDD at call time) while materializing
+            # LAZILY: eager=False lets consecutive narrow stages
+            # compute inside one job instead of one barrier each
+            # (measured at sf0.1: eager 9.8 s -> lazy 8.8 s warmed,
+            # bit-identical). Two earlier measured negative results
+            # stand: spreading each narrow stage checkpoint across the
+            # cores DOUBLES the wall (6.99 s -> 13.4 s — per-stage
+            # repartition shuffles cost more than the single-thread
+            # scans they parallelize), and persist() instead of
+            # checkpointing re-inflates the analyzed tree. Stage
+            # checkpoints keep the input's partitioning.
+            sdf = sdf.localCheckpoint(eager=False)
         stages.append((name, sdf))
         return sdf
 
@@ -256,7 +257,7 @@ def curate_corpus(
         pairs.write.mode("overwrite").parquet(_pairs_path)
         pairs = docs.sparkSession.read.parquet(_pairs_path)
     elif cache:
-        pairs = pairs.localCheckpoint()
+        pairs = pairs.localCheckpoint(eager=False)
     s5 = s4
     if "near_dup_clusters" not in skip:
         cl_keep = (
