@@ -63,7 +63,7 @@ def curate_corpus(
     span_tokens: int = 20,
     stride: int = 5,
     near_dup_threshold: float = 0.7,
-    minhash_max_bucket: int | None = None,
+    minhash_max_bucket: int | None | str = "auto",
     decontam_n: int = 13,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -111,7 +111,6 @@ def curate_corpus(
     tests/test_curate.py::test_checkpoint_dir_bit_equal_and_reloadable).
     """
     from chroma_rs_spark.operators.dedup import (
-        MINHASH_MAX_BUCKET,
         exact_dedup,
         line_dedup,
         minhash_lsh_pairs,
@@ -242,8 +241,12 @@ def curate_corpus(
     # keep one doc per cluster. The pair list is reused by the
     # leakage-safe split below, so it is built even when the dedup
     # stage itself is skipped.
-    if minhash_max_bucket is None:
-        minhash_max_bucket = MINHASH_MAX_BUCKET
+    # "auto" defers to the operator's own size gate (small corpora
+    # run uncapped — bit-compatible and census-free; large corpora get
+    # the MINHASH_MAX_BUCKET protection the 10x zipf stress required).
+    # Passing the sentinel through keeps ONE gating policy instead of
+    # re-deciding it here (measured: the always-on census cost +0.4 s
+    # of the sf0.1 pipeline wall for nothing at that scale).
     pairs = minhash_lsh_pairs(
         s4, id_col=id_col, text_col=text_col, max_bucket=minhash_max_bucket
     )

@@ -252,8 +252,11 @@ def main() -> int:
     n_nontrain_carriers = len(carriers)
 
     # durable-path contract at 10x: every stage parquet re-reads to
-    # the doc count the report claims
+    # the doc count the report claims (pairs_minhash is the reused
+    # pair-list artifact, not a stage)
     for d in sorted(os.listdir(CKPT)):
+        if not d.startswith("stage_"):
+            continue
         name = d.split("_", 2)[2]
         n_disk = spark.read.parquet(f"{CKPT}/{d}").count()
         expect(n_disk == nd[name], f"checkpoint {d} count {n_disk}")
