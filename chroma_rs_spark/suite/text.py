@@ -1384,3 +1384,142 @@ def _html_extract_oracle() -> str:
 EXTRA_QUERIES["html_extract_text"] = QueryDef(
     q_html_extract_text, _html_extract_oracle()
 )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training (round 8): the full merge-learning loop is
+# SQL-replayable because symbol sequences live as wrapped strings
+# (\x01sym\x02) — one replace() per merge, boundary-safe, greedy-
+# equivalent in both engines (operators/bpe.py module docstring). The
+# oracle unrolls every merge iteration as CTEs: pair counts -> ordered
+# 1-row argmax -> vocab rewrite, the knn_ivf_trained discipline
+# applied to tokenizer learning.
+# ---------------------------------------------------------------------------
+
+_BPE_MERGES = 8
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn 8 BPE merges from the documents corpus (word-frequency
+    collapse + 8 bounded vocab-table iterations); returns
+    (merge_no, lhs, rhs, pair_count) in merge order."""
+    from chroma_rs_spark.operators.bpe import train_bpe
+
+    merges = train_bpe(
+        load_table(spark, sf_dir, "documents"), n_merges=_BPE_MERGES
+    )
+    return spark.createDataFrame(
+        [(i + 1, l, r, c) for i, (l, r, c) in enumerate(merges)],
+        "merge_no INT, lhs STRING, rhs STRING, pair_count LONG",
+    )
+
+
+def _bpe_oracle(n: int = _BPE_MERGES) -> str:
+    wrap = (
+        "array_to_string(list_transform(range(1, length(w) + 1),"
+        " i -> chr(1) || substr(w, CAST(i AS BIGINT), 1) || chr(2)), '')"
+        " || chr(1) || '</w>' || chr(2)"
+    )
+    parts = [f"""
+WITH wc AS (
+  SELECT w, count(*) AS cnt FROM (
+    SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+    FROM documents) u
+  GROUP BY w
+),
+v0 AS (SELECT cnt, {wrap} AS s FROM wc)"""]
+    for k in range(1, n + 1):
+        parts.append(f""",
+p{k} AS (
+  SELECT l, r, sum(cnt) AS c FROM (
+    SELECT cnt, a[CAST(i AS BIGINT)] AS l, a[CAST(i + 1 AS BIGINT)] AS r
+    FROM (SELECT cnt,
+                 string_split(substr(s, 2, length(s) - 2),
+                              chr(2) || chr(1)) AS a
+          FROM v{k - 1}) q,
+         unnest(range(1, len(a))) t(i)
+  ) pp GROUP BY l, r
+),
+m{k} AS (SELECT l, r, c FROM p{k} ORDER BY c DESC, l, r LIMIT 1),
+v{k} AS (
+  SELECT cnt,
+         replace(s, chr(1) || m{k}.l || chr(2) || chr(1) || m{k}.r || chr(2),
+                 chr(1) || m{k}.l || m{k}.r || chr(2)) AS s
+  FROM v{k - 1} CROSS JOIN m{k}
+)""")
+    selects = [
+        f"SELECT {k} AS merge_no, l AS lhs, r AS rhs,"
+        f" CAST(c AS BIGINT) AS pair_count FROM m{k}"
+        for k in range(1, n + 1)
+    ]
+    parts.append("\n" + "\nUNION ALL\n".join(selects))
+    return "".join(parts)
+
+
+EXTRA_QUERIES["bpe_merges"] = QueryDef(
+    q_bpe_merges, _bpe_oracle(), iterative=True
+)
+
+
+def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train 8 merges, then tokenize EVERY document with them (the
+    apply path: per-word wrapped-string replace chain, map-side):
+    (doc_id, bpe_tokens, n_bpe_tokens)."""
+    from chroma_rs_spark.operators.bpe import apply_bpe, train_bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = train_bpe(docs, n_merges=_BPE_MERGES)
+    return apply_bpe(docs, merges).select(
+        "doc_id",
+        "bpe_tokens",
+        F.col("bpe_tokens_n").alias("n_bpe_tokens"),
+    )
+
+
+def _bpe_tokenize_oracle(n: int = _BPE_MERGES) -> str:
+    # reuse the training CTE chain, then apply the learned merges to
+    # every document's words in position order
+    head = _bpe_oracle(n).rsplit("\nSELECT 1 AS merge_no", 1)[0]
+    wrap_tok = (
+        "array_to_string(list_transform(range(1, length(tk) + 1),"
+        " i -> chr(1) || substr(tk, CAST(i AS BIGINT), 1) || chr(2)), '')"
+        " || chr(1) || '</w>' || chr(2)"
+    )
+    # fold the replaces inline (one expression, m1..mN cross-joined)
+    expr = "s0"
+    for k in range(1, n + 1):
+        expr = (
+            f"replace({expr}, chr(1) || m{k}.l || chr(2) || chr(1) || m{k}.r"
+            f" || chr(2), chr(1) || m{k}.l || m{k}.r || chr(2))"
+        )
+    mjoin = " CROSS JOIN ".join(f"m{k}" for k in range(1, n + 1))
+    return f"""{head},
+docs0 AS (
+  SELECT doc_id,
+         list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS t
+  FROM documents
+),
+w0 AS (
+  SELECT doc_id, CAST(i AS INT) AS wpos, {wrap_tok} AS s0
+  FROM (SELECT doc_id, i, t[CAST(i AS BIGINT)] AS tk
+        FROM docs0, unnest(range(1, len(t) + 1)) r(i)) q
+),
+wm AS (
+  SELECT doc_id, wpos,
+         string_split(substr(ws, 2, length(ws) - 2), chr(2) || chr(1)) AS pieces
+  FROM (SELECT doc_id, wpos, {expr} AS ws FROM w0 CROSS JOIN {mjoin}) q
+),
+agg AS (
+  SELECT doc_id, flatten(list(pieces ORDER BY wpos)) AS bpe_tokens
+  FROM wm GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(a.bpe_tokens, []) AS bpe_tokens,
+       CAST(coalesce(len(a.bpe_tokens), 0) AS BIGINT) AS n_bpe_tokens
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+EXTRA_QUERIES["bpe_tokenize"] = QueryDef(
+    q_bpe_tokenize, _bpe_tokenize_oracle(), iterative=True
+)
