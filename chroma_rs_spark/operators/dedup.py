@@ -817,3 +817,68 @@ def line_dedup(
             "text_clean"
         ),
     )
+
+
+def minhash_accuracy(
+    df: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 16,
+    shingle_k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bucket: int | None | str = "auto",
+) -> DataFrame:
+    """Per-candidate-pair MinHash estimation error vs exact shingle
+    Jaccard — the evaluation the dedup family owes its users, exactly
+    as `ann_recall` is the one the ANN family owes (an estimator whose
+    error is assumed rather than measured is a guess): for every pair
+    the LSH miner surfaces, (id_a, id_b, est_jaccard, exact_jaccard,
+    abs_err). A candidate pair sharing NO shingle (pure band-hash
+    collision) scores exact 0 and its est_jaccard IS the error.
+
+    Scale shape: the exact side's inverted index is built only over
+    DOCUMENTS THAT APPEAR IN A CANDIDATE PAIR (a left-semi restriction
+    before `shingle_pair_intersections`) — at 100 TB the verification
+    touches the miner's output set, never the corpus; max_df=None is
+    correct here BECAUSE the universe is already candidate-restricted
+    (the ground truth must not drop hot shingles).
+    """
+    cands = minhash_lsh_pairs(
+        df,
+        id_col=id_col,
+        text_col=text_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_k=shingle_k,
+        max_bucket=max_bucket,
+    )
+    cand_ids = (
+        cands.select(F.col("id_a").alias(id_col))
+        .unionByName(cands.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sub = df.join(cand_ids, id_col, "left_semi")
+    inter = shingle_pair_intersections(
+        sub, id_col, text_col, shingle_k, max_df=None
+    )
+    exact = inter.select(
+        "id_a",
+        "id_b",
+        F.round(
+            F.col("n_inter").cast("double")
+            / (F.col("size_a") + F.col("size_b") - F.col("n_inter")),
+            6,
+        ).alias("exact_jaccard"),
+    )
+    return cands.join(exact, ["id_a", "id_b"], "left").select(
+        "id_a",
+        "id_b",
+        "est_jaccard",
+        F.coalesce("exact_jaccard", F.lit(0.0)).alias("exact_jaccard"),
+        F.round(
+            F.abs(
+                F.col("est_jaccard") - F.coalesce("exact_jaccard", F.lit(0.0))
+            ),
+            6,
+        ).alias("abs_err"),
+    )

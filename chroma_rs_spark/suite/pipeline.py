@@ -2403,3 +2403,79 @@ SELECT doc_id, label, score, score >= 0.5 AS pred FROM fin""")
 EXTRA_QUERIES["quality_classifier"] = QueryDef(
     q_quality_classifier, _quality_classifier_oracle(), iterative=True
 )
+
+
+# ---------------------------------------------------------------------------
+# MinHash estimation accuracy (round 8): the dedup-family analogue of
+# ann_recall — measure the estimator against exact shingle Jaccard on
+# every candidate pair the miner surfaces. The oracle composes the
+# minhash CTE chain with the distinct-shingle exact computation
+# (max_df-free: the ground truth must not drop hot shingles).
+# ---------------------------------------------------------------------------
+
+
+def q_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-LSH-candidate-pair (est_jaccard, exact_jaccard, abs_err)."""
+    from chroma_rs_spark.operators.dedup import minhash_accuracy
+
+    return minhash_accuracy(
+        load_table(spark, sf_dir, "documents"),
+        num_hashes=16,
+        bands=16,
+        shingle_k=3,
+    )
+
+
+_MINHASH_ACCURACY_ORACLE = f"""
+WITH sh AS ({_SHINGLES3}),
+params(i, a, b) AS (
+  VALUES {_MINHASH_PARAM_ROWS}
+),
+h AS (
+  SELECT doc_id, CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT) AS h
+  FROM sh
+),
+mh AS (
+  SELECT doc_id, p.i AS band, min((h.h * p.a + p.b) % {MINHASH_P}) AS band_key
+  FROM h, params p
+  GROUP BY doc_id, p.i
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM mh a JOIN mh b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+agree AS (
+  SELECT c.id_a, c.id_b,
+         sum(CASE WHEN ma.band_key = mb.band_key THEN 1 ELSE 0 END) AS n_match
+  FROM cand c
+  JOIN mh ma ON ma.doc_id = c.id_a
+  JOIN mh mb ON mb.doc_id = c.id_b AND mb.band = ma.band
+  GROUP BY c.id_a, c.id_b
+),
+dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+sizes AS (SELECT doc_id, count(*) AS set_size FROM dsh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM dsh a JOIN dsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+ex AS (
+  SELECT id_a, id_b,
+         round(CAST(n_inter AS DOUBLE)
+               / (sa.set_size + sb.set_size - n_inter), 6) AS exact_jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+)
+SELECT g.id_a, g.id_b,
+       CAST(g.n_match AS DOUBLE) / 16.0 AS est_jaccard,
+       coalesce(e.exact_jaccard, 0.0) AS exact_jaccard,
+       round(abs(CAST(g.n_match AS DOUBLE) / 16.0
+                 - coalesce(e.exact_jaccard, 0.0)), 6) AS abs_err
+FROM agree g LEFT JOIN ex e USING (id_a, id_b)
+"""
+
+EXTRA_QUERIES["minhash_accuracy"] = QueryDef(
+    q_minhash_accuracy, _MINHASH_ACCURACY_ORACLE
+)

@@ -182,3 +182,39 @@ def test_auto_max_bucket_size_gate(spark, tmp_path):
     assert _resolve_max_bucket(small, 7) == 7
     with pytest.raises(ValueError, match="auto"):
         minhash_lsh_pairs(small, max_bucket="always")
+
+
+def test_minhash_accuracy_planted_pairs(spark):
+    """Exact twins estimate 1.0 with zero error; near twins' estimate
+    stays within the 16-hash binomial band of the exact Jaccard; the
+    error column is |est - exact| rounded like every score."""
+    from chroma_rs_spark.operators.dedup import minhash_accuracy
+
+    base = " ".join(f"tok{i}" for i in range(60))
+    near = " ".join(f"tok{i}" for i in range(58)) + " zzz yyy"
+    rows = [
+        (1, base),
+        (2, base),                     # exact twin of 1
+        (3, near),                     # near twin of 1
+        (4, "совершенно unrelated text about nothing shared at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = {
+        (r["id_a"], r["id_b"]): r
+        for r in minhash_accuracy(df).collect()
+    }
+    twin = out[(1, 2)]
+    assert twin["est_jaccard"] == 1.0
+    assert twin["exact_jaccard"] == 1.0
+    assert twin["abs_err"] == 0.0
+    for pair in ((1, 3), (2, 3)):
+        if pair in out:
+            r = out[pair]
+            assert r["exact_jaccard"] > 0.8
+            assert r["abs_err"] == round(
+                abs(r["est_jaccard"] - r["exact_jaccard"]), 6
+            )
+            # 16 hashes: the estimate is coarse but must be in band
+            assert abs(r["est_jaccard"] - r["exact_jaccard"]) < 0.4
+    # the unrelated doc never pairs with anything
+    assert not any(4 in p for p in out)
