@@ -1327,9 +1327,12 @@ hs AS (
   SELECT doc_id, t, CAST((len(t) + 1) // 2 AS INT) AS h FROM src
 ),
 parts AS (
+  -- coalesce: DuckDB's array_to_string([]) is NULL where Spark's
+  -- array_join([]) is '' (the r7 c4-oracle divergence class), and a
+  -- NULL paragraph would null the whole || page
   SELECT doc_id,
-         array_to_string(t[1:h], ' ') AS p1,
-         array_to_string(t[h+1:len(t)], ' ') AS p2
+         coalesce(array_to_string(t[1:h], ' '), '') AS p1,
+         coalesce(array_to_string(t[h+1:len(t)], ' '), '') AS p2
   FROM hs
 ),
 page AS (

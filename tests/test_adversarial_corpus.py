@@ -68,6 +68,16 @@ QUERIES = [
     "token_budget_sample",
     "gopher_repetition",
     "domain_cap_sample",
+    # round-8 session-2 additions: bigram LM (held-in train split over
+    # edge text), HTML extraction (synthetic page wrap of edge text),
+    # the trained LR classifier (bias-only empty docs), BPE training/
+    # application (degenerate words), and the minhash error harness
+    "bigram_perplexity",
+    "html_extract_text",
+    "quality_classifier",
+    "bpe_merges",
+    "bpe_tokenize",
+    "minhash_accuracy",
 ]
 
 
