@@ -96,16 +96,30 @@ def featurize_text(
     )
 
 
+
+def _r6(expr: str) -> str:
+    """Engine-portable round-to-6: floor(x*1e6 + 0.5)/1e6 — both
+    engines floor the SAME double, so there is no half-boundary
+    rounding class (Spark rounds the shortest decimal repr, DuckDB the
+    near-exact binary value; a fuzz corpus found a sigmoid output
+    differing in the 6th decimal between the two `round(x, 6)`s —
+    the r7 centroid divergence class on a transcendental output).
+    Ties round toward +infinity for negative inputs; the oracle uses
+    the identical formula, which is the only property that matters."""
+    return f"floor(({expr}) * 1000000.0D + 0.5D) / 1000000.0D"
+
+
 def _margin_expr(weights_micro: list[int]) -> str:
     """The per-row margin as one SQL expression: a position-ordered
     fold of the feats array against the literal weight array (micro
     units divided to doubles exactly as the oracle does)."""
     lits = ", ".join(f"{int(w)}L" for w in weights_micro)
-    return (
-        f"round(aggregate(feats, 0.0D, (a, f) -> a +"
+    fold = (
+        f"aggregate(feats, 0.0D, (a, f) -> a +"
         f" (CAST(element_at(array({lits}), f.j + 1) AS DOUBLE)"
-        f" / 1000000.0D) * f.x), 6)"
+        f" / 1000000.0D) * f.x)"
     )
+    return _r6(fold)
 
 
 def train_quality_classifier(
@@ -138,8 +152,10 @@ def train_quality_classifier(
         weights = [0] * d
         for _ in range(iters):
             err = F.expr(
-                f"round(1.0D / (1.0D + exp(-({_margin_expr(weights)})))"
-                f" - CAST(`{label_col}` AS DOUBLE), 6)"
+                _r6(
+                    f"1.0D / (1.0D + exp(-({_margin_expr(weights)})))"
+                    f" - CAST(`{label_col}` AS DOUBLE)"
+                )
             )
             grads = (
                 cached.withColumn("_e", err)
@@ -174,5 +190,5 @@ def score_quality_classifier(
     score >= threshold over a `featurize_text` output."""
     margin = _margin_expr(weights_micro)
     return featurized.withColumn(
-        out, F.expr(f"round(1.0D / (1.0D + exp(-({margin}))), 6)")
+        out, F.expr(_r6(f"1.0D / (1.0D + exp(-({margin})))"))
     ).withColumn(f"{out}_pred", F.col(out) >= F.lit(float(threshold)))

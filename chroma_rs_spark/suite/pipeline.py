@@ -2350,7 +2350,7 @@ feat AS (
 ),
 mm AS (SELECT count(*) AS m FROM docs0),
 e1 AS (
-  SELECT doc_id, round(0.5 - CAST(y AS DOUBLE), 6) AS e FROM lab
+  SELECT doc_id, floor((0.5 - CAST(y AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS e FROM lab
 ),
 g1 AS (
   SELECT f.j, sum(CAST(floor(e1.e * f.x * 1000000.0) AS BIGINT)) AS g
@@ -2365,14 +2365,16 @@ w1 AS (
         parts.append(f""",
 mar{t} AS (
   SELECT f.doc_id,
-         round(list_sum(list((CAST(coalesce(w{t - 1}.w, 0) AS DOUBLE)
-                              / 1000000.0) * f.x ORDER BY f.j)), 6) AS mg
+         floor(list_sum(list((CAST(coalesce(w{t - 1}.w, 0) AS DOUBLE)
+                              / 1000000.0) * f.x ORDER BY f.j))
+               * 1000000.0 + 0.5) / 1000000.0 AS mg
   FROM feat f LEFT JOIN w{t - 1} USING (j)
   GROUP BY f.doc_id
 ),
 e{t} AS (
   SELECT l.doc_id,
-         round(1.0 / (1.0 + exp(-m.mg)) - CAST(l.y AS DOUBLE), 6) AS e
+         floor((1.0 / (1.0 + exp(-m.mg)) - CAST(l.y AS DOUBLE))
+               * 1000000.0 + 0.5) / 1000000.0 AS e
   FROM lab l JOIN mar{t} m USING (doc_id)
 ),
 g{t} AS (
@@ -2386,14 +2388,16 @@ w{t} AS (
     parts.append(f""",
 marF AS (
   SELECT f.doc_id,
-         round(list_sum(list((CAST(coalesce(w{iters}.w, 0) AS DOUBLE)
-                              / 1000000.0) * f.x ORDER BY f.j)), 6) AS mg
+         floor(list_sum(list((CAST(coalesce(w{iters}.w, 0) AS DOUBLE)
+                              / 1000000.0) * f.x ORDER BY f.j))
+               * 1000000.0 + 0.5) / 1000000.0 AS mg
   FROM feat f LEFT JOIN w{iters} USING (j)
   GROUP BY f.doc_id
 ),
 fin AS (
   SELECT l.doc_id, l.y AS label,
-         round(1.0 / (1.0 + exp(-m.mg)), 6) + 0.0 AS score
+         floor(1.0 / (1.0 + exp(-m.mg)) * 1000000.0 + 0.5) / 1000000.0 + 0.0
+           AS score
   FROM lab l JOIN marF m USING (doc_id)
 )
 SELECT doc_id, label, score, score >= 0.5 AS pred FROM fin""")

@@ -60,6 +60,17 @@ QUERIES = [
     "token_budget_sample",
     "gopher_repetition",
     "domain_cap_sample",
+    # round-8 session-2 additions: bigram LM, HTML extraction (random
+    # text可 contain tag-like '<'/'>' runs — both engines must strip
+    # them identically), trained LR classifier, BPE train/apply
+    # (merges become inline literals in BOTH engines' apply chains),
+    # and the minhash error harness
+    "bigram_perplexity",
+    "html_extract_text",
+    "quality_classifier",
+    "bpe_merges",
+    "bpe_tokenize",
+    "minhash_accuracy",
 ]
 
 _ALPHABET = (
