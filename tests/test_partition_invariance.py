@@ -169,3 +169,54 @@ def test_dedup_keep_best_partition_invariant(spark):
             b, minhash_lsh_pairs(b), score_col="n_chars", lazy_local=True
         )
     )
+
+
+def test_bigram_perplexity_partition_invariant(spark):
+    from chroma_rs_spark.operators.text import bigram_perplexity
+
+    a, b = _layouts(_docs(spark), "doc_id")
+    assert _canon(bigram_perplexity(a)) == _canon(bigram_perplexity(b))
+
+
+def test_quality_classifier_partition_invariant(spark):
+    """Both the trained micro-unit weights AND the scores must be a
+    function of the data alone — the floor-quantized integer gradient
+    sums are the mechanism."""
+    from pyspark.sql import functions as F
+
+    from chroma_rs_spark.operators.classifier import (
+        featurize_text,
+        score_quality_classifier,
+        train_quality_classifier,
+    )
+
+    lab = F.array_contains(
+        F.expr("filter(split(coalesce(text, ''), ' '), x -> x <> '')"), "join"
+    ).cast("int")
+    a, b = _layouts(_docs(spark).withColumn("label", lab), "doc_id")
+    fa = featurize_text(a, n_features=32, extra_cols=("label",))
+    fb = featurize_text(b, n_features=32, extra_cols=("label",))
+    wa = train_quality_classifier(fa, n_features=32, iters=2)
+    wb = train_quality_classifier(fb, n_features=32, iters=2)
+    assert wa == wb
+    sa = score_quality_classifier(fa, wa).select("doc_id", "score", "score_pred")
+    sb = score_quality_classifier(fb, wb).select("doc_id", "score", "score_pred")
+    assert _canon(sa) == _canon(sb)
+
+
+def test_bpe_merges_partition_invariant(spark):
+    from chroma_rs_spark.operators.bpe import apply_bpe, train_bpe
+
+    a, b = _layouts(_docs(spark), "doc_id")
+    ma, mb = train_bpe(a, n_merges=4), train_bpe(b, n_merges=4)
+    assert ma == mb
+    assert _canon(apply_bpe(a, ma).select("doc_id", "bpe_tokens_n")) == _canon(
+        apply_bpe(b, mb).select("doc_id", "bpe_tokens_n")
+    )
+
+
+def test_minhash_accuracy_partition_invariant(spark):
+    from chroma_rs_spark.operators.dedup import minhash_accuracy
+
+    a, b = _layouts(_docs(spark), "doc_id")
+    assert _canon(minhash_accuracy(a)) == _canon(minhash_accuracy(b))
