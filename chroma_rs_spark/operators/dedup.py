@@ -882,3 +882,41 @@ def minhash_accuracy(
             6,
         ).alias("abs_err"),
     )
+
+
+def lsh_collision_prob(s: float, bands: int, rows_per_band: int) -> float:
+    """P(candidate | Jaccard s) for banded MinHash LSH:
+    1 - (1 - s^r)^b — the S-curve every (bands, rows) choice trades
+    recall against candidate volume along."""
+    return 1.0 - (1.0 - s**rows_per_band) ** bands
+
+
+def plan_lsh_bands(
+    threshold: float, num_hashes: int = 16
+) -> tuple[int, int]:
+    """(bands, rows_per_band) whose S-curve midpoint (1/b)^(1/r) sits
+    closest to `threshold`, among the divisors of `num_hashes` — the
+    standard planning rule (Leskovec/Rajaraman/Ullman, MMDS §3.4.3):
+    pairs above the midpoint are mostly caught, pairs below mostly
+    skipped, so aiming the midpoint at the dedup threshold minimizes
+    both misses and wasted candidate pairs. Deterministic; ties prefer
+    MORE bands (recall over candidate volume — a missed duplicate is
+    data contamination, an extra candidate is one verify row).
+    """
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0, 1), got {threshold}")
+    if num_hashes < 1:
+        raise ValueError(f"num_hashes must be >= 1, got {num_hashes}")
+    best: tuple[float, int, int] | None = None
+    for r in range(1, num_hashes + 1):
+        if num_hashes % r != 0:
+            continue
+        b = num_hashes // r
+        mid = (1.0 / b) ** (1.0 / r) if b > 1 else 1.0
+        err = abs(mid - threshold)
+        # ties (same err) fall to the larger b because r ascends and
+        # strictly-better only replaces
+        if best is None or err < best[0]:
+            best = (err, b, r)
+    assert best is not None
+    return best[1], best[2]

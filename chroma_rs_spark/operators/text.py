@@ -1591,3 +1591,59 @@ def url_dedup(
             .alias("keep"),
         )
     )
+
+
+# unicode script ranges, Java/RE2-portable \x{...} classes (probed
+# identical in both engines); order = dominance tie-break priority
+SCRIPT_RANGES: tuple[tuple[str, str], ...] = (
+    ("latin", r"[A-Za-z\x{00C0}-\x{024F}]"),
+    ("cyrillic", r"[\x{0400}-\x{04FF}]"),
+    ("greek", r"[\x{0370}-\x{03FF}]"),
+    ("arabic", r"[\x{0600}-\x{06FF}]"),
+    ("cjk", r"[\x{4E00}-\x{9FFF}\x{3040}-\x{30FF}\x{AC00}-\x{D7AF}]"),
+    ("digit", "[0-9]"),
+)
+
+
+def script_profile(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, n_chars, {script}_frac ..., dominant_script): per-document
+    unicode-script composition — the multilingual curation signal the
+    n-gram `lang_id` heuristic cannot give (it only ranks known
+    languages; a Cyrillic document scores garbage against every Latin
+    profile instead of announcing itself). Fractions are counts over
+    total code points, rounded 6; `dominant_script` is the largest
+    class, ties resolved by SCRIPT_RANGES order, NULL when no class
+    matches (whitespace/punctuation-only) or the text is NULL/empty.
+
+    Entirely map-side column expressions (regexp_count per class —
+    zero shuffles, one codegen pass); the \\x{...} range classes are
+    probed identical between Java regex and RE2, so the oracle replays
+    them verbatim.
+    """
+    n = F.length(F.col(text_col))
+    counts = {
+        name: F.regexp_count(F.col(text_col), F.lit(pat))
+        for name, pat in SCRIPT_RANGES
+    }
+    m = F.greatest(*counts.values())
+    dominant = F.when((n.isNull()) | (n == 0) | (m == 0), F.lit(None))
+    for name, _ in SCRIPT_RANGES:
+        dominant = dominant.when(counts[name] == m, F.lit(name))
+    cols = [
+        F.col(id_col),
+        F.coalesce(n, F.lit(0)).cast("long").alias("n_chars"),
+    ]
+    for name, _ in SCRIPT_RANGES:
+        cols.append(
+            F.when(
+                n.isNull() | (n == 0), F.lit(None).cast("double")
+            )
+            .otherwise(
+                F.round(counts[name].cast("double") / n.cast("double"), 6)
+            )
+            .alias(f"{name}_frac")
+        )
+    cols.append(dominant.alias("dominant_script"))
+    return df.select(*cols)

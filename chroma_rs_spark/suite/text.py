@@ -1526,3 +1526,65 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 EXTRA_QUERIES["bpe_tokenize"] = QueryDef(
     q_bpe_tokenize, _bpe_tokenize_oracle(), iterative=True
 )
+
+
+def q_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unicode-script composition over a deterministic
+    multilingual wrapping (every 3rd doc gains a Cyrillic tail, every
+    5th a CJK tail, every 7th an Arabic tail — so all classes and the
+    dominance tie-break exercise on real rows)."""
+    from chroma_rs_spark.operators.text import script_profile
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(" привет мир этот текст"))
+            .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(" 日本語のテキスト"))
+            .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(" نص عربي"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return script_profile(docs)
+
+
+def _script_profile_oracle() -> str:
+    from chroma_rs_spark.operators.text import SCRIPT_RANGES
+
+    cnt = {
+        name: f"len(regexp_extract_all(text, '{pat}'))"
+        for name, pat in SCRIPT_RANGES
+    }
+    m = "greatest(" + ", ".join(cnt.values()) + ")"
+    dom = "CASE WHEN length(text) IS NULL OR length(text) = 0 OR " + m + " = 0 THEN NULL"
+    for name, _ in SCRIPT_RANGES:
+        dom += f" WHEN {cnt[name]} = {m} THEN '{name}'"
+    dom += " END"
+    fracs = ",\n       ".join(
+        f"CASE WHEN length(text) IS NULL OR length(text) = 0 THEN NULL"
+        f" ELSE round(CAST({cnt[name]} AS DOUBLE)"
+        f" / CAST(length(text) AS DOUBLE), 6) END AS {name}_frac"
+        for name, _ in SCRIPT_RANGES
+    )
+    return f"""
+WITH src AS (
+  SELECT doc_id,
+         coalesce(text, '')
+         || CASE WHEN doc_id % 3 = 0 THEN ' привет мир этот текст' ELSE '' END
+         || CASE WHEN doc_id % 5 = 0 THEN ' 日本語のテキスト' ELSE '' END
+         || CASE WHEN doc_id % 7 = 0 THEN ' نص عربي' ELSE '' END AS text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(coalesce(length(text), 0) AS BIGINT) AS n_chars,
+       {fracs},
+       {dom} AS dominant_script
+FROM src
+"""
+
+
+EXTRA_QUERIES["script_profile"] = QueryDef(
+    q_script_profile, _script_profile_oracle()
+)

@@ -218,3 +218,28 @@ def test_minhash_accuracy_planted_pairs(spark):
             assert abs(r["est_jaccard"] - r["exact_jaccard"]) < 0.4
     # the unrelated doc never pairs with anything
     assert not any(4 in p for p in out)
+
+
+def test_plan_lsh_bands_midpoint_rule():
+    import pytest as _pytest
+
+    from chroma_rs_spark.operators.dedup import (
+        lsh_collision_prob,
+        plan_lsh_bands,
+    )
+
+    # 16 hashes: midpoints are 0.0625 (16x1), 0.354 (8x2), 0.707 (4x4),
+    # 0.917 (2x8), 1.0 (1x16)
+    assert plan_lsh_bands(0.5, 16) == (8, 2)
+    assert plan_lsh_bands(0.7, 16) == (4, 4)
+    assert plan_lsh_bands(0.9, 16) == (2, 8)
+    assert plan_lsh_bands(0.05, 16) == (16, 1)
+    b, r = plan_lsh_bands(0.7, 16)
+    # the planned curve actually separates: well above the threshold
+    # almost always candidates, well below almost never
+    assert lsh_collision_prob(0.95, b, r) > 0.95
+    assert lsh_collision_prob(0.2, b, r) < 0.01
+    with _pytest.raises(ValueError):
+        plan_lsh_bands(0.0)
+    with _pytest.raises(ValueError):
+        plan_lsh_bands(0.5, 0)

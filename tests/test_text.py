@@ -795,3 +795,37 @@ def test_html_extract_text_planted_page(spark):
     assert rows[3] == "no tags at all"
     # malformed: unterminated '<' survives as text, never throws
     assert rows[4] == "broken <unclosed"
+
+
+def test_script_profile_known_fracs_and_dominance(spark):
+    from chroma_rs_spark.operators.text import script_profile
+
+    df = spark.createDataFrame(
+        [
+            (1, "hello"),                 # pure latin
+            (2, "Привет"),                # pure cyrillic
+            (3, "日本語"),                 # cjk
+            (4, "ab12"),                  # latin ties digits -> latin (priority)
+            (5, "!!! ???"),               # no script class at all
+            (6, ""),
+            (7, None),
+            (8, "αβγ نص"),                # greek vs arabic: 3 > 2 -> greek
+        ],
+        "doc_id LONG, text STRING",
+    )
+    rows = {r["doc_id"]: r for r in script_profile(df).collect()}
+    assert rows[1]["latin_frac"] == 1.0 and rows[1]["dominant_script"] == "latin"
+    assert rows[2]["cyrillic_frac"] == 1.0
+    assert rows[2]["dominant_script"] == "cyrillic"
+    assert rows[3]["cjk_frac"] == 1.0 and rows[3]["dominant_script"] == "cjk"
+    assert rows[4]["latin_frac"] == 0.5 and rows[4]["digit_frac"] == 0.5
+    assert rows[4]["dominant_script"] == "latin"  # tie -> priority order
+    assert rows[5]["dominant_script"] is None
+    assert rows[5]["latin_frac"] == 0.0
+    for empty in (6, 7):
+        assert rows[empty]["n_chars"] == 0
+        assert rows[empty]["latin_frac"] is None
+        assert rows[empty]["dominant_script"] is None
+    assert rows[8]["dominant_script"] == "greek"
+    assert rows[8]["greek_frac"] == round(3 / 6, 6)
+    assert rows[8]["arabic_frac"] == round(2 / 6, 6)
