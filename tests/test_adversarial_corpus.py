@@ -78,6 +78,7 @@ QUERIES = [
     "bpe_merges",
     "bpe_tokenize",
     "minhash_accuracy",
+    "script_profile",
 ]
 
 

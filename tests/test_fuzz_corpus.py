@@ -71,6 +71,7 @@ QUERIES = [
     "bpe_merges",
     "bpe_tokenize",
     "minhash_accuracy",
+    "script_profile",
 ]
 
 _ALPHABET = (
