@@ -2483,3 +2483,66 @@ FROM agree g LEFT JOIN ex e USING (id_a, id_b)
 EXTRA_QUERIES["minhash_accuracy"] = QueryDef(
     q_minhash_accuracy, _MINHASH_ACCURACY_ORACLE
 )
+
+
+def q_classifier_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-set confusion counts + accuracy/precision/recall of the
+    trained quality filter — the numbers a model-based filter is
+    accepted or rejected on (FineWeb-Edu reports exactly these for its
+    classifier): one row (tp, fp, tn, fn, accuracy, precision,
+    recall)."""
+    scored = q_quality_classifier(spark, sf_dir)
+    p, y = F.col("pred"), F.col("label") == 1
+    agg = scored.agg(
+        F.sum(F.when(p & y, 1).otherwise(0)).cast("long").alias("tp"),
+        F.sum(F.when(p & ~y, 1).otherwise(0)).cast("long").alias("fp"),
+        F.sum(F.when(~p & ~y, 1).otherwise(0)).cast("long").alias("tn"),
+        F.sum(F.when(~p & y, 1).otherwise(0)).cast("long").alias("fn"),
+    )
+    return agg.select(
+        "tp",
+        "fp",
+        "tn",
+        "fn",
+        F.round(
+            (F.col("tp") + F.col("tn")).cast("double")
+            / (F.col("tp") + F.col("fp") + F.col("tn") + F.col("fn")),
+            6,
+        ).alias("accuracy"),
+        F.when(F.col("tp") + F.col("fp") == 0, F.lit(None)).otherwise(
+            F.round(
+                F.col("tp").cast("double") / (F.col("tp") + F.col("fp")), 6
+            )
+        ).alias("precision"),
+        F.when(F.col("tp") + F.col("fn") == 0, F.lit(None)).otherwise(
+            F.round(
+                F.col("tp").cast("double") / (F.col("tp") + F.col("fn")), 6
+            )
+        ).alias("recall"),
+    )
+
+
+def _classifier_metrics_oracle() -> str:
+    inner = _quality_classifier_oracle()
+    return f"""
+WITH scored AS ({inner}),
+cm AS (
+  SELECT CAST(sum(CASE WHEN pred AND label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(sum(CASE WHEN pred AND label <> 1 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         CAST(sum(CASE WHEN NOT pred AND label <> 1 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+         CAST(sum(CASE WHEN NOT pred AND label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+  FROM scored
+)
+SELECT tp, fp, tn, fn,
+       round(CAST(tp + tn AS DOUBLE) / (tp + fp + tn + fn), 6) AS accuracy,
+       CASE WHEN tp + fp = 0 THEN NULL
+            ELSE round(CAST(tp AS DOUBLE) / (tp + fp), 6) END AS precision,
+       CASE WHEN tp + fn = 0 THEN NULL
+            ELSE round(CAST(tp AS DOUBLE) / (tp + fn), 6) END AS recall
+FROM cm
+"""
+
+
+EXTRA_QUERIES["classifier_metrics"] = QueryDef(
+    q_classifier_metrics, _classifier_metrics_oracle(), iterative=True
+)
