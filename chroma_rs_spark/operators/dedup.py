@@ -920,3 +920,63 @@ def plan_lsh_bands(
             best = (err, b, r)
     assert best is not None
     return best[1], best[2]
+
+
+def lsh_recall(
+    df: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 16,
+    shingle_k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bucket: int | None | str = "auto",
+) -> DataFrame:
+    """One row (n_true, n_caught, recall): of all document pairs whose
+    EXACT shingle Jaccard reaches `threshold`, the fraction the banded
+    MinHash miner surfaces as candidates — the recall number
+    `plan_lsh_bands` promises and this measures (completing the eval
+    trilogy: `ann_recall` for the ANN index, `minhash_accuracy` for
+    the estimator, `lsh_recall` for the candidate generator).
+
+    Ground truth needs no all-pairs: exact pairs come from the same
+    inverted shingle index the Jaccard operator uses (only documents
+    sharing a shingle ever meet; a pair with Jaccard >= t > 0 shares
+    one by definition). max_df stays off on the truth side — ground
+    truth must not drop hot shingles.
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    inter = shingle_pair_intersections(
+        df, id_col, text_col, shingle_k, max_df=None
+    )
+    true_pairs = inter.select(
+        "id_a",
+        "id_b",
+        F.round(
+            F.col("n_inter").cast("double")
+            / (F.col("size_a") + F.col("size_b") - F.col("n_inter")),
+            6,
+        ).alias("_j"),
+    ).filter(F.col("_j") >= F.lit(float(threshold)))
+    cands = minhash_lsh_pairs(
+        df,
+        id_col=id_col,
+        text_col=text_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_k=shingle_k,
+        max_bucket=max_bucket,
+    ).select("id_a", "id_b")
+    caught = true_pairs.join(cands, ["id_a", "id_b"], "left_semi")
+    return (
+        true_pairs.agg(F.count(F.lit(1)).alias("_nt"))
+        .crossJoin(caught.agg(F.count(F.lit(1)).alias("_nc")))
+        .select(
+            F.col("_nt").cast("long").alias("n_true"),
+            F.col("_nc").cast("long").alias("n_caught"),
+            F.when(F.col("_nt") == 0, F.lit(None)).otherwise(
+                F.round(F.col("_nc").cast("double") / F.col("_nt"), 6)
+            ).alias("recall"),
+        )
+    )

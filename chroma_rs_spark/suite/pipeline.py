@@ -2546,3 +2546,67 @@ FROM cm
 EXTRA_QUERIES["classifier_metrics"] = QueryDef(
     q_classifier_metrics, _classifier_metrics_oracle(), iterative=True
 )
+
+
+def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-generation recall of the banded miner against exact
+    Jaccard >= 0.5 ground truth: one row (n_true, n_caught, recall)."""
+    from chroma_rs_spark.operators.dedup import lsh_recall
+
+    return lsh_recall(
+        load_table(spark, sf_dir, "documents"),
+        threshold=0.5,
+        num_hashes=16,
+        bands=16,
+        shingle_k=3,
+    )
+
+
+_LSH_RECALL_ORACLE = f"""
+WITH sh AS ({_SHINGLES3}),
+params(i, a, b) AS (
+  VALUES {_MINHASH_PARAM_ROWS}
+),
+h AS (
+  SELECT doc_id, CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT) AS h
+  FROM sh
+),
+mh AS (
+  SELECT doc_id, p.i AS band, min((h.h * p.a + p.b) % {MINHASH_P}) AS band_key
+  FROM h, params p
+  GROUP BY doc_id, p.i
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM mh a JOIN mh b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+sizes AS (SELECT doc_id, count(*) AS set_size FROM dsh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM dsh a JOIN dsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+tp AS (
+  SELECT i.id_a, i.id_b
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.id_a
+  JOIN sizes sb ON sb.doc_id = i.id_b
+  WHERE round(CAST(i.n_inter AS DOUBLE)
+              / (sa.set_size + sb.set_size - i.n_inter), 6) >= 0.5
+),
+nt AS (SELECT count(*) AS n_true FROM tp),
+nc AS (
+  SELECT count(*) AS n_caught
+  FROM tp WHERE EXISTS (
+    SELECT 1 FROM cand c WHERE c.id_a = tp.id_a AND c.id_b = tp.id_b)
+)
+SELECT CAST(nt.n_true AS BIGINT) AS n_true,
+       CAST(nc.n_caught AS BIGINT) AS n_caught,
+       CASE WHEN nt.n_true = 0 THEN NULL
+            ELSE round(CAST(nc.n_caught AS DOUBLE) / nt.n_true, 6) END AS recall
+FROM nt CROSS JOIN nc
+"""
+
+EXTRA_QUERIES["lsh_recall"] = QueryDef(q_lsh_recall, _LSH_RECALL_ORACLE)

@@ -243,3 +243,34 @@ def test_plan_lsh_bands_midpoint_rule():
         plan_lsh_bands(0.0)
     with _pytest.raises(ValueError):
         plan_lsh_bands(0.5, 0)
+
+
+def test_lsh_recall_planted(spark):
+    """16x1 banding catches exact twins (est band keys equal) — planted
+    twins yield recall 1.0; a threshold with no qualifying pairs yields
+    NULL recall."""
+    import pytest as _pytest
+
+    from chroma_rs_spark.operators.dedup import lsh_recall
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),
+            (3, " ".join(f"other{i}" for i in range(40))),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    row = lsh_recall(df, threshold=0.9).collect()[0]
+    assert row["n_true"] == 1
+    assert row["n_caught"] == 1
+    assert row["recall"] == 1.0
+    empty = lsh_recall(
+        spark.createDataFrame([(1, "a b c"), (2, "x y z")],
+                              "doc_id LONG, text STRING"),
+        threshold=0.9,
+    ).collect()[0]
+    assert empty["n_true"] == 0 and empty["recall"] is None
+    with _pytest.raises(ValueError):
+        lsh_recall(df, threshold=0.0)
