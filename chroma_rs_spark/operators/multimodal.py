@@ -678,3 +678,130 @@ def extract_audio_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             yield pd.DataFrame(rows)
 
     return src.mapInPandas(decode, schema=AUDIO_FEATURE_SCHEMA)
+
+
+def ahash64(pixels: bytes, width: int, height: int, channels: int) -> int | None:
+    """64-bit average hash (aHash) of decoded pixels — ALL-INTEGER so
+    the hash is engine- and partition-exact: grayscale = channel sum
+    // channels per pixel; the image splits into an 8x8 grid with
+    floor boundaries; bit i is set iff cell_sum * total_area >
+    total_sum * cell_area (cross-multiplied exact integers — no float
+    mean anywhere). Images narrower than the grid are unscorable
+    (None), the NULL-embedding rule."""
+    if width < 8 or height < 8 or not pixels:
+        return None
+    gray = [0] * (width * height)
+    for p in range(width * height):
+        base = p * channels
+        s = 0
+        for c in range(channels):
+            s += pixels[base + c]
+        gray[p] = s // channels
+    xb = [(i * width) // 8 for i in range(9)]
+    yb = [(i * height) // 8 for i in range(9)]
+    sums, areas = [], []
+    for gy in range(8):
+        for gx in range(8):
+            s = 0
+            for y in range(yb[gy], yb[gy + 1]):
+                row = y * width
+                for x in range(xb[gx], xb[gx + 1]):
+                    s += gray[row + x]
+            sums.append(s)
+            areas.append((yb[gy + 1] - yb[gy]) * (xb[gx + 1] - xb[gx]))
+    total_sum, total_area = sum(sums), sum(areas)
+    h = 0
+    for i in range(64):
+        if sums[i] * total_area > total_sum * areas[i]:
+            h |= 1 << i
+    # fold to SIGNED two's complement: bit 63 set would overflow the
+    # Arrow/Spark int64 column; banding and XOR-popcount are
+    # sign-agnostic
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+IMAGE_PHASH_SCHEMA = "doc_id long, width long, height long, ahash long"
+
+
+def image_phash(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, width, height, ahash): distributed perceptual hashing —
+    real decode (`decode_image_real`) + the integer-exact `ahash64`
+    per Arrow batch. NULL payloads and sub-8x8 images yield NULL
+    ahash (unscorable)."""
+    src = df.select(F.col(id_col).alias("doc_id"), "payload")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    rows.append(
+                        {"doc_id": did, "width": None, "height": None,
+                         "ahash": None}
+                    )
+                    continue
+                img = decode_image_real(bytes(payload))
+                h = ahash64(
+                    img["pixels"], img["width"], img["height"], img["channels"]
+                )
+                rows.append(
+                    {
+                        "doc_id": did,
+                        "width": img["width"],
+                        "height": img["height"],
+                        "ahash": h,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return src.mapInPandas(run, schema=IMAGE_PHASH_SCHEMA)
+
+
+def image_near_dup_pairs(
+    hashed: DataFrame, max_hamming: int = 5, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id_a, id_b, hamming) for image pairs within `max_hamming` bits
+    on their 64-bit aHash — the image analogue of the banded MinHash
+    miner: the hash splits into four 16-bit bands and candidates must
+    agree exactly on >= 1 band, so the join is keyed (no all-pairs)
+    and exact hamming (bit_count of XOR) rescreens candidates.
+
+    Recall guarantee, stated honestly: a pair differing in k bits is
+    caught with certainty for k <= 3 (pigeonhole — 3 flips cannot
+    touch all 4 bands); for k in {4, 5} only the adversarial spread
+    placing >= 1 flip in EVERY band evades, vanishingly rare for real
+    near-identical images whose differences cluster in a few cells —
+    the standard multi-index tradeoff (Lv et al., multi-probe LSH).
+    """
+    if not 0 <= max_hamming <= 64:
+        raise ValueError(f"max_hamming must be in [0, 64], got {max_hamming}")
+    h = hashed.filter(F.col("ahash").isNotNull()).select(
+        F.col(id_col).alias("_id"), F.col("ahash").alias("_h")
+    )
+    bands = h.select(
+        "_id",
+        "_h",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 3), b -> struct(b AS band,"
+                " shiftright(_h, b * 16) & 65535 AS key))"
+            )
+        ).alias("_b"),
+    ).select("_id", "_h", F.col("_b.band").alias("_band"), F.col("_b.key").alias("_key"))
+    a = bands.select(
+        F.col("_id").alias("id_a"), F.col("_h").alias("_ha"), "_band", "_key"
+    )
+    b = bands.select(
+        F.col("_id").alias("id_b"), F.col("_h").alias("_hb"), "_band", "_key"
+    )
+    return (
+        a.join(b, ["_band", "_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= F.lit(int(max_hamming)))
+        .distinct()
+    )

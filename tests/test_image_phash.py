@@ -1,0 +1,106 @@
+"""Perceptual image hashing + image near-dup: integer-exact aHash vs a
+pure-Python reference, invariance to uniform brightness, banded pair
+mining recall on planted near-identical images."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from chroma_rs_spark.operators.multimodal import (
+    ahash64,
+    image_near_dup_pairs,
+    image_phash,
+)
+from tests.test_multimodal_decode import make_png
+
+
+def _img(rng, w=16, h=16):
+    return bytes(rng.randrange(256) for _ in range(w * h))
+
+
+def _flip_pixels(pixels: bytes, n: int, rng) -> bytes:
+    b = bytearray(pixels)
+    for _ in range(n):
+        i = rng.randrange(len(b))
+        b[i] = 255 - b[i]
+    return bytes(b)
+
+
+def _ref_ahash(pixels, w, h, c):
+    gray = [
+        sum(pixels[p * c + k] for k in range(c)) // c for p in range(w * h)
+    ]
+    xb = [i * w // 8 for i in range(9)]
+    yb = [i * h // 8 for i in range(9)]
+    sums, areas = [], []
+    for gy in range(8):
+        for gx in range(8):
+            s = sum(
+                gray[y * w + x]
+                for y in range(yb[gy], yb[gy + 1])
+                for x in range(xb[gx], xb[gx + 1])
+            )
+            sums.append(s)
+            areas.append((yb[gy + 1] - yb[gy]) * (xb[gx + 1] - xb[gx]))
+    ts, ta = sum(sums), sum(areas)
+    h = sum(1 << i for i in range(64) if sums[i] * ta > ts * areas[i])
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def test_ahash_matches_reference_and_brightness_invariance():
+    rng = random.Random(5)
+    px = _img(rng)
+    assert ahash64(px, 16, 16, 1) == _ref_ahash(px, 16, 16, 1)
+    # uniform brightness shift keeps every cell's relation to the mean:
+    # cell_sum + d*area vs (total+d*TA)*area/TA — unchanged ordering
+    brighter = bytes(min(255, b + 40) if b < 200 else b for b in px)
+    # (clamping breaks exact invariance; use a safely-shiftable image)
+    px2 = bytes(b // 2 for b in px)  # all < 128
+    lifted = bytes(b + 100 for b in px2)
+    assert ahash64(px2, 16, 16, 1) == ahash64(lifted, 16, 16, 1)
+    # sub-grid images are unscorable
+    assert ahash64(px[:49], 7, 7, 1) is None
+    assert ahash64(b"", 16, 16, 1) is None
+    del brighter
+
+
+def test_image_phash_and_near_dup_planted(spark):
+    """Planted: doc 2 = doc 1 with 3 flipped pixels (near-dup, small
+    hamming), doc 3 = independent noise (no pair), doc 4 = exact copy
+    of 1 (hamming 0). NULL payload unscorable."""
+    rng = random.Random(11)
+    base = _img(rng, 24, 24)
+    near = _flip_pixels(base, 3, rng)
+    other = _img(rng, 24, 24)
+    rows = [
+        (1, make_png(24, 24, 1, base)),
+        (2, make_png(24, 24, 1, near)),
+        (3, make_png(24, 24, 1, other)),
+        (4, make_png(24, 24, 1, base)),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, payload BINARY")
+    hashed = image_phash(df)
+    hv = {r["doc_id"]: r for r in hashed.collect()}
+    assert hv[1]["ahash"] == hv[4]["ahash"]
+    assert hv[1]["width"] == 24 and hv[1]["height"] == 24
+    assert hv[5]["ahash"] is None
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in image_near_dup_pairs(hashed, max_hamming=8).collect()
+    }
+    assert pairs[(1, 4)] == 0
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 8
+    assert not any(3 in p for p in pairs)
+
+
+def test_image_near_dup_validates(spark):
+    df = spark.createDataFrame(
+        [(1, 0), (2, 3)], "doc_id LONG, ahash LONG"
+    )
+    with pytest.raises(ValueError):
+        image_near_dup_pairs(df, max_hamming=65)
+    got = image_near_dup_pairs(df, max_hamming=2).collect()
+    assert [(r["id_a"], r["id_b"], r["hamming"]) for r in got] == [(1, 2, 2)]
