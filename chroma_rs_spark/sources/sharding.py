@@ -103,3 +103,110 @@ def assert_disjoint_shards(manifest: DataFrame) -> None:
                 f"[..{prev['max_key']}] vs {cur['shard_file']} "
                 f"[{cur['min_key']}..]"
             )
+
+
+def _morton_spread16(col_expr: str) -> str:
+    """SQL: spread a 16-bit value's bits to even positions (classic
+    Morton interleave via shift-or-mask), yielding a 32-bit pattern.
+    Pure integer column expressions — no UDF."""
+    x = f"CAST({col_expr} AS BIGINT)"
+    x = f"(({x} | shiftleft({x}, 8)) & 16711935)"        # 0x00FF00FF
+    x = f"(({x} | shiftleft({x}, 4)) & 252645135)"       # 0x0F0F0F0F
+    x = f"(({x} | shiftleft({x}, 2)) & 858993459)"       # 0x33333333
+    x = f"(({x} | shiftleft({x}, 1)) & 1431655765)"      # 0x55555555
+    return x
+
+
+def zorder_value(cols: tuple[str, str], buckets: int = 1 << 16) -> "F.Column":
+    """Z-order (Morton) key over two ALREADY-BUCKETED integer columns
+    in [0, buckets): bits interleave so locality in EITHER column is
+    locality in the key. Callers bucket their raw values first (rank
+    quantiles, hash buckets, day numbers — whatever preserves the
+    order that should cluster)."""
+    if buckets > (1 << 16):
+        raise ValueError("zorder_value interleaves at most 16 bits per column")
+    a, b = cols
+    return F.expr(
+        f"{_morton_spread16(a)} | shiftleft({_morton_spread16(b)}, 1)"
+    )
+
+
+def write_zorder_layout(
+    df: DataFrame,
+    path: str,
+    cols: tuple[str, str],
+    n_shards: int,
+    mode: str = "error",
+    bits: int = 6,
+) -> None:
+    """Write `df` as `n_shards` parquet files laid out along the
+    Z-order curve of two numeric columns — the multi-dimensional
+    analogue of `write_training_shards`' single-key layout: every file
+    covers a small RANGE OF BOTH columns, so min/max row-group stats
+    prune scans filtered on EITHER column (a single-column sort prunes
+    one column and shreds the other). This is the layout move behind
+    Delta/Iceberg Z-ordering, as plain Spark: quantile-bucket each
+    column (driver-bounded approxQuantile boundaries — the same
+    bounded-collect class as the k-means centroids), interleave bits,
+    range-partition + sort on the z key.
+
+    At 100 TB: one sampled range shuffle, no global sort; the z key is
+    pure integer expressions. Skipping effectiveness is verified by
+    `zorder_prune_stats`, not assumed.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    if not 1 <= bits <= 8:
+        # 2^bits quantile boundaries become a CASE chain; past 8 bits
+        # the chain (and the approxQuantile request) is the wrong tool
+        raise ValueError(f"bits must be in [1, 8], got {bits}")
+    nb = 1 << bits
+    bucketed = df
+    bucket_cols = []
+    for c in cols:
+        qs = df.stat.approxQuantile(c, [i / nb for i in range(1, nb)], 0.01)
+        # strictly increasing boundaries (ties collapse buckets)
+        bounds = sorted(set(qs))
+        expr = F.lit(0)
+        for i, bd in enumerate(bounds):
+            expr = F.when(F.col(c) > F.lit(bd), F.lit(i + 1)).otherwise(expr)
+        bc = f"_zb_{c}"
+        # power-of-two shift into the 16-bit interleave domain keeps
+        # the bucket's bit structure intact (a non-power scale would
+        # still be monotone but smear bits across positions)
+        bucketed = bucketed.withColumn(
+            bc, F.shiftleft(expr.cast("bigint"), 16 - bits).cast("bigint")
+        )
+        bucket_cols.append(bc)
+    z = zorder_value((bucket_cols[0], bucket_cols[1]))
+    (
+        bucketed.withColumn("_z", z)
+        .repartitionByRange(n_shards, F.col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z", *bucket_cols)
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
+def zorder_prune_stats(
+    spark: SparkSession, path: str, col: str, lo, hi
+) -> dict:
+    """{n_files, n_candidate_files, frac_scanned}: of the layout's
+    files, how many could contain rows with `col` in [lo, hi] by their
+    min/max — the fraction a stats-based reader (parquet row-group
+    skipping, Delta file skipping) would actually scan. One manifest
+    aggregation, |files| result rows."""
+    man = (
+        spark.read.parquet(path)
+        .select(F.input_file_name().alias("f"), F.col(col).alias("_k"))
+        .groupBy("f")
+        .agg(F.min("_k").alias("mn"), F.max("_k").alias("mx"))
+        .collect()
+    )
+    cand = [r for r in man if r["mx"] >= lo and r["mn"] <= hi]
+    return {
+        "n_files": len(man),
+        "n_candidate_files": len(cand),
+        "frac_scanned": round(len(cand) / len(man), 6) if man else None,
+    }

@@ -75,3 +75,73 @@ def test_write_training_shards_validates(spark, tmp_path):
     df = spark.createDataFrame([(1,)], "doc_id LONG")
     with pytest.raises(ValueError):
         write_training_shards(df, str(tmp_path / "x"), n_shards=0)
+
+
+def test_zorder_value_interleaves_bits(spark):
+    from chroma_rs_spark.sources.sharding import zorder_value
+
+    df = spark.createDataFrame(
+        [(0b101, 0b011)], "a LONG, b LONG"
+    ).select(zorder_value(("a", "b")).alias("z"))
+    # interleave a=101, b=011 -> bits z[2i]=a_i, z[2i+1]=b_i:
+    # a bits (LSB first) 1,0,1; b bits 1,1,0 ->
+    # z = a0 + 2*b0 + 4*a1 + 8*b1 + 16*a2 + 32*b2 = 1+2+0+8+16+0 = 27
+    assert df.collect()[0]["z"] == 27
+
+
+def test_zorder_layout_prunes_both_columns(spark, tmp_path):
+    """The point of the layout: after Z-ordering on (x, y), a narrow
+    filter on EITHER column touches a small fraction of files; a
+    single-column sort only prunes its own column."""
+    import random
+
+    from chroma_rs_spark.sources.sharding import (
+        write_zorder_layout,
+        zorder_prune_stats,
+    )
+
+    rng = random.Random(13)
+    rows = [(i, rng.randrange(10_000), rng.randrange(10_000)) for i in range(20_000)]
+    df = spark.createDataFrame(rows, "doc_id LONG, x LONG, y LONG")
+
+    zpath = str(tmp_path / "zorder")
+    write_zorder_layout(df, zpath, ("x", "y"), n_shards=16)
+    lin_path = str(tmp_path / "linear")
+    # baseline: single-column range layout on x
+    (df.repartitionByRange(16, "x").sortWithinPartitions("x")
+       .write.parquet(lin_path))
+
+    # both columns prune under z-order (narrow 5% band)
+    zx = zorder_prune_stats(spark, zpath, "x", 4000, 4500)
+    zy = zorder_prune_stats(spark, zpath, "y", 4000, 4500)
+    assert zx["n_files"] == 16
+    assert zx["frac_scanned"] <= 0.5
+    assert zy["frac_scanned"] <= 0.5
+    # the linear layout prunes x hard but cannot prune y at all
+    lx = zorder_prune_stats(spark, lin_path, "x", 4000, 4500)
+    ly = zorder_prune_stats(spark, lin_path, "y", 4000, 4500)
+    assert lx["frac_scanned"] <= zx["frac_scanned"]
+    assert ly["frac_scanned"] == 1.0
+    # z-order strictly beats linear on the unsorted dimension
+    assert zy["frac_scanned"] < ly["frac_scanned"]
+    # nothing lost
+    assert spark.read.parquet(zpath).count() == 20_000
+
+
+def test_zorder_validates(spark, tmp_path):
+    import pytest as _pytest
+
+    from chroma_rs_spark.sources.sharding import (
+        write_zorder_layout,
+        zorder_value,
+    )
+
+    df = spark.createDataFrame([(1, 2, 3)], "doc_id LONG, x LONG, y LONG")
+    with _pytest.raises(ValueError):
+        write_zorder_layout(df, str(tmp_path / "z1"), ("x", "y"), n_shards=0)
+    with _pytest.raises(ValueError):
+        write_zorder_layout(
+            df, str(tmp_path / "z2"), ("x", "y"), n_shards=2, bits=12
+        )
+    with _pytest.raises(ValueError):
+        zorder_value(("x", "y"), buckets=1 << 20)
