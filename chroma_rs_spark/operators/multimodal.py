@@ -805,3 +805,73 @@ def image_near_dup_pairs(
         .filter(F.col("hamming") <= F.lit(int(max_hamming)))
         .distinct()
     )
+
+
+def audio_ahash64(samples: list[int], n_channels: int) -> int | None:
+    """64-bit energy-envelope hash of decoded PCM — the audio analogue
+    of `ahash64`, all-integer for the same engine/partition-exactness:
+    mixdown = channel sum per frame (no division), 64 floor-boundary
+    windows over the frame sequence, bit i set iff the window's summed
+    ABSOLUTE mixdown, cross-multiplied against the global sum, exceeds
+    its share (window_sum * total_frames > total_sum * window_len).
+    Clips shorter than 64 frames are unscorable (None)."""
+    if not samples or n_channels < 1:
+        return None
+    n_frames = len(samples) // n_channels
+    if n_frames < 64:
+        return None
+    mix = [
+        abs(sum(samples[f * n_channels + c] for c in range(n_channels)))
+        for f in range(n_frames)
+    ]
+    wb = [(i * n_frames) // 64 for i in range(65)]
+    sums = [sum(mix[wb[i] : wb[i + 1]]) for i in range(64)]
+    lens = [wb[i + 1] - wb[i] for i in range(64)]
+    total_sum, total_len = sum(sums), n_frames
+    h = 0
+    for i in range(64):
+        if sums[i] * total_len > total_sum * lens[i]:
+            h |= 1 << i
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+AUDIO_PHASH_SCHEMA = "doc_id long, n_samples long, sample_rate long, ahash long"
+
+
+def audio_phash(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_samples, sample_rate, ahash): distributed audio
+    fingerprinting — real WAV decode + `audio_ahash64` per Arrow
+    batch; NULL payloads and sub-64-frame clips yield NULL ahash.
+    Near-dup mining reuses `hash_band_pairs` (the hash is the same
+    64-bit banded domain as the image hash)."""
+    src = df.select(F.col(id_col).alias("doc_id"), "payload")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    rows.append(
+                        {"doc_id": did, "n_samples": None,
+                         "sample_rate": None, "ahash": None}
+                    )
+                    continue
+                wav = decode_wav(bytes(payload))
+                rows.append(
+                    {
+                        "doc_id": did,
+                        "n_samples": wav["n_samples"],
+                        "sample_rate": wav["sample_rate"],
+                        "ahash": audio_ahash64(
+                            wav["samples"], wav["n_channels"]
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return src.mapInPandas(run, schema=AUDIO_PHASH_SCHEMA)
+
+
+# the banded 64-bit near-dup miner is hash-domain agnostic: same
+# machinery for image aHash and audio energy hash
+hash_band_pairs = image_near_dup_pairs

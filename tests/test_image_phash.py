@@ -104,3 +104,58 @@ def test_image_near_dup_validates(spark):
         image_near_dup_pairs(df, max_hamming=65)
     got = image_near_dup_pairs(df, max_hamming=2).collect()
     assert [(r["id_a"], r["id_b"], r["hamming"]) for r in got] == [(1, 2, 2)]
+
+
+def test_audio_phash_planted_near_dup(spark):
+    """Audio twins (same clip, one sample nudged) pair at small
+    hamming; an unrelated clip never pairs; short/NULL unscorable."""
+    import io
+    import random
+    import struct as st
+    import wave
+
+    from chroma_rs_spark.operators.multimodal import (
+        audio_ahash64,
+        audio_phash,
+        hash_band_pairs,
+    )
+
+    def wav_bytes(samples, rate=8000):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            w.writeframes(st.pack(f"<{len(samples)}h", *samples))
+        return buf.getvalue()
+
+    rng = random.Random(21)
+    base = [rng.randrange(-20000, 20000) for _ in range(512)]
+    near = list(base)
+    near[100] = -near[100]
+    other = [rng.randrange(-20000, 20000) for _ in range(512)]
+    df = spark.createDataFrame(
+        [
+            (1, wav_bytes(base)),
+            (2, wav_bytes(near)),
+            (3, wav_bytes(other)),
+            (4, wav_bytes(base)),
+            (5, wav_bytes(base[:32])),  # < 64 frames: unscorable
+            (6, None),
+        ],
+        "doc_id LONG, payload BINARY",
+    )
+    hashed = audio_phash(df)
+    hv = {r["doc_id"]: r for r in hashed.collect()}
+    assert hv[1]["ahash"] == hv[4]["ahash"]
+    assert hv[1]["n_samples"] == 512 and hv[1]["sample_rate"] == 8000
+    assert hv[5]["ahash"] is None and hv[6]["ahash"] is None
+    # python-side reference parity on the raw samples
+    assert hv[1]["ahash"] == audio_ahash64(base, 1)
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in hash_band_pairs(hashed, max_hamming=6).collect()
+    }
+    assert pairs[(1, 4)] == 0
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 6
+    assert not any(3 in p for p in pairs)
