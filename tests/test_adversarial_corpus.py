@@ -79,6 +79,7 @@ QUERIES = [
     "bpe_tokenize",
     "minhash_accuracy",
     "script_profile",
+    "lsh_recall",
 ]
 
 

@@ -72,6 +72,7 @@ QUERIES = [
     "bpe_tokenize",
     "minhash_accuracy",
     "script_profile",
+    "lsh_recall",
 ]
 
 _ALPHABET = (
