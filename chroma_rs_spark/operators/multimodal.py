@@ -875,3 +875,44 @@ def audio_phash(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 # the banded 64-bit near-dup miner is hash-domain agnostic: same
 # machinery for image aHash and audio energy hash
 hash_band_pairs = image_near_dup_pairs
+
+
+def video_near_dup_pairs(
+    frames: DataFrame,
+    min_shared: int = 2,
+    max_df: int | None = 1000,
+    id_col: str = "doc_id",
+    frame_col: str = "frame_md5",
+) -> DataFrame:
+    """(id_a, id_b, n_shared) for videos sharing >= `min_shared`
+    distinct frame fingerprints — video-level near-dup over a
+    `sample_frames` output (re-encoded or trimmed copies keep most
+    sampled frames; the shared-fingerprint count survives both). Same
+    inverted-index shape as the shingle pair miner: the join is keyed
+    on the fingerprint, so only videos sharing a frame ever meet, and
+    `max_df` drops ubiquitous frames (real corpora: black/intro
+    frames) from candidate generation before the join can degenerate —
+    the shingle `max_df` / LSH hot-bucket guard applied to frames.
+    """
+    if min_shared < 1:
+        raise ValueError(f"min_shared must be >= 1, got {min_shared}")
+    f = frames.select(
+        F.col(id_col).alias("_id"), F.col(frame_col).alias("_f")
+    ).distinct()
+    if max_df is not None:
+        keep = (
+            f.groupBy("_f")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= F.lit(int(max_df)))
+            .select("_f")
+        )
+        f = f.join(keep, "_f", "left_semi")
+    a = f.select(F.col("_id").alias("id_a"), "_f")
+    b = f.select(F.col("_id").alias("id_b"), "_f")
+    return (
+        a.join(b, "_f")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= F.lit(int(min_shared)))
+    )

@@ -2610,3 +2610,51 @@ FROM nt CROSS JOIN nc
 """
 
 EXTRA_QUERIES["lsh_recall"] = QueryDef(q_lsh_recall, _LSH_RECALL_ORACLE)
+
+
+def q_video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-level near-dup: docs sharing >= 2 sampled frame
+    fingerprints (the fake-decode frame stream both engines derive
+    identically), inverted-index join, max_df hot-frame guard."""
+    from chroma_rs_spark.operators.multimodal import video_near_dup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    frames = sample_frames(attach_payload(docs), frame_bytes=16, every_n=2)
+    return video_near_dup_pairs(frames, min_shared=2, max_df=1000)
+
+
+_VIDEO_NEAR_DUP_ORACLE = """
+WITH base AS (
+  SELECT doc_id,
+         hex(encode(text)) AS h,
+         octet_length(encode(text)) % 30 + 1 AS n_frames
+  FROM documents
+  WHERE text IS NOT NULL
+),
+fr AS (
+  SELECT doc_id,
+         unnest(generate_series(0, CAST(n_frames - 1 AS BIGINT), 2)) AS i,
+         h
+  FROM base
+),
+f AS (
+  SELECT DISTINCT doc_id,
+         md5(substr(h, CAST(i * 32 + 1 AS BIGINT), 32)) AS fmd5
+  FROM fr
+),
+keep AS (
+  SELECT fmd5 FROM f GROUP BY fmd5 HAVING count(*) <= 1000
+),
+fk AS (SELECT f.doc_id, f.fmd5 FROM f JOIN keep USING (fmd5)),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+  FROM fk a JOIN fk b ON a.fmd5 = b.fmd5 AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b, CAST(n_shared AS BIGINT) AS n_shared
+FROM pairs WHERE n_shared >= 2
+"""
+
+EXTRA_QUERIES["video_near_dup"] = QueryDef(
+    q_video_near_dup, _VIDEO_NEAR_DUP_ORACLE
+)

@@ -159,3 +159,37 @@ def test_audio_phash_planted_near_dup(spark):
     assert pairs[(1, 4)] == 0
     assert (1, 2) in pairs and pairs[(1, 2)] <= 6
     assert not any(3 in p for p in pairs)
+
+
+def test_video_near_dup_planted(spark):
+    """Planted (doc_id, frame_md5) streams: docs 1/2 share 3 frames,
+    doc 3 shares only 1 (below min_shared), doc 4 disjoint; a
+    ubiquitous frame past max_df never generates candidates."""
+    import pytest as _pytest
+
+    from chroma_rs_spark.operators.multimodal import video_near_dup_pairs
+
+    rows = []
+    for d, frames in {
+        1: ["a", "b", "c", "x1"],
+        2: ["a", "b", "c", "x2"],
+        3: ["a", "y1", "y2"],
+        4: ["z1", "z2"],
+    }.items():
+        rows += [(d, fr) for fr in frames]
+    # a boilerplate frame present in EVERY doc, dropped by max_df=3
+    rows += [(d, "BLACK") for d in (1, 2, 3, 4)]
+    df = spark.createDataFrame(rows, "doc_id LONG, frame_md5 STRING")
+    got = {
+        (r["id_a"], r["id_b"]): r["n_shared"]
+        for r in video_near_dup_pairs(df, min_shared=2, max_df=3).collect()
+    }
+    assert got == {(1, 2): 3}
+    # without the guard the boilerplate frame pushes 1-3/2-3 to 2 shared
+    loose = {
+        (r["id_a"], r["id_b"]): r["n_shared"]
+        for r in video_near_dup_pairs(df, min_shared=2, max_df=None).collect()
+    }
+    assert (1, 3) in loose and (2, 3) in loose and loose[(1, 2)] == 4
+    with _pytest.raises(ValueError):
+        video_near_dup_pairs(df, min_shared=0)
