@@ -80,6 +80,7 @@ QUERIES = [
     "minhash_accuracy",
     "script_profile",
     "lsh_recall",
+    "video_near_dup",
 ]
 
 

@@ -73,6 +73,7 @@ QUERIES = [
     "minhash_accuracy",
     "script_profile",
     "lsh_recall",
+    "video_near_dup",
 ]
 
 _ALPHABET = (
