@@ -210,3 +210,36 @@ def zorder_prune_stats(
         "n_candidate_files": len(cand),
         "frac_scanned": round(len(cand) / len(man), 6) if man else None,
     }
+
+
+def write_shuffled_shards(
+    df: DataFrame,
+    path: str,
+    seed: int | str = 0,
+    n_shards: int | None = None,
+    id_col: str = "doc_id",
+    target_shard_mb: int = 512,
+    mode: str = "error",
+) -> int:
+    """`write_training_shards`, but in DETERMINISTIC SHUFFLED order —
+    the global random permutation a training run reads the corpus in,
+    reproducible from (seed, id) alone: the sort key is the engine-
+    portable md5 hash of seed||id (the repo's sampling hash family),
+    so the same seed yields the same order on any cluster, any
+    partitioning, any day, and a different seed is a fresh epoch
+    permutation. Same single range shuffle as the sorted layout; the
+    shard manifest/disjointness audit applies to the shuffle key's
+    hex, not the id."""
+    shuffled = df.withColumn(
+        "_shuffle_key",
+        F.md5(F.concat(F.lit(str(seed)), F.lit("|"), F.col(id_col).cast("string"))),
+    )
+    n = write_training_shards(
+        shuffled,
+        path,
+        n_shards=n_shards,
+        sort_by="_shuffle_key",
+        target_shard_mb=target_shard_mb,
+        mode=mode,
+    )
+    return n

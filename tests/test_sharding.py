@@ -145,3 +145,38 @@ def test_zorder_validates(spark, tmp_path):
         )
     with _pytest.raises(ValueError):
         zorder_value(("x", "y"), buckets=1 << 20)
+
+
+def test_shuffled_shards_deterministic_permutation(spark, tmp_path):
+    from chroma_rs_spark.sources.sharding import (
+        assert_disjoint_shards,
+        shard_manifest,
+        write_shuffled_shards,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(500)], "doc_id LONG, text STRING"
+    )
+    p1, p2, p3 = (str(tmp_path / n) for n in ("s1", "s2", "s3"))
+    write_shuffled_shards(df, p1, seed=7, n_shards=4)
+    write_shuffled_shards(df.repartition(9), p2, seed=7, n_shards=4)
+    write_shuffled_shards(df, p3, seed=8, n_shards=4)
+
+    def order(path):
+        import pyspark.sql.functions as F
+
+        rows = (
+            spark.read.parquet(path)
+            .select(F.input_file_name().alias("f"), "doc_id", "_shuffle_key")
+            .collect()
+        )
+        return [r["doc_id"] for r in sorted(rows, key=lambda r: (r["_shuffle_key"]))]
+
+    o1, o2, o3 = order(p1), order(p2), order(p3)
+    # same seed -> identical global permutation, regardless of input partitioning
+    assert o1 == o2
+    # different seed -> different epoch permutation of the same rows
+    assert o1 != o3 and sorted(o1) == sorted(o3) == list(range(500))
+    # shuffled order is not the identity
+    assert o1 != list(range(500))
+    assert_disjoint_shards(shard_manifest(spark, p1, sort_by="_shuffle_key"))
