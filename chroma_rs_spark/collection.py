@@ -1133,3 +1133,72 @@ def query(
     if extra:
         result = result.join(df.select("id", *extra), "id", "left")
     return result.select(*out_cols, *extra).orderBy("query_id", "rank")
+
+
+def find_duplicates(
+    engine: Engine,
+    coll: Collection,
+    method: str = "exact",
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Duplicate detection ON THE COLLECTION SURFACE — the bridge from
+    the reference's vector-DB API to the pipeline dedup operators, so
+    a collection user never hand-wires `items_df` into them. Returns
+    (id, keep) plus method-specific evidence columns:
+
+    * ``"exact"``     — byte-identical documents; (id, text_sha,
+      n_copies, keep), keep = min-id representative (`exact_dedup`).
+    * ``"minhash"``   — near-duplicate TEXT; evidence = the banded
+      MinHash pair list at `threshold` est_jaccard.
+    * ``"embedding"`` — near-duplicate VECTORS; evidence = the banded
+      cosine pair list at `threshold` (`cosine_pairs_bucketed`, the
+      no-collect path — string ids are fine here).
+
+    For the pair-based methods, keep = "no above-threshold partner
+    with a smaller id" — the deterministic greedy keeper. On clique-
+    shaped duplicate groups (near-identical copies, the overwhelmingly
+    common case) this equals the connected-component keeper; on chain-
+    shaped groups it keeps more than one representative, which is the
+    conservative direction for data retention. Collection ids are
+    STRINGS, so ordering is lexicographic — the documented pagination
+    contract — and the integral-id CC machinery (`dedup_clusters`)
+    stays available for numeric-id corpora via the operators module.
+    """
+    df = items_df(engine, coll)
+    if method == "exact":
+        from chroma_rs_spark.operators.dedup import exact_dedup
+
+        return exact_dedup(
+            df.select("id", "document"), id_col="id", text_col="document"
+        )
+    if method == "minhash":
+        from chroma_rs_spark.operators.dedup import minhash_lsh_pairs
+
+        pairs = minhash_lsh_pairs(
+            df.select("id", "document"), id_col="id", text_col="document"
+        ).filter(F.col("est_jaccard") >= F.lit(float(threshold)))
+    elif method == "embedding":
+        from chroma_rs_spark.operators.similarity import cosine_pairs_bucketed
+
+        pairs = cosine_pairs_bucketed(
+            df.select(F.col("id"), F.col("embedding")),
+            threshold=threshold,
+            id_col="id",
+            emb_col="embedding",
+        ).select("id_a", "id_b")
+    else:
+        raise ValueError(
+            f"find_duplicates: unknown method {method!r} "
+            "(expected 'exact', 'minhash', or 'embedding')"
+        )
+    # greedy keeper: a row is a duplicate iff some above-threshold
+    # partner has a smaller id (id_a < id_b by construction, so id_b
+    # is always the loser of its pair)
+    losers = pairs.select(F.col("id_b").alias("id")).distinct()
+    return (
+        df.select("id")
+        .join(losers.withColumn("_lose", F.lit(True)), "id", "left")
+        .select(
+            "id", F.coalesce(~F.col("_lose"), F.lit(True)).alias("keep")
+        )
+    )

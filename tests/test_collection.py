@@ -455,3 +455,36 @@ def test_stats_reports_physical_and_index_state(engine):
     assert s2["data_files"] == len(sizes)
     assert s2["data_bytes"] == sum(sizes)
     assert s2["count"] == c.count()
+
+
+def test_find_duplicates_three_methods(engine):
+    """The collection-surface dedup bridge: exact copies, near-dup
+    text, and near-dup vectors each flag the later id as the loser."""
+    import pytest as _pytest
+
+    coll = engine.create_collection("dupes")
+    base_text = " ".join(f"tok{i}" for i in range(40))
+    near_text = " ".join(f"tok{i}" for i in range(38)) + " zz yy"
+    v = [1.0, 0.0, 0.0, 0.0] * 16
+    v_near = [1.0, 0.01, 0.0, 0.0] * 16
+    v_other = ([0.0, 1.0, 0.0, 0.0] * 16)
+    coll.add(
+        ids=["a1", "a2", "b1", "c1"],
+        documents=[base_text, base_text, near_text, "completely different words here"],
+        embeddings=[v, v_near, v, v_other],
+    )
+    ex = {r["id"]: r for r in coll.find_duplicates(method="exact").collect()}
+    assert ex["a1"]["keep"] and not ex["a2"]["keep"]
+    assert ex["a1"]["n_copies"] == 2 and ex["b1"]["keep"] and ex["c1"]["keep"]
+
+    mh = {r["id"]: r["keep"] for r in coll.find_duplicates(method="minhash", threshold=0.6).collect()}
+    assert mh["a1"] and not mh["a2"]
+    assert not mh["b1"]  # near text of a1/a2, larger id loses
+    assert mh["c1"]
+
+    emb = {r["id"]: r["keep"] for r in coll.find_duplicates(method="embedding", threshold=0.9).collect()}
+    assert emb["a1"] and not emb["a2"] and not emb["b1"]  # b1 shares a1's vector
+    assert emb["c1"]
+
+    with _pytest.raises(ValueError):
+        coll.find_duplicates(method="nope")
