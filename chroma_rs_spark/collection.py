@@ -1143,16 +1143,18 @@ def find_duplicates(
 ) -> DataFrame:
     """Duplicate detection ON THE COLLECTION SURFACE — the bridge from
     the reference's vector-DB API to the pipeline dedup operators, so
-    a collection user never hand-wires `items_df` into them. Returns
-    (id, keep) plus method-specific evidence columns:
+    a collection user never hand-wires `items_df` into them. Every
+    item keeps its row in every method (NULL documents / embeddings
+    are unscorable, never duplicates — keep=True with NULL evidence):
 
-    * ``"exact"``     — byte-identical documents; (id, text_sha,
-      n_copies, keep), keep = min-id representative (`exact_dedup`).
-    * ``"minhash"``   — near-duplicate TEXT; evidence = the banded
-      MinHash pair list at `threshold` est_jaccard.
-    * ``"embedding"`` — near-duplicate VECTORS; evidence = the banded
-      cosine pair list at `threshold` (`cosine_pairs_bucketed`, the
-      no-collect path — string ids are fine here).
+    * ``"exact"``     — byte-identical documents; returns (id,
+      text_sha, n_copies, keep), keep = min-id representative
+      (`exact_dedup`); NULL-document items get NULL sha/copies.
+    * ``"minhash"``   — near-duplicate TEXT via the banded MinHash
+      pair list at `threshold` est_jaccard; returns (id, keep).
+    * ``"embedding"`` — near-duplicate VECTORS via the banded cosine
+      miner at `threshold` (`cosine_pairs_bucketed`, the no-collect
+      path — string ids are fine here); returns (id, keep).
 
     For the pair-based methods, keep = "no above-threshold partner
     with a smaller id" — the deterministic greedy keeper. On clique-
@@ -1168,8 +1170,23 @@ def find_duplicates(
     if method == "exact":
         from chroma_rs_spark.operators.dedup import exact_dedup
 
-        return exact_dedup(
-            df.select("id", "document"), id_col="id", text_col="document"
+        # exact_dedup inner-joins on sha2(document): a NULL document
+        # (embedding-only item — catalog fills documents=[None]) would
+        # silently vanish; left-join its row back as unscorable
+        scored = exact_dedup(
+            df.filter(F.col("document").isNotNull()).select("id", "document"),
+            id_col="id",
+            text_col="document",
+        )
+        return (
+            df.select("id")
+            .join(scored, "id", "left")
+            .select(
+                "id",
+                "text_sha",
+                "n_copies",
+                F.coalesce("keep", F.lit(True)).alias("keep"),
+            )
         )
     if method == "minhash":
         from chroma_rs_spark.operators.dedup import minhash_lsh_pairs

@@ -46,13 +46,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _tokens_sum(df: DataFrame, text_col: str):
+def _ntokens_col(text_col: str):
+    """Per-row null-safe token count — the ONE definition the
+    attrition ledger sums (a second inline copy is the drift class the
+    round-4 notes warn about)."""
     from chroma_rs_spark.operators.dedup import nonempty_tokens_col
 
-    n = F.when(F.col(text_col).isNull(), F.lit(0)).otherwise(
-        F.size(nonempty_tokens_col(text_col))
+    return (
+        F.when(F.col(text_col).isNull(), F.lit(0))
+        .otherwise(F.size(nonempty_tokens_col(text_col)))
+        .cast("long")
     )
-    return F.coalesce(F.sum(n.cast("long")), F.lit(0).cast("long"))
 
 
 def curate_corpus(
@@ -246,7 +250,15 @@ def curate_corpus(
     # the MINHASH_MAX_BUCKET protection the 10x zipf stress required).
     # Passing the sentinel through keeps ONE gating policy instead of
     # re-deciding it here (measured: the always-on census cost +0.4 s
-    # of the sf0.1 pipeline wall for nothing at that scale).
+    # of the sf0.1 pipeline wall for nothing at that scale). None
+    # keeps its HISTORICAL curate meaning — the always-on protected
+    # cap — because inverting a pinned None to "uncapped" would hand
+    # an existing caller the measured >15-min zipf blowup silently;
+    # explicit uncapped stays reachable via the operator itself.
+    if minhash_max_bucket is None:
+        from chroma_rs_spark.operators.dedup import MINHASH_MAX_BUCKET
+
+        minhash_max_bucket = MINHASH_MAX_BUCKET
     pairs = minhash_lsh_pairs(
         s4, id_col=id_col, text_col=text_col, max_bucket=minhash_max_bucket
     )
@@ -333,17 +345,12 @@ def curate_corpus(
     # single job with one 7-key exchange (measured: the per-stage agg
     # union cost ~2.3 s of stage-dispatch floor at sf0.1; this form
     # halves it — and at 100 TB it is 7 cached scans either way)
-    from chroma_rs_spark.operators.dedup import nonempty_tokens_col
-
     tagged = None
     for i, (name, sdf) in enumerate(stages):
-        n_tok = F.when(F.col(text_col).isNull(), F.lit(0)).otherwise(
-            F.size(nonempty_tokens_col(text_col))
-        )
         branch = sdf.select(
             F.lit(i).cast("int").alias("stage_no"),
             F.lit(name).alias("stage"),
-            n_tok.cast("long").alias("_nt"),
+            _ntokens_col(text_col).alias("_nt"),
         )
         tagged = branch if tagged is None else tagged.unionByName(branch)
     counted = tagged.groupBy("stage_no", "stage").agg(

@@ -851,7 +851,10 @@ def minhash_accuracy(
         bands=bands,
         shingle_k=shingle_k,
         max_bucket=max_bucket,
-    )
+    # the pair list feeds BOTH the universe restriction and the final
+    # join; lazy checkpoint so the shingle->hash->band plan executes
+    # once (the curate_corpus duplicate-minhash-pass class)
+    ).localCheckpoint(eager=False)
     cand_ids = (
         cands.select(F.col("id_a").alias(id_col))
         .unionByName(cands.select(F.col("id_b").alias(id_col)))
@@ -950,15 +953,21 @@ def lsh_recall(
     inter = shingle_pair_intersections(
         df, id_col, text_col, shingle_k, max_df=None
     )
-    true_pairs = inter.select(
-        "id_a",
-        "id_b",
-        F.round(
-            F.col("n_inter").cast("double")
-            / (F.col("size_a") + F.col("size_b") - F.col("n_inter")),
-            6,
-        ).alias("_j"),
-    ).filter(F.col("_j") >= F.lit(float(threshold)))
+    true_pairs = (
+        inter.select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_inter")),
+                6,
+            ).alias("_j"),
+        )
+        .filter(F.col("_j") >= F.lit(float(threshold)))
+        # consumed by both the truth count and the caught semi-join:
+        # lazy checkpoint keeps the inverted-index plan to one pass
+        .localCheckpoint(eager=False)
+    )
     cands = minhash_lsh_pairs(
         df,
         id_col=id_col,

@@ -740,17 +740,20 @@ def image_phash(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                          "ahash": None}
                     )
                     continue
-                img = decode_image_real(bytes(payload))
-                h = ahash64(
-                    img["pixels"], img["width"], img["height"], img["channels"]
-                )
+                # a malformed payload is an unscorable IMAGE, never a
+                # failed JOB: one truncated crawl image must cost its
+                # row, not the stage (the NULL-embedding rule)
+                try:
+                    img = decode_image_real(bytes(payload))
+                    h = ahash64(
+                        img["pixels"], img["width"], img["height"],
+                        img["channels"],
+                    )
+                    w_, h_ = img["width"], img["height"]
+                except Exception:
+                    w_ = h_ = h = None
                 rows.append(
-                    {
-                        "doc_id": did,
-                        "width": img["width"],
-                        "height": img["height"],
-                        "ahash": h,
-                    }
+                    {"doc_id": did, "width": w_, "height": h_, "ahash": h}
                 )
             yield pd.DataFrame(rows)
 
@@ -856,17 +859,25 @@ def audio_phash(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                          "sample_rate": None, "ahash": None}
                     )
                     continue
-                wav = decode_wav(bytes(payload))
-                rows.append(
-                    {
-                        "doc_id": did,
-                        "n_samples": wav["n_samples"],
-                        "sample_rate": wav["sample_rate"],
-                        "ahash": audio_ahash64(
-                            wav["samples"], wav["n_channels"]
-                        ),
-                    }
-                )
+                # malformed/unsupported (24/32-bit) WAV: unscorable
+                # row, never a failed job — same rule as image_phash
+                try:
+                    wav = decode_wav(bytes(payload))
+                    rows.append(
+                        {
+                            "doc_id": did,
+                            "n_samples": wav["n_samples"],
+                            "sample_rate": wav["sample_rate"],
+                            "ahash": audio_ahash64(
+                                wav["samples"], wav["n_channels"]
+                            ),
+                        }
+                    )
+                except Exception:
+                    rows.append(
+                        {"doc_id": did, "n_samples": None,
+                         "sample_rate": None, "ahash": None}
+                    )
             yield pd.DataFrame(rows)
 
     return src.mapInPandas(run, schema=AUDIO_PHASH_SCHEMA)

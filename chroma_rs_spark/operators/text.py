@@ -1427,7 +1427,11 @@ def bigram_perplexity(
     )
 
     seen = F.col("_cb").isNotNull()
-    log_s = F.when(
+    # an EMPTY train half (tiny corpus / extreme train_frac) has no
+    # model: every transition must be NULL-unscorable, not the
+    # Infinity that log(x / 0.0) yields — the div-by-zero class ANSI
+    # doesn't catch because the denominator is a double
+    log_s = F.when(F.col("_N") == 0, F.lit(None).cast("double")).when(
         seen, F.log(F.col("_cb").cast("double") / F.col("_c1").cast("double"))
     ).otherwise(
         F.log(

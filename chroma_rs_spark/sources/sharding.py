@@ -109,7 +109,9 @@ def _morton_spread16(col_expr: str) -> str:
     """SQL: spread a 16-bit value's bits to even positions (classic
     Morton interleave via shift-or-mask), yielding a 32-bit pattern.
     Pure integer column expressions — no UDF."""
-    x = f"CAST({col_expr} AS BIGINT)"
+    # mask into the 16-bit domain FIRST: an out-of-domain value must
+    # clamp to its low bits, never silently corrupt the interleave
+    x = f"(CAST({col_expr} AS BIGINT) & 65535)"
     x = f"(({x} | shiftleft({x}, 8)) & 16711935)"        # 0x00FF00FF
     x = f"(({x} | shiftleft({x}, 4)) & 252645135)"       # 0x0F0F0F0F
     x = f"(({x} | shiftleft({x}, 2)) & 858993459)"       # 0x33333333

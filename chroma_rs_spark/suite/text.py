@@ -1224,7 +1224,8 @@ scored AS (
   SELECT tr.doc_id,
          count(*) AS n_transitions,
          sum(CASE WHEN b.cb IS NOT NULL THEN 0 ELSE 1 END) AS n_backoff,
-         list(CASE WHEN b.cb IS NOT NULL
+         list(CASE WHEN t.n = 0 THEN NULL
+                   WHEN b.cb IS NOT NULL
                    THEN ln(CAST(b.cb AS DOUBLE) / CAST(u1.c AS DOUBLE))
                    ELSE ln(0.4 * ((CAST(coalesce(u2.c, 0) AS DOUBLE) + 0.5)
                                   / (CAST(t.n AS DOUBLE)

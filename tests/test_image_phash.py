@@ -193,3 +193,18 @@ def test_video_near_dup_planted(spark):
     assert (1, 3) in loose and (2, 3) in loose and loose[(1, 2)] == 4
     with _pytest.raises(ValueError):
         video_near_dup_pairs(df, min_shared=0)
+
+
+def test_phash_malformed_payloads_are_unscorable(spark):
+    """A truncated/garbage payload costs its row (NULL ahash), never
+    the job — for both modalities."""
+    from chroma_rs_spark.operators.multimodal import audio_phash, image_phash
+
+    df = spark.createDataFrame(
+        [(1, b"\x89PNG\r\n\x1a\ngarbage"), (2, b"not an image at all")],
+        "doc_id LONG, payload BINARY",
+    )
+    rows = {r["doc_id"]: r for r in image_phash(df).collect()}
+    assert rows[1]["ahash"] is None and rows[2]["ahash"] is None
+    arows = {r["doc_id"]: r for r in audio_phash(df).collect()}
+    assert arows[1]["ahash"] is None and arows[2]["ahash"] is None

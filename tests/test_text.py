@@ -829,3 +829,27 @@ def test_script_profile_known_fracs_and_dominance(spark):
     assert rows[8]["dominant_script"] == "greek"
     assert rows[8]["greek_frac"] == round(3 / 6, 6)
     assert rows[8]["arabic_frac"] == round(2 / 6, 6)
+
+
+def test_bigram_perplexity_empty_train_half_is_unscorable(spark):
+    """A corpus whose documents ALL hash outside the train cutoff has
+    no model: every scored doc gets NULL scores (never the Infinity a
+    double div-by-zero would produce)."""
+    import hashlib
+
+    from chroma_rs_spark.operators.text import bigram_perplexity
+
+    def bucket(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 10000
+
+    ids = [i for i in range(1, 40) if bucket(i) >= 5000][:3]
+    df = spark.createDataFrame(
+        [(i, "the cat sat on the mat") for i in ids],
+        "doc_id LONG, text STRING",
+    )
+    rows = bigram_perplexity(df, train_frac=0.5).collect()
+    for r in rows:
+        assert r["n_transitions"] == 5
+        assert r["n_backoff"] == 5
+        assert r["avg_logscore"] is None
+        assert r["perplexity"] is None
