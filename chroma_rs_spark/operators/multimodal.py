@@ -690,6 +690,10 @@ def ahash64(pixels: bytes, width: int, height: int, channels: int) -> int | None
     (None), the NULL-embedding rule."""
     if width < 8 or height < 8 or not pixels:
         return None
+    if channels < 1 or len(pixels) < width * height * channels:
+        # truncated/inconsistent buffer: unscorable row, not an
+        # IndexError (the documented unscorable contract)
+        return None
     gray = [0] * (width * height)
     for p in range(width * height):
         base = p * channels
@@ -761,7 +765,10 @@ def image_phash(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 
 def image_near_dup_pairs(
-    hashed: DataFrame, max_hamming: int = 5, id_col: str = "doc_id"
+    hashed: DataFrame,
+    max_hamming: int = 5,
+    id_col: str = "doc_id",
+    max_bucket: int | None | str = "auto",
 ) -> DataFrame:
     """(id_a, id_b, hamming) for image pairs within `max_hamming` bits
     on their 64-bit aHash — the image analogue of the banded MinHash
@@ -775,12 +782,27 @@ def image_near_dup_pairs(
     placing >= 1 flip in EVERY band evades, vanishingly rare for real
     near-identical images whose differences cluster in a few cells —
     the standard multi-index tradeoff (Lv et al., multi-probe LSH).
+
+    `max_bucket` is the same size-gated hot-bucket guard as
+    `minhash_lsh_pairs`: crawl corpora carry huge volumes of identical
+    blank/black images whose aHash is a constant (all four band keys
+    shared by every one of them), making the banded self-join
+    quadratic in that one bucket. Band-key groups larger than the cap
+    are DROPPED from candidate generation — a bucket beyond any
+    plausible duplicate-group size is a degenerate constant image, not
+    a near-dup signal. ``"auto"`` resolves through the shared
+    size-gate (small provable inputs run uncapped, bit-identical to
+    the historical plan; large/unknown inputs get the cap); pass
+    ``None`` for explicitly uncapped.
     """
     if not 0 <= max_hamming <= 64:
         raise ValueError(f"max_hamming must be in [0, 64], got {max_hamming}")
+    from chroma_rs_spark.operators.dedup import _resolve_max_bucket
+
     h = hashed.filter(F.col("ahash").isNotNull()).select(
         F.col(id_col).alias("_id"), F.col("ahash").alias("_h")
     )
+    max_bucket = _resolve_max_bucket(h, max_bucket)
     bands = h.select(
         "_id",
         "_h",
@@ -791,6 +813,14 @@ def image_near_dup_pairs(
             )
         ).alias("_b"),
     ).select("_id", "_h", F.col("_b.band").alias("_band"), F.col("_b.key").alias("_key"))
+    if max_bucket is not None:
+        keep = (
+            bands.groupBy("_band", "_key")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") <= F.lit(int(max_bucket)))
+            .select("_band", "_key")
+        )
+        bands = bands.join(keep, ["_band", "_key"], "left_semi")
     a = bands.select(
         F.col("_id").alias("id_a"), F.col("_h").alias("_ha"), "_band", "_key"
     )

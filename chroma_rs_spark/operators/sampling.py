@@ -459,6 +459,15 @@ def dsir_importance(
     discipline) so weights are engine-reproducible bit-for-bit at
     round-6. Gumbel-top-k is one TakeOrderedAndProject, no global
     window.
+
+    Caching contract: the function is LAZY (it runs no actions), so the
+    persisted intermediates (the bucket-count table, and the scored
+    table when `top_k` is set) cannot be unpersisted here — they must
+    outlive the return for the caller's actions to reuse them. They are
+    registered on the returned DataFrame; call
+    ``release_dsir_cache(result)`` (or ``result.unpersist()`` on each
+    handle in ``result._dsir_cached``) once the consuming actions are
+    done to avoid accumulating cached RDDs in a long-lived session.
     """
     from chroma_rs_spark.operators.dedup import (
         base_hash32,
@@ -568,6 +577,7 @@ def dsir_importance(
         )
     )
     if top_k is None:
+        out._dsir_cached = [bcounts]  # see docstring caching contract
         return out
     # the scored table is consumed twice below (the top-k scan and the
     # selection join); persist so the scoring chain executes once
@@ -587,13 +597,23 @@ def dsir_importance(
         .limit(int(top_k))
         .select(F.col(id_col), F.lit(True).alias("_sel"))
     )
-    return keyed.join(chosen, id_col, "left").select(
+    result = keyed.join(chosen, id_col, "left").select(
         id_col,
         "n_feats",
         "log_weight",
         "sel_key",
         F.coalesce("_sel", F.lit(False)).alias("selected"),
     )
+    result._dsir_cached = [bcounts, out]  # see docstring caching contract
+    return result
+
+
+def release_dsir_cache(result: DataFrame, blocking: bool = False) -> None:
+    """Unpersist the intermediates `dsir_importance` cached for its
+    consumers (docstring caching contract). No-op on DataFrames that
+    carry no cache registry."""
+    for cached in getattr(result, "_dsir_cached", []):
+        cached.unpersist(blocking=blocking)
 
 
 TOKEN_BUDGET_BUCKETS = 64

@@ -2658,3 +2658,28 @@ FROM pairs WHERE n_shared >= 2
 EXTRA_QUERIES["video_near_dup"] = QueryDef(
     q_video_near_dup, _VIDEO_NEAR_DUP_ORACLE
 )
+
+
+# ---------------------------------------------------------------------------
+# Round-9 rotation (VERDICT r8 next-round #1): the trained quality
+# classifier (+ its precision/recall eval) and the dedup/ANN accuracy
+# eval pair enter the driver window. Out: label_centroids (driver-green
+# r3-r8; centroid plans stay declared via knn_ivf_trained + semantic_dedup)
+# and embedding_projection (r3-r8; the JL projection keeps its local
+# bit-gate, and the vector-math family stays declared via knn_cosine/
+# ann_recall).
+# ---------------------------------------------------------------------------
+
+for _name in (
+    "quality_classifier",
+    "classifier_metrics",
+    "minhash_accuracy",
+    "lsh_recall",
+):
+    QUERIES[_name] = EXTRA_QUERIES.pop(_name)
+
+for _name in (
+    "label_centroids",
+    "embedding_projection",
+):
+    EXTRA_QUERIES[_name] = QUERIES.pop(_name)

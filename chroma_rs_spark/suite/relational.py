@@ -1438,3 +1438,9 @@ EXTRA_QUERIES = {
 # locally): the scalar-subquery broadcast shape stays declared via
 # orders_grouping_sets' agg family; slot funds a round-7 promotion.
 EXTRA_QUERIES["orders_above_avg"] = QUERIES.pop("orders_above_avg")
+
+
+# round-9 rotation out (driver-green r1-r8, still bit-checked locally):
+# union/intersect/except plan shapes have no scale risk; slot funds the
+# round-8 EXTRA promotions in text/pipeline.
+EXTRA_QUERIES["set_ops_tagged"] = QUERIES.pop("set_ops_tagged")

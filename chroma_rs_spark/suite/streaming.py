@@ -429,3 +429,15 @@ SELECT doc_id, text FROM s1
 EXTRA_QUERIES["dedup_ingest"] = QueryDef(
     q_dedup_ingest, _dedup_ingest_oracle(), iterative=True
 )
+
+
+# ---------------------------------------------------------------------------
+# Round-9 rotation: streaming near-dup ingest (the daily-crawl shape —
+# foreachBatch fold against a persisted band index) enters the driver
+# window; trending_event_types rotates out after r2-r8 driver-green
+# (sliding-window agg shape stays declared via events_session_windows,
+# and the row keeps its local bit-gate).
+# ---------------------------------------------------------------------------
+
+QUERIES["dedup_ingest"] = EXTRA_QUERIES.pop("dedup_ingest")
+EXTRA_QUERIES["trending_event_types"] = QUERIES.pop("trending_event_types")

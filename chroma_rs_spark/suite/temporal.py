@@ -182,3 +182,13 @@ FROM ranked WHERE rn = 1
 EXTRA_QUERIES = {
     "asof_next_purchase": QueryDef(q_asof_next_purchase, _ASOF_FORWARD_ORACLE),
 }
+
+
+# ---------------------------------------------------------------------------
+# Round-9 rotation out: error_prior_clicks after r1-r8 driver-green (the
+# as-of/range-join family stays declared via asof_purchase_attribution;
+# the backward-looking variant keeps its local bit-gate). Slot funds a
+# round-8 EXTRA promotion elsewhere.
+# ---------------------------------------------------------------------------
+
+EXTRA_QUERIES["error_prior_clicks"] = QUERIES.pop("error_prior_clicks")

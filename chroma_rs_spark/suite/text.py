@@ -1589,3 +1589,35 @@ FROM src
 EXTRA_QUERIES["script_profile"] = QueryDef(
     q_script_profile, _script_profile_oracle()
 )
+
+
+# ---------------------------------------------------------------------------
+# Round-9 rotation (VERDICT r8 missing #1 / next-round #1): promote the
+# round-8 text additions through the driver's 50-row window — a pipeline
+# user's first calls (HTML extract -> quality model inputs) plus the
+# distributed BPE pair. Rotate out five long-green rows (all driver-green
+# r1-r8; each keeps a local bit-gate via tools/check.py --extra and a
+# declared sibling covering its plan shape: quality_score -> gopher_quality/
+# c4_filters, bm25_scores -> tfidf_topk's two-phase token counts,
+# pack_sequences -> the token-window family in lm_perplexity,
+# pii_scrub -> c4_filters' regex codegen pass, char_entropy ->
+# gopher_repetition's per-doc distribution aggs).
+# ---------------------------------------------------------------------------
+
+for _name in (
+    "url_dedup",
+    "bigram_perplexity",
+    "html_extract_text",
+    "bpe_merges",
+    "bpe_tokenize",
+):
+    QUERIES[_name] = EXTRA_QUERIES.pop(_name)
+
+for _name in (
+    "quality_score",
+    "bm25_scores",
+    "pack_sequences",
+    "pii_scrub",
+    "char_entropy",
+):
+    EXTRA_QUERIES[_name] = QUERIES.pop(_name)

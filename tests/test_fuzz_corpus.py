@@ -61,7 +61,7 @@ QUERIES = [
     "gopher_repetition",
     "domain_cap_sample",
     # round-8 session-2 additions: bigram LM, HTML extraction (random
-    # text可 contain tag-like '<'/'>' runs — both engines must strip
+    # text can contain tag-like '<'/'>' runs — both engines must strip
     # them identically), trained LR classifier, BPE train/apply
     # (merges become inline literals in BOTH engines' apply chains),
     # and the minhash error harness
