@@ -100,6 +100,28 @@ def main() -> int:
     # JVM / codegen warmup outside the timed region
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
+    # Measure THIS RUN's job-dispatch floor (round-9): the r8 bisect of
+    # ngram_decontamination's +62% "regression" proved same-code,
+    # same-data rows move with the HOST's per-stage scheduling floor
+    # (35-100 ms/stage one week, 91-127 ms the next), which multiplies
+    # by a plan's exchange-chain depth while DuckDB (zero dispatch
+    # floor) stays flat. Recording the floor each run makes
+    # round-over-round per-row comparisons attributable: a row that
+    # moved with the floor is host drift, one that moved against it is
+    # a plan change.
+    floor_df = spark.range(32).repartition(32)
+    floor_df.write.format("noop").mode("overwrite").save()
+    floor_reps = []
+    for _ in range(11):
+        f0 = time.time()
+        floor_df.write.format("noop").mode("overwrite").save()
+        floor_reps.append(time.time() - f0)
+    floor_reps.sort()
+    dispatch_floor_ms = {
+        "one_stage_best": round(floor_reps[0] * 1000, 1),
+        "one_stage_median": round(floor_reps[5] * 1000, 1),
+    }
+
     warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     from chroma_rs_spark.sources.tables import load_tables
     from chroma_rs_spark.suite import all_queries
@@ -179,6 +201,7 @@ def main() -> int:
         "duckdb_queries": duck,
         "duckdb_total_sec": duck_total,
         "plan_build_sec": round(plan_build, 3),
+        "dispatch_floor_ms": dispatch_floor_ms,
         "sf": sf,
     }
     # the full per-query JSON is one very long line that a tail-capture
@@ -200,6 +223,7 @@ def main() -> int:
                 "plan_build_sec": round(plan_build, 3),
                 "sf": sf,
                 "n_queries": len(timings),
+                "dispatch_floor_ms": dispatch_floor_ms,
                 "full_json": "BENCH_LOCAL.json",
             }
         )
