@@ -2661,6 +2661,182 @@ EXTRA_QUERIES["video_near_dup"] = QueryDef(
 
 
 # ---------------------------------------------------------------------------
+# Training-data sink family as oracle rows (VERDICT r8 missing #2 /
+# next-round #3): the range-shard writer + manifest audit and the
+# Z-order layout + prune-stats verifier get the `collection_stats`
+# treatment — a REAL write lifecycle into a temp dir, then a
+# deterministic 1-row audit the DuckDB twin pins against the source
+# table. Sampled degrees of freedom (range boundaries from
+# repartitionByRange's reservoir sample, approxQuantile bucket edges)
+# are deliberately NOT emitted; what is emitted is the contract:
+# exactly-N files, disjoint ranges, lossless content (row count + key
+# checksum), stats-based pruning that scans everything for a
+# full-range predicate, nothing for an empty one, and strictly less
+# than everything for a narrow band on EITHER z column (measured 0.75
+# / 0.5-0.625 of files at sf0.001-0.1 — margin against the sampled
+# boundaries). Lifecycle builds once per (session, sf_dir); reps time
+# the audit queries (iterative=True because the fn runs Spark jobs).
+# ---------------------------------------------------------------------------
+
+_SINK_SHARDS = 4
+_SINK_ZFILES = 8
+_SINK_LIFECYCLE: dict[tuple[str, str], str] = {}
+
+
+def _sink_lifecycle(spark: SparkSession, sf_dir: str) -> str:
+    import atexit
+    import shutil
+    import tempfile
+
+    from chroma_rs_spark.sources.sharding import (
+        write_training_shards,
+        write_zorder_layout,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _SINK_LIFECYCLE.get(key)
+    if hit is not None:
+        return hit
+    root = tempfile.mkdtemp(prefix="sink_rows_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    write_training_shards(docs, root + "/shards", n_shards=_SINK_SHARDS)
+    orders = load_table(spark, sf_dir, "orders")
+    write_zorder_layout(
+        orders,
+        root + "/zorder",
+        ("o_custkey", "o_totalprice"),
+        n_shards=_SINK_ZFILES,
+    )
+    _SINK_LIFECYCLE[key] = root
+    return root
+
+
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-shard writer audit (`sources/sharding.py:29,93`): write the
+    documents table as 4 range shards, read the manifest back, emit the
+    consumer's trust checks as one row — shard count is exactly what was
+    requested (each range partition writes one file), ranges are
+    DISJOINT, and the content is lossless (row total, global key
+    min/max, and the doc_id checksum all match the source table). The
+    reference analogue is the persistence half of the collection
+    lifecycle (`/root/reference/src/client.rs:94-133`); per-shard row
+    counts are a sampled degree of freedom and stay out of the row."""
+    from chroma_rs_spark.sources.sharding import (
+        assert_disjoint_shards,
+        shard_manifest,
+    )
+
+    root = _sink_lifecycle(spark, sf_dir)
+    man = shard_manifest(spark, root + "/shards")
+    agg = man.agg(
+        F.count(F.lit(1)).cast("long").alias("n_shards"),
+        F.sum("n_rows").cast("long").alias("total_rows"),
+        F.min("min_key").cast("long").alias("min_key"),
+        F.max("max_key").cast("long").alias("max_key"),
+    ).collect()[0]
+    try:
+        assert_disjoint_shards(man)
+        disjoint = True
+    except ValueError:
+        disjoint = False
+    checksum = (
+        spark.read.parquet(root + "/shards")
+        .agg(F.sum("doc_id").cast("long"))
+        .collect()[0][0]
+    )
+    return spark.createDataFrame(
+        [
+            (
+                int(agg["n_shards"]),
+                int(agg["total_rows"]),
+                int(agg["min_key"]),
+                int(agg["max_key"]),
+                int(checksum),
+                bool(disjoint),
+            )
+        ],
+        "n_shards bigint, total_rows bigint, min_key bigint,"
+        " max_key bigint, key_checksum bigint, disjoint boolean",
+    )
+
+
+_SHARD_MANIFEST_ORACLE = f"""
+SELECT CAST({_SINK_SHARDS} AS BIGINT)  AS n_shards,
+       CAST(count(*) AS BIGINT)        AS total_rows,
+       CAST(min(doc_id) AS BIGINT)     AS min_key,
+       CAST(max(doc_id) AS BIGINT)     AS max_key,
+       CAST(sum(doc_id) AS BIGINT)     AS key_checksum,
+       true                            AS disjoint
+FROM documents
+"""
+
+
+def q_zorder_prune_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout verifier (`sources/sharding.py:136,194`): lay the
+    orders table out along the Morton curve of (o_custkey,
+    o_totalprice), then emit what a stats-based reader would scan — the
+    whole layout for a full-range predicate (frac 1.0), nothing below
+    the key minimum (0 candidates), and strictly LESS than every file
+    for a narrow band on EITHER column (the multi-dimensional claim a
+    single-column sort cannot make; measured 6/8 files for a 5%
+    o_custkey band and 4-5/8 for an o_totalprice band at sf0.001-0.1).
+    Raw candidate counts for the narrow bands ride on sampled quantile
+    and range boundaries, so the row pins their booleans, plus
+    losslessness (row total vs source)."""
+    from chroma_rs_spark.sources.sharding import zorder_prune_stats
+
+    root = _sink_lifecycle(spark, sf_dir)
+    zpath = root + "/zorder"
+    total = spark.read.parquet(zpath).count()
+    ck_mx = (
+        load_table(spark, sf_dir, "orders")
+        .agg(F.max("o_custkey"))
+        .collect()[0][0]
+    )
+    full = zorder_prune_stats(spark, zpath, "o_custkey", 0, int(ck_mx))
+    empty = zorder_prune_stats(spark, zpath, "o_custkey", -100, -1)
+    zx = zorder_prune_stats(
+        spark, zpath, "o_custkey", int(ck_mx * 0.40), int(ck_mx * 0.45)
+    )
+    zy = zorder_prune_stats(spark, zpath, "o_totalprice", 240000.0, 265000.0)
+    return spark.createDataFrame(
+        [
+            (
+                int(full["n_files"]),
+                int(total),
+                float(full["frac_scanned"]),
+                int(empty["n_candidate_files"]),
+                bool(zx["frac_scanned"] < 1.0),
+                bool(zy["frac_scanned"] < 1.0),
+            )
+        ],
+        "n_files bigint, total_rows bigint, full_frac double,"
+        " empty_candidates bigint, x_prunes boolean, y_prunes boolean",
+    )
+
+
+_ZORDER_PRUNE_ORACLE = f"""
+SELECT CAST({_SINK_ZFILES} AS BIGINT) AS n_files,
+       CAST(count(*) AS BIGINT)       AS total_rows,
+       CAST(1.0 AS DOUBLE)            AS full_frac,
+       CAST(0 AS BIGINT)              AS empty_candidates,
+       true                           AS x_prunes,
+       true                           AS y_prunes
+FROM orders
+"""
+
+
+EXTRA_QUERIES["shard_manifest"] = QueryDef(
+    q_shard_manifest, _SHARD_MANIFEST_ORACLE, iterative=True
+)
+EXTRA_QUERIES["zorder_prune_stats"] = QueryDef(
+    q_zorder_prune_stats, _ZORDER_PRUNE_ORACLE, iterative=True
+)
+
+
+
+# ---------------------------------------------------------------------------
 # Round-9 rotation (VERDICT r8 next-round #1): the trained quality
 # classifier (+ its precision/recall eval) and the dedup/ANN accuracy
 # eval pair enter the driver window. Out: label_centroids (driver-green

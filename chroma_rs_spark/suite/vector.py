@@ -906,3 +906,101 @@ EXTRA_QUERIES["ivf_recall"] = QueryDef(
 # through every get/query row's filter pushdown and the hypothesis
 # property suite; the window slot funds a first-time round-7 promotion.
 EXTRA_QUERIES["where_filter"] = QUERIES.pop("where_filter")
+
+
+# ---------------------------------------------------------------------------
+# find_duplicates lifecycle row (VERDICT r8 missing #3 / next-round #4):
+# the one API bridge between the reference-shaped collection surface and
+# the pipeline dedup operators, driven end-to-end the `collection_stats`
+# way — create a collection, bulk-add the sf corpus PLUS planted
+# byte-identical copies (every 10th document re-added under a 'dup_'
+# id), run collection.find_duplicates(method="exact"), and emit its full
+# per-item verdict (id, text_sha, n_copies, keep). The oracle replays
+# the planting and the min-id keeper rule in SQL: sha256 grouping,
+# count per group, lexicographic min id (collection ids are STRINGS —
+# the documented pagination contract), NULL documents unscorable
+# (keep=true, NULL evidence). Lifecycle builds once per (session,
+# sf_dir); iterative=True because the fn runs Spark jobs.
+# ---------------------------------------------------------------------------
+
+_FINDDUP_LIFECYCLE: dict[tuple[str, str], tuple] = {}
+
+
+def _finddup_lifecycle(spark: SparkSession, sf_dir: str):
+    import atexit
+    import shutil
+    import tempfile
+
+    from chroma_rs_spark import collection as item_ops
+    from chroma_rs_spark.catalog import Engine
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _FINDDUP_LIFECYCLE.get(key)
+    if hit is not None:
+        return hit
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    items = (
+        emb.join(docs, emb.vec_id == docs.doc_id)
+        .select(
+            F.col("doc_id").cast("string").alias("id"),
+            F.col("embedding"),
+            F.col("text").alias("document"),
+        )
+    )
+    planted = items.filter(F.col("id").cast("long") % 10 == 0).select(
+        F.concat(F.lit("dup_"), F.col("id")).alias("id"),
+        "embedding",
+        "document",
+    )
+    root = tempfile.mkdtemp(prefix="finddup_row_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    eng = Engine(spark, root)
+    coll = eng.create_collection("finddup_row")
+    item_ops.add_df(eng, coll, items.unionByName(planted))
+    _FINDDUP_LIFECYCLE[key] = (eng, coll)
+    return eng, coll
+
+
+def q_find_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chroma_rs_spark import collection as item_ops
+
+    eng, coll = _finddup_lifecycle(spark, sf_dir)
+    out = item_ops.find_duplicates(eng, coll, method="exact")
+    return out.select(
+        "id",
+        "text_sha",
+        F.col("n_copies").cast("long").alias("n_copies"),
+        "keep",
+    )
+
+
+_FIND_DUPLICATES_ORACLE = """
+WITH items AS (
+  SELECT CAST(doc_id AS VARCHAR) AS id, text AS document FROM documents
+  UNION ALL
+  SELECT 'dup_' || CAST(doc_id AS VARCHAR) AS id, text AS document
+  FROM documents WHERE doc_id % 10 = 0
+),
+scored AS (
+  SELECT id, sha256(document) AS text_sha FROM items
+  WHERE document IS NOT NULL
+),
+grp AS (
+  SELECT text_sha, CAST(count(*) AS BIGINT) AS n_copies,
+         min(id) AS keeper
+  FROM scored GROUP BY text_sha
+)
+SELECT i.id,
+       s.text_sha,
+       g.n_copies,
+       coalesce(i.id = g.keeper, true) AS keep
+FROM items i
+LEFT JOIN scored s USING (id)
+LEFT JOIN grp g ON s.text_sha = g.text_sha
+"""
+
+
+EXTRA_QUERIES["find_duplicates"] = QueryDef(
+    q_find_duplicates, _FIND_DUPLICATES_ORACLE, iterative=True
+)
