@@ -285,3 +285,70 @@ def test_url_dedup_stage_runs_first(spark):
     )
     assert "url_dedup" not in {r["stage"] for r in r2.collect()}
     assert c2.count() == 3
+
+
+def test_checkpoint_resume_after_kill_both_windows(curated, spark, tmp_path):
+    """Durability under kill (VERDICT r8 next-round #7): a curate run
+    dies (a) BETWEEN stages — the checkpoint dir holds a clean prefix
+    of stage artifacts and nothing after — and (b) MID-WRITE — the dir
+    additionally holds a TORN parquet file for the stage being written
+    at kill time. Re-running with the same checkpoint_dir must recover
+    in both windows and produce the bit-identical corpus and report of
+    an uninterrupted run (every stage write is mode=overwrite into its
+    own directory, so a stale or torn artifact is replaced atomically
+    before it is ever read back)."""
+    import os
+    import shutil
+
+    df, out, rep = curated
+    want_corpus = sorted((d, r["text"], r["split"]) for d, r in out.items())
+
+    def run(ckpt):
+        corpus, report = curate_corpus(df, line_min_df=5, checkpoint_dir=ckpt)
+        got = sorted(tuple(r) for r in corpus.collect())
+        got_rep = {
+            r["stage"]: (r["stage_no"], r["n_docs"], r["n_tokens"])
+            for r in report.collect()
+        }
+        return got, got_rep
+
+    want_rep = {
+        name: (row["stage_no"], row["n_docs"], row["n_tokens"])
+        for name, row in rep.items()
+    }
+
+    ckpt = str(tmp_path / "curate_kill")
+    run(ckpt)  # the run that will be "killed"
+
+    # -- crash window A: killed between stages — everything from the
+    # near-dup stage on (and the reused pair list) never landed
+    for d in sorted(os.listdir(ckpt)):
+        if d == "pairs_minhash" or (
+            d.startswith("stage_") and int(d.split("_")[1]) >= 5
+        ):
+            shutil.rmtree(os.path.join(ckpt, d))
+    got, got_rep = run(ckpt)
+    assert got == want_corpus
+    assert got_rep == want_rep
+
+    # -- crash window B: killed MID-WRITE — the exact_dedup stage dir
+    # holds a torn part file (front half of a parquet file: readable
+    # magic, no footer)
+    s_torn = next(
+        d for d in os.listdir(ckpt) if d.startswith("stage_") and
+        d.endswith("exact_dedup")
+    )
+    part = next(
+        f for f in os.listdir(os.path.join(ckpt, s_torn))
+        if f.endswith(".parquet")
+    )
+    p = os.path.join(ckpt, s_torn, part)
+    with open(p, "r+b") as fh:
+        fh.truncate(max(4, os.path.getsize(p) // 2))
+    # the _SUCCESS marker of the torn stage is also gone in a real kill
+    success = os.path.join(ckpt, s_torn, "_SUCCESS")
+    if os.path.exists(success):
+        os.remove(success)
+    got, got_rep = run(ckpt)
+    assert got == want_corpus
+    assert got_rep == want_rep
