@@ -1,0 +1,91 @@
+"""Raw-corpus JSONL ingestion — the crawl-pipeline front door.
+
+Web-scale corpora arrive as JSON Lines (WARC-extract output, Common
+Crawl derivatives, vendor dumps): one JSON object per line, schema
+mostly-known, and a real fraction of lines malformed (truncated
+uploads, encoding damage, concatenation glitches). The ingestion
+contract at 100 TB is the NULL-embedding rule applied to parsing: a
+malformed line costs its ROW, never the job, and the ingest must
+ACCOUNT for what it dropped — a silent-drop reader turns data damage
+into invisible corpus shrinkage.
+
+`read_jsonl_corpus` is Spark's native distributed JSON scan in
+PERMISSIVE mode with an explicit corrupt-record column (schema
+provided by the caller — schema inference is a full extra pass at
+scale and is deliberately not offered here). `jsonl_ingest_report`
+aggregates the audit a pipeline logs per ingest: line/valid/corrupt
+counts. Both are plain DataFrame ops — distributed, no driver
+materialization; the scan parallelizes by file split like any text
+source.
+
+Reference scope note: the reference client ingests via the HTTP add
+API (`/root/reference/src/collection.rs`); file-based bulk ingestion
+is part of this repo's mandated large-scale-pipeline surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+CORRUPT_COL = "_corrupt_record"
+
+
+def read_jsonl_corpus(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    corrupt_col: str = CORRUPT_COL,
+) -> DataFrame:
+    """Distributed JSONL scan with per-row damage tolerance.
+
+    Returns the caller's `schema` columns plus `corrupt_col`: a line
+    that fails to parse yields NULLs for every data column and the raw
+    line text in `corrupt_col`; a clean line yields NULL there. The
+    caller filters or accounts — nothing is silently dropped
+    (PERMISSIVE), and nothing kills the job (contrast FAILFAST).
+
+    `schema` is a DDL string WITHOUT the corrupt column (it is appended
+    here). Spark requires the corrupt column to be part of the read
+    schema to surface it; it also refuses queries that select ONLY the
+    corrupt column over an uncached scan — `jsonl_ingest_report`
+    always aggregates alongside data columns, which stays inside the
+    supported contract.
+    """
+    full = f"{schema}, {corrupt_col} STRING"
+    return (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+    )
+
+
+def jsonl_ingest_report(
+    df: DataFrame, corrupt_col: str = CORRUPT_COL
+) -> DataFrame:
+    """One-row ingest audit: (n_lines, n_valid, n_corrupt,
+    n_<col>_parsed for every data column).
+
+    The per-field parse counts are the ingest-health signal a corrupt
+    count alone misses (a feed can be 100% valid JSON with a renamed
+    field silently nulling a column) — and they keep the aggregation
+    inside Spark's supported JSON-scan contract: the datasource refuses
+    plans whose referenced columns are ONLY the corrupt-record column
+    (it cannot know a row is corrupt without parsing the data columns),
+    so a counts-only report over a raw scan would be rejected with
+    SQLSTATE 0A000. Map-side combinable single aggregation; at 100 TB
+    this is the per-ingest ledger line next to the write, same
+    discipline as curate_corpus's attrition report.
+    """
+    is_bad = F.col(corrupt_col).isNotNull()
+    data_cols = [c for c in df.columns if c != corrupt_col]
+    return df.agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(F.when(~is_bad, 1).otherwise(0)).cast("long").alias("n_valid"),
+        F.sum(F.when(is_bad, 1).otherwise(0)).cast("long").alias("n_corrupt"),
+        *[
+            F.count(F.col(c)).cast("long").alias(f"n_{c}_parsed")
+            for c in data_cols
+        ],
+    )

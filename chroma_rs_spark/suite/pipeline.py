@@ -2859,3 +2859,92 @@ for _name in (
     "embedding_projection",
 ):
     EXTRA_QUERIES[_name] = QUERIES.pop(_name)
+
+
+# ---------------------------------------------------------------------------
+# JSONL ingestion audit row (round 9): the crawl-format front door
+# (`sources/jsonl.py`) driven end-to-end — serialize the documents
+# table to JSON Lines with PLANTED damage (every 17th document's line
+# replaced by a non-JSON fragment, the truncated-upload shape), scan it
+# back in PERMISSIVE mode with the corrupt-record column, and emit the
+# ingest ledger plus content checksums over the rows that parsed. The
+# oracle replays the planting arithmetic on the source table: damage is
+# keyed on doc_id, so which lines are corrupt — and therefore every
+# count and checksum — is deterministic in both engines. JSON text
+# round-trip fidelity rides in text_chars (sum of parsed text lengths).
+# ---------------------------------------------------------------------------
+
+_JSONL_LIFECYCLE: dict[tuple[str, str], str] = {}
+
+
+def _jsonl_fixture(spark: SparkSession, sf_dir: str) -> str:
+    import atexit
+    import shutil
+    import tempfile
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _JSONL_LIFECYCLE.get(key)
+    if hit is not None:
+        return hit
+    root = tempfile.mkdtemp(prefix="jsonl_row_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    lines = docs.select(
+        F.when(
+            F.col("doc_id") % 17 == 0,
+            # not JSON from the first byte: PERMISSIVE must yield ALL
+            # NULL data columns + the raw line (no partial-parse
+            # ambiguity, which truncated-JSON fragments can trigger)
+            F.concat(F.lit("CORRUPT "), F.col("doc_id").cast("string")),
+        )
+        .otherwise(F.to_json(F.struct("doc_id", "text")))
+        .alias("value")
+    )
+    lines.write.mode("overwrite").text(root + "/corpus")
+    _JSONL_LIFECYCLE[key] = root
+    return root
+
+
+def q_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chroma_rs_spark.sources.jsonl import (
+        jsonl_ingest_report,
+        read_jsonl_corpus,
+    )
+
+    root = _jsonl_fixture(spark, sf_dir)
+    parsed = read_jsonl_corpus(
+        spark, root + "/corpus", "doc_id long, text string"
+    )
+    report = jsonl_ingest_report(parsed)
+    sums = parsed.agg(
+        F.coalesce(F.sum("doc_id"), F.lit(0)).cast("long").alias("id_checksum"),
+        F.coalesce(F.sum(F.length(F.coalesce(F.col("text"), F.lit("")))), F.lit(0))
+        .cast("long")
+        .alias("text_chars"),
+    )
+    return report.crossJoin(sums)
+
+
+_JSONL_INGEST_ORACLE = """
+SELECT CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN doc_id % 17 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_valid,
+       CAST(sum(CASE WHEN doc_id % 17 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_corrupt,
+       CAST(sum(CASE WHEN doc_id % 17 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_doc_id_parsed,
+       CAST(sum(CASE WHEN doc_id % 17 <> 0 AND text IS NOT NULL
+                THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_text_parsed,
+       CAST(sum(CASE WHEN doc_id % 17 <> 0 THEN doc_id ELSE 0 END) AS BIGINT)
+         AS id_checksum,
+       CAST(sum(CASE WHEN doc_id % 17 <> 0
+                THEN length(coalesce(text, '')) ELSE 0 END) AS BIGINT)
+         AS text_chars
+FROM documents
+"""
+
+
+EXTRA_QUERIES["jsonl_ingest"] = QueryDef(
+    q_jsonl_ingest, _JSONL_INGEST_ORACLE, iterative=True
+)

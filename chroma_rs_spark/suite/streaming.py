@@ -259,17 +259,19 @@ EXTRA_QUERIES["events_sliding"] = QUERIES.pop("events_sliding")
 # pipeline with a persisted band index; the oracle replays the SAME
 # sequential fold in one DuckDB statement (round-0 within-batch CC,
 # then round-1 corpus-wins + within-batch CC), reusing the minhash
-# band skeleton the dedup oracles share. EXTRA by the stream_ingest
-# precedent: ~3 s of stream-startup floor vs a ~100 ms oracle would
-# distort the declared-50 bench; bit-checked locally every round.
+# band skeleton the dedup oracles share. Promoted to the declared 50
+# in round 9 (VERDICT r8 next-round #1): the ~2-3 s stream-startup
+# floor it charges the bench is the cost of gating REAL micro-batch
+# execution, accepted deliberately (SCALE.md round-9). The READ-ONLY
+# inbox fixture is built once per (session, sf_dir) — identical files
+# every rep; the stream's own state dirs stay fresh per call.
 # ---------------------------------------------------------------------------
 
+_INGEST_INBOX: dict[tuple[str, str], str] = {}
 
-def q_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two file micro-batches (even ids, then odd ids — file mtimes
-    pinned so FileStreamSource's oldest-first order is deterministic)
-    through stream_dedup_ingest at threshold 0.7; returns the final
-    corpus. iterative=True: the stream runs during build."""
+
+def _ingest_inbox(spark: SparkSession, sf_dir: str) -> str:
+    import atexit
     import os
     import shutil
     import tempfile
@@ -277,20 +279,39 @@ def q_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import functions as F
 
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _INGEST_INBOX.get(key)
+    if hit is not None:
+        return hit
+    root = tempfile.mkdtemp(prefix="dedup_ingest_inbox_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    inbox = f"{root}/inbox"
+    now = time.time()
+    for b in (0, 1):
+        path = f"{inbox}/batch_{b}"
+        docs.filter(F.col("doc_id") % 2 == b).coalesce(1).write.parquet(
+            path, mode="overwrite"
+        )
+        for f in os.listdir(path):
+            os.utime(f"{path}/{f}", (now - 100 + b, now - 100 + b))
+    _INGEST_INBOX[key] = inbox
+    return inbox
+
+
+def q_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two file micro-batches (even ids, then odd ids — file mtimes
+    pinned so FileStreamSource's oldest-first order is deterministic)
+    through stream_dedup_ingest at threshold 0.7; returns the final
+    corpus. iterative=True: the stream runs during build."""
+    import shutil
+    import tempfile
+
     from chroma_rs_spark.streaming.ingest import stream_dedup_ingest
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    inbox = _ingest_inbox(spark, sf_dir)
     root = tempfile.mkdtemp(prefix="dedup_ingest_twin_")
     try:
-        inbox = f"{root}/inbox"
-        now = time.time()
-        for b in (0, 1):
-            path = f"{inbox}/batch_{b}"
-            docs.filter(F.col("doc_id") % 2 == b).coalesce(1).write.parquet(
-                path, mode="overwrite"
-            )
-            for f in os.listdir(path):
-                os.utime(f"{path}/{f}", (now - 100 + b, now - 100 + b))
         stream = (
             spark.readStream.schema("doc_id long, text string")
             .option("maxFilesPerTrigger", 1)
@@ -374,20 +395,29 @@ s0 AS MATERIALIZED (
   SELECT b0.doc_id, b0.text FROM b0 JOIN comp0 USING (doc_id)
   WHERE doc_id = cid
 ),
--- round 1: batch 1 — corpus (= s0) wins, then min-id within batch
+-- round 1: batch 1 — corpus (= s0) wins, then min-id within batch.
+-- DECORRELATED (round-9): the original correlated scalar subquery
+-- re-scanned the 80k-row mh table once PER candidate pair (130 s at
+-- sf0.1, invisible in the profile tree because correlated subplans
+-- are executed row-at-a-time outside it); the grouped-join form below
+-- is the e0/e1 shape — identical semantics (>= 1 band collision to be
+-- a candidate, full 16-band agreement >= 12 to hit), one vectorized
+-- pass (sf0.1: 130 s -> seconds).
+cand1x AS (
+  SELECT DISTINCT a.doc_id AS n, s.doc_id AS o
+  FROM mh a JOIN mh s ON a.band = s.band AND a.band_key = s.band_key
+  JOIN s0 ON s0.doc_id = s.doc_id
+  WHERE a.doc_id % 2 = 1
+),
 hit1 AS MATERIALIZED (
   SELECT DISTINCT n FROM (
-    SELECT a.doc_id AS n, s.doc_id AS o
-    FROM mh a JOIN mh s ON a.band = s.band AND a.band_key = s.band_key
-    WHERE a.doc_id % 2 = 1 AND s.doc_id IN (SELECT doc_id FROM s0)
+    SELECT c.n, c.o,
+           sum(CASE WHEN ma.band_key = mb.band_key THEN 1 ELSE 0 END) AS nm
+    FROM cand1x c
+    JOIN mh ma ON ma.doc_id = c.n
+    JOIN mh mb ON mb.doc_id = c.o AND mb.band = ma.band
     GROUP BY 1, 2
-    HAVING count(*) >= 1
-  ) c
-  WHERE (
-    SELECT sum(CASE WHEN ma.band_key = mb.band_key THEN 1 ELSE 0 END)
-    FROM mh ma JOIN mh mb ON mb.doc_id = c.o AND mb.band = ma.band
-    WHERE ma.doc_id = c.n
-  ) >= 12
+  ) WHERE nm >= 12
 ),
 cand1 AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
