@@ -900,21 +900,25 @@ def recall_vs_exact(
     neighbor_col: str = "neighbor_id",
     dim: int | None = None,
     exclude_self: bool = False,
+    metric: str = "cosine",
 ) -> DataFrame:
     """Recall@k of ANY approximate neighbor result against exact
-    cosine KNN over the same items — `approx` is a DataFrame carrying
+    KNN over the same items — `approx` is a DataFrame carrying
     (probe_id, neighbor_col) rows from whichever index is being
-    evaluated (`ivf_topk`, `signbucket_ann`, a future HNSW...).
-    Output contract and conventions are `ann_recall`'s; pass the same
-    `exclude_self` the evaluated index uses so both sides define the
-    neighbor universe identically."""
+    evaluated (`ivf_topk`, `signbucket_ann`, PQ-ADC, a future
+    HNSW...). Output contract and conventions are `ann_recall`'s; pass
+    the same `exclude_self` the evaluated index uses so both sides
+    define the neighbor universe identically, and the `metric` the
+    index approximates (cosine for IVF/sign-bucket, l2 for PQ-ADC) so
+    the exact truth ranks by the distance the index is trying to
+    reproduce."""
     from chroma_rs_spark.operators.knn import knn_exact
 
     exact = knn_exact(
         items,
         probes,
         k,
-        metric="cosine",
+        metric=metric,
         item_id=item_id,
         item_emb=item_emb,
         query_id=probe_id,

@@ -629,11 +629,16 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pq_adc_oracle() -> str:
+def _pq_adc_oracle(final_select: str | None = None) -> str:
     """DuckDB replay of q_pq_adc_topk: the identical codebook literals
     (repr round-trips the exact binary64), the same 1-based subspace
     slices, the same left-fold + round-6 distance, the same (dist,
-    code) argmin and (adc, id) top-k tie-breaks."""
+    code) argmin and (adc, id) top-k tie-breaks.
+
+    `final_select` continues the WITH chain past `adc` before its own
+    final SELECT (the `_IVF_RECALL_FINAL` discipline) — used by the
+    pq_recall row to rank the same adc table and compare against exact
+    L2 truth."""
     from chroma_rs_spark.operators.pq import hash_codebooks
 
     books = hash_codebooks(_PQ_M, _PQ_K, _PQ_SUB)
@@ -682,7 +687,7 @@ adc AS (
          round(list_sum(list(l.d ORDER BY l.mi)), 6) + 0.0 AS adc_dist
   FROM codes c JOIN lut l ON c.mi = l.mi AND c.code = l.code
   GROUP BY l.qid, c.vec_id
-)
+){final_select or f'''
 SELECT qid AS query_id,
        CAST(row_number() OVER (PARTITION BY qid
                                ORDER BY adc_dist ASC, vec_id ASC) AS BIGINT)
@@ -690,7 +695,7 @@ SELECT qid AS query_id,
        vec_id AS neighbor_id, adc_dist
 FROM adc
 QUALIFY rank <= {TOP_K}
-"""
+'''}"""
 
 
 def q_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1003,4 +1008,100 @@ LEFT JOIN grp g ON s.text_sha = g.text_sha
 
 EXTRA_QUERIES["find_duplicates"] = QueryDef(
     q_find_duplicates, _FIND_DUPLICATES_ORACLE, iterative=True
+)
+
+
+# ---------------------------------------------------------------------------
+# pq_recall (round 9): recall@10 of PQ-ADC search against exact L2 KNN
+# over the same probes — completes the measured-recall trilogy's PQ leg
+# (RECALL.md): sign-bucket and IVF measure against cosine truth, PQ
+# against the L2 distance its ADC approximates. Oracle = the pq_adc
+# chain continued past `adc` (the _IVF_RECALL_FINAL discipline) with
+# the exact-L2 rank and the ann_recall report arithmetic.
+# ---------------------------------------------------------------------------
+
+
+def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chroma_rs_spark.operators.pq import hash_codebooks, pq_adc_topk_df
+    from chroma_rs_spark.operators.similarity import recall_vs_exact
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    approx = pq_adc_topk_df(
+        emb,
+        hash_codebooks(_PQ_M, _PQ_K, _PQ_SUB),
+        _probe_queries(emb),
+        k=TOP_K,
+    )
+    rep = recall_vs_exact(
+        emb,
+        _probe_queries(emb),
+        approx,
+        k=TOP_K,
+        item_id="vec_id",
+        metric="l2",
+    )
+    return rep.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        "n_exact",
+        "n_approx",
+        "n_hits",
+        "recall",
+    )
+
+
+_PQ_RECALL_FINAL = f""",
+ap AS (
+  SELECT qid AS query_id, vec_id AS _nid,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY adc_dist ASC, vec_id ASC) AS rn
+  FROM adc
+),
+apk AS (SELECT query_id, _nid FROM ap WHERE rn <= {TOP_K}),
+exq AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+  FROM embeddings WHERE vec_id < {N_PROBES} AND embedding IS NOT NULL
+),
+exs AS (
+  SELECT q.query_id, e.vec_id AS _nid,
+         ROUND(list_sum(list_transform(range(1, len(e.embedding) + 1),
+           j -> (CAST(e.embedding[j] AS DOUBLE) - q.qe[j])
+              * (CAST(e.embedding[j] AS DOUBLE) - q.qe[j]))), 6) + 0.0
+           AS distance
+  FROM embeddings e CROSS JOIN exq q
+  WHERE e.embedding IS NOT NULL
+),
+exr AS (
+  SELECT query_id, _nid,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY distance, _nid) AS rank
+  FROM exs WHERE NOT isnan(distance)
+),
+exk AS (SELECT query_id, _nid FROM exr WHERE rank <= {TOP_K}),
+pid AS (
+  SELECT DISTINCT vec_id AS query_id FROM embeddings
+  WHERE vec_id < {N_PROBES}
+),
+ne AS (SELECT query_id, count(*) AS n_exact FROM exk GROUP BY 1),
+na AS (SELECT query_id, count(*) AS n_approx FROM apk GROUP BY 1),
+nh AS (
+  SELECT a.query_id, count(*) AS n_hits
+  FROM apk a JOIN exk e ON a.query_id = e.query_id AND a._nid = e._nid
+  GROUP BY 1
+)
+SELECT p.query_id,
+       CAST(coalesce(ne.n_exact, 0) AS BIGINT)  AS n_exact,
+       CAST(coalesce(na.n_approx, 0) AS BIGINT) AS n_approx,
+       CAST(coalesce(nh.n_hits, 0) AS BIGINT)   AS n_hits,
+       CASE WHEN coalesce(ne.n_exact, 0) > 0
+            THEN round(coalesce(nh.n_hits, 0) / {TOP_K}.0, 6) + 0.0
+       END AS recall
+FROM pid p
+LEFT JOIN ne USING (query_id)
+LEFT JOIN na USING (query_id)
+LEFT JOIN nh USING (query_id)
+"""
+
+
+EXTRA_QUERIES["pq_recall"] = QueryDef(
+    q_pq_recall, _pq_adc_oracle(_PQ_RECALL_FINAL)
 )
