@@ -1400,9 +1400,16 @@ def bigram_perplexity(
     # combinable groupBy; 1-row broadcast totals)
     train_tok = base.filter(is_train).select(F.explode("_t").alias("_tok"))
     uni = train_tok.groupBy("_tok").agg(F.count(F.lit(1)).alias("_c"))
-    totals = train_tok.agg(
-        F.count(F.lit(1)).alias("_N"),
-        F.count_distinct(F.col("_tok")).alias("_V"),
+    # totals derived FROM the unigram table, not a second pass over the
+    # train token explode (the lm_perplexity round-8 fix applied here):
+    # N = sum of counts, V = vocabulary rows — integer-exact, so
+    # bit-identical to aggregating the raw stream, one fewer
+    # tokenize+explode branch
+    totals = uni.agg(
+        # coalesce: an EMPTY train half must yield N = 0 (the
+        # unscorable guard below tests _N == 0), not NULL
+        F.coalesce(F.sum("_c"), F.lit(0).cast("long")).alias("_N"),
+        F.count(F.lit(1)).alias("_V"),
     )
 
     # every document's transitions with 0-based position:

@@ -185,3 +185,40 @@ def test_label_centroids_exact_half_boundary_matches_duckdb(spark):
     )
     for lab, (_, want) in enumerate(cases):
         assert bits(duck[lab]) == bits(got[lab]) == bits(want)
+
+
+def test_kmeans_converged_pair_is_self_consistent(spark):
+    """The fused one-job-per-iteration loop (round 9) must keep the
+    unfused contract: on early convergence, `assign` is a fixpoint of
+    the returned `cents` (re-assigning against them changes nothing)
+    and `cents` is exactly the label_centroids of the assignment; and
+    since the blobs converge in ~2 rounds, a larger max_iter budget
+    must return bit-identical results (the break fires, harmlessly)."""
+    from chroma_rs_spark.operators.centroids import (
+        assign_nearest_centroid,
+        kmeans,
+        label_centroids,
+    )
+
+    rows = [(i, [float(i % 4) * 0.01, 0.0]) for i in range(24)]
+    rows += [(i, [7.0 + float(i % 4) * 0.01, 7.0]) for i in range(24, 48)]
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+
+    assign, cents = kmeans(emb, k=2, max_iter=10)
+    got_assign = sorted(map(tuple, assign.collect()))
+    # fixpoint: one more E-step against the returned centroids is a no-op
+    re_assign = assign_nearest_centroid(emb, cents)
+    assert sorted(map(tuple, re_assign.collect())) == got_assign
+    # M-consistency: the returned centroids ARE the per-label means of
+    # the returned assignment (bit-exact — same micro-unit arithmetic)
+    joined = emb.join(
+        assign.select("vec_id", "assigned_label"), "vec_id"
+    )
+    want_cents = sorted(
+        map(tuple, label_centroids(joined, label_col="assigned_label").collect())
+    )
+    assert sorted(map(tuple, cents.collect())) == want_cents
+    # early stop: a bigger budget returns the identical pair
+    a2, c2 = kmeans(emb, k=2, max_iter=25)
+    assert sorted(map(tuple, a2.collect())) == got_assign
+    assert sorted(map(tuple, c2.collect())) == want_cents
