@@ -21,6 +21,17 @@ source.
 Reference scope note: the reference client ingests via the HTTP add
 API (`/root/reference/src/collection.rs`); file-based bulk ingestion
 is part of this repo's mandated large-scale-pipeline surface.
+
+Why JSONL and not CSV as the gated corpus-ingest format: measured
+(round 9) — Spark's CSV round trip is lossy on text in two ways an
+oracle would then be pinning as semantics: empty string reads back as
+NULL (CSV cannot distinguish them — the sources/io.py caveat) and
+trailing whitespace is trimmed by the reader's defaults; CSV PERMISSIVE
+also PARTIALLY parses damaged rows (well-formed fields survive next to
+the corrupt-record column), unlike JSON's all-or-nothing row contract.
+CSV interchange for collections stays available in `sources/io.py`;
+raw-corpus ingestion is gated on the format that round-trips text
+byte-exactly.
 """
 
 from __future__ import annotations
