@@ -1105,3 +1105,83 @@ LEFT JOIN nh USING (query_id)
 EXTRA_QUERIES["pq_recall"] = QueryDef(
     q_pq_recall, _pq_adc_oracle(_PQ_RECALL_FINAL)
 )
+
+
+# ---------------------------------------------------------------------------
+# find_duplicates method="minhash" (round 9): the NEAR-duplicate half
+# of the collection-surface dedup bridge, on the same planted-copy
+# lifecycle as the exact row. The planted byte-identical copies are
+# also minhash near-dups (signature agreement 16/16); the keeper rule
+# is "no above-threshold partner with a smaller STRING id" (collection
+# ids are strings — lexicographic, the pagination contract). The
+# oracle replays the full banded-minhash skeleton the dedup-family
+# oracles share, re-rooted on the items union with VARCHAR ids:
+# est_jaccard >= 0.7 at 16 single-row bands == agreement >= 12.
+# ---------------------------------------------------------------------------
+
+
+def q_find_duplicates_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chroma_rs_spark import collection as item_ops
+
+    eng, coll = _finddup_lifecycle(spark, sf_dir)
+    return item_ops.find_duplicates(
+        eng, coll, method="minhash", threshold=0.7
+    ).select("id", "keep")
+
+
+def _find_dup_minhash_oracle() -> str:
+    from chroma_rs_spark.operators.dedup import MINHASH_P, minhash_params
+
+    params = ",\n         ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in enumerate(minhash_params(16))
+    )
+    return f"""
+WITH items AS (
+  SELECT CAST(doc_id AS VARCHAR) AS id, text AS document FROM documents
+  UNION ALL
+  SELECT 'dup_' || CAST(doc_id AS VARCHAR) AS id, text AS document
+  FROM documents WHERE doc_id % 10 = 0
+),
+sh AS (
+  SELECT id, concat_ws(' ', toks[i], toks[i+1], toks[i+2]) AS shingle
+  FROM (SELECT id, toks, unnest(range(1, len(toks) - 1)) AS i
+        FROM (SELECT id,
+                     list_filter(string_split(document, ' '),
+                                 x -> x <> '') AS toks
+              FROM items WHERE document IS NOT NULL))
+  WHERE toks[i] <> '' AND toks[i+1] <> '' AND toks[i+2] <> ''
+),
+params(i, a, b) AS (
+  VALUES {params}
+),
+h AS (
+  SELECT id, CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT) AS h
+  FROM sh
+),
+mh AS (
+  SELECT id, p.i AS band, min((h.h * p.a + p.b) % {MINHASH_P}) AS band_key
+  FROM h, params p
+  GROUP BY id, p.i
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM mh a JOIN mh b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id
+),
+agree AS (
+  SELECT c.id_a, c.id_b,
+         sum(CASE WHEN ma.band_key = mb.band_key THEN 1 ELSE 0 END) AS nm
+  FROM cand c
+  JOIN mh ma ON ma.id = c.id_a
+  JOIN mh mb ON mb.id = c.id_b AND mb.band = ma.band
+  GROUP BY 1, 2
+),
+losers AS (SELECT DISTINCT id_b AS id FROM agree WHERE nm >= 12)
+SELECT i.id, (l.id IS NULL) AS keep
+FROM items i LEFT JOIN losers l ON i.id = l.id
+"""
+
+
+EXTRA_QUERIES["find_duplicates_minhash"] = QueryDef(
+    q_find_duplicates_minhash, _find_dup_minhash_oracle(), iterative=True
+)
