@@ -1185,3 +1185,75 @@ FROM items i LEFT JOIN losers l ON i.id = l.id
 EXTRA_QUERIES["find_duplicates_minhash"] = QueryDef(
     q_find_duplicates_minhash, _find_dup_minhash_oracle(), iterative=True
 )
+
+
+# ---------------------------------------------------------------------------
+# find_duplicates method="embedding" (round 9): the third leg of the
+# collection dedup bridge — near-duplicate VECTORS via the banded
+# cosine miner (`cosine_pairs_bucketed`, the no-collect path) at the
+# API-default threshold 0.7, same planted-copy lifecycle (copies share
+# their original's embedding, cosine 1.0). The oracle replays the
+# near_dup_bucketed band skeleton (sign pattern of four disjoint
+# 8-plane slices, candidates agree in ANY band, round-6 exact
+# rescoring) re-rooted on the items union with VARCHAR ids, then the
+# lexicographic min-id keeper. NULL/zero-norm embeddings are
+# unscorable: keep=true, matching the NULL-embedding rule.
+# ---------------------------------------------------------------------------
+
+
+def q_find_duplicates_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chroma_rs_spark import collection as item_ops
+
+    eng, coll = _finddup_lifecycle(spark, sf_dir)
+    return item_ops.find_duplicates(
+        eng, coll, method="embedding", threshold=0.7
+    ).select("id", "keep")
+
+
+def _find_dup_embedding_oracle(
+    threshold: float = 0.7, n_planes: int = 8, bands: int = 4
+) -> str:
+    band_cols = []
+    for b in range(bands):
+        bits = ", ".join(
+            f"CASE WHEN embedding[{b * n_planes + i + 1}] >= 0"
+            " THEN '1' ELSE '0' END"
+            for i in range(n_planes)
+        )
+        band_cols.append(f"concat({bits}) AS b{b}")
+    agree = " OR ".join(f"a.b{b} = x.b{b}" for b in range(bands))
+    return f"""
+WITH items AS (
+  SELECT CAST(e.vec_id AS VARCHAR) AS id, e.embedding
+  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+  UNION ALL
+  SELECT 'dup_' || CAST(e.vec_id AS VARCHAR) AS id, e.embedding
+  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+  WHERE e.vec_id % 10 = 0
+),
+v AS (
+  SELECT id, embedding::DOUBLE[] AS e,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+           AS nrm,
+         {", ".join(band_cols)}
+  FROM items
+  WHERE embedding IS NOT NULL
+    AND sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) <> 0
+),
+cand AS (
+  SELECT a.id AS id_a, x.id AS id_b,
+         round(list_dot_product(a.e, x.e) / (a.nrm * x.nrm), 6)
+           AS cosine_sim
+  FROM v a JOIN v x ON a.id < x.id AND ({agree})
+),
+losers AS (
+  SELECT DISTINCT id_b AS id FROM cand WHERE cosine_sim >= {threshold!r}
+)
+SELECT i.id, (l.id IS NULL) AS keep
+FROM items i LEFT JOIN losers l ON i.id = l.id
+"""
+
+
+EXTRA_QUERIES["find_duplicates_embedding"] = QueryDef(
+    q_find_duplicates_embedding, _find_dup_embedding_oracle(), iterative=True
+)
