@@ -193,6 +193,12 @@ def main() -> int:
     con.close()
     total = round(sum(timings.values()), 3)
     duck_total = round(sum(duck.values()), 3)
+    # a declared row whose oracle errored or hit the rep watchdog has
+    # NO DuckDB column — the round-9 dedup_ingest find: its 130 s
+    # correlated-subquery twin silently dropped out and the suite ratio
+    # charged Spark's wall against nothing. Name such rows explicitly
+    # so a missing column is a visible data point, not a silent skew.
+    oracle_missing = sorted(k for k in timings if k in oracles and k not in duck)
     payload = {
         "metric": "suite_total_wall_sec",
         "value": total,
@@ -202,6 +208,7 @@ def main() -> int:
         "duckdb_total_sec": duck_total,
         "plan_build_sec": round(plan_build, 3),
         "dispatch_floor_ms": dispatch_floor_ms,
+        "oracle_missing": oracle_missing,
         "sf": sf,
     }
     # the full per-query JSON is one very long line that a tail-capture
@@ -224,6 +231,7 @@ def main() -> int:
                 "sf": sf,
                 "n_queries": len(timings),
                 "dispatch_floor_ms": dispatch_floor_ms,
+                "oracle_missing": oracle_missing,
                 "full_json": "BENCH_LOCAL.json",
             }
         )
