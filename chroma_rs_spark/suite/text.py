@@ -1468,14 +1468,20 @@ EXTRA_QUERIES["bpe_merges"] = QueryDef(
 def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train 8 merges, then tokenize EVERY document with them (the
     apply path: per-word wrapped-string replace chain, map-side):
-    (doc_id, bpe_tokens, n_bpe_tokens)."""
+    (doc_id, bpe_tokens, n_bpe_tokens).
+
+    The token list is emitted as a chr(31)-joined STRING, not an
+    ARRAY<STRING>: the driver's canonicalizer sorts raw pandas columns
+    and dies on unhashable list cells (CORRECTNESS_r09 err), so every
+    DECLARED row must keep scalar columns. The array-shaped variant
+    stays gated as EXTRA `bpe_tokenize_array`."""
     from chroma_rs_spark.operators.bpe import apply_bpe, train_bpe
 
     docs = load_table(spark, sf_dir, "documents")
     merges = train_bpe(docs, n_merges=_BPE_MERGES)
     return apply_bpe(docs, merges).select(
         "doc_id",
-        "bpe_tokens",
+        F.array_join("bpe_tokens", "\x1f").alias("bpe_tokens"),
         F.col("bpe_tokens_n").alias("n_bpe_tokens"),
     )
 
@@ -1518,7 +1524,7 @@ agg AS (
   FROM wm GROUP BY doc_id
 )
 SELECT d.doc_id,
-       coalesce(a.bpe_tokens, []) AS bpe_tokens,
+       array_to_string(coalesce(a.bpe_tokens, []), chr(31)) AS bpe_tokens,
        CAST(coalesce(len(a.bpe_tokens), 0) AS BIGINT) AS n_bpe_tokens
 FROM documents d LEFT JOIN agg a USING (doc_id)
 """
@@ -1526,6 +1532,35 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 
 EXTRA_QUERIES["bpe_tokenize"] = QueryDef(
     q_bpe_tokenize, _bpe_tokenize_oracle(), iterative=True
+)
+
+
+def q_bpe_tokenize_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The natural ARRAY<STRING> shape of `bpe_tokenize` — what a
+    pipeline consumer actually reads downstream. Kept EXTRA-only:
+    list columns are not driver-canonicalizable (see q_bpe_tokenize),
+    and the local gate's stringify path covers them."""
+    from chroma_rs_spark.operators.bpe import apply_bpe, train_bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = train_bpe(docs, n_merges=_BPE_MERGES)
+    return apply_bpe(docs, merges).select(
+        "doc_id",
+        "bpe_tokens",
+        F.col("bpe_tokens_n").alias("n_bpe_tokens"),
+    )
+
+
+def _bpe_tokenize_array_oracle(n: int = _BPE_MERGES) -> str:
+    body = _bpe_tokenize_oracle(n)
+    return body.replace(
+        "array_to_string(coalesce(a.bpe_tokens, []), chr(31)) AS bpe_tokens",
+        "coalesce(a.bpe_tokens, []) AS bpe_tokens",
+    )
+
+
+EXTRA_QUERIES["bpe_tokenize_array"] = QueryDef(
+    q_bpe_tokenize_array, _bpe_tokenize_array_oracle(), iterative=True
 )
 
 

@@ -91,6 +91,24 @@ def type_problems(spark_schema, oracle_arrow_schema) -> list[str]:
     return out
 
 
+def non_canonicalizable_cols(spark_schema) -> list[str]:
+    """Columns the DRIVER's canonicalizer cannot sort/hash.
+
+    The driver does a raw pandas ``sort_values`` over all columns; a
+    list/map/struct cell raises ``TypeError: unhashable type`` there
+    (the bpe_tokenize r9 red). This gate keeps such schemas out of
+    DECLARED rows entirely — EXTRA rows may still use them because the
+    local ``normalize`` below stringifies containers before sorting.
+    """
+    from pyspark.sql import types as T
+
+    return [
+        f.name
+        for f in spark_schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+
+
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
@@ -155,6 +173,7 @@ def main() -> int:
         )
 
     qs, oracles = se.queries(), se.oracle_sql()
+    declared = set(qs)
     if include_extra or (only and not only <= qs.keys()):
         # EXTRA_QUERIES live outside the driver's 50-row window but get
         # the same side-by-side treatment locally.
@@ -181,6 +200,16 @@ def main() -> int:
             print(f"FAIL {name}: spark error: {e}")
             continue
         t_spark = time.time() - t0
+        if name in declared:
+            bad_cols = non_canonicalizable_cols(sdf.schema)
+            if bad_cols:
+                failed.append(name)
+                print(
+                    f"FAIL {name}: DECLARED row has non-driver-canonicalizable "
+                    f"column(s) {bad_cols} (array/map/struct — the driver's "
+                    f"raw sort_values dies on these; reshape or keep EXTRA)"
+                )
+                continue
         if name not in oracles:
             print(f"WEAK {name}: no oracle, rows={len(spark_pdf)} ({t_spark:.1f}s)")
             continue
