@@ -2975,3 +2975,34 @@ FROM documents
 EXTRA_QUERIES["jsonl_ingest"] = QueryDef(
     q_jsonl_ingest, _JSONL_INGEST_ORACLE, iterative=True
 )
+
+
+# ---------------------------------------------------------------------------
+# Round-10 rotation (VERDICT r9 next-round #3/#4): the round-9 EXTRA
+# additions enter the driver window — the training-sink write
+# lifecycles (shard_manifest, zorder_prune_stats), the corrupt-tolerant
+# crawl front door (jsonl_ingest), and the multimodal family's
+# oracle-checked row (video_near_dup — restores the every-family-keeps-
+# a-declared-row rule COVERAGE.md flagged broken in r9). Out after long
+# green streaks (each keeps its local bit-gate and a declared sibling):
+# dedup_minhash_lsh (r1-r9; banded-minhash shape stays declared via
+# incremental_minhash + find_duplicates_minhash), dedup_ngram_jaccard
+# (r1-r9; inverted-index pair mining stays via dedup_containment), and
+# dedup_clusters (r2-r9; the connected-components keeper family stays
+# via dedup_keep_best).
+# ---------------------------------------------------------------------------
+
+for _name in (
+    "jsonl_ingest",
+    "shard_manifest",
+    "zorder_prune_stats",
+    "video_near_dup",
+):
+    QUERIES[_name] = EXTRA_QUERIES.pop(_name)
+
+for _name in (
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
+):
+    EXTRA_QUERIES[_name] = QUERIES.pop(_name)

@@ -1444,3 +1444,12 @@ EXTRA_QUERIES["orders_above_avg"] = QUERIES.pop("orders_above_avg")
 # union/intersect/except plan shapes have no scale risk; slot funds the
 # round-8 EXTRA promotions in text/pipeline.
 EXTRA_QUERIES["set_ops_tagged"] = QUERIES.pop("set_ops_tagged")
+
+
+# round-10 rotation out (driver-green r1-r9, still bit-checked
+# locally): shipping_priority's broadcast-join+agg+topk shape stays
+# declared via local_supplier_volume, and top_customers_per_nation's
+# window-over-join shape via order_window_frames; slots fund the
+# round-9 EXTRA promotions (training sinks, JSONL ingest, multimodal).
+for _name in ("shipping_priority", "top_customers_per_nation"):
+    EXTRA_QUERIES[_name] = QUERIES.pop(_name)

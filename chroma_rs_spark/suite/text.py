@@ -1656,3 +1656,17 @@ for _name in (
     "char_entropy",
 ):
     EXTRA_QUERIES[_name] = QUERIES.pop(_name)
+
+
+# ---------------------------------------------------------------------------
+# Round-10 rotation out (still bit-checked locally via --extra):
+# lang_id (driver-green r2-r9; its regex-scoring plan shape stays
+# declared via c4_filters/html_extract_text, and script_profile keeps
+# the language-composition family locally gated) and repetition_signals
+# (r4-r9; gopher_repetition declares the same per-doc repetition
+# distribution family). Slots fund the round-9 EXTRA promotions in
+# vector/pipeline.
+# ---------------------------------------------------------------------------
+
+for _name in ("lang_id", "repetition_signals"):
+    EXTRA_QUERIES[_name] = QUERIES.pop(_name)

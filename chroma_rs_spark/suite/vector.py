@@ -982,10 +982,17 @@ def q_find_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _FIND_DUPLICATES_ORACLE = """
 WITH items AS (
-  SELECT CAST(doc_id AS VARCHAR) AS id, text AS document FROM documents
+  -- mirror _finddup_lifecycle's item universe exactly: the collection
+  -- holds embeddings INNER JOIN documents, and the tables diverge at
+  -- sf0.1 (5000 documents vs 2000 embeddings) — a documents-only
+  -- universe over-counts by the unembedded rows (the r10 pre-screen
+  -- find: spark=2200 vs oracle=5500)
+  SELECT CAST(d.doc_id AS VARCHAR) AS id, d.text AS document
+  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
   UNION ALL
-  SELECT 'dup_' || CAST(doc_id AS VARCHAR) AS id, text AS document
-  FROM documents WHERE doc_id % 10 = 0
+  SELECT 'dup_' || CAST(d.doc_id AS VARCHAR) AS id, d.text AS document
+  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+  WHERE d.doc_id % 10 = 0
 ),
 scored AS (
   SELECT id, sha256(document) AS text_sha FROM items
@@ -1137,10 +1144,14 @@ def _find_dup_minhash_oracle() -> str:
     )
     return f"""
 WITH items AS (
-  SELECT CAST(doc_id AS VARCHAR) AS id, text AS document FROM documents
+  -- the lifecycle's item universe is embeddings INNER JOIN documents
+  -- (see _FIND_DUPLICATES_ORACLE note — the tables diverge at sf0.1)
+  SELECT CAST(d.doc_id AS VARCHAR) AS id, d.text AS document
+  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
   UNION ALL
-  SELECT 'dup_' || CAST(doc_id AS VARCHAR) AS id, text AS document
-  FROM documents WHERE doc_id % 10 = 0
+  SELECT 'dup_' || CAST(d.doc_id AS VARCHAR) AS id, d.text AS document
+  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+  WHERE d.doc_id % 10 = 0
 ),
 sh AS (
   SELECT id, concat_ws(' ', toks[i], toks[i+1], toks[i+2]) AS shingle
@@ -1257,3 +1268,24 @@ FROM items i LEFT JOIN losers l ON i.id = l.id
 EXTRA_QUERIES["find_duplicates_embedding"] = QueryDef(
     q_find_duplicates_embedding, _find_dup_embedding_oracle(), iterative=True
 )
+
+
+# ---------------------------------------------------------------------------
+# Round-10 rotation (VERDICT r9 next-round #3): the collection-surface
+# dedup bridge's exact + minhash legs and the PQ leg of the recall
+# trilogy enter the driver window (all r9 EXTRA additions, bit-green
+# locally; the exact/minhash oracles were re-rooted this round on the
+# embeddings⋈documents item universe — at sf0.1 the tables diverge,
+# 5000 docs vs 2000 vectors, and the old documents-only universe
+# over-counted; caught by the promotion pre-screen, not the driver).
+# find_duplicates_embedding stays EXTRA: its banded-cosine plan shape
+# is already declared via near_dup_bucketed, and three same-lifecycle
+# rows in the window would triple-charge one fixture's build.
+# ---------------------------------------------------------------------------
+
+for _name in (
+    "find_duplicates",
+    "find_duplicates_minhash",
+    "pq_recall",
+):
+    QUERIES[_name] = EXTRA_QUERIES.pop(_name)
