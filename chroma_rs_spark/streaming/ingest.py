@@ -141,8 +141,13 @@ def stream_dedup_ingest(
     index_schema = "id long, band int, band_key long"
 
     def _read_or_empty(path: str, schema) -> DataFrame:
+        # explicit schema on the read path too: both callers know their
+        # schema exactly (the stream's input schema / the band-index
+        # layout), and schema inference costs a footer-read job per
+        # batch per table — pure dispatch-floor waste inside the
+        # per-microbatch hot path
         try:
-            return spark.read.parquet(path)
+            return spark.read.schema(schema).parquet(path)
         except AnalysisException:
             return spark.createDataFrame([], schema)
 

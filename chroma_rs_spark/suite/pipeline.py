@@ -2985,11 +2985,15 @@ EXTRA_QUERIES["jsonl_ingest"] = QueryDef(
 # oracle-checked row (video_near_dup — restores the every-family-keeps-
 # a-declared-row rule COVERAGE.md flagged broken in r9). Out after long
 # green streaks (each keeps its local bit-gate and a declared sibling):
-# dedup_minhash_lsh (r1-r9; banded-minhash shape stays declared via
-# incremental_minhash + find_duplicates_minhash), dedup_ngram_jaccard
-# (r1-r9; inverted-index pair mining stays via dedup_containment), and
-# dedup_clusters (r2-r9; the connected-components keeper family stays
-# via dedup_keep_best).
+# near_dup_bucketed (r3-r9; the banded-cosine pair-mining shape stays
+# declared via video_near_dup's banded fingerprint joins and locally
+# via find_duplicates_embedding) and hybrid_search_rrf (r4-r9; the
+# dense leg stays declared via knn_cosine/ann_recall, the sparse leg
+# locally via bm25_scores). See suite/text.py's round-10 note for why
+# the demotion set is ratio-aware: these two carry floor-priced Spark
+# wall against sub-0.1 s oracles, while the dedup trio the first r10
+# draft demoted (dedup_clusters/minhash_lsh/ngram_jaccard) are the
+# suite's strongest oracle-side rows and stay declared.
 # ---------------------------------------------------------------------------
 
 for _name in (
@@ -3001,8 +3005,157 @@ for _name in (
     QUERIES[_name] = EXTRA_QUERIES.pop(_name)
 
 for _name in (
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_clusters",
+    "near_dup_bucketed",
+    "hybrid_search_rrf",
 ):
     EXTRA_QUERIES[_name] = QUERIES.pop(_name)
+
+
+# ---------------------------------------------------------------------------
+# Round-10 additions: bounded-state sketches (`operators/sketch.py`) —
+# the two patterns a 100 TB pipeline swaps in once exact state stops
+# fitting, each DETERMINISTIC (md5-seeded buckets, the minhash family's
+# engine-portable hash idiom) so the oracle replays them bit-for-bit.
+#
+# cms_heavy_hitters: count-min sketch (depth 4 x width 4096) over the
+# corpus's 3-gram shingles (~27k distinct at sf0.1 — real collisions),
+# point-queried for the exact top-20 shingles. `overcount` exposes the
+# sketch's one-sided error next to ground truth — the estimator-error
+# discipline of minhash_accuracy applied to frequency sketching. At
+# 100 TB the sketch is a fixed depth*width aggregate with map-side
+# partial counts (one shuffle), mergeable across snapshots by cell-wise
+# addition, vs an unbounded distinct-shingle table.
+#
+# bloom_dedup: Bloom membership (k=3, m=8192 — sized to ~0.9 bits/key
+# load at sf0.1 so false positives are measurably exercised, not
+# saturated) of the odd-id half's texts against a filter built from the
+# even-id half — the Dolma/CCNet "have we seen this paragraph"
+# pre-filter. Per-doc verdict (bloom_hit, truly_seen) makes both error
+# legs visible: truly_seen -> bloom_hit must NEVER fail (no false
+# negatives — asserted in tests), bloom_hit without truly_seen is the
+# bounded FP cost. The filter is <= m narrow rows (broadcast join), the
+# probe side stays map-side; no driver bitmap, no collect.
+# ---------------------------------------------------------------------------
+
+_CMS_DEPTH, _CMS_WIDTH = 4, 4096
+_BLOOM_K, _BLOOM_M = 3, 8192
+
+
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chroma_rs_spark.operators.dedup import exploded_shingles
+    from chroma_rs_spark.operators.sketch import cms_build, cms_estimate
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = exploded_shingles(docs, "doc_id", "text", 3).select(
+        F.col("shingle").alias("item")
+    )
+    exact = sh.groupBy("item").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_count")
+    )
+    top = exact.orderBy(F.col("exact_count").desc(), "item").limit(20)
+    sketch = cms_build(sh, "item", depth=_CMS_DEPTH, width=_CMS_WIDTH)
+    est = cms_estimate(top, sketch, "item", depth=_CMS_DEPTH, width=_CMS_WIDTH)
+    return est.select(
+        "item",
+        "exact_count",
+        "est_count",
+        (F.col("est_count") - F.col("exact_count")).cast("long").alias("overcount"),
+    )
+
+
+def _cms_oracle(depth: int = _CMS_DEPTH, width: int = _CMS_WIDTH) -> str:
+    bucket = (
+        "CAST('0x' || substr(md5(CAST(s.r AS VARCHAR) || ':' || {item}), 1, 8)"
+        f" AS BIGINT) % {width}"
+    )
+    return f"""
+WITH toks AS (
+  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents WHERE text IS NOT NULL
+),
+sh AS (
+  SELECT concat_ws(' ', t[i], t[i+1], t[i+2]) AS item
+  FROM toks, unnest(range(1, len(t) - 1)) r(i)
+),
+seeds AS (SELECT unnest(range(0, {depth})) AS r),
+cells AS (
+  SELECT s.r AS row, {bucket.format(item="sh.item")} AS bucket,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM sh CROSS JOIN seeds s
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT item, CAST(count(*) AS BIGINT) AS exact_count FROM sh GROUP BY item
+),
+top AS (SELECT item, exact_count FROM exact ORDER BY exact_count DESC, item LIMIT 20),
+est AS (
+  SELECT t.item, min(c.cnt) AS est_count
+  FROM top t CROSS JOIN seeds s
+  JOIN cells c ON c.row = s.r AND c.bucket = {bucket.format(item="t.item")}
+  GROUP BY t.item
+)
+SELECT t.item, t.exact_count, CAST(e.est_count AS BIGINT) AS est_count,
+       CAST(e.est_count - t.exact_count AS BIGINT) AS overcount
+FROM top t JOIN est e USING (item)
+"""
+
+
+EXTRA_QUERIES["cms_heavy_hitters"] = QueryDef(q_cms_heavy_hitters, _cms_oracle())
+
+
+def q_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chroma_rs_spark.operators.sketch import bloom_build, bloom_contains
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1)
+    bloom = bloom_build(a, "text", k=_BLOOM_K, m=_BLOOM_M)
+    probed = bloom_contains(b, bloom, "text", k=_BLOOM_K, m=_BLOOM_M)
+    seen = (
+        a.filter(F.col("text").isNotNull())
+        .select("text")
+        .distinct()
+        .withColumn("truly_seen", F.lit(True))
+    )
+    return probed.join(seen, "text", "left").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "bloom_hit",
+        F.coalesce(F.col("truly_seen"), F.lit(False)).alias("truly_seen"),
+    )
+
+
+def _bloom_oracle(k: int = _BLOOM_K, m: int = _BLOOM_M) -> str:
+    return f"""
+WITH a AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+b AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
+seeds AS (SELECT unnest(range(0, {k})) AS r),
+pos AS (
+  SELECT DISTINCT
+         CAST('0x' || substr(md5(CAST(s.r AS VARCHAR) || ':' || a.text), 1, 8)
+              AS BIGINT) % {m} AS pos
+  FROM a CROSS JOIN seeds s
+  WHERE a.text IS NOT NULL
+),
+probes AS (
+  SELECT b.doc_id,
+         CAST('0x' || substr(md5(CAST(s.r AS VARCHAR) || ':' || b.text), 1, 8)
+              AS BIGINT) % {m} AS p
+  FROM b CROSS JOIN seeds s
+),
+hits AS (
+  SELECT doc_id, bool_and(pos.pos IS NOT NULL) AS bloom_hit
+  FROM probes LEFT JOIN pos ON probes.p = pos.pos
+  GROUP BY doc_id
+),
+seen AS (SELECT DISTINCT text FROM a WHERE text IS NOT NULL)
+SELECT b.doc_id,
+       CASE WHEN b.text IS NULL THEN false
+            ELSE coalesce(h.bloom_hit, false) END AS bloom_hit,
+       (s.text IS NOT NULL) AS truly_seen
+FROM b
+LEFT JOIN hits h USING (doc_id)
+LEFT JOIN seen s ON b.text = s.text
+"""
+
+
+EXTRA_QUERIES["bloom_dedup"] = QueryDef(q_bloom_dedup, _bloom_oracle())

