@@ -175,8 +175,11 @@ def main() -> int:
             best = None
             for rep in range(3):
                 r0 = time.time()
-                if rep == 0:
-                    _, n_st, df = count_jobs_stages(
+                if rep == 2:
+                    # stage probe on the LAST (warm) rep: the cold rep
+                    # includes one-time cache builds whose stages don't
+                    # price the steady state est_floor_sec estimates
+                    _, n_st, _ = count_jobs_stages(
                         spark,
                         lambda: fn(spark, sf_dir)
                         .write.format("noop")

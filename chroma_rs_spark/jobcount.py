@@ -8,6 +8,13 @@ gate (job-count ceilings on the fused iterative loops, so the round-9
 Implementation: tag the block with a Spark job group and read the
 group's jobs back from the public StatusTracker — no listeners, no
 JVM internals, works on local and cluster masters alike.
+
+Known blind spot: job groups are thread-local, so work submitted from
+OTHER threads inside the block is not counted — in this repo that is
+Structured Streaming's microbatch thread (dedup_ingest's foreachBatch
+jobs; measured 5 visible of ~54 total). Rows whose work runs in a
+stream thread get an UNDER-estimate here; their bench est_floor_sec
+is a lower bound, noted where it matters.
 """
 
 from __future__ import annotations
