@@ -1524,7 +1524,10 @@ agg AS (
   FROM wm GROUP BY doc_id
 )
 SELECT d.doc_id,
-       array_to_string(coalesce(a.bpe_tokens, []), chr(31)) AS bpe_tokens,
+       -- DuckDB's array_to_string([]) is NULL, Spark's array_join of an
+       -- empty array is '' — coalesce so NULL/empty docs match (caught
+       -- by the adversarial-corpus gate, not the clean sf0.01 corpus)
+       coalesce(array_to_string(a.bpe_tokens, chr(31)), '') AS bpe_tokens,
        CAST(coalesce(len(a.bpe_tokens), 0) AS BIGINT) AS n_bpe_tokens
 FROM documents d LEFT JOIN agg a USING (doc_id)
 """
@@ -1553,10 +1556,12 @@ def q_bpe_tokenize_array(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _bpe_tokenize_array_oracle(n: int = _BPE_MERGES) -> str:
     body = _bpe_tokenize_oracle(n)
-    return body.replace(
-        "array_to_string(coalesce(a.bpe_tokens, []), chr(31)) AS bpe_tokens",
+    out = body.replace(
+        "coalesce(array_to_string(a.bpe_tokens, chr(31)), '') AS bpe_tokens",
         "coalesce(a.bpe_tokens, []) AS bpe_tokens",
     )
+    assert out != body, "array-oracle rewrite anchor drifted"
+    return out
 
 
 EXTRA_QUERIES["bpe_tokenize_array"] = QueryDef(

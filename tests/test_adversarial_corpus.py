@@ -81,6 +81,12 @@ QUERIES = [
     "script_profile",
     "lsh_recall",
     "video_near_dup",
+    # round-10 additions: the bounded-state sketches over the same
+    # NULL/empty/multi-space text edges (CMS shingling must skip
+    # NULL/short docs identically in both engines; Bloom must report
+    # bloom_hit=false for NULL probes and never hash NULL corpus text)
+    "cms_heavy_hitters",
+    "bloom_dedup",
 ]
 
 
