@@ -220,3 +220,28 @@ def test_minhash_accuracy_partition_invariant(spark):
 
     a, b = _layouts(_docs(spark), "doc_id")
     assert _canon(minhash_accuracy(a)) == _canon(minhash_accuracy(b))
+
+
+def test_cms_partition_invariant(spark):
+    # counts are partition-order-free by construction; the gate pins it
+    from chroma_rs_spark.operators.dedup import exploded_shingles
+    from chroma_rs_spark.operators.sketch import cms_build
+
+    a, b = _layouts(_docs(spark), "doc_id")
+    sa = cms_build(exploded_shingles(a, "doc_id", "text", 3), "shingle", 3, 64)
+    sb = cms_build(exploded_shingles(b, "doc_id", "text", 3), "shingle", 3, 64)
+    assert _canon(sa) == _canon(sb)
+
+
+def test_bloom_partition_invariant(spark):
+    from chroma_rs_spark.operators.sketch import bloom_build, bloom_contains
+
+    docs = _docs(spark)
+    a, b = _layouts(docs, "doc_id")
+    fa, fb = bloom_build(a, "text", 3, 1 << 12), bloom_build(b, "text", 3, 1 << 12)
+    assert _canon(fa) == _canon(fb)
+    pa = bloom_contains(a, fa, "text", "doc_id", 3, 1 << 12)
+    pb = bloom_contains(b, fb, "text", "doc_id", 3, 1 << 12)
+    assert _canon(pa.select("doc_id", "bloom_hit")) == _canon(
+        pb.select("doc_id", "bloom_hit")
+    )
