@@ -620,6 +620,7 @@ def incremental_minhash_pairs(
     bands: int = 16,
     shingle_k: int = 3,
     max_bucket: int | None | str = "auto",
+    new_index: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup candidate pairs INVOLVING the new batch: new-vs-corpus
     and new-vs-new, against a persisted `minhash_band_index` — the
@@ -649,8 +650,16 @@ def incremental_minhash_pairs(
             f"(num_hashes == bands); got {num_hashes=}, {bands=}"
         )
     max_bucket = _resolve_max_bucket(band_index, max_bucket)
-    new_idx = minhash_band_index(
-        new_docs, id_col, text_col, num_hashes, bands, shingle_k
+    # `new_index`: callers that also PERSIST the batch's band rows (the
+    # streaming ingest) pass the index they already built so each
+    # document's signature is computed exactly once per batch — the
+    # md5-over-shingles pass is the batch's dominant compute term
+    new_idx = (
+        new_index
+        if new_index is not None
+        else minhash_band_index(
+            new_docs, id_col, text_col, num_hashes, bands, shingle_k
+        )
     )
     old = band_index.select(
         "band", "band_key", F.col("id").alias("_oid"), F.lit(False).alias("_new")

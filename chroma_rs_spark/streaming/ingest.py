@@ -160,6 +160,18 @@ def stream_dedup_ingest(
         if not fresh.take(1):
             return
         index = _read_or_empty(index_dir, index_schema)
+        # compute every fresh doc's band signature ONCE per batch
+        # (md5-over-shingles is the batch's dominant compute term) and
+        # share it between the pair miner and the index append below —
+        # the previous shape ran the signature pipeline twice
+        batch_idx = minhash_band_index(
+            fresh,
+            id_col=id_col,
+            text_col=text_col,
+            num_hashes=num_hashes,
+            bands=bands,
+            shingle_k=shingle_k,
+        ).localCheckpoint()
         pairs = incremental_minhash_pairs(
             fresh,
             index,
@@ -169,6 +181,7 @@ def stream_dedup_ingest(
             bands=bands,
             shingle_k=shingle_k,
             max_bucket=max_bucket,
+            new_index=batch_idx,
         ).filter(F.col("est_jaccard") >= F.lit(float(threshold)))
         pairs = pairs.localCheckpoint()
         # corpus wins: exactly one side of a vs_corpus pair is fresh
@@ -194,13 +207,10 @@ def stream_dedup_ingest(
         if not survivors.take(1):
             return
         survivors.write.mode("append").parquet(corpus_dir)
-        minhash_band_index(
-            survivors,
-            id_col=id_col,
-            text_col=text_col,
-            num_hashes=num_hashes,
-            bands=bands,
-            shingle_k=shingle_k,
+        # survivors' index rows = a filter of the checkpointed batch
+        # index, not a second signature pass
+        batch_idx.join(
+            survivors.select(F.col(id_col).alias("id")), "id", "left_semi"
         ).write.mode("append").parquet(index_dir)
 
     checkpoint = checkpoint_dir or _os.path.join(
