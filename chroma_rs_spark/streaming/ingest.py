@@ -224,3 +224,71 @@ def stream_dedup_ingest(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_cms_ingest(
+    spark,
+    stream_docs: DataFrame,
+    sketch_dir: str,
+    text_col: str = "text",
+    depth: int = 4,
+    width: int = 4096,
+    shingle_k: int = 3,
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+):
+    """Maintain a count-min frequency sketch over a document stream —
+    the corpus-drift monitor shape: each micro-batch appends its OWN
+    depth×width sketch segment to ``sketch_dir`` (LSM-style; readers
+    merge segments with one groupBy-sum, the sketch's cellwise-sum
+    merge law). No read-modify-write cycle, so a replayed batch at
+    worst re-appends an identical segment — and because the segment is
+    keyed by nothing batch-specific, the merged COUNTS only stay exact
+    under exactly-once batch delivery; for the monitor use case an
+    over-count from a rare replay is within the sketch's one-sided
+    error model anyway.
+
+    Scale: a segment is ≤ depth×width narrow rows regardless of batch
+    size; compaction (rewrite the dir as its own merge) is the same
+    groupBy — run it whenever segment count grows past a few hundred.
+    """
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from chroma_rs_spark.operators.dedup import exploded_shingles
+    from chroma_rs_spark.operators.sketch import cms_build
+
+    def write_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        items = exploded_shingles(
+            batch_df.filter(F.col(text_col).isNotNull()),
+            id_col=batch_df.columns[0],
+            text_col=text_col,
+            k=shingle_k,
+        )
+        seg = cms_build(items, "shingle", depth=depth, width=width)
+        seg.write.mode("append").parquet(sketch_dir)
+
+    checkpoint = checkpoint_dir or _os.path.join(
+        _os.path.dirname(sketch_dir.rstrip("/")), "_cms_ingest_checkpoint"
+    )
+    writer = (
+        stream_docs.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_cms(spark, sketch_dir: str) -> DataFrame:
+    """Merge all persisted sketch segments: (row, bucket, cnt)."""
+    from pyspark.sql import functions as _F
+
+    return (
+        spark.read.schema("row int, bucket long, cnt long")
+        .parquet(sketch_dir)
+        .groupBy("row", "bucket")
+        .agg(_F.sum("cnt").cast("long").alias("cnt"))
+    )

@@ -471,3 +471,76 @@ EXTRA_QUERIES["dedup_ingest"] = QueryDef(
 
 QUERIES["dedup_ingest"] = EXTRA_QUERIES.pop("dedup_ingest")
 EXTRA_QUERIES["trending_event_types"] = QUERIES.pop("trending_event_types")
+
+
+# ---------------------------------------------------------------------------
+# Round-10: streaming count-min maintenance (`stream_cms_ingest`) — the
+# corpus-drift-monitor shape: two file micro-batches (the dedup_ingest
+# inbox fixture) each append their own depth×width sketch SEGMENT;
+# readers merge segments with one groupBy-sum (the sketch's cellwise
+# merge law). Because count-min is order- and batching-free, the
+# stream-final merged sketch is BIT-EQUAL to the batch sketch over the
+# whole corpus — so this streaming row gets a full SQL oracle (the
+# batch CMS replay), not a rows-only check. Non-empty cells only
+# (~hundreds of rows at sf0.01): driver-canonicalizable scalars.
+# ---------------------------------------------------------------------------
+
+_CMS_STREAM_DEPTH, _CMS_STREAM_WIDTH = 4, 1024
+
+
+def q_stream_cms_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the document inbox through stream_cms_ingest, then read the
+    merged sketch. iterative=True: the stream runs during build."""
+    import shutil
+    import tempfile
+
+    from chroma_rs_spark.streaming.ingest import read_cms, stream_cms_ingest
+
+    inbox = _ingest_inbox(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="cms_ingest_twin_")
+    try:
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{inbox}/*")
+        )
+        q = stream_cms_ingest(
+            spark,
+            stream,
+            f"{root}/sketch",
+            depth=_CMS_STREAM_DEPTH,
+            width=_CMS_STREAM_WIDTH,
+            checkpoint_dir=f"{root}/ckpt",
+        )
+        q.awaitTermination(600)
+        out = read_cms(spark, f"{root}/sketch").localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+def _stream_cms_oracle(
+    depth: int = _CMS_STREAM_DEPTH, width: int = _CMS_STREAM_WIDTH
+) -> str:
+    return f"""
+WITH toks AS (
+  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents WHERE text IS NOT NULL
+),
+sh AS (
+  SELECT concat_ws(' ', t[i], t[i+1], t[i+2]) AS item
+  FROM toks, unnest(range(1, len(t) - 1)) r(i)
+),
+seeds AS (SELECT unnest(range(0, {depth})) AS r)
+SELECT CAST(s.r AS INT) AS row,
+       CAST('0x' || substr(md5(CAST(s.r AS VARCHAR) || ':' || sh.item), 1, 8)
+            AS BIGINT) % {width} AS bucket,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM sh CROSS JOIN seeds s
+GROUP BY 1, 2
+"""
+
+
+EXTRA_QUERIES["stream_cms_ingest"] = QueryDef(
+    q_stream_cms_ingest, _stream_cms_oracle(), iterative=True
+)
