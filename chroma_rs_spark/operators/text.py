@@ -390,9 +390,18 @@ def repetition_signals(
                     ],
                 )
 
-    return fan_out(df.select(id_col, text_col)).mapInPandas(
-        signals, schema=schema
-    )
+    # compute-bound Python kernel (per-doc Counter passes), not a
+    # byte-bound scan: a sub-MB corpus file serializes the whole kernel
+    # on one core under the default 16 MB scan gate (measured: 1.25 s
+    # single-core at sf0.1). The gate here is 64 KB, deliberately BELOW
+    # the 256 KB spread_compute threshold: the optimizer's estimate is
+    # compressed-file bytes scaled by projection (254 KB for the 5000-
+    # doc sf0.1 corpus — 3% under that threshold), while the kernel's
+    # cost tracks DECOMPRESSED text x 9 n-gram passes; 64 KB still
+    # leaves pytest-sized fixtures unshuffled.
+    return fan_out(
+        df.select(id_col, text_col), min_bytes=64 << 10
+    ).mapInPandas(signals, schema=schema)
 
 
 # portable regexes: character classes + bounded quantifiers only, so
@@ -1170,9 +1179,18 @@ def gopher_repetition(
                     columns=[id_col, "n_tokens", *frac_cols, "passes"],
                 )
 
-    return fan_out(df.select(id_col, text_col)).mapInPandas(
-        signals, schema=schema
-    )
+    # compute-bound Python kernel (per-doc Counter passes), not a
+    # byte-bound scan: a sub-MB corpus file serializes the whole kernel
+    # on one core under the default 16 MB scan gate (measured: 1.25 s
+    # single-core at sf0.1). The gate here is 64 KB, deliberately BELOW
+    # the 256 KB spread_compute threshold: the optimizer's estimate is
+    # compressed-file bytes scaled by projection (254 KB for the 5000-
+    # doc sf0.1 corpus — 3% under that threshold), while the kernel's
+    # cost tracks DECOMPRESSED text x 9 n-gram passes; 64 KB still
+    # leaves pytest-sized fixtures unshuffled.
+    return fan_out(
+        df.select(id_col, text_col), min_bytes=64 << 10
+    ).mapInPandas(signals, schema=schema)
 
 
 # C4 cleaning thresholds (Raffel et al. JMLR 2020 §2.2) — line word
