@@ -144,6 +144,7 @@ def apply_bpe(
     NULL/empty documents keep their row with an empty array.
     """
     from chroma_rs_spark.operators.dedup import nonempty_tokens_col
+    from chroma_rs_spark.plans import fan_out
 
     word = _wrap_expr("w")
     for left, right, *_ in merges:
@@ -157,8 +158,13 @@ def apply_bpe(
         word = f"replace({word}, '{esc_pair}', '{esc_merged}')"
     # bind the per-word wrapped string via a 2-step transform (pure
     # HOFs, no correlated subquery), then strip wrappers and split
+    # compute-bound codegen (len(merges) string replaces x every word's
+    # wrapped form), not a byte-bound scan: a single-file corpus would
+    # serialize the whole apply on one core under the default scan
+    # gate — same 64 KB compute gate as the repetition kernels
     return (
-        df.withColumn("_toks", nonempty_tokens_col(text_col))
+        fan_out(df, min_bytes=64 << 10)
+        .withColumn("_toks", nonempty_tokens_col(text_col))
         .withColumn(
             out,
             F.expr(
