@@ -1676,3 +1676,91 @@ def script_profile(
         )
     cols.append(dominant.alias("dominant_script"))
     return df.select(*cols)
+
+
+def normalize_text(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """CCNet-style unicode normalization (Wenzek et al. 2020 §3.1 —
+    the canonical key computed BEFORE hashing in paragraph/line dedup
+    pipelines): returns per document
+
+    * ``nfc_text`` — unicode NFC canonical composition (decomposed
+      `e` + U+0301 and precomposed `é` hash apart; every public web
+      corpus mixes both);
+    * ``folded_text`` — the dedup key: NFC, then accent-fold (NFD →
+      drop Mn combining marks — the utf8proc `strip_accents` rule),
+      then ASCII-whitespace collapse (`[ \\t\\n\\r\\f\\v]+` → one
+      space, trimmed). The class is deliberately ASCII-only so both
+      engines agree on NBSP/ZWSP (preserved, not collapsed);
+    * ``nfc_changed`` / ``fold_changed`` — audit booleans (how much of
+      the corpus the normalizer actually touched);
+    * ``n_chars_folded`` — code-point length of the dedup key.
+
+    NULL-text docs are dropped (the frequency-table inner-join
+    convention the rest of the text family uses).
+
+    Physical shape: ONE vectorized Arrow pass (mapInPandas over the
+    compute-gated fan_out) — unicodedata.normalize is pure per-row
+    CPU with zero cross-doc state, the exact kernel class
+    repetition_signals documents; no shuffle, |docs| in → |docs| out.
+    Parity with the DuckDB oracle (nfc_normalize / strip_accents,
+    both utf8proc) is probed over decomposed, precomposed, ligature,
+    fullwidth, NBSP and ZWSP cases in tests.
+    """
+    import pandas as pd
+
+    from chroma_rs_spark.plans import fan_out
+
+    schema = (
+        f"{id_col} long, nfc_text string, folded_text string, "
+        "nfc_changed boolean, fold_changed boolean, n_chars_folded long"
+    )
+
+    def kernel(batches):
+        import re as _re
+        import unicodedata as _ud
+
+        ws = _re.compile(r"[ \t\n\r\f\v]+")
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:
+                    continue
+                nfc = _ud.normalize("NFC", text)
+                folded = "".join(
+                    c
+                    for c in _ud.normalize("NFD", nfc)
+                    if _ud.category(c) != "Mn"
+                )
+                folded = ws.sub(" ", folded).strip()
+                rows.append(
+                    (
+                        doc_id,
+                        nfc,
+                        folded,
+                        nfc != text,
+                        folded != nfc,
+                        len(folded),
+                    )
+                )
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        id_col,
+                        "nfc_text",
+                        "folded_text",
+                        "nfc_changed",
+                        "fold_changed",
+                        "n_chars_folded",
+                    ],
+                )
+
+    # 64 KB compute gate, same rationale as repetition_signals: the
+    # kernel cost tracks decompressed text, not the optimizer's
+    # compressed-bytes estimate.
+    return fan_out(
+        df.select(id_col, text_col), min_bytes=64 << 10
+    ).mapInPandas(kernel, schema=schema)

@@ -1680,3 +1680,67 @@ for _name in (
 
 for _name in ("tfidf_topk",):
     EXTRA_QUERIES[_name] = QUERIES.pop(_name)
+
+
+# ---------------------------------------------------------------------------
+# text_normalize (round 10): CCNet unicode normalization — the canonical
+# key computed before any hash-based dedup. The corpus is all-ASCII
+# synthetic text, so the row PLANTS unicode twins (every 7th doc gains a
+# +200000-id copy prefixed with decomposed/precomposed accents, an `fi`
+# ligature, fullwidth forms, NBSP, ZWSP, a tab and doubled spaces) so
+# NFC composition, accent folding and whitespace collapse all have work
+# to do and the audit booleans split three ways. Parity of the engines'
+# unicode tables (Python unicodedata vs DuckDB utf8proc) is probed in
+# tests/test_text_normalize.py over the adversarial codepoint set.
+# ---------------------------------------------------------------------------
+
+# explicit \u escapes so no editor/VCS renormalization can silently
+# recompose the decomposed sequences: e+U+0301, precomposed U+00E9,
+# fi-ligature, fullwidth A/1, A+U+030A, i+U+0308, ZWSP, tab, doubled
+# space, precomposed U+01ED, and U+212B ANGSTROM SIGN (NFC remaps it
+# to U+00C5 - a singleton composition, not just a reorder).
+_NORM_PLANT = (
+    "e\u0301cole \u00e9 \ufb01re \uff21\uff11 A\u030a nai\u0308ve"
+    " x\u200by\t z  w\u00a0w2 \u01ed \u212b "
+)
+
+
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chroma_rs_spark.operators.text import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    twins = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.lit(_NORM_PLANT), F.col("text")).alias("text"),
+    )
+    return normalize_text(docs.unionByName(twins))
+
+
+# the regex class is spelled with SQL-literal backslashes (no escape
+# processing in DuckDB regular strings; RE2 resolves \t et al.) and is
+# deliberately ASCII-only — NBSP/ZWSP are preserved by BOTH engines.
+_TEXT_NORMALIZE_ORACLE = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id, '{_NORM_PLANT}' || text AS text
+  FROM documents WHERE doc_id % 7 = 0
+), n AS (
+  SELECT doc_id, text, nfc_normalize(text) AS nfc_text FROM corpus
+  WHERE text IS NOT NULL
+), f AS (
+  SELECT doc_id, text, nfc_text,
+         trim(regexp_replace(strip_accents(nfc_text),
+                             '[ \\t\\n\\r\\f\\v]+', ' ', 'g')) AS folded_text
+  FROM n
+)
+SELECT doc_id, nfc_text, folded_text,
+       nfc_text <> text AS nfc_changed,
+       folded_text <> nfc_text AS fold_changed,
+       CAST(length(folded_text) AS BIGINT) AS n_chars_folded
+FROM f
+"""
+
+EXTRA_QUERIES["text_normalize"] = QueryDef(
+    q_text_normalize, _TEXT_NORMALIZE_ORACLE
+)

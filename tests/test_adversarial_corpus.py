@@ -87,6 +87,10 @@ QUERIES = [
     # bloom_hit=false for NULL probes and never hash NULL corpus text)
     "cms_heavy_hitters",
     "bloom_dedup",
+    # round-10 session 3: unicode normalization over the same edges
+    # (NULL dropped, empty/whitespace-only fold to empty, multi-space
+    # collapses — plus its own planted-unicode twins on top)
+    "text_normalize",
 ]
 
 

@@ -245,3 +245,10 @@ def test_bloom_partition_invariant(spark):
     assert _canon(pa.select("doc_id", "bloom_hit")) == _canon(
         pb.select("doc_id", "bloom_hit")
     )
+
+
+def test_normalize_text_partition_invariant(spark):
+    from chroma_rs_spark.operators.text import normalize_text
+
+    a, b = _layouts(_docs(spark), "doc_id")
+    assert _canon(normalize_text(a)) == _canon(normalize_text(b))
