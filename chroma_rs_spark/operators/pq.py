@@ -453,3 +453,164 @@ def pq_adc_topk_df(
             "adc_dist",
         )
     )
+
+
+def ivfpq_adc_topk_df(
+    items: DataFrame,
+    codebooks,
+    centroids: list[tuple[int, list[float]]],
+    n_probe: int = 4,
+    k: int = 10,
+    probes: DataFrame | None = None,
+    item_id: str = "vec_id",
+    item_emb: str = "embedding",
+    probe_id: str = "query_id",
+    probe_emb: str = "query_embedding",
+) -> DataFrame:
+    """IVF-PQ with RESIDUAL encoding — the composite Faiss index
+    (Jégou et al. TPAMI 2011 §IV; the `IndexIVFPQ` everyone runs at
+    billion scale): a coarse quantizer routes each vector to its
+    nearest centroid cell, PQ encodes the RESIDUAL (vector − cell
+    centroid) rather than the raw vector — residuals concentrate near
+    the origin, so the same codebook budget spends its resolution
+    where the data actually lives — and a query scans only its
+    `n_probe` nearest cells with a PER-CELL ADC lookup table built
+    from the query's residual against that cell.
+
+    Returns (query_id, rank, neighbor_id, cell, adc_dist).
+
+    Why this matters at 100 TB: IVF alone still reads raw vectors in
+    the probed cells (256 B/vector at dim=64 float32); PQ alone scans
+    every code. IVF-PQ reads codes only (m bytes/vector), only in the
+    probed cells — |corpus| × n_probe/n_cells × m bytes per query.
+
+    Physical shape (all DataFrame, oracle-replayable):
+    * cell assignment: one map-side `least(struct(...))` expression
+      over broadcast centroid literals (operators/ivf.py:assign_cells)
+      — no shuffle;
+    * residuals: broadcast join on the ≤|cells| centroid relation,
+      `zip_with` subtract (exact binary doubles both engines share);
+    * encode: the pq_codes_df min-struct argmin keyed (row, subspace),
+      with `cell` carried through — map-side-combinable, no window
+      over the exploded set;
+    * search: the LUT is |queries| × n_probe × m × k tiny rows built
+      from the query residual PER PROBED CELL; candidates join on
+      (cell, mi, code) so only probed-cell codes ever move; the ADC
+      sum is an in-order fold over subspace order (round-6 + -0.0
+      fold, the bm25 discipline) and the final top-k is one bounded
+      per-query window.
+
+    Determinism contract: `centroids` is a driver-tiny list (the
+    persisted index artifact; lowest-id placeholder or trained
+    k-means — same as ivf_topk), codebooks may be `hash_codebooks`
+    (data-independent md5 literals) for full SQL replay or trained.
+    Zero-norm and NULL embeddings are unscorable under the cosine
+    coarse quantizer and are dropped on both the item and probe side
+    (the ann_recall universe rule).
+    """
+    import numpy as np
+
+    from chroma_rs_spark.operators.ivf import assign_cells
+
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, kk, sub = books.shape
+    dim = m * sub
+    spark = items.sparkSession
+    bdf = _codebook_df(spark, books)
+    cent_df = spark.createDataFrame(
+        [(int(cid), [float(x) for x in vec]) for cid, vec in centroids],
+        "cell INT, cvec ARRAY<DOUBLE>",
+    )
+    dist_expr = _SUB_DIST_SQL.format(sub=sub, nd=DIST_DECIMALS)
+
+    scorable = items.filter(
+        F.col(item_emb).isNotNull() & (F.size(item_emb) == dim)
+    )
+    assigned = assign_cells(scorable, centroids, item_emb=item_emb).select(
+        F.col(item_id).alias("_vid"),
+        F.col(item_emb).cast("array<double>").alias("_e"),
+        F.col("cell").cast("int").alias("cell"),
+    )
+    resid = assigned.join(F.broadcast(cent_df), "cell").select(
+        "_vid",
+        "cell",
+        F.expr("zip_with(_e, cvec, (x, y) -> x - y)").alias("_r"),
+    )
+    # encode with `cell` carried through (pq_codes_df's argmin shape)
+    it = resid.selectExpr("_vid", "cell", _subspace_sql("_r", m, sub))
+    codes = (
+        it.join(F.broadcast(bdf), "mi")
+        .withColumn("_d", F.expr(dist_expr))
+        .groupBy("_vid", "cell", "mi")
+        .agg(F.min(F.struct("_d", "ci")).alias("_best"))
+        .select("_vid", "cell", "mi", F.col("_best.ci").alias("code"))
+    )
+
+    if probes is None:
+        raise ValueError("ivfpq_adc_topk_df: probes DataFrame required")
+    pr = probes.filter(
+        F.col(probe_emb).isNotNull() & (F.size(probe_emb) == dim)
+    ).select(
+        F.col(probe_id).alias("_qid"),
+        F.col(probe_emb).cast("array<double>").alias("_qe"),
+    )
+    # probe cells: rounded cosine to each centroid, lowest n_probe
+    # (ties to the lower cell id) — the oracle's ROW_NUMBER contract.
+    # |queries| x |cells| is tiny; both relations broadcast.
+    from chroma_rs_spark.functions.vector import dot_product_sql, l2_norm_sql
+
+    qnorm = pr.withColumn(
+        "_qnorm", F.expr(l2_norm_sql("_qe"))
+    ).filter(F.col("_qnorm") != F.lit(0.0))
+    qc = qnorm.crossJoin(F.broadcast(cent_df)).withColumn(
+        "_cd",
+        F.expr(
+            f"round(1.0D - {dot_product_sql('_qe', 'cvec')}"
+            f" / (_qnorm * {l2_norm_sql('cvec')}),"
+            f" {DIST_DECIMALS}) + 0.0D"
+        ),
+    )
+    wp = Window.partitionBy("_qid").orderBy(
+        F.col("_cd").asc(), F.col("cell").asc()
+    )
+    probed = (
+        qc.withColumn("_rn", F.row_number().over(wp))
+        .filter(F.col("_rn") <= n_probe)
+        .select(
+            "_qid",
+            "cell",
+            F.expr("zip_with(_qe, cvec, (x, y) -> x - y)").alias("_qr"),
+        )
+    )
+    lut = (
+        probed.selectExpr("_qid", "cell", _subspace_sql("_qr", m, sub))
+        .join(F.broadcast(bdf), "mi")
+        .withColumn("_d", F.expr(dist_expr))
+        .select("_qid", "cell", "mi", F.col("ci").alias("code"), "_d")
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["cell", "mi", "code"])
+        .groupBy("_qid", "_vid", "cell")
+        .agg(F.array_sort(F.collect_list(F.struct("mi", "_d"))).alias("_l"))
+        .selectExpr(
+            "_qid",
+            "_vid",
+            "cell",
+            "round(aggregate(_l, 0D, (a, x) -> a + x._d),"
+            f" {DIST_DECIMALS}) + 0.0D AS adc_dist",
+        )
+    )
+    wq = Window.partitionBy("_qid").orderBy(
+        F.col("adc_dist").asc(), F.col("_vid").asc()
+    )
+    return (
+        adc.withColumn("rank", F.row_number().over(wq))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("_qid").alias(probe_id),
+            F.col("rank").cast("long").alias("rank"),
+            F.col("_vid").alias("neighbor_id"),
+            F.col("cell").cast("int").alias("cell"),
+            "adc_dist",
+        )
+    )

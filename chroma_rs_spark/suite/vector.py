@@ -1289,3 +1289,147 @@ for _name in (
     "pq_recall",
 ):
     QUERIES[_name] = EXTRA_QUERIES.pop(_name)
+
+
+# ---------------------------------------------------------------------------
+# ivfpq_topk (round 10): the COMPOSITE Faiss-style index — IVF coarse
+# quantizer + PQ on the RESIDUALS, ADC search with a per-probed-cell
+# lookup table (operators/pq.py:ivfpq_adc_topk_df). Centroids are the
+# deterministic lowest-id vectors (the ivf_topk contract) and codebooks
+# the md5-derived hash_codebooks, so the ENTIRE index build + search —
+# assignment, residuals, encode, per-cell LUT, ADC, top-k — replays in
+# ANSI SQL with the same rounded doubles. The trained-artifact variants
+# stay covered by knn_ivf_trained (trained coarse quantizer, oracle-
+# replayed k-means) and pq_topk/pq_recall (trained codebooks, pytest-
+# pinned + recall-measured).
+# ---------------------------------------------------------------------------
+
+
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chroma_rs_spark.operators.pq import hash_codebooks, ivfpq_adc_topk_df
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivfpq_adc_topk_df(
+        emb,
+        hash_codebooks(_PQ_M, _PQ_K, _PQ_SUB),
+        _small_vectors(spark, sf_dir, IVF_CENTROIDS),
+        n_probe=IVF_PROBE,
+        k=TOP_K,
+        probes=_probe_queries(emb),
+    )
+
+
+def _ivfpq_oracle() -> str:
+    """DuckDB replay of q_ivfpq_topk: identical codebook/centroid
+    derivations (lowest-id cells, md5 codebook literals), the same
+    rounded-cosine assignment and probe ranking (the _KNN_IVF_ORACLE
+    formulas), exact residual subtraction (binary64 a[i]-c[i] on both
+    engines), the _pq_adc_oracle encode/LUT/ADC chain keyed on cell."""
+    from chroma_rs_spark.operators.pq import hash_codebooks
+
+    books = hash_codebooks(_PQ_M, _PQ_K, _PQ_SUB)
+    m, kk, sub = books.shape
+    dim = m * sub
+    vals = ",\n".join(
+        f"({mi}, {ci}, [{', '.join(repr(float(x)) for x in books[mi, ci])}])"
+        for mi in range(m)
+        for ci in range(kk)
+    )
+    dist = (
+        "round(list_sum(list_transform(range(1, {s} + 1),"
+        " i -> (sv[i] - cvec[i]) * (sv[i] - cvec[i]))), 6)"
+    ).format(s=sub)
+    cos_ac = (
+        "ROUND(1.0 - list_dot_product(a.e, c.ce)"
+        " / (sqrt(list_dot_product(a.e, a.e))"
+        " * sqrt(list_dot_product(c.ce, c.ce))), 6) + 0.0"
+    )
+    cos_qc = (
+        "ROUND(1.0 - list_dot_product(q.qe, c.ce)"
+        " / (sqrt(list_dot_product(q.qe, q.qe))"
+        " * sqrt(list_dot_product(c.ce, c.ce))), 6) + 0.0"
+    )
+    return f"""
+WITH books(mi, ci, cvec) AS (VALUES
+{vals}
+),
+u AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) = {dim}
+    AND sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) <> 0
+),
+cent AS (
+  SELECT vec_id AS cell, embedding::DOUBLE[] AS ce
+  FROM embeddings
+  WHERE vec_id < {IVF_CENTROIDS} AND embedding IS NOT NULL
+),
+assign AS (
+  SELECT vec_id, e, cell FROM (
+    SELECT a.vec_id, a.e, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                              ORDER BY {cos_ac}, c.cell) AS rn
+    FROM u a CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+resid AS (
+  SELECT a.vec_id, a.cell,
+         list_transform(range(1, {dim} + 1), i -> a.e[i] - c.ce[i]) AS r
+  FROM assign a JOIN cent c USING (cell)
+),
+it AS (
+  SELECT vec_id, cell, CAST(mi AS INT) AS mi,
+         r[mi * {sub} + 1 : (mi + 1) * {sub}] AS sv
+  FROM resid, unnest(range(0, {m})) t(mi)
+),
+codes AS (
+  SELECT vec_id, cell, mi, ci AS code FROM (
+    SELECT it.vec_id, it.cell, it.mi, b.ci, {dist} AS d,
+           row_number() OVER (PARTITION BY it.vec_id, it.mi
+                              ORDER BY {dist} ASC, b.ci ASC) AS rn
+    FROM it JOIN books b USING (mi)
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS qid, e AS qe FROM u WHERE vec_id < {N_PROBES}),
+probes AS (
+  SELECT qid, qe, cell, ce FROM (
+    SELECT q.qid, q.qe, c.cell, c.ce,
+           ROW_NUMBER() OVER (PARTITION BY q.qid
+                              ORDER BY {cos_qc}, c.cell) AS rn
+    FROM q CROSS JOIN cent c
+  ) WHERE rn <= {IVF_PROBE}
+),
+qres AS (
+  SELECT qid, cell,
+         list_transform(range(1, {dim} + 1), i -> qe[i] - ce[i]) AS r
+  FROM probes
+),
+pr AS (
+  SELECT qid, cell, CAST(mi AS INT) AS mi,
+         r[mi * {sub} + 1 : (mi + 1) * {sub}] AS sv
+  FROM qres, unnest(range(0, {m})) t(mi)
+),
+lut AS (
+  SELECT pr.qid, pr.cell, pr.mi, b.ci AS code, {dist} AS d
+  FROM pr JOIN books b USING (mi)
+),
+adc AS (
+  SELECT l.qid, c2.vec_id, c2.cell,
+         round(list_sum(list(l.d ORDER BY l.mi)), 6) + 0.0 AS adc_dist
+  FROM codes c2
+  JOIN lut l ON c2.cell = l.cell AND c2.mi = l.mi AND c2.code = l.code
+  GROUP BY l.qid, c2.vec_id, c2.cell
+)
+SELECT qid AS query_id,
+       CAST(row_number() OVER (PARTITION BY qid
+                               ORDER BY adc_dist ASC, vec_id ASC) AS BIGINT)
+         AS rank,
+       vec_id AS neighbor_id,
+       CAST(cell AS INT) AS cell,
+       adc_dist
+FROM adc
+QUALIFY rank <= {TOP_K}
+"""
+
+
+EXTRA_QUERIES["ivfpq_topk"] = QueryDef(q_ivfpq_topk, _ivfpq_oracle())
