@@ -1319,12 +1319,18 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivfpq_oracle() -> str:
+def _ivfpq_oracle(final_select: str | None = None) -> str:
     """DuckDB replay of q_ivfpq_topk: identical codebook/centroid
     derivations (lowest-id cells, md5 codebook literals), the same
     rounded-cosine assignment and probe ranking (the _KNN_IVF_ORACLE
     formulas), exact residual subtraction (binary64 a[i]-c[i] on both
-    engines), the _pq_adc_oracle encode/LUT/ADC chain keyed on cell."""
+    engines), the _pq_adc_oracle encode/LUT/ADC chain keyed on cell.
+
+    `final_select` continues the WITH chain past `adc` (the
+    _pq_adc_oracle discipline) — ivfpq_recall ranks the same adc table
+    against exact-L2 truth via the shared _PQ_RECALL_FINAL (sound here
+    because residual ADC approximates TRUE L2: both sides subtract the
+    same cell centroid, so ||(q-c)-(x-c)|| = ||q-x||)."""
     from chroma_rs_spark.operators.pq import hash_codebooks
 
     books = hash_codebooks(_PQ_M, _PQ_K, _PQ_SUB)
@@ -1419,7 +1425,7 @@ adc AS (
   FROM codes c2
   JOIN lut l ON c2.cell = l.cell AND c2.mi = l.mi AND c2.code = l.code
   GROUP BY l.qid, c2.vec_id, c2.cell
-)
+){final_select or f'''
 SELECT qid AS query_id,
        CAST(row_number() OVER (PARTITION BY qid
                                ORDER BY adc_dist ASC, vec_id ASC) AS BIGINT)
@@ -1429,7 +1435,53 @@ SELECT qid AS query_id,
        adc_dist
 FROM adc
 QUALIFY rank <= {TOP_K}
-"""
+'''}"""
 
 
 EXTRA_QUERIES["ivfpq_topk"] = QueryDef(q_ivfpq_topk, _ivfpq_oracle())
+
+
+# ---------------------------------------------------------------------------
+# ivfpq_recall (round 10): recall@10 of the composite IVF-PQ index vs
+# exact L2 truth — the "recall measured, not assumed" rule applied to
+# the new index the moment it lands. Reuses _PQ_RECALL_FINAL verbatim:
+# residual ADC approximates TRUE L2 (same-centroid subtraction cancels),
+# so the PQ leg's exact-L2 comparator is the right truth here too. The
+# recall number also prices the IVF routing loss (candidates outside
+# the probed cells are unreachable), which plain pq_recall doesn't see.
+# ---------------------------------------------------------------------------
+
+
+def q_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chroma_rs_spark.operators.pq import hash_codebooks, ivfpq_adc_topk_df
+    from chroma_rs_spark.operators.similarity import recall_vs_exact
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    approx = ivfpq_adc_topk_df(
+        emb,
+        hash_codebooks(_PQ_M, _PQ_K, _PQ_SUB),
+        _small_vectors(spark, sf_dir, IVF_CENTROIDS),
+        n_probe=IVF_PROBE,
+        k=TOP_K,
+        probes=_probe_queries(emb),
+    )
+    rep = recall_vs_exact(
+        emb,
+        _probe_queries(emb),
+        approx,
+        k=TOP_K,
+        item_id="vec_id",
+        metric="l2",
+    )
+    return rep.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        "n_exact",
+        "n_approx",
+        "n_hits",
+        "recall",
+    )
+
+
+EXTRA_QUERIES["ivfpq_recall"] = QueryDef(
+    q_ivfpq_recall, _ivfpq_oracle(_PQ_RECALL_FINAL)
+)
