@@ -292,3 +292,62 @@ def read_cms(spark, sketch_dir: str) -> DataFrame:
         .groupBy("row", "bucket")
         .agg(_F.sum("cnt").cast("long").alias("cnt"))
     )
+
+
+def stream_bloom_ingest(
+    spark,
+    stream_docs: DataFrame,
+    bloom_dir: str,
+    text_col: str = "text",
+    k: int = 3,
+    m: int = 8192,
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+):
+    """Maintain a Bloom membership filter over a document stream — the
+    streaming half of the Dolma/CCNet paragraph-dedup pre-filter
+    (`bloom_dedup`): each micro-batch appends its OWN set-bit-position
+    segment (LSM-style, like stream_cms_ingest); readers merge segments
+    with one DISTINCT — Bloom's merge law is bitwise OR, which on the
+    bit-positions-as-rows representation is exactly set union. The
+    stream-final merged filter is therefore bit-equal to the batch
+    filter over the same corpus regardless of batching/order, and a
+    replayed batch re-appends an already-present subset (harmless under
+    OR — unlike the CMS, a Bloom replay cannot even overcount).
+
+    Scale: a segment is ≤ min(k·|batch|, m) narrow int rows; compaction
+    = rewrite the dir as its own distinct.
+    """
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from chroma_rs_spark.operators.sketch import bloom_build
+
+    def write_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        seg = bloom_build(
+            batch_df.filter(F.col(text_col).isNotNull()),
+            text_col=text_col,
+            k=k,
+            m=m,
+        )
+        seg.write.mode("append").parquet(bloom_dir)
+
+    checkpoint = checkpoint_dir or _os.path.join(
+        _os.path.dirname(bloom_dir.rstrip("/")), "_bloom_ingest_checkpoint"
+    )
+    writer = (
+        stream_docs.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_bloom(spark, bloom_dir: str) -> DataFrame:
+    """Merge all persisted filter segments: (pos) distinct set bits."""
+    return (
+        spark.read.schema("pos long").parquet(bloom_dir).distinct()
+    )

@@ -544,3 +544,68 @@ GROUP BY 1, 2
 EXTRA_QUERIES["stream_cms_ingest"] = QueryDef(
     q_stream_cms_ingest, _stream_cms_oracle(), iterative=True
 )
+
+
+# ---------------------------------------------------------------------------
+# Round-10 (session 3): streaming Bloom maintenance — the membership
+# twin of stream_cms_ingest. Each micro-batch appends its own set-bit
+# segment; readers merge with one DISTINCT (Bloom's OR merge law on the
+# bit-positions-as-rows layout). Union is idempotent, so the streaming
+# row is even safer than the CMS one (a replayed batch cannot change
+# the filter at all), and the stream-final merged filter is BIT-EQUAL
+# to the batch build over the same corpus — full SQL oracle.
+# ---------------------------------------------------------------------------
+
+_BLOOM_STREAM_K, _BLOOM_STREAM_M = 3, 8192
+
+
+def q_stream_bloom_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the document inbox through stream_bloom_ingest, then read
+    the merged filter. iterative=True: the stream runs during build."""
+    import shutil
+    import tempfile
+
+    from chroma_rs_spark.streaming.ingest import (
+        read_bloom,
+        stream_bloom_ingest,
+    )
+
+    inbox = _ingest_inbox(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="bloom_ingest_twin_")
+    try:
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{inbox}/*")
+        )
+        q = stream_bloom_ingest(
+            spark,
+            stream,
+            f"{root}/bloom",
+            k=_BLOOM_STREAM_K,
+            m=_BLOOM_STREAM_M,
+            checkpoint_dir=f"{root}/ckpt",
+        )
+        q.awaitTermination(600)
+        out = read_bloom(spark, f"{root}/bloom").localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+def _stream_bloom_oracle(
+    k: int = _BLOOM_STREAM_K, m: int = _BLOOM_STREAM_M
+) -> str:
+    return f"""
+WITH seeds AS (SELECT unnest(range(0, {k})) AS r)
+SELECT DISTINCT
+       CAST('0x' || substr(md5(CAST(s.r AS VARCHAR) || ':' || d.text), 1, 8)
+            AS BIGINT) % {m} AS pos
+FROM documents d CROSS JOIN seeds s
+WHERE d.text IS NOT NULL
+"""
+
+
+EXTRA_QUERIES["stream_bloom_ingest"] = QueryDef(
+    q_stream_bloom_ingest, _stream_bloom_oracle(), iterative=True
+)
