@@ -864,6 +864,14 @@ def stats(engine: Engine, coll: Collection) -> dict:
         "ivf_index": _committed_index_dir(os.path.join(cdir, IVF_INDEX_DIR)),
         "pq_index": _committed_index_dir(os.path.join(cdir, PQ_INDEX_DIR)),
         "pq_codes": _committed_index_dir(os.path.join(cdir, PQ_CODES_DIR)),
+        "ivfpq_index": (
+            _committed_index_dir(
+                os.path.join(cdir, IVFPQ_INDEX_DIR, "centroids")
+            )
+            and _committed_index_dir(
+                os.path.join(cdir, IVFPQ_INDEX_DIR, "codebooks")
+            )
+        ),
     }
 
 
@@ -930,6 +938,141 @@ def _load_pq_index(engine: Engine, coll: Collection):
     return books
 
 
+IVFPQ_INDEX_DIR = "ivfpq_index"
+
+
+def _ivfpq_residuals(
+    unit: DataFrame, cents: list[tuple[int, list[float]]]
+) -> DataFrame:
+    """(id, resid): each unit vector's residual against its assigned
+    cell centroid — the PQ training/encoding domain of the composite
+    index (operators/pq.py:ivfpq_adc_topk_df does the same subtraction
+    inline at search time; training codebooks on the same residual
+    distribution is what makes the codes tight)."""
+    from chroma_rs_spark.operators.ivf import assign_cells
+
+    spark = unit.sparkSession
+    cent_df = spark.createDataFrame(
+        [(int(cid), [float(x) for x in vec]) for cid, vec in cents],
+        "cell INT, cvec ARRAY<DOUBLE>",
+    )
+    assigned = assign_cells(
+        unit.filter(F.col("embedding").isNotNull()), cents
+    )
+    return assigned.join(F.broadcast(cent_df), "cell").select(
+        "id",
+        F.expr(
+            "zip_with(CAST(embedding AS ARRAY<DOUBLE>), cvec,"
+            " (x, y) -> x - y)"
+        ).alias("resid"),
+    )
+
+
+def build_ivfpq_index(
+    engine: Engine,
+    coll: Collection,
+    n_centroids: int = 16,
+    max_iter: int = 5,
+    m: int = 8,
+    k: int = 16,
+    pq_max_iter: int = 10,
+    sample_size: int = 4096,
+) -> str:
+    """Train and PERSIST the collection's composite IVF-PQ index
+    (cosine collections only — the coarse quantizer is the cosine
+    assignment): k-means centroids over UNIT-normalized vectors, then
+    PQ codebooks over the RESIDUALS against those centroids (Jégou et
+    al. TPAMI 2011 — residuals concentrate near the origin, so the
+    codebook budget spends its resolution where the data lives).
+    Both artifacts are tiny and land under one directory as two
+    committed parquet tables; `query(index="ivfpq")` reads them
+    instead of training per query. Same non-persistence rule as the
+    other indexes: item cells/codes are derived at search time, so
+    late-added items stay searchable."""
+    from chroma_rs_spark.operators.ivf import train_centroids_kmeans
+    from chroma_rs_spark.operators.pq import train_pq_codebooks
+
+    metric = (coll.metadata or {}).get("hnsw:space", "l2")
+    if metric != "cosine":
+        raise EngineError(
+            f"index='ivfpq' supports cosine collections only; this "
+            f"collection's hnsw:space is {metric!r}"
+        )
+    src = items_df(engine, coll).filter(F.col("embedding").isNotNull())
+    unit = _unit_vectors(src).filter(F.col("embedding").isNotNull())
+    cents = train_centroids_kmeans(
+        unit,
+        n_centroids=n_centroids,
+        max_iter=max_iter,
+        item_id="id",
+        item_emb="embedding",
+    )
+    books = train_pq_codebooks(
+        _ivfpq_residuals(unit, cents),
+        m=m,
+        k=k,
+        max_iter=pq_max_iter,
+        sample_size=sample_size,
+        item_id="id",
+        item_emb="resid",
+    )
+    root = os.path.join(engine.collection_dir(coll.id), IVFPQ_INDEX_DIR)
+    cent_rows = [
+        (int(lab), int(pos), float(v))
+        for lab, vec in cents
+        for pos, v in enumerate(vec)
+    ]
+    book_rows = [
+        (mi, ci, pos, float(books[mi, ci, pos]))
+        for mi in range(books.shape[0])
+        for ci in range(books.shape[1])
+        for pos in range(books.shape[2])
+    ]
+    # centroids land LAST: _load_ivfpq_index requires both tables
+    # committed, so a crash between the two writes reads as absent
+    # (transient training), never as a mixed-generation index
+    _atomic_index_write(
+        engine.spark.createDataFrame(
+            book_rows, "m INT, code INT, pos INT, value DOUBLE"
+        ).coalesce(1),
+        os.path.join(root, "codebooks"),
+    )
+    _atomic_index_write(
+        engine.spark.createDataFrame(
+            cent_rows, "label INT, pos INT, centroid DOUBLE"
+        ).coalesce(1),
+        os.path.join(root, "centroids"),
+    )
+    return root
+
+
+def _load_ivfpq_index(engine: Engine, coll: Collection):
+    """(centroids, codebooks) or None unless BOTH tables committed."""
+    import numpy as np
+
+    root = os.path.join(engine.collection_dir(coll.id), IVFPQ_INDEX_DIR)
+    cpath = os.path.join(root, "centroids")
+    bpath = os.path.join(root, "codebooks")
+    if not (_committed_index_dir(cpath) and _committed_index_dir(bpath)):
+        return None
+    by_label: dict[int, dict[int, float]] = {}
+    for r in engine.spark.read.parquet(cpath).collect():
+        by_label.setdefault(int(r["label"]), {})[int(r["pos"])] = float(
+            r["centroid"]
+        )
+    cents = [
+        (lab, [d[p] for p in sorted(d)]) for lab, d in sorted(by_label.items())
+    ]
+    rows = engine.spark.read.parquet(bpath).collect()
+    m = max(r["m"] for r in rows) + 1
+    k = max(r["code"] for r in rows) + 1
+    sub = max(r["pos"] for r in rows) + 1
+    books = np.zeros((m, k, sub), dtype=np.float64)
+    for r in rows:
+        books[r["m"], r["code"], r["pos"]] = r["value"]
+    return cents, books
+
+
 def query(
     engine: Engine,
     coll: Collection,
@@ -949,7 +1092,12 @@ def query(
     `n_probe` nearest cells of the persisted IVF centroid index
     (`build_ivf_index`), training a transient in-memory index when
     none is persisted (reads never write; call build_ivf_index to
-    persist); approximate by design — recall grows with n_probe. Both paths share the filter pushdown (where /
+    persist); approximate by design — recall grows with n_probe.
+    `index="pq"` ranks an ADC-oversampled candidate pool exactly;
+    `index="ivfpq"` (cosine only) generates that pool from residual
+    codes in the `n_probe` nearest cells (build_ivfpq_index persists
+    the composite artifact) — both re-score exactly, so approximation
+    affects recall only. All paths share the filter pushdown (where /
     where_document / partition pruning run before the distance work).
 
     Returns (query_id, rank, id, distance[, document][, metadata]).
@@ -1103,8 +1251,85 @@ def query(
             item_norm="embedding_norm" if metric == "cosine" else None,
             dim=len(query_embeddings[0]) if query_embeddings else None,
         )
+    elif index == "ivfpq":
+        if metric != "cosine":
+            raise EngineError(
+                f"index='ivfpq' supports cosine collections only; this "
+                f"collection's hnsw:space is {metric!r}"
+            )
+        import math
+
+        from chroma_rs_spark.operators.ivf import train_centroids_kmeans
+        from chroma_rs_spark.operators.pq import (
+            ivfpq_adc_topk_df,
+            train_pq_codebooks,
+        )
+
+        src = df.filter(F.col("embedding").isNotNull())
+        unit = _unit_vectors(src).filter(F.col("embedding").isNotNull())
+        loaded = _load_ivfpq_index(engine, coll)
+        if loaded is None:
+            # transient, like the ivf/pq paths: reads never write
+            cents = train_centroids_kmeans(
+                unit, item_id="id", item_emb="embedding", strict=False
+            )
+            dim = len(query_embeddings[0]) if query_embeddings else 1
+            m_eff = next(
+                mi for mi in range(min(8, dim), 0, -1) if dim % mi == 0
+            )
+            books = train_pq_codebooks(
+                _ivfpq_residuals(unit, cents),
+                m=m_eff,
+                item_id="id",
+                item_emb="resid",
+            )
+        else:
+            cents, books = loaded
+        qrows = []
+        for i, q in enumerate(query_embeddings):
+            qv = [float(x) for x in q]
+            n = math.sqrt(sum(x * x for x in qv)) or 1.0
+            qrows.append((i, [x / n for x in qv]))
+        probes = engine.spark.createDataFrame(
+            qrows, "query_id INT, query_embedding ARRAY<DOUBLE>"
+        )
+        # ADC over residual codes proposes an oversampled pool from the
+        # probed cells only; the pool is re-scored EXACTLY by the same
+        # knn_exact plan the exact path runs (pq-path discipline), so
+        # approximation affects recall only, never returned distances.
+        cand = ivfpq_adc_topk_df(
+            unit,
+            books,
+            cents,
+            n_probe=n_probe,
+            k=int(n_results) * int(oversample),
+            probes=probes,
+            item_id="id",
+            item_emb="embedding",
+        )
+        pool = cand.select(F.col("neighbor_id").alias("id")).distinct()
+        sub = df.join(pool, "id", "left_semi")
+        queries = engine.spark.createDataFrame(
+            [
+                (i, [float(x) for x in q])
+                for i, q in enumerate(query_embeddings)
+            ],
+            "query_id INT, query_embedding ARRAY<DOUBLE>",
+        )
+        result = knn_exact(
+            sub,
+            queries,
+            k=n_results,
+            metric=metric,
+            item_id="id",
+            item_emb="embedding",
+            item_norm="embedding_norm",
+            dim=len(query_embeddings[0]) if query_embeddings else None,
+        )
     elif index != "exact":
-        raise EngineError(f"unknown index {index!r}; use 'exact', 'ivf' or 'pq'")
+        raise EngineError(
+            f"unknown index {index!r}; use 'exact', 'ivf', 'pq' or 'ivfpq'"
+        )
     else:
         queries = engine.spark.createDataFrame(
             [(i, [float(x) for x in q]) for i, q in enumerate(query_embeddings)],
