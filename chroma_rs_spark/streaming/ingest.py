@@ -351,3 +351,91 @@ def read_bloom(spark, bloom_dir: str) -> DataFrame:
     return (
         spark.read.schema("pos long").parquet(bloom_dir).distinct()
     )
+
+
+def repair_band_index(
+    spark,
+    corpus_dir: str,
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 16,
+    shingle_k: int = 3,
+) -> int:
+    """Heal stream_dedup_ingest's two-write commit gap: docs whose
+    corpus append landed but whose index append did not (crash between
+    the two writes) are invisible to future near-dup mining until their
+    band rows exist. This is the executable form of the one-line repair
+    the stream_dedup_ingest docstring describes — anti-join the corpus
+    ids against the index ids, re-sign exactly the missing docs with
+    the SAME signature parameters the stream used, append their rows.
+    Idempotent (a second run appends nothing) and safe to run while
+    the stream is stopped between triggers. Returns the number of docs
+    repaired.
+
+    Callers own parameter consistency: num_hashes/bands/shingle_k must
+    match the stream's, else the appended rows key a different band
+    space and candidate mining silently misses (the same contract the
+    incremental miner itself documents).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.utils import AnalysisException
+
+    from chroma_rs_spark.operators.dedup import minhash_band_index
+
+    try:
+        corpus = spark.read.parquet(corpus_dir)
+    except AnalysisException:
+        return 0
+    index_schema = "id long, band int, band_key long"
+    try:
+        indexed = spark.read.schema(index_schema).parquet(index_dir)
+    except AnalysisException:
+        indexed = spark.createDataFrame([], index_schema)
+    missing = corpus.join(
+        indexed.select(F.col("id").alias(id_col)).distinct(),
+        id_col,
+        "left_anti",
+    ).localCheckpoint()
+    n = missing.count()
+    if n:
+        minhash_band_index(
+            missing,
+            id_col=id_col,
+            text_col=text_col,
+            num_hashes=num_hashes,
+            bands=bands,
+            shingle_k=shingle_k,
+        ).write.mode("append").parquet(index_dir)
+    return n
+
+
+def compact_sketch_dir(spark, sketch_dir: str, kind: str = "cms") -> int:
+    """Rewrite an LSM-style sketch segment dir as its own merge — the
+    maintenance op the stream_cms_ingest/stream_bloom_ingest docstrings
+    defer (each micro-batch appends a segment; hundreds of segments
+    make readers re-merge hundreds of files). `kind` is "cms" (merge =
+    groupBy-sum) or "bloom" (merge = distinct). Crash-safe two-rename
+    swap: the merged table lands in a temp dir first, so a crash
+    leaves either the original segments or the compacted dir, never a
+    partial mix. Returns the merged row count."""
+    import os as _os
+    import shutil as _shutil
+
+    if kind == "cms":
+        merged = read_cms(spark, sketch_dir)
+    elif kind == "bloom":
+        merged = read_bloom(spark, sketch_dir)
+    else:
+        raise ValueError(f"unknown sketch kind {kind!r}")
+    base = sketch_dir.rstrip("/")
+    tmp, old = base + ".__tmp", base + ".__old"
+    _shutil.rmtree(tmp, ignore_errors=True)
+    _shutil.rmtree(old, ignore_errors=True)
+    merged.coalesce(1).write.parquet(tmp)
+    n = spark.read.parquet(tmp).count()
+    _os.rename(base, old)
+    _os.rename(tmp, base)
+    _shutil.rmtree(old, ignore_errors=True)
+    return n

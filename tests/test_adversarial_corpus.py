@@ -91,6 +91,10 @@ QUERIES = [
     # (NULL dropped, empty/whitespace-only fold to empty, multi-space
     # collapses — plus its own planted-unicode twins on top)
     "text_normalize",
+    # the composite IVF-PQ index over the NULL/zero-vector edges (both
+    # engines drop unscorable vectors from the cosine coarse quantizer)
+    "ivfpq_topk",
+    "ivfpq_recall",
 ]
 
 

@@ -252,3 +252,22 @@ def test_normalize_text_partition_invariant(spark):
 
     a, b = _layouts(_docs(spark), "doc_id")
     assert _canon(normalize_text(a)) == _canon(normalize_text(b))
+
+
+def test_ivfpq_partition_invariant(spark):
+    from chroma_rs_spark.operators.pq import hash_codebooks, ivfpq_adc_topk_df
+
+    emb = _emb(spark)
+    cents = [
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in emb.filter("vec_id < 8 AND embedding IS NOT NULL").collect()
+    ]
+    probes = emb.filter("vec_id < 3").selectExpr(
+        "vec_id AS query_id",
+        "CAST(embedding AS ARRAY<DOUBLE>) AS query_embedding",
+    )
+    books = hash_codebooks(8, 8, 8)
+    a, b = _layouts(emb, "vec_id")
+    got_a = _canon(ivfpq_adc_topk_df(a, books, cents, n_probe=2, k=5, probes=probes))
+    got_b = _canon(ivfpq_adc_topk_df(b, books, cents, n_probe=2, k=5, probes=probes))
+    assert got_a == got_b
