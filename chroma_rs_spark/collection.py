@@ -872,6 +872,9 @@ def stats(engine: Engine, coll: Collection) -> dict:
                 os.path.join(cdir, IVFPQ_INDEX_DIR, "codebooks")
             )
         ),
+        "ivfpq_codes": _committed_index_dir(
+            os.path.join(cdir, IVFPQ_CODES_DIR)
+        ),
     }
 
 
@@ -1028,6 +1031,16 @@ def build_ivfpq_index(
         for ci in range(books.shape[1])
         for pos in range(books.shape[2])
     ]
+    # a materialized codes table encodes against the PREVIOUS artifact:
+    # invalidate BEFORE the new index swaps in (the build_pq_index
+    # rationale — same-shape stale codes would silently rank garbage)
+    codes_path = os.path.join(engine.collection_dir(coll.id), IVFPQ_CODES_DIR)
+    for stale in (codes_path, codes_path + ".__old", codes_path + ".__tmp"):
+        shutil.rmtree(stale, ignore_errors=True)
+        if os.path.exists(stale):
+            raise EngineError(
+                f"build_ivfpq_index: could not invalidate stale codes {stale}"
+            )
     # centroids land LAST: _load_ivfpq_index requires both tables
     # committed, so a crash between the two writes reads as absent
     # (transient training), never as a mixed-generation index
@@ -1044,6 +1057,53 @@ def build_ivfpq_index(
         os.path.join(root, "centroids"),
     )
     return root
+
+
+IVFPQ_CODES_DIR = "ivfpq_codes"
+
+
+def materialize_ivfpq_codes(engine: Engine, coll: Collection) -> str:
+    """Encode every CURRENT item against the persisted composite index
+    and persist the (id, cell, codes) table — the IVF-PQ scan tier
+    (SCALE.md: 3.2 TB of codes standing in for 100 TB of raw vectors).
+    Same contract as materialize_pq_codes: late-added items are encoded
+    on the fly and unioned at query time; updated embeddings only
+    degrade their own candidate ranks until the next materialize (the
+    exact re-scoring stage always reads current vectors). Requires
+    build_ivfpq_index first."""
+    from chroma_rs_spark.operators.pq import ivfpq_codes_df
+
+    loaded = _load_ivfpq_index(engine, coll)
+    if loaded is None:
+        raise EngineError(
+            "materialize_ivfpq_codes requires build_ivfpq_index first"
+        )
+    cents, books = loaded
+    src = items_df(engine, coll).filter(F.col("embedding").isNotNull())
+    unit = _unit_vectors(src).filter(F.col("embedding").isNotNull())
+    path = os.path.join(engine.collection_dir(coll.id), IVFPQ_CODES_DIR)
+    _atomic_index_write(
+        ivfpq_codes_df(unit, books, cents, item_id="id"),
+        path,
+    )
+    return path
+
+
+def _load_ivfpq_codes(
+    engine: Engine, coll: Collection, expected_m: int | None = None
+) -> DataFrame | None:
+    path = os.path.join(engine.collection_dir(coll.id), IVFPQ_CODES_DIR)
+    if not _committed_index_dir(path):
+        return None
+    codes = engine.spark.read.schema(
+        "id string, cell int, codes array<int>"
+    ).parquet(path)
+    if expected_m is not None:
+        # rows encoded under different codebooks read as ABSENT so the
+        # query path re-encodes them on the fly (the _load_pq_codes
+        # defense; build_ivfpq_index also deletes the dir on rebuild)
+        codes = codes.filter(F.size("codes") == F.lit(int(expected_m)))
+    return codes
 
 
 def _load_ivfpq_index(engine: Engine, coll: Collection):
@@ -1293,6 +1353,24 @@ def query(
         probes = engine.spark.createDataFrame(
             qrows, "query_id INT, query_embedding ARRAY<DOUBLE>"
         )
+        # the materialized scan tier when present (materialize_ivfpq_
+        # codes): restrict to the caller's filtered rows, encode only
+        # late-added items on the fly — the pq-path codes discipline
+        codes = None
+        if loaded is not None:
+            from chroma_rs_spark.operators.pq import ivfpq_codes_df
+
+            persisted = _load_ivfpq_codes(
+                engine, coll, expected_m=books.shape[0]
+            )
+            if persisted is not None:
+                persisted = persisted.join(
+                    unit.select("id"), "id", "left_semi"
+                )
+                late = unit.join(persisted.select("id"), "id", "left_anti")
+                codes = persisted.unionByName(
+                    ivfpq_codes_df(late, books, cents, item_id="id")
+                )
         # ADC over residual codes proposes an oversampled pool from the
         # probed cells only; the pool is re-scored EXACTLY by the same
         # knn_exact plan the exact path runs (pq-path discipline), so
@@ -1306,6 +1384,7 @@ def query(
             probes=probes,
             item_id="id",
             item_emb="embedding",
+            codes=codes,
         )
         pool = cand.select(F.col("neighbor_id").alias("id")).distinct()
         sub = df.join(pool, "id", "left_semi")

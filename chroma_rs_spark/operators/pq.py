@@ -455,6 +455,72 @@ def pq_adc_topk_df(
     )
 
 
+def ivfpq_codes_df(
+    items: DataFrame,
+    codebooks,
+    centroids: list[tuple[int, list[float]]],
+    item_id: str = "vec_id",
+    item_emb: str = "embedding",
+    bdf: DataFrame | None = None,
+    cent_df: DataFrame | None = None,
+) -> DataFrame:
+    """(item_id, cell, codes ARRAY<INT>): the composite index's encode
+    stage — cosine cell assignment (map-side least-struct over centroid
+    literals), residual subtraction against the broadcast centroid
+    relation, then the pq_codes_df min-struct argmin per subspace with
+    `cell` carried through; codes[i] is subspace i's codeword (the
+    array_sort over (mi, code) structs pins the order). This is the
+    materializable scan tier: persisted, a query reads m bytes per
+    candidate instead of raw vectors. Zero-norm/NULL/wrong-dim vectors
+    are unscorable under the cosine quantizer and are dropped."""
+    import numpy as np
+
+    from chroma_rs_spark.operators.ivf import assign_cells
+
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, _kk, sub = books.shape
+    dim = m * sub
+    spark = items.sparkSession
+    if bdf is None:
+        bdf = _codebook_df(spark, books)
+    if cent_df is None:
+        cent_df = spark.createDataFrame(
+            [(int(cid), [float(x) for x in vec]) for cid, vec in centroids],
+            "cell INT, cvec ARRAY<DOUBLE>",
+        )
+    dist_expr = _SUB_DIST_SQL.format(sub=sub, nd=DIST_DECIMALS)
+    scorable = items.filter(
+        F.col(item_emb).isNotNull() & (F.size(item_emb) == dim)
+    )
+    assigned = assign_cells(scorable, centroids, item_emb=item_emb).select(
+        F.col(item_id).alias("_vid"),
+        F.col(item_emb).cast("array<double>").alias("_e"),
+        F.col("cell").cast("int").alias("cell"),
+    )
+    resid = assigned.join(F.broadcast(cent_df), "cell").select(
+        "_vid",
+        "cell",
+        F.expr("zip_with(_e, cvec, (x, y) -> x - y)").alias("_r"),
+    )
+    it = resid.selectExpr("_vid", "cell", _subspace_sql("_r", m, sub))
+    return (
+        it.join(F.broadcast(bdf), "mi")
+        .withColumn("_d", F.expr(dist_expr))
+        .groupBy("_vid", "cell", "mi")
+        .agg(F.min(F.struct("_d", "ci")).alias("_best"))
+        .groupBy("_vid", "cell")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("mi", F.col("_best.ci").alias("c")))
+                ),
+                lambda s: s["c"],
+            ).alias("codes")
+        )
+        .select(F.col("_vid").alias(item_id), "cell", "codes")
+    )
+
+
 def ivfpq_adc_topk_df(
     items: DataFrame,
     codebooks,
@@ -466,6 +532,7 @@ def ivfpq_adc_topk_df(
     item_emb: str = "embedding",
     probe_id: str = "query_id",
     probe_emb: str = "query_embedding",
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ with RESIDUAL encoding — the composite Faiss index
     (Jégou et al. TPAMI 2011 §IV; the `IndexIVFPQ` everyone runs at
@@ -507,10 +574,13 @@ def ivfpq_adc_topk_df(
     Zero-norm and NULL embeddings are unscorable under the cosine
     coarse quantizer and are dropped on both the item and probe side
     (the ann_recall universe rule).
+
+    `codes`: optional precomputed `ivfpq_codes_df` output (the
+    materialized 100 TB scan tier — id, cell, codes ARRAY<INT>);
+    when given, the assignment+encode stages are skipped entirely and
+    the search reads m bytes per candidate instead of raw vectors.
     """
     import numpy as np
-
-    from chroma_rs_spark.operators.ivf import assign_cells
 
     books = np.asarray(codebooks, dtype=np.float64)
     m, kk, sub = books.shape
@@ -523,27 +593,15 @@ def ivfpq_adc_topk_df(
     )
     dist_expr = _SUB_DIST_SQL.format(sub=sub, nd=DIST_DECIMALS)
 
-    scorable = items.filter(
-        F.col(item_emb).isNotNull() & (F.size(item_emb) == dim)
-    )
-    assigned = assign_cells(scorable, centroids, item_emb=item_emb).select(
+    if codes is None:
+        codes = ivfpq_codes_df(
+            items, books, centroids, item_id=item_id, item_emb=item_emb,
+            bdf=bdf, cent_df=cent_df,
+        )
+    codes = codes.select(
         F.col(item_id).alias("_vid"),
-        F.col(item_emb).cast("array<double>").alias("_e"),
         F.col("cell").cast("int").alias("cell"),
-    )
-    resid = assigned.join(F.broadcast(cent_df), "cell").select(
-        "_vid",
-        "cell",
-        F.expr("zip_with(_e, cvec, (x, y) -> x - y)").alias("_r"),
-    )
-    # encode with `cell` carried through (pq_codes_df's argmin shape)
-    it = resid.selectExpr("_vid", "cell", _subspace_sql("_r", m, sub))
-    codes = (
-        it.join(F.broadcast(bdf), "mi")
-        .withColumn("_d", F.expr(dist_expr))
-        .groupBy("_vid", "cell", "mi")
-        .agg(F.min(F.struct("_d", "ci")).alias("_best"))
-        .select("_vid", "cell", "mi", F.col("_best.ci").alias("code"))
+        F.posexplode("codes").alias("mi", "code"),
     )
 
     if probes is None:

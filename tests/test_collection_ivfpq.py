@@ -114,3 +114,46 @@ def test_recall_beats_chance_on_clustered_data(ivfpq_coll):
     hits = {r["id"] for r in approx} & {r["id"] for r in exact}
     # clustered fixture: the probed cells contain the true neighbors
     assert len(hits) >= 7
+
+
+def test_materialized_codes_used_and_results_unchanged(ivfpq_coll, engine):
+    c, ids, vecs = ivfpq_coll
+    c.build_ivfpq_index(n_centroids=4, max_iter=3, m=2, k=8, sample_size=64)
+    probe = vecs[9]
+    before = c.query(
+        [probe], n_results=5, index="ivfpq", n_probe=2, oversample=6
+    ).collect()
+    path = c.materialize_ivfpq_codes()
+    assert os.path.isdir(path) and c.stats()["ivfpq_codes"] is True
+    after = c.query(
+        [probe], n_results=5, index="ivfpq", n_probe=2, oversample=6
+    ).collect()
+    assert [tuple(r) for r in after] == [tuple(r) for r in before]
+    # late-added item is still searchable (encoded on the fly + union)
+    c.add(ids=["late_00"], embeddings=[probe], documents=["late twin"])
+    res = c.query(
+        [probe], n_results=2, index="ivfpq", n_probe=2, oversample=6
+    ).collect()
+    assert {r["id"] for r in res} >= {"late_00"}
+    assert all(r["distance"] == 0.0 for r in res if r["id"] == "late_00")
+
+
+def test_rebuild_invalidates_materialized_codes(ivfpq_coll, engine):
+    from chroma_rs_spark.collection import IVFPQ_CODES_DIR
+
+    c, ids, vecs = ivfpq_coll
+    c.build_ivfpq_index(n_centroids=4, max_iter=3, m=2, k=8, sample_size=64)
+    c.materialize_ivfpq_codes()
+    codes_dir = os.path.join(engine.collection_dir(c.id), IVFPQ_CODES_DIR)
+    assert os.path.isdir(codes_dir)
+    # rebuilding with different m must delete the stale codes table
+    c.build_ivfpq_index(n_centroids=4, max_iter=3, m=4, k=8, sample_size=64)
+    assert not os.path.exists(codes_dir)
+    assert c.stats()["ivfpq_codes"] is False
+
+
+def test_materialize_requires_index(engine):
+    c = engine.create_collection("ivfpq_noidx", {"hnsw:space": "cosine"})
+    c.add(ids=["a"], embeddings=[[1.0, 0.0]])
+    with pytest.raises(EngineError):
+        c.materialize_ivfpq_codes()
