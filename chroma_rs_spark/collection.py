@@ -1523,3 +1523,127 @@ def find_duplicates(
             "id", F.coalesce(~F.col("_lose"), F.lit(True)).alias("keep")
         )
     )
+
+
+def find_duplicates_against(
+    engine: Engine,
+    coll: Collection,
+    other: Collection,
+    method: str = "exact",
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Cross-collection duplicate detection: for every item of `coll`,
+    is it a (near-)duplicate of ANYTHING in `other`? The API form of
+    the daily-crawl question the streaming ingest answers per batch
+    (stream_dedup_ingest's "corpus wins" rule): `other` is the
+    accumulated reference corpus, `coll` the new snapshot, and an item
+    matching the reference is marked keep=False. coll-internal
+    duplicates are deliberately NOT considered — run find_duplicates
+    for those; composing both verdicts is the full ingest policy.
+
+    Methods mirror find_duplicates: "exact" (byte-identical documents;
+    returns id, text_sha, keep), "minhash" (banded near-dup text at
+    `threshold` est_jaccard), "embedding" (banded cosine at
+    `threshold`); the pair methods return (id, keep). Unscorable items
+    (NULL document / embedding) keep their rows with keep=True.
+
+    Scale shape: exact is one semi-join on sha2 (map-side hashes,
+    shuffle carries distinct hashes only); minhash mines through
+    `incremental_minhash_pairs` against `other`'s band index — the
+    persisted-index form, so only same-bucket pairs involving the NEW
+    side are ever generated and the reference corpus is never
+    re-paired against itself; embedding unions the two collections
+    through the no-collect banded cosine miner (reference-vs-reference
+    candidates are generated and discarded — acceptable while the
+    miner is self-join-shaped; the minhash path's index form is the
+    one to mirror if this ever dominates). The two collections
+    may share id strings — ids are namespace-prefixed (n:/o:) before
+    any pair generation, so cross pairs are unambiguous.
+    """
+    df = items_df(engine, coll)
+    ref = items_df(engine, other)
+    if method == "exact":
+        scored = df.filter(F.col("document").isNotNull()).select(
+            "id", F.sha2(F.col("document"), 256).alias("text_sha")
+        )
+        ref_sha = (
+            ref.filter(F.col("document").isNotNull())
+            .select(F.sha2(F.col("document"), 256).alias("text_sha"))
+            .distinct()
+        )
+        hit = scored.join(ref_sha, "text_sha", "left_semi").select(
+            "id", F.lit(False).alias("_keep")
+        )
+        return (
+            df.select("id")
+            .join(scored, "id", "left")
+            .join(hit, "id", "left")
+            .select(
+                "id",
+                "text_sha",
+                F.coalesce("_keep", F.lit(True)).alias("keep"),
+            )
+        )
+    if method == "minhash":
+        from chroma_rs_spark.operators.dedup import (
+            incremental_minhash_pairs,
+            minhash_band_index,
+        )
+
+        new_docs = df.filter(F.col("document").isNotNull()).select(
+            F.concat(F.lit("n:"), F.col("id")).alias("id"), "document"
+        )
+        idx = minhash_band_index(
+            ref.filter(F.col("document").isNotNull()).select(
+                F.concat(F.lit("o:"), F.col("id")).alias("id"), "document"
+            ),
+            id_col="id",
+            text_col="document",
+        )
+        pairs = incremental_minhash_pairs(
+            new_docs, idx, id_col="id", text_col="document"
+        ).filter(
+            F.col("vs_corpus")
+            & (F.col("est_jaccard") >= F.lit(float(threshold)))
+        )
+    elif method == "embedding":
+        from chroma_rs_spark.operators.similarity import cosine_pairs_bucketed
+
+        tagged = (
+            df.filter(F.col("embedding").isNotNull())
+            .select(
+                F.concat(F.lit("n:"), F.col("id")).alias("id"), "embedding"
+            )
+            .unionByName(
+                ref.filter(F.col("embedding").isNotNull()).select(
+                    F.concat(F.lit("o:"), F.col("id")).alias("id"),
+                    "embedding",
+                )
+            )
+        )
+        pairs = cosine_pairs_bucketed(
+            tagged, threshold=threshold, id_col="id", emb_col="embedding"
+        ).select("id_a", "id_b")
+    else:
+        raise ValueError(
+            f"find_duplicates_against: unknown method {method!r} "
+            "(expected 'exact', 'minhash', or 'embedding')"
+        )
+    # cross pairs only — EXACTLY one n:-side member (an n:-vs-n: pair
+    # is a coll-internal duplicate, explicitly out of scope here); the
+    # n: member's unprefixed id is the loser ("corpus wins" — the
+    # reference side never loses)
+    a_new = F.col("id_a").startswith("n:")
+    b_new = F.col("id_b").startswith("n:")
+    losers = (
+        pairs.filter(a_new != b_new)
+        .select(F.when(a_new, F.col("id_a")).otherwise(F.col("id_b")).alias("_p"))
+        .select(F.expr("substring(_p, 3)").alias("id"))
+        .distinct()
+        .withColumn("_lose", F.lit(True))
+    )
+    return (
+        df.select("id")
+        .join(losers, "id", "left")
+        .select("id", F.coalesce(~F.col("_lose"), F.lit(True)).alias("keep"))
+    )
