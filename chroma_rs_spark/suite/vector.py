@@ -1485,3 +1485,108 @@ def q_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 EXTRA_QUERIES["ivfpq_recall"] = QueryDef(
     q_ivfpq_recall, _ivfpq_oracle(_PQ_RECALL_FINAL)
 )
+
+
+# ---------------------------------------------------------------------------
+# find_duplicates_cross (round 10): the CROSS-collection dedup bridge
+# driven end-to-end — reference collection = even-id items, new
+# collection = odd-id items + planted copies of every 20th even doc
+# (exact cross duplicates) + one NULL-document item (unscorable, must
+# keep). The oracle replays the planting and the sha semi-join; "corpus
+# wins" means only the NEW side is ever marked.
+# ---------------------------------------------------------------------------
+
+_FINDDUP_CROSS_LIFECYCLE: dict = {}
+
+
+def _finddup_cross_lifecycle(spark: SparkSession, sf_dir: str):
+    import atexit
+    import shutil
+    import tempfile
+
+    from chroma_rs_spark import collection as item_ops
+    from chroma_rs_spark.catalog import Engine
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _FINDDUP_CROSS_LIFECYCLE.get(key)
+    if hit is not None:
+        return hit
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    items = emb.join(docs, emb.vec_id == docs.doc_id).select(
+        F.col("doc_id").cast("long").alias("_nid"),
+        F.col("doc_id").cast("string").alias("id"),
+        F.col("embedding"),
+        F.col("text").alias("document"),
+    )
+    ref_items = items.filter(F.col("_nid") % 2 == 0).drop("_nid")
+    planted = items.filter(F.col("_nid") % 20 == 0).select(
+        F.concat(F.lit("x_"), F.col("id")).alias("id"),
+        "embedding",
+        "document",
+    )
+    nulldoc = items.filter(F.col("_nid") == 1).select(
+        F.lit("null_doc").alias("id"),
+        "embedding",
+        F.lit(None).cast("string").alias("document"),
+    )
+    new_items = (
+        items.filter(F.col("_nid") % 2 == 1)
+        .drop("_nid")
+        .unionByName(planted)
+        .unionByName(nulldoc)
+    )
+    root = tempfile.mkdtemp(prefix="finddup_cross_row_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    eng = Engine(spark, root)
+    refc = eng.create_collection("finddup_cross_ref")
+    item_ops.add_df(eng, refc, ref_items)
+    newc = eng.create_collection("finddup_cross_new")
+    item_ops.add_df(eng, newc, new_items)
+    _FINDDUP_CROSS_LIFECYCLE[key] = (eng, newc, refc)
+    return eng, newc, refc
+
+
+def q_find_duplicates_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chroma_rs_spark import collection as item_ops
+
+    eng, newc, refc = _finddup_cross_lifecycle(spark, sf_dir)
+    return item_ops.find_duplicates_against(
+        eng, newc, refc, method="exact"
+    ).select("id", "text_sha", "keep")
+
+
+_FIND_DUPLICATES_CROSS_ORACLE = """
+WITH uni AS (
+  SELECT d.doc_id AS nid, CAST(d.doc_id AS VARCHAR) AS id,
+         d.text AS document
+  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+),
+newc AS (
+  SELECT id, document FROM uni WHERE nid % 2 = 1
+  UNION ALL
+  SELECT 'x_' || id AS id, document FROM uni WHERE nid % 20 = 0
+  UNION ALL
+  SELECT 'null_doc' AS id, CAST(NULL AS VARCHAR) AS document
+  FROM uni WHERE nid = 1
+),
+refsha AS (
+  SELECT DISTINCT sha256(document) AS text_sha
+  FROM uni WHERE nid % 2 = 0 AND document IS NOT NULL
+),
+scored AS (
+  SELECT id, sha256(document) AS text_sha FROM newc
+  WHERE document IS NOT NULL
+)
+SELECT n.id,
+       s.text_sha,
+       (r.text_sha IS NULL) AS keep
+FROM newc n
+LEFT JOIN scored s USING (id)
+LEFT JOIN refsha r ON s.text_sha = r.text_sha
+"""
+
+
+EXTRA_QUERIES["find_duplicates_cross"] = QueryDef(
+    q_find_duplicates_cross, _FIND_DUPLICATES_CROSS_ORACLE, iterative=True
+)
