@@ -74,15 +74,16 @@ def _partition_key(engine: Engine, coll: Collection) -> str | None:
 
 def _has_parquet(path: str) -> bool:
     """Any parquet file at the top level or inside one level of hive
-    partition directories (the only two layouts we write) — bounded
-    depth, so the driver-side check stays O(directories), not O(files
-    in the whole tree)."""
+    partition directories (the only two layouts we write: `_part=` for
+    partitioned collections, `cell=` for the IVF-PQ code tier) —
+    bounded depth, so the driver-side check stays O(directories), not
+    O(files in the whole tree)."""
     with os.scandir(path) as it:
         subdirs = []
         for e in it:
             if e.is_file() and e.name.endswith(".parquet"):
                 return True
-            if e.is_dir() and e.name.startswith(f"{PARTITION_COL}="):
+            if e.is_dir() and "=" in e.name and not e.name.startswith("."):
                 subdirs.append(e.path)
     for d in subdirs:
         with os.scandir(d) as it:
@@ -591,7 +592,9 @@ def peek(engine: Engine, coll: Collection, limit: int = 10) -> DataFrame:
 
 
 
-def _atomic_index_write(df: DataFrame, path: str) -> None:
+def _atomic_index_write(
+    df: DataFrame, path: str, partition_by: str | None = None
+) -> None:
     """Persist a tiny index artifact with the same crash discipline as
     the data dir: write fully (and _SUCCESS-committed) into a temp dir,
     then one rename swap — a crash mid-build leaves the OLD index
@@ -599,7 +602,10 @@ def _atomic_index_write(df: DataFrame, path: str) -> None:
     would silently zero-fill."""
     tmp = path + ".__tmp"
     shutil.rmtree(tmp, ignore_errors=True)
-    df.write.mode("overwrite").parquet(tmp)
+    writer = df.write.mode("overwrite")
+    if partition_by is not None:
+        writer = writer.partitionBy(partition_by)
+    writer.parquet(tmp)
     if not os.path.isfile(os.path.join(tmp, "_SUCCESS")):
         raise EngineError(f"index write did not commit: {tmp}")
     # same two-rename discipline as _overwrite: the old index is parked,
@@ -1082,9 +1088,14 @@ def materialize_ivfpq_codes(engine: Engine, coll: Collection) -> str:
     src = items_df(engine, coll).filter(F.col("embedding").isNotNull())
     unit = _unit_vectors(src).filter(F.col("embedding").isNotNull())
     path = os.path.join(engine.collection_dir(coll.id), IVFPQ_CODES_DIR)
+    # hive-partitioned BY CELL: a query touches n_probe cells, so the
+    # probed-cell filter the query path applies prunes to n_probe of
+    # n_cells directories at file-listing time — at 100 TB the code
+    # scan reads n_probe/k_cells of the 3.2 TB tier before a byte moves
     _atomic_index_write(
         ivfpq_codes_df(unit, books, cents, item_id="id"),
         path,
+        partition_by="cell",
     )
     return path
 
@@ -1358,17 +1369,36 @@ def query(
         # late-added items on the fly — the pq-path codes discipline
         codes = None
         if loaded is not None:
-            from chroma_rs_spark.operators.pq import ivfpq_codes_df
+            from chroma_rs_spark.operators.pq import (
+                ivfpq_codes_df,
+                ivfpq_probe_cells,
+            )
 
             persisted = _load_ivfpq_codes(
                 engine, coll, expected_m=books.shape[0]
             )
             if persisted is not None:
-                persisted = persisted.join(
-                    unit.select("id"), "id", "left_semi"
-                )
+                # late-add freshness runs on the FULL id column first;
+                # the probed-cell prune then narrows the persisted scan
+                # to n_probe of n_cells hive directories (the codes
+                # table is partitioned BY cell) before any code bytes
+                # move. Pruning after the anti-join keeps non-probed
+                # items out of the "late" set (they'd be re-encoded for
+                # nothing — their cells carry no LUT rows anyway).
                 late = unit.join(persisted.select("id"), "id", "left_anti")
-                codes = persisted.unionByName(
+                probed_cells = [
+                    r["cell"]
+                    for r in ivfpq_probe_cells(
+                        probes, cents, n_probe=n_probe
+                    )
+                    .select("cell")
+                    .distinct()
+                    .collect()
+                ]
+                pruned = persisted.filter(
+                    F.col("cell").isin(probed_cells)
+                ).join(unit.select("id"), "id", "left_semi")
+                codes = pruned.unionByName(
                     ivfpq_codes_df(late, books, cents, item_id="id")
                 )
         # ADC over residual codes proposes an oversampled pool from the

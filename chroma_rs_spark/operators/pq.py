@@ -521,6 +521,66 @@ def ivfpq_codes_df(
     )
 
 
+def ivfpq_probe_cells(
+    probes: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    n_probe: int = 4,
+    dim: int | None = None,
+    probe_id: str = "query_id",
+    probe_emb: str = "query_embedding",
+    cent_df: DataFrame | None = None,
+) -> DataFrame:
+    """(_qid, cell, _qr): each query's `n_probe` nearest cells by
+    rounded cosine (ties to the lower cell id — the oracle's ROW_NUMBER
+    contract) with the per-cell query residual. |queries| x |cells| is
+    tiny; both relations broadcast. Factored out of ivfpq_adc_topk_df
+    so a caller holding a cell-partitioned materialized code tier can
+    collect the probed cell ids (n_queries x n_probe ints) and push an
+    isin() partition-pruning filter into the code scan before a byte
+    of codes is read. Zero-norm / NULL / wrong-dim probes drop."""
+    from chroma_rs_spark.functions.vector import dot_product_sql, l2_norm_sql
+
+    pr = probes
+    if dim is not None:
+        pr = pr.filter(
+            F.col(probe_emb).isNotNull() & (F.size(probe_emb) == dim)
+        )
+    else:
+        pr = pr.filter(F.col(probe_emb).isNotNull())
+    pr = pr.select(
+        F.col(probe_id).alias("_qid"),
+        F.col(probe_emb).cast("array<double>").alias("_qe"),
+    )
+    if cent_df is None:
+        cent_df = pr.sparkSession.createDataFrame(
+            [(int(cid), [float(x) for x in vec]) for cid, vec in centroids],
+            "cell INT, cvec ARRAY<DOUBLE>",
+        )
+    qnorm = pr.withColumn(
+        "_qnorm", F.expr(l2_norm_sql("_qe"))
+    ).filter(F.col("_qnorm") != F.lit(0.0))
+    qc = qnorm.crossJoin(F.broadcast(cent_df)).withColumn(
+        "_cd",
+        F.expr(
+            f"round(1.0D - {dot_product_sql('_qe', 'cvec')}"
+            f" / (_qnorm * {l2_norm_sql('cvec')}),"
+            f" {DIST_DECIMALS}) + 0.0D"
+        ),
+    )
+    wp = Window.partitionBy("_qid").orderBy(
+        F.col("_cd").asc(), F.col("cell").asc()
+    )
+    return (
+        qc.withColumn("_rn", F.row_number().over(wp))
+        .filter(F.col("_rn") <= n_probe)
+        .select(
+            "_qid",
+            "cell",
+            F.expr("zip_with(_qe, cvec, (x, y) -> x - y)").alias("_qr"),
+        )
+    )
+
+
 def ivfpq_adc_topk_df(
     items: DataFrame,
     codebooks,
@@ -606,39 +666,14 @@ def ivfpq_adc_topk_df(
 
     if probes is None:
         raise ValueError("ivfpq_adc_topk_df: probes DataFrame required")
-    pr = probes.filter(
-        F.col(probe_emb).isNotNull() & (F.size(probe_emb) == dim)
-    ).select(
-        F.col(probe_id).alias("_qid"),
-        F.col(probe_emb).cast("array<double>").alias("_qe"),
-    )
-    # probe cells: rounded cosine to each centroid, lowest n_probe
-    # (ties to the lower cell id) — the oracle's ROW_NUMBER contract.
-    # |queries| x |cells| is tiny; both relations broadcast.
-    from chroma_rs_spark.functions.vector import dot_product_sql, l2_norm_sql
-
-    qnorm = pr.withColumn(
-        "_qnorm", F.expr(l2_norm_sql("_qe"))
-    ).filter(F.col("_qnorm") != F.lit(0.0))
-    qc = qnorm.crossJoin(F.broadcast(cent_df)).withColumn(
-        "_cd",
-        F.expr(
-            f"round(1.0D - {dot_product_sql('_qe', 'cvec')}"
-            f" / (_qnorm * {l2_norm_sql('cvec')}),"
-            f" {DIST_DECIMALS}) + 0.0D"
-        ),
-    )
-    wp = Window.partitionBy("_qid").orderBy(
-        F.col("_cd").asc(), F.col("cell").asc()
-    )
-    probed = (
-        qc.withColumn("_rn", F.row_number().over(wp))
-        .filter(F.col("_rn") <= n_probe)
-        .select(
-            "_qid",
-            "cell",
-            F.expr("zip_with(_qe, cvec, (x, y) -> x - y)").alias("_qr"),
-        )
+    probed = ivfpq_probe_cells(
+        probes,
+        centroids,
+        n_probe=n_probe,
+        dim=dim,
+        probe_id=probe_id,
+        probe_emb=probe_emb,
+        cent_df=cent_df,
     )
     lut = (
         probed.selectExpr("_qid", "cell", _subspace_sql("_qr", m, sub))
