@@ -100,3 +100,58 @@ def test_suite_row_plants_all_three_change_classes(spark):
     assert all(r["fold_changed"] for r in twins)
     originals = [r for r in out if r["doc_id"] < 200000]
     assert originals and all(not r["nfc_changed"] for r in originals)
+
+
+def test_unicode_table_parity_envelope():
+    """Broad-envelope pin of the cross-engine unicode-table agreement
+    the oracle pairing rests on (Python unicodedata vs DuckDB utf8proc
+    can track different Unicode versions): NFC and the accent fold must
+    agree over the Latin/Greek/Cyrillic/compat blocks and random
+    base+combining sequences. Pure-driver test — no Spark. If a
+    unicodedata or DuckDB upgrade ever breaks this, the failure names
+    the exact codepoints to exclude from _NORM_PLANT."""
+    import random
+    import unicodedata as ud
+
+    con = duckdb.connect()
+    cps = sorted(
+        set(
+            list(range(0x20, 0x250))      # latin + extensions
+            + list(range(0x300, 0x530))   # combining, greek, cyrillic
+            + list(range(0x1E00, 0x2010)) # latin extended additional
+            + list(range(0xFB00, 0xFB10)) # ligatures
+            + list(range(0xFF00, 0xFF60)) # fullwidth
+            + [0x212B, 0x2126]            # singleton compositions
+        )
+    )
+    for i in range(0, len(cps), 1000):
+        chunk = [chr(c) for c in cps[i : i + 1000]]
+        rows = con.execute(
+            "SELECT " + ",".join("nfc_normalize(?)" for _ in chunk), chunk
+        ).fetchone()
+        for s, duck in zip(chunk, rows):
+            assert ud.normalize("NFC", s) == duck, hex(ord(s))
+    rng = random.Random(7)
+    bases = [chr(c) for c in range(0x41, 0x7B)] + [
+        chr(c) for c in range(0xC0, 0x180)
+    ]
+    combs = [chr(c) for c in range(0x300, 0x370)]
+    seqs = [
+        "".join(rng.choice(bases) + rng.choice(combs) for _ in range(4))
+        for _ in range(800)
+    ]
+    for i in range(0, len(seqs), 400):
+        chunk = seqs[i : i + 400]
+        rows = con.execute(
+            "SELECT "
+            + ",".join("strip_accents(nfc_normalize(?))" for _ in chunk),
+            chunk,
+        ).fetchone()
+        for s, duck in zip(chunk, rows):
+            nfc = ud.normalize("NFC", s)
+            py = "".join(
+                c
+                for c in ud.normalize("NFD", nfc)
+                if ud.category(c) != "Mn"
+            )
+            assert py == duck, s
