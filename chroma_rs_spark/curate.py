@@ -72,6 +72,7 @@ def curate_corpus(
     id_col: str = "doc_id",
     text_col: str = "text",
     url_col: str | None = None,
+    normalize: bool = False,
     cache: bool = True,
     checkpoint_dir: str | None = None,
     skip: frozenset[str] | set[str] = frozenset(),
@@ -186,6 +187,24 @@ def curate_corpus(
             .select(id_col)
         )
         s0 = _stage("url_dedup", s0.join(u_keep, id_col, "left_semi"))
+
+    # 0b. unicode NFC normalization (CCNet §3.1 — opt-in: the working
+    # text becomes its canonical composition, so decomposed/precomposed
+    # variants of the same document collapse in every later hash-keyed
+    # stage; exact_dedup on unnormalized text treats `é` and `e`+U+0301
+    # as different bytes and MISSES the duplicate). Default off: ASCII
+    # corpora are a fixpoint and the stage would only add a pass.
+    # NULL-text docs drop here (normalize_text's contract — they would
+    # die at the first rule stage anyway, the ledger just names it).
+    if normalize:
+        from chroma_rs_spark.operators.text import normalize_text
+
+        s0 = _stage(
+            "normalize_text",
+            normalize_text(s0, id_col=id_col, text_col=text_col).select(
+                F.col(id_col), F.col("nfc_text").alias(text_col)
+            ),
+        )
 
     # 1. C4 line cleaning + page drops (operates on raw text; its
     # text_clean becomes the working text)

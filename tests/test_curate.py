@@ -352,3 +352,36 @@ def test_checkpoint_resume_after_kill_both_windows(curated, spark, tmp_path):
     got, got_rep = run(ckpt)
     assert got == want_corpus
     assert got_rep == want_rep
+
+
+def test_normalize_stage_makes_nfc_variants_exact_dupes(spark):
+    """normalize=True inserts the CCNet NFC stage before any hash-keyed
+    stage: a decomposed and a precomposed rendering of the SAME text
+    are different bytes to exact_dedup without it (both survive), and
+    one duplicate group with it (min-id keeper wins)."""
+    decomposed = "café résumé words words words."
+    precomposed = "café résumé words words words."
+    assert decomposed != precomposed
+    rows = [
+        (0, decomposed),
+        (1, precomposed),
+        (2, "entirely different text here."),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    only_exact = {
+        "c4_filters", "gopher_quality", "gopher_repetition", "line_dedup",
+        "near_dup_clusters", "remove_duplicate_spans",
+        "ngram_decontamination",
+    }
+    # without normalization both renderings survive exact dedup
+    c_raw, _ = curate_corpus(df, skip=only_exact)
+    assert {r["doc_id"] for r in c_raw.collect()} >= {0, 1, 2}
+    # with it, the pair collapses to the min-id keeper and the ledger
+    # names the stage (NULL-text doc drops there, 4 -> 3)
+    c_norm, report = curate_corpus(df, normalize=True, skip=only_exact)
+    ids = {r["doc_id"] for r in c_norm.collect()}
+    assert 0 in ids and 1 not in ids and 2 in ids
+    rep = {r["stage"]: r["n_docs"] for r in report.collect()}
+    assert rep["input"] == 4 and rep["normalize_text"] == 3
+    assert rep["exact_dedup"] == 2
