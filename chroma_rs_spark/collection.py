@@ -402,6 +402,23 @@ def _predicate(
 # -- A1 add / A2 upsert / A3 update ------------------------------------
 
 
+def _collection_embedder(coll: Collection):
+    """(embed_batch, dim) for the collection's registered
+    `embedding_function` metadata name, or None when unset — the
+    Chroma attach-an-EmbeddingFunction analogue (reference
+    src/client.rs:97 carries the collection metadata map this name
+    lives in)."""
+    name = (coll.metadata or {}).get("embedding_function")
+    if name is None:
+        return None
+    from chroma_rs_spark.functions.embedding import resolve_embedder
+
+    try:
+        return resolve_embedder(str(name))
+    except KeyError as e:
+        raise EngineError(str(e)) from e
+
+
 def add(
     engine: Engine,
     coll: Collection,
@@ -410,7 +427,22 @@ def add(
     documents: Sequence[str] | None = None,
     metadatas: Sequence[dict] | None = None,
 ) -> int:
-    """Append items; duplicate ids (in batch or existing) error (A1)."""
+    """Append items; duplicate ids (in batch or existing) error (A1).
+
+    Chroma auto-embed contract: when `embeddings` is omitted but
+    `documents` given AND the collection metadata names an
+    `embedding_function`, the documents are embedded with it — the
+    same embedder query(query_texts=...) resolves, so stored and probe
+    vectors live in one space."""
+    if embeddings is None and documents is not None:
+        emb = _collection_embedder(coll)
+        if emb is not None:
+            embed_batch, dim = emb
+            mat = embed_batch(list(documents))
+            embeddings = [
+                None if d is None else [float(x) for x in row]
+                for d, row in zip(documents, mat)
+            ]
     new = _items_from_args(engine, ids, embeddings, documents, metadatas)
     if len(set(ids)) != len(ids):
         raise DuplicateIDError("duplicate ids within add() batch")
@@ -1147,7 +1179,7 @@ def _load_ivfpq_index(engine: Engine, coll: Collection):
 def query(
     engine: Engine,
     coll: Collection,
-    query_embeddings: Sequence[Sequence[float]],
+    query_embeddings: Sequence[Sequence[float]] | None = None,
     n_results: int = 10,
     where: dict | None = None,
     where_document: dict | None = None,
@@ -1155,6 +1187,7 @@ def query(
     index: str = "exact",
     n_probe: int = 4,
     oversample: int = 4,
+    query_texts: Sequence[str] | None = None,
 ) -> DataFrame:
     """Batch KNN over the collection under its `hnsw:space` metric.
 
@@ -1172,7 +1205,26 @@ def query(
     where_document / partition pruning run before the distance work).
 
     Returns (query_id, rank, id, distance[, document][, metadata]).
+
+    `query_texts` (Chroma parity): embed the probe strings with the
+    collection's registered `embedding_function` — exactly one of
+    query_texts / query_embeddings must be given; texts on a
+    collection without a registered embedder error loudly.
     """
+    if (query_texts is None) == (query_embeddings is None):
+        raise EngineError(
+            "query: exactly one of query_embeddings / query_texts required"
+        )
+    if query_texts is not None:
+        emb = _collection_embedder(coll)
+        if emb is None:
+            raise EngineError(
+                "query_texts requires the collection metadata to name an "
+                "embedding_function (e.g. {'embedding_function': 'hash64'})"
+            )
+        embed_batch, _dim = emb
+        mat = embed_batch(list(query_texts))
+        query_embeddings = [[float(x) for x in row] for row in mat]
     metric = (coll.metadata or {}).get("hnsw:space", "l2")
     # probe vectors must match the registered collection dim — a wrong
     # length would otherwise score a silent prefix (unrolled distance)

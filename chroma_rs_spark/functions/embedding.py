@@ -65,3 +65,47 @@ def embedding_udf(dim: int = 64, embed_batch=hash_embed_batch) -> Column:
 def embed_text(df, text_col: str = "text", out_col: str = "embedding", dim: int = 64):
     """Attach an embedding column to `df` (default hash embedder)."""
     return df.withColumn(out_col, embedding_udf(dim)(F.col(text_col)))
+
+
+# ---------------------------------------------------------------------------
+# Named embedder registry: Chroma clients attach an EmbeddingFunction
+# OBJECT to a collection; a registry of NAMES is the engine-side
+# analogue that survives the persisted collection metadata (strings
+# only) — create a collection with {"embedding_function": "hash64"}
+# and add(documents=...) / query(query_texts=...) resolve the same
+# deterministic embedder on every session. "hash{dim}" is the built-in
+# family; register_embedder() plugs a real model in under any name.
+# ---------------------------------------------------------------------------
+
+_EMBEDDERS: dict = {}
+
+
+def register_embedder(name: str, embed_batch, dim: int) -> None:
+    """Register `embed_batch: list[str] -> np.ndarray[(n, dim)]` under
+    `name` for collections to reference in their metadata."""
+    _EMBEDDERS[name] = (embed_batch, int(dim))
+
+
+def resolve_embedder(name: str):
+    """(embed_batch, dim) for a registered or built-in name.
+
+    Built-ins: "hash{dim}" (e.g. hash64) — the deterministic
+    feature-hashing embedder at that dimension. Unknown names raise
+    KeyError with the registration hint.
+    """
+    if name in _EMBEDDERS:
+        return _EMBEDDERS[name]
+    if name.startswith("hash"):
+        try:
+            dim = int(name[4:])
+        except ValueError:
+            dim = -1
+        if dim > 0:
+            def batch(texts, _dim=dim):
+                return hash_embed_batch(texts, _dim)
+
+            return batch, dim
+    raise KeyError(
+        f"unknown embedding function {name!r}; use 'hash<dim>' or "
+        "register_embedder(name, fn, dim)"
+    )
