@@ -419,6 +419,25 @@ def _collection_embedder(coll: Collection):
         raise EngineError(str(e)) from e
 
 
+def _auto_embed(coll, embeddings, documents):
+    """Chroma auto-embed contract, shared by add/upsert/update: when
+    embeddings are omitted but documents given and the collection
+    names an embedding_function, embed the documents (update thereby
+    RE-embeds on document change, Chroma's behavior); NULL documents
+    stay NULL-embedded."""
+    if embeddings is not None or documents is None:
+        return embeddings
+    emb = _collection_embedder(coll)
+    if emb is None:
+        return embeddings
+    embed_batch, _dim = emb
+    mat = embed_batch(list(documents))
+    return [
+        None if d is None else [float(x) for x in row]
+        for d, row in zip(documents, mat)
+    ]
+
+
 def add(
     engine: Engine,
     coll: Collection,
@@ -434,15 +453,7 @@ def add(
     `embedding_function`, the documents are embedded with it — the
     same embedder query(query_texts=...) resolves, so stored and probe
     vectors live in one space."""
-    if embeddings is None and documents is not None:
-        emb = _collection_embedder(coll)
-        if emb is not None:
-            embed_batch, dim = emb
-            mat = embed_batch(list(documents))
-            embeddings = [
-                None if d is None else [float(x) for x in row]
-                for d, row in zip(documents, mat)
-            ]
+    embeddings = _auto_embed(coll, embeddings, documents)
     new = _items_from_args(engine, ids, embeddings, documents, metadatas)
     if len(set(ids)) != len(ids):
         raise DuplicateIDError("duplicate ids within add() batch")
@@ -489,8 +500,11 @@ def upsert(
     documents: Sequence[str] | None = None,
     metadatas: Sequence[dict] | None = None,
 ) -> int:
-    """Add-or-replace by id (A2): anti-join existing, union new."""
+    """Add-or-replace by id (A2): anti-join existing, union new.
+    Auto-embeds documents when the collection names an
+    embedding_function (the add() contract)."""
     _check_batch_ids_unique(ids, "upsert")
+    embeddings = _auto_embed(coll, embeddings, documents)
     new = _items_from_args(engine, ids, embeddings, documents, metadatas)
     _check_dim(engine, coll, new)
     existing = items_df(engine, coll)
@@ -514,6 +528,7 @@ def update(
     caller could not tell a no-op from a successful update.
     """
     _check_batch_ids_unique(ids, "update")
+    embeddings = _auto_embed(coll, embeddings, documents)
     patch = _items_from_args(engine, ids, embeddings, documents, metadatas)
     if embeddings is not None:
         # a patch may replace embeddings — same dim discipline as add

@@ -86,3 +86,18 @@ def test_explicit_embeddings_still_win(embed_coll):
     )
     got = embed_coll.get(ids=["explicit"], include=("embeddings",)).collect()
     assert got[0]["embedding"][0] == 1.0
+
+
+def test_upsert_and_update_re_embed(embed_coll):
+    # upsert a changed document: the stored vector must re-embed
+    embed_coll.upsert(ids=["b"], documents=["replacement body text"])
+    res = embed_coll.query(
+        query_texts=["replacement body text"], n_results=1
+    ).collect()
+    assert res[0]["id"] == "b" and res[0]["distance"] == 0.0
+    # update the document: Chroma re-embeds on document change
+    embed_coll.update(ids=["c"], documents=["updated body words"])
+    res = embed_coll.query(
+        query_texts=["updated body words"], n_results=1
+    ).collect()
+    assert res[0]["id"] == "c" and res[0]["distance"] == 0.0
