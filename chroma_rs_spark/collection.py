@@ -1553,6 +1553,9 @@ def find_duplicates(
       (`exact_dedup`); NULL-document items get NULL sha/copies.
     * ``"minhash"``   — near-duplicate TEXT via the banded MinHash
       pair list at `threshold` est_jaccard; returns (id, keep).
+    * ``"simhash"``   — near-duplicate TEXT via banded-Hamming SimHash
+      fingerprints (hamming ≤ 3 of 32 bits, complete by pigeonhole);
+      returns (id, keep). `threshold` is unused by this method.
     * ``"embedding"`` — near-duplicate VECTORS via the banded cosine
       miner at `threshold` (`cosine_pairs_bucketed`, the no-collect
       path — string ids are fine here); returns (id, keep).
@@ -1604,10 +1607,20 @@ def find_duplicates(
             id_col="id",
             emb_col="embedding",
         ).select("id_a", "id_b")
+    elif method == "simhash":
+        from chroma_rs_spark.operators.dedup import simhash_near_pairs
+
+        pairs = simhash_near_pairs(
+            df.filter(F.col("document").isNotNull()).select(
+                "id", "document"
+            ),
+            id_col="id",
+            text_col="document",
+        ).select("id_a", "id_b")
     else:
         raise ValueError(
             f"find_duplicates: unknown method {method!r} "
-            "(expected 'exact', 'minhash', or 'embedding')"
+            "(expected 'exact', 'minhash', 'simhash', or 'embedding')"
         )
     # greedy keeper: a row is a duplicate iff some above-threshold
     # partner has a smaller id (id_a < id_b by construction, so id_b
@@ -1721,10 +1734,28 @@ def find_duplicates_against(
         pairs = cosine_pairs_bucketed(
             tagged, threshold=threshold, id_col="id", emb_col="embedding"
         ).select("id_a", "id_b")
+    elif method == "simhash":
+        from chroma_rs_spark.operators.dedup import simhash_near_pairs
+
+        tagged = (
+            df.filter(F.col("document").isNotNull())
+            .select(
+                F.concat(F.lit("n:"), F.col("id")).alias("id"), "document"
+            )
+            .unionByName(
+                ref.filter(F.col("document").isNotNull()).select(
+                    F.concat(F.lit("o:"), F.col("id")).alias("id"),
+                    "document",
+                )
+            )
+        )
+        pairs = simhash_near_pairs(
+            tagged, id_col="id", text_col="document"
+        ).select("id_a", "id_b")
     else:
         raise ValueError(
             f"find_duplicates_against: unknown method {method!r} "
-            "(expected 'exact', 'minhash', or 'embedding')"
+            "(expected 'exact', 'minhash', 'simhash', or 'embedding')"
         )
     # cross pairs only — EXACTLY one n:-side member (an n:-vs-n: pair
     # is a coll-internal duplicate, explicitly out of scope here); the

@@ -998,3 +998,75 @@ def lsh_recall(
             ).alias("recall"),
         )
     )
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bits: int = 32,
+    bands: int = 4,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """(id_a, id_b, hamming): near-duplicate pairs by SimHash
+    fingerprint distance — banded Hamming candidate generation (split
+    the `bits`-bit fingerprint into `bands` equal slices; a pair with
+    hamming ≤ bands-1 shares at least one slice verbatim, pigeonhole —
+    so the default 4 bands are COMPLETE for max_hamming=3) followed by
+    exact `bit_count(xor)` verification. The same banded-keyed-join
+    shape as the perceptual-hash miner in operators/multimodal.py:
+    only same-slice candidates ever pair, never all-pairs.
+
+    `max_bucket` caps degenerate slice buckets (constant fingerprints
+    — e.g. near-empty documents all hash to 0): a bucket larger than
+    the cap is skipped, trading recall ON THOSE DEGENERATE GROUPS for
+    the quadratic join they would otherwise cost every run (the
+    minhash miner's hot-bucket rationale). Ids order by their column's
+    natural `<` (lexicographic for string ids — the collection
+    contract)."""
+    if bits % bands != 0:
+        raise ValueError(f"bits={bits} not divisible by bands={bands}")
+    slice_bits = bits // bands
+    mask = (1 << slice_bits) - 1
+    fp = simhash(df, id_col=id_col, text_col=text_col, bits=bits)
+    banded = fp.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.expr(
+                        f"shiftright(simhash, {b * slice_bits}) & {mask}"
+                    ).alias("k")
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "key"),
+    )
+    if max_bucket is not None:
+        ok = (
+            banded.groupBy("band", "key")
+            .agg(F.count(F.lit(1)).alias("_bc"))
+            .filter((F.col("_bc") >= 2) & (F.col("_bc") <= max_bucket))
+            .select("band", "key")
+        )
+        banded = banded.join(ok, ["band", "key"], "left_semi")
+    left = banded.select(F.col(id_col).alias("id_a"), "band", "key")
+    right = banded.select(F.col(id_col).alias("id_b"), "band", "key")
+    cand = (
+        left.join(right, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    fa = fp.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("_ha"))
+    fb = fp.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("_hb"))
+    return (
+        cand.join(fa, "id_a")
+        .join(fb, "id_b")
+        .withColumn(
+            "hamming", F.expr("bit_count(_ha ^ _hb)").cast("int")
+        )
+        .filter(F.col("hamming") <= F.lit(int(max_hamming)))
+        .select("id_a", "id_b", "hamming")
+    )

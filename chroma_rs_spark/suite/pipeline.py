@@ -3159,3 +3159,63 @@ LEFT JOIN seen s ON b.text = s.text
 
 
 EXTRA_QUERIES["bloom_dedup"] = QueryDef(q_bloom_dedup, _bloom_oracle())
+
+
+# ---------------------------------------------------------------------------
+# dedup_simhash_pairs (round 10, session 3): the SimHash family's PAIR
+# leg — the fingerprints were oracle-gated since r2 (dedup_simhash) but
+# the banded-Hamming miner on top (operators/dedup.py:simhash_near_pairs,
+# also the collection bridge's method="simhash") had no gated row. The
+# oracle replays fingerprints (the _DEDUP_SIMHASH_ORACLE arithmetic),
+# the 4x8-bit band slicing, the same-slice candidate join and the exact
+# bit_count(xor) verify at max_hamming=3.
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chroma_rs_spark.operators.dedup import simhash_near_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_near_pairs(docs)
+
+
+_DEDUP_SIMHASH_PAIRS_ORACLE = """
+WITH th AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) AS h
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) d,
+       unnest(toks) u(t)
+),
+bits AS (
+  SELECT doc_id, r.j AS j,
+         sum(((h >> r.j) & 1) * 2 - 1) AS s
+  FROM th, range(0, 32) r(j)
+  GROUP BY doc_id, r.j
+),
+fp AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)
+              AS BIGINT) AS simhash
+  FROM bits GROUP BY doc_id
+),
+banded AS (
+  SELECT doc_id, r.b AS band, (simhash >> (r.b * 8)) & 255 AS key
+  FROM fp, range(0, 4) r(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a
+  JOIN banded b ON a.band = b.band AND a.key = b.key
+              AND a.doc_id < b.doc_id
+)
+SELECT c.id_a, c.id_b,
+       CAST(bit_count(xor(fa.simhash, fb.simhash)) AS INT) AS hamming
+FROM cand c
+JOIN fp fa ON fa.doc_id = c.id_a
+JOIN fp fb ON fb.doc_id = c.id_b
+WHERE bit_count(xor(fa.simhash, fb.simhash)) <= 3
+"""
+
+EXTRA_QUERIES["dedup_simhash_pairs"] = QueryDef(
+    q_dedup_simhash_pairs, _DEDUP_SIMHASH_PAIRS_ORACLE
+)

@@ -95,6 +95,10 @@ QUERIES = [
     # engines drop unscorable vectors from the cosine coarse quantizer)
     "ivfpq_topk",
     "ivfpq_recall",
+    # banded-Hamming simhash mining over the same text edges (empty/
+    # whitespace-only docs fingerprint into one degenerate bucket —
+    # both engines must pair them identically)
+    "dedup_simhash_pairs",
 ]
 
 
