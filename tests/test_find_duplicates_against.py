@@ -96,4 +96,4 @@ def test_shared_id_strings_do_not_collide(engine):
 def test_unknown_method(pair_colls):
     new, ref = pair_colls
     with pytest.raises(ValueError):
-        new.find_duplicates_against(ref, method="simhash")
+        new.find_duplicates_against(ref, method="soundex")
