@@ -86,19 +86,6 @@ def hybrid_search_rrf(
     """
     if not terms:
         raise ValueError("hybrid_search_rrf needs a non-empty terms list")
-    bm = bm25_scores(docs, terms, k1=k1, b=b)
-    # only MATCHING documents are lexical candidates: bm25_scores emits
-    # a 0.0 row for every non-matching doc, and ranking those by the
-    # (score desc, id) tie-break would hand low-id non-matches
-    # id-dependent ranks inside the candidate list
-    bm = bm.filter(F.col("bm25") > F.lit(0.0))
-    bm_ranked = _ranked_topn(
-        bm.select(doc_id, "bm25"),
-        [F.col("bm25").desc(), F.col(doc_id).asc()],
-        depth,
-        "bm25_rank",
-        key=doc_id,
-    ).select(doc_id, "bm25_rank")
     from chroma_rs_spark.functions.vector import (
         dot_product_sql,
         float_sql,
@@ -142,12 +129,67 @@ def hybrid_search_rrf(
         "vec_rank",
         key=doc_id,
     ).select(doc_id, "vec_rank")
+    # lexical leg + fusion shared with the ANN-candidate path — only
+    # MATCHING documents are lexical candidates (the bm25 > 0 filter
+    # lives there; ranking 0.0 non-matches by the tie-break would hand
+    # low-id non-matches id-dependent ranks)
+    return hybrid_search_rrf_from_candidates(
+        docs,
+        terms,
+        vec_ranked,
+        k=k,
+        k0=k0,
+        k1=k1,
+        b=b,
+        depth=depth,
+        doc_id=doc_id,
+        require_both=require_both,
+    )
+
+
+def hybrid_search_rrf_from_candidates(
+    docs: DataFrame,
+    terms: list[str],
+    vec_ranked: DataFrame,
+    k: int = 10,
+    k0: int = RRF_K0,
+    k1: float = 1.2,
+    b: float = 0.75,
+    depth: int = RRF_DEPTH,
+    doc_id: str = "doc_id",
+    require_both: bool = True,
+) -> DataFrame:
+    """RRF fusion of the BM25 lexical leg against an INJECTED vector
+    candidate list — `vec_ranked` is (doc_id, vec_rank) rows from
+    whichever index produced them (exact cosine, sign-bucket,
+    IVF-PQ...). This is the scale-path hybrid: at 100 TB the vector
+    leg comes from an ANN index that reads codes in probed cells, not
+    a corpus-wide exact ranking, and fusion only ever sees each
+    system's bounded candidate list. `hybrid_search_rrf` (exact
+    cosine leg) delegates here, so both paths share one fusion
+    arithmetic and one lexical leg. Ranks in `vec_ranked` must follow
+    the repo-wide deterministic tie-break contract; rows ranked past
+    `depth` are truncated before fusion (the candidate-list
+    formulation)."""
+    if not terms:
+        raise ValueError(
+            "hybrid_search_rrf_from_candidates needs a non-empty terms list"
+        )
+    bm = bm25_scores(docs, terms, k1=k1, b=b)
+    bm = bm.filter(F.col("bm25") > F.lit(0.0))
+    bm_ranked = _ranked_topn(
+        bm.select(doc_id, "bm25"),
+        [F.col("bm25").desc(), F.col(doc_id).asc()],
+        depth,
+        "bm25_rank",
+        key=doc_id,
+    ).select(doc_id, "bm25_rank")
+    vec_ranked = vec_ranked.filter(F.col("vec_rank") <= F.lit(int(depth)))
     if require_both:
         joined = bm_ranked.join(vec_ranked, doc_id)
         br, vr = F.col("bm25_rank"), F.col("vec_rank")
     else:
         joined = bm_ranked.join(vec_ranked, doc_id, "full_outer")
-        # missing-rank convention: "just past the end of the list"
         miss = F.lit(depth + 1)
         br = F.coalesce(F.col("bm25_rank"), miss)
         vr = F.coalesce(F.col("vec_rank"), miss)

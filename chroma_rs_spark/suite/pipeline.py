@@ -3219,3 +3219,90 @@ WHERE bit_count(xor(fa.simhash, fb.simhash)) <= 3
 EXTRA_QUERIES["dedup_simhash_pairs"] = QueryDef(
     q_dedup_simhash_pairs, _DEDUP_SIMHASH_PAIRS_ORACLE
 )
+
+
+# ---------------------------------------------------------------------------
+# hybrid_search_ivfpq (round 10, session 3): the SCALE-PATH hybrid —
+# RRF fusion where the vector leg is the composite IVF-PQ index's ADC
+# candidate list (probed-cell codes, not a corpus-wide exact ranking).
+# The oracle composes the full _ivfpq_oracle chain (centroids,
+# residuals, encode, per-cell LUT, ADC) with the _bm25_oracle lexical
+# chain and the RRF arithmetic — every stage already individually
+# gated, fused here end-to-end.
+# ---------------------------------------------------------------------------
+
+
+def q_hybrid_search_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chroma_rs_spark.operators.hybrid import (
+        RRF_DEPTH,
+        hybrid_search_rrf_from_candidates,
+    )
+    from chroma_rs_spark.operators.pq import hash_codebooks, ivfpq_adc_topk_df
+    from chroma_rs_spark.suite.text import _BM25_B, _BM25_K1, _BM25_TERMS
+    from chroma_rs_spark.suite.vector import (
+        _PQ_K,
+        _PQ_M,
+        _PQ_SUB,
+        IVF_CENTROIDS,
+        IVF_PROBE,
+        _small_vectors,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("query_embedding"),
+    )
+    ann = ivfpq_adc_topk_df(
+        emb,
+        hash_codebooks(_PQ_M, _PQ_K, _PQ_SUB),
+        _small_vectors(spark, sf_dir, IVF_CENTROIDS),
+        n_probe=IVF_PROBE,
+        k=RRF_DEPTH,
+        probes=probes,
+    )
+    vec_ranked = ann.select(
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").cast("int").alias("vec_rank"),
+    )
+    return hybrid_search_rrf_from_candidates(
+        docs, _BM25_TERMS, vec_ranked, k=10, k1=_BM25_K1, b=_BM25_B
+    )
+
+
+def _hybrid_ivfpq_oracle() -> str:
+    from chroma_rs_spark.operators.hybrid import RRF_DEPTH
+    from chroma_rs_spark.suite.text import _bm25_oracle
+    from chroma_rs_spark.suite.vector import _ivfpq_oracle
+
+    bm25 = _bm25_oracle().strip()
+    tail = f""",
+vec_ranked AS (
+  SELECT vec_id AS doc_id,
+         row_number() OVER (ORDER BY adc_dist ASC, vec_id ASC) AS vec_rank
+  FROM adc WHERE qid = 0
+  QUALIFY vec_rank <= {RRF_DEPTH}
+),
+bm AS ({bm25}),
+bm_ranked AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY bm25 DESC, doc_id) AS bm25_rank
+  FROM bm WHERE bm25 > 0.0
+  QUALIFY bm25_rank <= {RRF_DEPTH}
+)
+SELECT b.doc_id,
+       CAST(b.bm25_rank AS BIGINT) AS bm25_rank,
+       CAST(v.vec_rank AS BIGINT) AS vec_rank,
+       round(1.0 / (60.0 + b.bm25_rank) + 1.0 / (60.0 + v.vec_rank), 6) + 0.0
+           AS rrf
+FROM bm_ranked b JOIN vec_ranked v USING (doc_id)
+ORDER BY rrf DESC, doc_id
+LIMIT 10
+"""
+    return _ivfpq_oracle(tail)
+
+
+EXTRA_QUERIES["hybrid_search_ivfpq"] = QueryDef(
+    q_hybrid_search_ivfpq, _hybrid_ivfpq_oracle()
+)

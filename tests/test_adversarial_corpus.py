@@ -99,6 +99,9 @@ QUERIES = [
     # whitespace-only docs fingerprint into one degenerate bucket —
     # both engines must pair them identically)
     "dedup_simhash_pairs",
+    # scale-path hybrid: IVF-PQ candidate leg + BM25 leg, fused — both
+    # legs' edge handling composed through one fusion
+    "hybrid_search_ivfpq",
 ]
 
 
