@@ -1070,3 +1070,24 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= F.lit(int(max_hamming)))
         .select("id_a", "id_b", "hamming")
     )
+
+
+def exact_dedup_unicode(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """exact_dedup keyed on the UNICODE-FOLDED text (normalize_text's
+    folded key: NFC → accent-fold → ASCII-whitespace collapse) — the
+    third rung of the dedup ladder after byte-exact and ASCII
+    normalization: web corpora mix decomposed/precomposed renderings
+    and accent variants of identical content, which both earlier rungs
+    hash apart (CCNet's motivation for normalizing BEFORE hashing).
+    Returns (id, text_sha, n_copies, keep) — the exact_dedup contract
+    over the folded key; NULL-text docs drop (normalize_text's rule).
+    Same one-shuffle plan downstream of the Arrow normalization pass.
+    """
+    from chroma_rs_spark.operators.text import normalize_text
+
+    folded = normalize_text(df, id_col=id_col, text_col=text_col).select(
+        F.col(id_col), F.col("folded_text")
+    )
+    return exact_dedup(folded, id_col=id_col, text_col="folded_text")

@@ -1744,3 +1744,67 @@ FROM f
 EXTRA_QUERIES["text_normalize"] = QueryDef(
     q_text_normalize, _TEXT_NORMALIZE_ORACLE
 )
+
+
+# ---------------------------------------------------------------------------
+# dedup_unicode_normalized (round 10, session 3): the dedup ladder's
+# unicode rung exercised end-to-end — every 9th doc gains TWO prefixed
+# twins carrying the SAME visible text in different encodings
+# (precomposed U+00E9 vs decomposed e+U+0301): byte-exact sha and the
+# ASCII normalizer both hash them apart; the folded key collapses them
+# into one duplicate group with the lower twin id as keeper. The
+# oracle replays planting, NFC, accent-fold, collapse and the sha
+# grouping.
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_unicode_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chroma_rs_spark.operators.dedup import exact_dedup_unicode
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ninth = docs.filter(F.col("doc_id") % 9 == 0)
+    # explicit escapes: U+00E9 precomposed vs e+U+0301 decomposed —
+    # the pair the folded key must collapse and byte hashing must not
+    twin_pre = ninth.select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.concat(F.lit("\u00e9 "), F.col("text")).alias("text"),
+    )
+    twin_dec = ninth.select(
+        (F.col("doc_id") + 400000).alias("doc_id"),
+        F.concat(F.lit("e\u0301 "), F.col("text")).alias("text"),
+    )
+    return exact_dedup_unicode(
+        docs.unionByName(twin_pre).unionByName(twin_dec)
+    )
+
+
+_DEDUP_UNICODE_ORACLE = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 300000, chr(233) || ' ' || text
+  FROM documents WHERE doc_id % 9 = 0
+  UNION ALL
+  SELECT doc_id + 400000, 'e' || chr(769) || ' ' || text
+  FROM documents WHERE doc_id % 9 = 0
+),
+folded AS (
+  SELECT doc_id,
+         trim(regexp_replace(strip_accents(nfc_normalize(text)),
+                             '[ \\t\\n\\r\\f\\v]+', ' ', 'g')) AS f
+  FROM corpus WHERE text IS NOT NULL
+),
+hashed AS (SELECT doc_id, sha256(f) AS text_sha FROM folded),
+grp AS (
+  SELECT text_sha, CAST(count(*) AS BIGINT) AS n_copies,
+         min(doc_id) AS keeper
+  FROM hashed GROUP BY text_sha
+)
+SELECT h.doc_id, h.text_sha, g.n_copies,
+       (h.doc_id = g.keeper) AS keep
+FROM hashed h JOIN grp g USING (text_sha)
+"""
+
+EXTRA_QUERIES["dedup_unicode_normalized"] = QueryDef(
+    q_dedup_unicode_normalized, _DEDUP_UNICODE_ORACLE
+)

@@ -102,6 +102,10 @@ QUERIES = [
     # scale-path hybrid: IVF-PQ candidate leg + BM25 leg, fused — both
     # legs' edge handling composed through one fusion
     "hybrid_search_ivfpq",
+    # the dedup ladder's unicode rung over the same text edges (NULL
+    # drops, whitespace-only folds to empty — empty docs become ONE
+    # duplicate group on both engines)
+    "dedup_unicode_normalized",
 ]
 
 
