@@ -271,3 +271,10 @@ def test_ivfpq_partition_invariant(spark):
     got_a = _canon(ivfpq_adc_topk_df(a, books, cents, n_probe=2, k=5, probes=probes))
     got_b = _canon(ivfpq_adc_topk_df(b, books, cents, n_probe=2, k=5, probes=probes))
     assert got_a == got_b
+
+
+def test_simhash_pairs_partition_invariant(spark):
+    from chroma_rs_spark.operators.dedup import simhash_near_pairs
+
+    a, b = _layouts(_docs(spark), "doc_id")
+    assert _canon(simhash_near_pairs(a)) == _canon(simhash_near_pairs(b))
