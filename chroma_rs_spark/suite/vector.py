@@ -1590,3 +1590,103 @@ LEFT JOIN refsha r ON s.text_sha = r.text_sha
 EXTRA_QUERIES["find_duplicates_cross"] = QueryDef(
     q_find_duplicates_cross, _FIND_DUPLICATES_CROSS_ORACLE, iterative=True
 )
+
+
+# ---------------------------------------------------------------------------
+# find_duplicates_cross_minhash (round 10, session 3): the cross-
+# collection bridge's NEAR-DUP leg — the same two-collection lifecycle
+# as find_duplicates_cross, judged by banded MinHash against the
+# reference's band index (incremental_minhash_pairs under the hood,
+# n:/o: prefix disambiguation). The oracle replays prefixed-id
+# signatures with the shared universal-hash constants and keeps only
+# cross pairs at est_jaccard >= 0.7; planted copies (jaccard 1.0) must
+# be marked, the NULL-document item keeps.
+# ---------------------------------------------------------------------------
+
+
+def q_find_duplicates_cross_minhash(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from chroma_rs_spark import collection as item_ops
+
+    eng, newc, refc = _finddup_cross_lifecycle(spark, sf_dir)
+    return item_ops.find_duplicates_against(
+        eng, newc, refc, method="minhash", threshold=0.7
+    )
+
+
+def _find_dup_cross_minhash_oracle() -> str:
+    from chroma_rs_spark.suite.pipeline import (
+        _MINHASH_PARAM_ROWS,
+    )
+    from chroma_rs_spark.operators.dedup import MINHASH_P
+
+    return f"""
+WITH uni AS (
+  SELECT d.doc_id AS nid, d.text AS text
+  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+),
+newc_ids AS (
+  SELECT CAST(nid AS VARCHAR) AS id FROM uni WHERE nid % 2 = 1
+  UNION ALL
+  SELECT 'x_' || CAST(nid AS VARCHAR) FROM uni WHERE nid % 20 = 0
+  UNION ALL
+  SELECT 'null_doc' FROM uni WHERE nid = 1
+),
+items AS (
+  SELECT 'n:' || CAST(nid AS VARCHAR) AS id, text FROM uni WHERE nid % 2 = 1
+  UNION ALL
+  SELECT 'n:x_' || CAST(nid AS VARCHAR), text FROM uni WHERE nid % 20 = 0
+  UNION ALL
+  SELECT 'o:' || CAST(nid AS VARCHAR), text FROM uni WHERE nid % 2 = 0
+),
+sh AS (
+  SELECT id,
+         concat_ws(' ', toks[i], toks[i+1], toks[i+2]) AS shingle
+  FROM (SELECT id, toks, unnest(range(1, len(toks) - 1)) AS i
+        FROM (SELECT id, string_split(text, ' ') AS toks
+              FROM items WHERE text IS NOT NULL))
+  WHERE toks[i] <> '' AND toks[i+1] <> '' AND toks[i+2] <> ''
+),
+params(i, a, b) AS (
+  VALUES {_MINHASH_PARAM_ROWS}
+),
+h AS (
+  SELECT id, CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT) AS h
+  FROM sh
+),
+mh AS (
+  SELECT id, p.i AS band, min((h.h * p.a + p.b) % {MINHASH_P}) AS band_key
+  FROM h, params p
+  GROUP BY id, p.i
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM mh a JOIN mh b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id
+  WHERE (a.id LIKE 'n:%') <> (b.id LIKE 'n:%')
+),
+agree AS (
+  SELECT c.id_a, c.id_b,
+         sum(CASE WHEN ma.band_key = mb.band_key THEN 1 ELSE 0 END) AS n_match
+  FROM cand c
+  JOIN mh ma ON ma.id = c.id_a
+  JOIN mh mb ON mb.id = c.id_b AND mb.band = ma.band
+  GROUP BY c.id_a, c.id_b
+),
+losers AS (
+  SELECT DISTINCT
+         substr(CASE WHEN id_a LIKE 'n:%' THEN id_a ELSE id_b END, 3) AS id
+  FROM agree
+  WHERE CAST(n_match AS DOUBLE) / 16.0 >= 0.7
+)
+SELECT n.id, (l.id IS NULL) AS keep
+FROM newc_ids n LEFT JOIN losers l USING (id)
+"""
+
+
+EXTRA_QUERIES["find_duplicates_cross_minhash"] = QueryDef(
+    q_find_duplicates_cross_minhash,
+    _find_dup_cross_minhash_oracle(),
+    iterative=True,
+)
