@@ -1690,3 +1690,88 @@ EXTRA_QUERIES["find_duplicates_cross_minhash"] = QueryDef(
     _find_dup_cross_minhash_oracle(),
     iterative=True,
 )
+
+
+# ---------------------------------------------------------------------------
+# find_duplicates_cross_embedding (round 10, session 3): the cross
+# bridge's VECTOR leg, completing the gated trilogy (exact + minhash +
+# embedding, mirroring the within-collection find_duplicates family):
+# banded-cosine candidates over the n:/o:-tagged union, cross pairs
+# only, "corpus wins". Planted x_ items share their reference twin's
+# vector (cosine 1.0 — must be marked); identical vectors WITHIN the
+# new collection (the null_doc item reuses doc 1's vector) are
+# internal pairs and must NOT mark anything here.
+# ---------------------------------------------------------------------------
+
+
+def q_find_duplicates_cross_embedding(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from chroma_rs_spark import collection as item_ops
+
+    eng, newc, refc = _finddup_cross_lifecycle(spark, sf_dir)
+    return item_ops.find_duplicates_against(
+        eng, newc, refc, method="embedding", threshold=0.7
+    )
+
+
+def _find_dup_cross_embedding_oracle(
+    threshold: float = 0.7, n_planes: int = 8, bands: int = 4
+) -> str:
+    band_cols = []
+    for b in range(bands):
+        bits = ", ".join(
+            f"CASE WHEN embedding[{b * n_planes + i + 1}] >= 0"
+            " THEN '1' ELSE '0' END"
+            for i in range(n_planes)
+        )
+        band_cols.append(f"concat({bits}) AS b{b}")
+    agree = " OR ".join(f"a.b{b} = x.b{b}" for b in range(bands))
+    return f"""
+WITH uni AS (
+  SELECT d.doc_id AS nid, e.embedding
+  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+),
+newc AS (
+  SELECT CAST(nid AS VARCHAR) AS id, embedding FROM uni WHERE nid % 2 = 1
+  UNION ALL
+  SELECT 'x_' || CAST(nid AS VARCHAR), embedding FROM uni WHERE nid % 20 = 0
+  UNION ALL
+  SELECT 'null_doc', embedding FROM uni WHERE nid = 1
+),
+tagged AS (
+  SELECT 'n:' || id AS id, embedding FROM newc
+  UNION ALL
+  SELECT 'o:' || CAST(nid AS VARCHAR), embedding FROM uni WHERE nid % 2 = 0
+),
+v AS (
+  SELECT id, embedding::DOUBLE[] AS e,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+           AS nrm,
+         {", ".join(band_cols)}
+  FROM tagged
+  WHERE embedding IS NOT NULL
+    AND sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) <> 0
+),
+cand AS (
+  SELECT a.id AS id_a, x.id AS id_b,
+         round(list_dot_product(a.e, x.e) / (a.nrm * x.nrm), 6)
+           AS cosine_sim
+  FROM v a JOIN v x ON a.id < x.id AND ({agree})
+  WHERE (a.id LIKE 'n:%') <> (x.id LIKE 'n:%')
+),
+losers AS (
+  SELECT DISTINCT
+         substr(CASE WHEN id_a LIKE 'n:%' THEN id_a ELSE id_b END, 3) AS id
+  FROM cand WHERE cosine_sim >= {threshold!r}
+)
+SELECT n.id, (l.id IS NULL) AS keep
+FROM newc n LEFT JOIN losers l USING (id)
+"""
+
+
+EXTRA_QUERIES["find_duplicates_cross_embedding"] = QueryDef(
+    q_find_duplicates_cross_embedding,
+    _find_dup_cross_embedding_oracle(),
+    iterative=True,
+)
