@@ -431,11 +431,18 @@ def _auto_embed(coll, embeddings, documents):
     if emb is None:
         return embeddings
     embed_batch, _dim = emb
-    mat = embed_batch(list(documents))
-    return [
-        None if d is None else [float(x) for x in row]
-        for d, row in zip(documents, mat)
-    ]
+    # embed only the non-None documents and scatter results back: a
+    # custom register_embedder model (the advertised integration
+    # point) must never see None, even though None docs stay
+    # NULL-embedded regardless
+    docs = list(documents)
+    present = [i for i, d in enumerate(docs) if d is not None]
+    out: list[list[float] | None] = [None] * len(docs)
+    if present:
+        mat = embed_batch([docs[i] for i in present])
+        for i, row in zip(present, mat):
+            out[i] = [float(x) for x in row]
+    return out
 
 
 def add(
@@ -917,14 +924,7 @@ def stats(engine: Engine, coll: Collection) -> dict:
         "ivf_index": _committed_index_dir(os.path.join(cdir, IVF_INDEX_DIR)),
         "pq_index": _committed_index_dir(os.path.join(cdir, PQ_INDEX_DIR)),
         "pq_codes": _committed_index_dir(os.path.join(cdir, PQ_CODES_DIR)),
-        "ivfpq_index": (
-            _committed_index_dir(
-                os.path.join(cdir, IVFPQ_INDEX_DIR, "centroids")
-            )
-            and _committed_index_dir(
-                os.path.join(cdir, IVFPQ_INDEX_DIR, "codebooks")
-            )
-        ),
+        "ivfpq_index": _ivfpq_index_committed(cdir),
         "ivfpq_codes": _committed_index_dir(
             os.path.join(cdir, IVFPQ_CODES_DIR)
         ),
@@ -995,6 +995,17 @@ def _load_pq_index(engine: Engine, coll: Collection):
 
 
 IVFPQ_INDEX_DIR = "ivfpq_index"
+
+
+def _ivfpq_index_committed(cdir: str) -> bool:
+    """Both composite-index tables committed, after healing a crashed
+    root-level promote (build_ivfpq_index swaps the whole generation in
+    one rename, so centroids/codebooks can never mix generations)."""
+    root = os.path.join(cdir, IVFPQ_INDEX_DIR)
+    _recover_interrupted_overwrite(root)
+    return _committed_index_dir(
+        os.path.join(root, "centroids")
+    ) and _committed_index_dir(os.path.join(root, "codebooks"))
 
 
 def _ivfpq_residuals(
@@ -1094,21 +1105,41 @@ def build_ivfpq_index(
             raise EngineError(
                 f"build_ivfpq_index: could not invalidate stale codes {stale}"
             )
-    # centroids land LAST: _load_ivfpq_index requires both tables
-    # committed, so a crash between the two writes reads as absent
-    # (transient training), never as a mixed-generation index
-    _atomic_index_write(
-        engine.spark.createDataFrame(
-            book_rows, "m INT, code INT, pos INT, value DOUBLE"
-        ).coalesce(1),
-        os.path.join(root, "codebooks"),
+    # Both tables promote in ONE root-level rename. Per-table atomic
+    # swaps were only safe on FIRST build (either-absent reads as
+    # absent); on a REBUILD both dirs are already committed, so a crash
+    # between two independent swaps left a fully-committed
+    # mixed-generation index (new codebooks + old centroids) that
+    # _load_ivfpq_index would load — silent recall loss. Writing both
+    # tables under one temp root with a root _SUCCESS marker and
+    # promoting with the same two-rename discipline as _overwrite
+    # makes centroids and codebooks a single generation forever.
+    _recover_interrupted_overwrite(root, cleanup=True)
+    tmp = root + ".__tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    engine.spark.createDataFrame(
+        book_rows, "m INT, code INT, pos INT, value DOUBLE"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(tmp, "codebooks")
     )
-    _atomic_index_write(
-        engine.spark.createDataFrame(
-            cent_rows, "label INT, pos INT, centroid DOUBLE"
-        ).coalesce(1),
-        os.path.join(root, "centroids"),
+    engine.spark.createDataFrame(
+        cent_rows, "label INT, pos INT, centroid DOUBLE"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(tmp, "centroids")
     )
+    for sub in ("codebooks", "centroids"):
+        if not os.path.isfile(os.path.join(tmp, sub, "_SUCCESS")):
+            raise EngineError(f"ivfpq index write did not commit: {tmp}/{sub}")
+    # root-level commit marker: _recover_interrupted_overwrite judges a
+    # parked tmp complete by _SUCCESS at its top level
+    with open(os.path.join(tmp, "_SUCCESS"), "w"):
+        pass
+    old = root + ".__old"
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.isdir(root):
+        os.replace(root, old)
+    os.replace(tmp, root)
+    shutil.rmtree(old, ignore_errors=True)
     return root
 
 
@@ -1168,11 +1199,12 @@ def _load_ivfpq_index(engine: Engine, coll: Collection):
     """(centroids, codebooks) or None unless BOTH tables committed."""
     import numpy as np
 
-    root = os.path.join(engine.collection_dir(coll.id), IVFPQ_INDEX_DIR)
+    cdir = engine.collection_dir(coll.id)
+    if not _ivfpq_index_committed(cdir):
+        return None
+    root = os.path.join(cdir, IVFPQ_INDEX_DIR)
     cpath = os.path.join(root, "centroids")
     bpath = os.path.join(root, "codebooks")
-    if not (_committed_index_dir(cpath) and _committed_index_dir(bpath)):
-        return None
     by_label: dict[int, dict[int, float]] = {}
     for r in engine.spark.read.parquet(cpath).collect():
         by_label.setdefault(int(r["label"]), {})[int(r["pos"])] = float(

@@ -1712,8 +1712,12 @@ def normalize_text(
 
     from chroma_rs_spark.plans import fan_out
 
+    # the id field keeps the INPUT's type (string collection ids and
+    # long testdata doc_ids both pass through untouched) — hardcoding
+    # `long` here made string-id corpora fail at Arrow conversion
+    id_type = df.schema[id_col].dataType.simpleString()
     schema = (
-        f"{id_col} long, nfc_text string, folded_text string, "
+        f"{id_col} {id_type}, nfc_text string, folded_text string, "
         "nfc_changed boolean, fold_changed boolean, n_chars_folded long"
     )
 

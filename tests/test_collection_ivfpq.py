@@ -157,3 +157,55 @@ def test_materialize_requires_index(engine):
     c.add(ids=["a"], embeddings=[[1.0, 0.0]])
     with pytest.raises(EngineError):
         c.materialize_ivfpq_codes()
+
+
+def test_rebuild_crash_windows_never_mix_generations(ivfpq_coll, engine):
+    """REBUILD promotes both tables in ONE root rename: replay every
+    crash window's on-disk state and assert the loader always sees a
+    complete single generation (old m=2 or new m=4), never codebooks
+    from one build with centroids from the other."""
+    import shutil
+
+    from chroma_rs_spark.collection import IVFPQ_INDEX_DIR, _load_ivfpq_index
+
+    c, ids, vecs = ivfpq_coll
+    c.build_ivfpq_index(n_centroids=4, max_iter=3, m=2, k=8, sample_size=64)
+    root = os.path.join(engine.collection_dir(c.id), IVFPQ_INDEX_DIR)
+    gen1 = root + ".__gen1_keep"
+    shutil.copytree(root, gen1)
+    c.build_ivfpq_index(n_centroids=4, max_iter=3, m=4, k=8, sample_size=64)
+    gen2 = root + ".__gen2_keep"
+    shutil.copytree(root, gen2)
+
+    def reset(tmp_from=None, old_from=None, live_from=None):
+        for suffix in ("", ".__tmp", ".__old"):
+            shutil.rmtree(root + suffix, ignore_errors=True)
+        if tmp_from:
+            shutil.copytree(tmp_from, root + ".__tmp")
+        if old_from:
+            shutil.copytree(old_from, root + ".__old")
+        if live_from:
+            shutil.copytree(live_from, root)
+
+    # window A: old parked, committed tmp in place, live missing ->
+    # the NEW generation wins (its write completed)
+    reset(tmp_from=gen2, old_from=gen1)
+    cents, books = _load_ivfpq_index(engine, c)
+    assert books.shape[0] == 4  # m=4 codebooks
+    assert len(cents[0][1]) == 4  # 4-dim centroids of the same build
+    assert os.path.isdir(root) and not os.path.isdir(root + ".__tmp")
+
+    # window B: old parked, tmp UNcommitted (no root _SUCCESS), live
+    # missing -> roll back to the complete OLD generation
+    reset(tmp_from=gen2, old_from=gen1)
+    os.remove(os.path.join(root + ".__tmp", "_SUCCESS"))
+    cents, books = _load_ivfpq_index(engine, c)
+    assert books.shape[0] == 2  # m=2: the parked old build, intact
+
+    # window C: swap finished (live present), stale park dirs remain ->
+    # live generation is authoritative
+    reset(live_from=gen2, old_from=gen1)
+    cents, books = _load_ivfpq_index(engine, c)
+    assert books.shape[0] == 4
+    shutil.rmtree(gen1, ignore_errors=True)
+    shutil.rmtree(gen2, ignore_errors=True)

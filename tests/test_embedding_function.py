@@ -101,3 +101,33 @@ def test_upsert_and_update_re_embed(embed_coll):
         query_texts=["updated body words"], n_results=1
     ).collect()
     assert res[0]["id"] == "c" and res[0]["distance"] == 0.0
+
+
+def test_auto_embed_never_hands_none_to_custom_embedder(engine):
+    """None documents stay NULL-embedded, and the registered model is
+    called with the non-None documents ONLY — a real embedding model
+    (the advertised integration point) would crash or mis-embed on
+    None even though None rows' results are discarded."""
+    import numpy as np
+
+    from chroma_rs_spark.functions.embedding import register_embedder
+
+    seen: list[list[str]] = []
+
+    def strict_embed(texts):
+        assert all(t is not None for t in texts), "embedder saw None"
+        seen.append(list(texts))
+        return np.asarray([[float(len(t)), 1.0] for t in texts])
+
+    register_embedder("strict2", strict_embed, 2)
+    c = engine.create_collection(
+        "strict_none", {"embedding_function": "strict2"}
+    )
+    c.add(ids=["a", "b", "c"], documents=["xx", None, "yyyy"])
+    got = {
+        r["id"]: r["embedding"]
+        for r in c.get(include=["embeddings"]).collect()
+    }
+    assert got["b"] is None
+    assert got["a"] == [2.0, 1.0] and got["c"] == [4.0, 1.0]
+    assert seen == [["xx", "yyyy"]]

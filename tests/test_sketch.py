@@ -114,3 +114,47 @@ def test_bloom_mergeable_by_union_distinct(spark):
     whole = bloom_build(a.unionByName(b), "text", k=3, m=1 << 12)
     assert merged.exceptAll(whole).count() == 0
     assert whole.exceptAll(merged).count() == 0
+
+
+def test_compact_sketch_dir_crash_recovery(spark, tmp_path):
+    """A compaction crash between the two renames leaves the dir
+    readable: committed tmp wins when the live dir is missing, parked
+    old is restored when tmp never committed (ADVICE r10)."""
+    import os
+    import shutil
+
+    from chroma_rs_spark.streaming.ingest import (
+        compact_sketch_dir,
+        read_cms,
+        recover_sketch_dir,
+    )
+
+    base = str(tmp_path / "cms_segments")
+    rows = [(0, 11, 3), (0, 11, 4), (1, 5, 2)]
+    spark.createDataFrame(
+        rows, "row int, bucket long, cnt long"
+    ).write.mode("overwrite").parquet(base)
+    merged_total = 3 + 4 + 2
+
+    def totals():
+        return sum(
+            r["cnt"] for r in read_cms(spark, base).collect()
+        )
+
+    # crash window A: merged tmp committed, base renamed away ->
+    # reader promotes the compacted table
+    n = compact_sketch_dir(spark, base, kind="cms")
+    assert n == 2 and totals() == merged_total
+    shutil.move(base, base + ".__tmp")  # has _SUCCESS: "committed"
+    assert totals() == merged_total and os.path.isdir(base)
+
+    # crash window B: tmp UNcommitted, original parked at .__old ->
+    # reader restores the original segments
+    shutil.move(base, base + ".__old")
+    os.makedirs(base + ".__tmp")
+    assert totals() == merged_total and os.path.isdir(base)
+    assert not os.path.isdir(base + ".__old")
+
+    # healthy dir: recover is a no-op
+    recover_sketch_dir(base)
+    assert totals() == merged_total

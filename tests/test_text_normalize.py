@@ -155,3 +155,21 @@ def test_unicode_table_parity_envelope():
                 if ud.category(c) != "Mn"
             )
             assert py == duck, s
+
+
+def test_normalize_text_string_ids(spark):
+    """String-id corpora (collection ids) pass through normalize_text
+    with their id type preserved (ADVICE r10: the schema hardcoded
+    `long` and string ids failed at Arrow conversion)."""
+    from chroma_rs_spark.operators.text import normalize_text
+
+    df = spark.createDataFrame(
+        [("doc-a", "café"), ("doc-b", "café"), ("doc-c", None)],
+        "id string, text string",
+    )
+    out = normalize_text(df, id_col="id", text_col="text")
+    assert out.schema["id"].dataType.simpleString() == "string"
+    rows = {r["id"]: r for r in out.collect()}
+    assert set(rows) == {"doc-a", "doc-b"}  # NULL text dropped
+    assert rows["doc-a"]["folded_text"] == rows["doc-b"]["folded_text"] == "cafe"
+    assert rows["doc-b"]["nfc_changed"] is True
