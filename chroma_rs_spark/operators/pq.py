@@ -337,6 +337,9 @@ _SUB_DIST_SQL = (
 
 
 def _codebook_df(spark, books) -> DataFrame:
+    """(mi, ci, cvec): one row per codeword — the tiny broadcast
+    relation the LUT stages join (m*k rows; the encode side uses
+    codebook literals instead, see _code_col_sql)."""
     m, kk, _sub = books.shape
     return spark.createDataFrame(
         [
@@ -348,6 +351,122 @@ def _codebook_df(spark, books) -> DataFrame:
     )
 
 
+def _books_by_mi_df(spark, books) -> DataFrame:
+    """One row PER SUBSPACE (mi, cb ARRAY<ARRAY<DOUBLE>>): the
+    broadcast relation the shuffle-free encode joins — k centroids per
+    row instead of _codebook_df's k rows per codeword, so the argmin
+    runs as one per-row least() instead of a min-struct aggregate."""
+    m, kk, _sub = books.shape
+    return spark.createDataFrame(
+        [
+            (mi, [[float(x) for x in books[mi, ci]] for ci in range(kk)])
+            for mi in range(m)
+        ],
+        "mi INT, cb ARRAY<ARRAY<DOUBLE>>",
+    )
+
+
+def _code_least_sql(kk: int, sub: int, nd: int) -> str:
+    """Codeword argmin as ONE map-side expression — the assign_cells
+    least-struct discipline applied to the encode stage. Evaluated per
+    (row, subspace) after the inline() explode, against the joined
+    per-subspace centroid list `cb`. Bit-identical doubles to the old
+    broadcast-join + min-struct-aggregate form: per ci the squared
+    terms accumulate left-to-right from 0D exactly like
+    _SUB_DIST_SQL's in-order fold, the same round(, nd) lands before
+    the argmin, and least() over (d, ci) structs breaks ties to the
+    lower code like min(struct(_d, ci)).
+
+    Sizing (hard-won, keep): the k*sub multiply-adds here (128 at the
+    8x16 default) compile fine, but fusing all m subspaces into one
+    projection — as array()/stack() of least()s over centroid
+    LITERALS, whether as one expression or m separate columns — blows
+    janino's method limit once whole-stage codegen pipelines the
+    encode with the assign/residual stages into a single
+    processNext(), and the silent interpreted fallback ran ~3x
+    slower end to end. The per-subspace explode keeps every generated
+    method small at the cost of an m-row Generate."""
+    cands = []
+    for ci in range(kk):
+        acc = "0D"
+        for i in range(sub):
+            e = f"element_at(sv, {i + 1})"
+            c = f"element_at(element_at(cb, {ci + 1}), {i + 1})"
+            acc = f"({acc} + ({e} - {c}) * ({e} - {c}))"
+        cands.append(f"struct(round({acc}, {nd}) AS d, {ci} AS c)")
+    if len(cands) == 1:
+        return f"{cands[0]}.c"
+    return f"least({', '.join(cands)}).c"
+
+
+def _codes_long(df: DataFrame, emb_col: str, books, nd: int) -> DataFrame:
+    """Append (mi, code) rows per input row: inline the m (mi, sv)
+    subspace slices (a map-side Generate — m small rows per vector,
+    never m*k), broadcast-join the m-row per-subspace codebook
+    relation, then one least-struct argmin per row. One shuffle-free
+    codegen stage; all non-emb columns are carried through. Replaces
+    the k-rows-per-codeword join + min-struct groupBy that shuffled
+    |rows|*m*k exploded rows through an exchange."""
+    m, kk, sub = books.shape
+    carried = [f"`{c}`" for c in df.columns if c != emb_col]
+    bmi = _books_by_mi_df(df.sparkSession, books)
+    return (
+        df.selectExpr(*carried, _subspace_sql(emb_col, m, sub))
+        .join(F.broadcast(bmi), "mi")
+        .selectExpr(
+            *carried, "mi", f"{_code_least_sql(kk, sub, nd)} AS code"
+        )
+    )
+
+
+def _collect_codes_array(long: DataFrame, keys: list[str]) -> DataFrame:
+    """(keys..., codes ARRAY<INT>) from _codes_long rows — codes[i] is
+    subspace i's codeword (array_sort over (mi, code) structs pins the
+    order). One exchange of |rows|*m tiny int rows; the packed array
+    is what makes ADC m lookups per candidate instead of an m-row join
+    fan, so the search side never explodes codes again."""
+    return (
+        long.groupBy(*keys)
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("mi", F.col("code").alias("c")))
+                ),
+                lambda s: s["c"],
+            ).alias("codes")
+        )
+    )
+
+
+def _lut_flat(lut: DataFrame, keys: list[str]) -> DataFrame:
+    """Flatten long LUT rows (keys..., mi, code, _d) into ONE
+    m*k-double array L per key group, ordered by (mi, code) so
+    element_at(L, mi*k + code + 1) is subspace mi's distance for
+    `code`. Tiny by contract: |probes| x n_probe groups."""
+    return lut.groupBy(*keys).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("mi", "code", "_d"))),
+            lambda s: s["_d"],
+        ).alias("L")
+    )
+
+
+def _adc_fold_sql(m: int, kk: int, nd: int) -> str:
+    """The ADC distance as an unrolled in-order fold of m LUT lookups
+    — element_at(L, mi*k + codes[mi] + 1) accumulated left-to-right
+    from 0D, round(nd) + 0.0 exactly like the aggregate() fold over
+    the mi-sorted collect_list it replaces (same addition order, same
+    doubles), but as one codegen expression per candidate row with no
+    groupBy behind it."""
+    acc = "0D"
+    for mi in range(m):
+        acc = (
+            f"({acc} + element_at(L,"
+            f" {mi * kk} + element_at(codes, {mi + 1}) + 1))"
+        )
+    return f"round({acc}, {nd}) + 0.0D"
+
+
 def pq_codes_df(
     items: DataFrame,
     codebooks,
@@ -357,28 +476,19 @@ def pq_codes_df(
 ) -> DataFrame:
     """(_vid, mi, code): the DataFrame-native encode stage of
     `pq_adc_topk_df`, exposed so tests can pin its code assignments
-    directly against the numpy `pq_encode` kernel. argmin(dist,
-    tie->lower code) runs as a map-side-combinable min of the (d, ci)
-    struct under lexicographic ordering — no per-row window."""
+    directly against the numpy `pq_encode` kernel. One shuffle-free
+    codegen stage (_codes_long): inline to (row, mi) rows, broadcast
+    per-subspace codebooks, per-row least-struct argmin — the old
+    k-rows join + min-struct groupBy shuffled |rows|*m*k rows."""
     import numpy as np
 
     books = np.asarray(codebooks, dtype=np.float64)
     m, _kk, sub = books.shape
     dim = m * sub
-    if bdf is None:
-        bdf = _codebook_df(items.sparkSession, books)
     it = items.filter(
         F.col(item_emb).isNotNull() & (F.size(item_emb) == dim)
-    ).selectExpr(f"`{item_id}` AS _vid", _subspace_sql(item_emb, m, sub))
-    return (
-        it.join(F.broadcast(bdf), "mi")
-        .withColumn(
-            "_d", F.expr(_SUB_DIST_SQL.format(sub=sub, nd=DIST_DECIMALS))
-        )
-        .groupBy("_vid", "mi")
-        .agg(F.min(F.struct("_d", "ci")).alias("_best"))
-        .select("_vid", "mi", F.col("_best.ci").alias("code"))
-    )
+    ).select(F.col(item_id).alias("_vid"), F.col(item_emb).alias("_e"))
+    return _codes_long(it, "_e", books, DIST_DECIMALS)
 
 
 def pq_adc_topk_df(
@@ -405,12 +515,15 @@ def pq_adc_topk_df(
     production path on the same codebooks is pinned by
     tests/test_pq.py.
 
-    Scale shape: codebooks (m*k rows) are broadcast to both the encode
-    join and the LUT join; the encode argmin is a map-side-combinable
-    min_by aggregate keyed on (row, subspace) — never a per-row window
-    over the exploded candidate set; the ADC sum groups the bounded
-    |probes| x |rows| x m join; the final top-k is a bounded per-query
-    window. No driver collect of corpus data.
+    Scale shape: the per-subspace codebook relation is broadcast to
+    both the encode join and the LUT join; the encode argmin is one
+    map-side least-struct per (row, subspace); codes are packed into
+    an m-int array per candidate (one tiny-row exchange) and the ADC
+    distance is an unrolled m-lookup codegen fold against the
+    broadcast per-query flat LUT — each candidate row is touched
+    exactly once, no per-candidate join fan, no aggregate behind the
+    distance; the final top-k is a bounded per-query window. No
+    driver collect of corpus data.
     """
     import numpy as np
 
@@ -419,8 +532,10 @@ def pq_adc_topk_df(
     dim = m * sub
     bdf = _codebook_df(items.sparkSession, books)
     dist_expr = _SUB_DIST_SQL.format(sub=sub, nd=DIST_DECIMALS)
-    # the encode join shares this broadcast relation with the LUT join
-    codes = pq_codes_df(items, books, item_id=item_id, item_emb=item_emb, bdf=bdf)
+    codes = _collect_codes_array(
+        pq_codes_df(items, books, item_id=item_id, item_emb=item_emb),
+        ["_vid"],
+    )
     pr = probes.filter(
         F.col(probe_emb).isNotNull() & (F.size(probe_emb) == dim)
     ).selectExpr(f"`{probe_id}` AS _qid", _subspace_sql(probe_emb, m, sub))
@@ -429,16 +544,10 @@ def pq_adc_topk_df(
         .withColumn("_d", F.expr(dist_expr))
         .select("_qid", "mi", F.col("ci").alias("code"), "_d")
     )
-    adc = (
-        codes.join(F.broadcast(lut), ["mi", "code"])
-        .groupBy("_qid", "_vid")
-        .agg(F.array_sort(F.collect_list(F.struct("mi", "_d"))).alias("_l"))
-        .selectExpr(
-            "_qid",
-            "_vid",
-            "round(aggregate(_l, 0D, (a, x) -> a + x._d),"
-            f" {DIST_DECIMALS}) + 0.0D AS adc_dist",
-        )
+    adc = codes.crossJoin(F.broadcast(_lut_flat(lut, ["_qid"]))).selectExpr(
+        "_qid",
+        "_vid",
+        f"{_adc_fold_sql(m, kk, DIST_DECIMALS)} AS adc_dist",
     )
     wq = Window.partitionBy("_qid").orderBy(
         F.col("adc_dist").asc(), F.col("_vid").asc()
@@ -467,12 +576,12 @@ def ivfpq_codes_df(
     """(item_id, cell, codes ARRAY<INT>): the composite index's encode
     stage — cosine cell assignment (map-side least-struct over centroid
     literals), residual subtraction against the broadcast centroid
-    relation, then the pq_codes_df min-struct argmin per subspace with
-    `cell` carried through; codes[i] is subspace i's codeword (the
-    array_sort over (mi, code) structs pins the order). This is the
-    materializable scan tier: persisted, a query reads m bytes per
-    candidate instead of raw vectors. Zero-norm/NULL/wrong-dim vectors
-    are unscorable under the cosine quantizer and are dropped."""
+    relation, the shuffle-free per-subspace argmin (_codes_long), then
+    one tiny-row exchange packing codes[i] = subspace i's codeword
+    (_collect_codes_array). This is the materializable scan tier:
+    persisted, a query reads m bytes per candidate instead of raw
+    vectors. Zero-norm/NULL/wrong-dim vectors are unscorable under the
+    cosine quantizer and are dropped."""
     import numpy as np
 
     from chroma_rs_spark.operators.ivf import assign_cells
@@ -481,14 +590,11 @@ def ivfpq_codes_df(
     m, _kk, sub = books.shape
     dim = m * sub
     spark = items.sparkSession
-    if bdf is None:
-        bdf = _codebook_df(spark, books)
     if cent_df is None:
         cent_df = spark.createDataFrame(
             [(int(cid), [float(x) for x in vec]) for cid, vec in centroids],
             "cell INT, cvec ARRAY<DOUBLE>",
         )
-    dist_expr = _SUB_DIST_SQL.format(sub=sub, nd=DIST_DECIMALS)
     scorable = items.filter(
         F.col(item_emb).isNotNull() & (F.size(item_emb) == dim)
     )
@@ -502,22 +608,9 @@ def ivfpq_codes_df(
         "cell",
         F.expr("zip_with(_e, cvec, (x, y) -> x - y)").alias("_r"),
     )
-    it = resid.selectExpr("_vid", "cell", _subspace_sql("_r", m, sub))
-    return (
-        it.join(F.broadcast(bdf), "mi")
-        .withColumn("_d", F.expr(dist_expr))
-        .groupBy("_vid", "cell", "mi")
-        .agg(F.min(F.struct("_d", "ci")).alias("_best"))
-        .groupBy("_vid", "cell")
-        .agg(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct("mi", F.col("_best.ci").alias("c")))
-                ),
-                lambda s: s["c"],
-            ).alias("codes")
-        )
-        .select(F.col("_vid").alias(item_id), "cell", "codes")
+    long = _codes_long(resid, "_r", books, DIST_DECIMALS)
+    return _collect_codes_array(long, ["_vid", "cell"]).select(
+        F.col("_vid").alias(item_id), "cell", "codes"
     )
 
 
@@ -617,15 +710,16 @@ def ivfpq_adc_topk_df(
       — no shuffle;
     * residuals: broadcast join on the ≤|cells| centroid relation,
       `zip_with` subtract (exact binary doubles both engines share);
-    * encode: the pq_codes_df min-struct argmin keyed (row, subspace),
-      with `cell` carried through — map-side-combinable, no window
-      over the exploded set;
-    * search: the LUT is |queries| × n_probe × m × k tiny rows built
-      from the query residual PER PROBED CELL; candidates join on
-      (cell, mi, code) so only probed-cell codes ever move; the ADC
-      sum is an in-order fold over subspace order (round-6 + -0.0
-      fold, the bm25 discipline) and the final top-k is one bounded
-      per-query window.
+    * encode: per-subspace least-struct argmin (_codes_long, one
+      shuffle-free codegen stage), packed to an m-int array per
+      candidate by one tiny-row exchange (ivfpq_codes_df — the same
+      relation the persisted tier stores);
+    * search: the LUT is flattened to ONE m*k-double array per
+      (query, probed cell) and broadcast; candidates join on `cell`
+      only, so each probed-cell code row is touched exactly once and
+      its ADC distance is an unrolled m-lookup in-order fold
+      (round-6 + -0.0, the bm25 discipline — _adc_fold_sql) inside
+      codegen; the final top-k is one bounded per-query window.
 
     Determinism contract: `centroids` is a driver-tiny list (the
     persisted index artifact; lowest-id placeholder or trained
@@ -656,12 +750,12 @@ def ivfpq_adc_topk_df(
     if codes is None:
         codes = ivfpq_codes_df(
             items, books, centroids, item_id=item_id, item_emb=item_emb,
-            bdf=bdf, cent_df=cent_df,
+            cent_df=cent_df,
         )
     codes = codes.select(
         F.col(item_id).alias("_vid"),
         F.col("cell").cast("int").alias("cell"),
-        F.posexplode("codes").alias("mi", "code"),
+        "codes",
     )
 
     if probes is None:
@@ -681,17 +775,18 @@ def ivfpq_adc_topk_df(
         .withColumn("_d", F.expr(dist_expr))
         .select("_qid", "cell", "mi", F.col("ci").alias("code"), "_d")
     )
-    adc = (
-        codes.join(F.broadcast(lut), ["cell", "mi", "code"])
-        .groupBy("_qid", "_vid", "cell")
-        .agg(F.array_sort(F.collect_list(F.struct("mi", "_d"))).alias("_l"))
-        .selectExpr(
-            "_qid",
-            "_vid",
-            "cell",
-            "round(aggregate(_l, 0D, (a, x) -> a + x._d),"
-            f" {DIST_DECIMALS}) + 0.0D AS adc_dist",
-        )
+    # codes stay PACKED: the broadcast join on cell already restricts
+    # the scan to probed-cell candidates, and the ADC distance is an
+    # unrolled m-lookup codegen fold per candidate row — no m-way
+    # explode of the code tier, no collect_list aggregate behind the
+    # distance (same in-order doubles; _adc_fold_sql).
+    adc = codes.join(
+        F.broadcast(_lut_flat(lut, ["_qid", "cell"])), "cell"
+    ).selectExpr(
+        "_qid",
+        "_vid",
+        "cell",
+        f"{_adc_fold_sql(m, kk, DIST_DECIMALS)} AS adc_dist",
     )
     wq = Window.partitionBy("_qid").orderBy(
         F.col("adc_dist").asc(), F.col("_vid").asc()
