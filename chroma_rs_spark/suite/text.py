@@ -1276,21 +1276,18 @@ def q_html_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     from chroma_rs_spark.operators.text import html_extract_text
 
     docs = load_table(spark, sf_dir, "documents")
+    # character-midpoint halves via substring: pure codegen arithmetic
+    # (the earlier split/filter/slice HOF chain ran interpreted and
+    # cost ~35% of the row's wall; a mid-word split is harmless — the
+    # extractor's own whitespace normalization treats the two parts as
+    # separate lines on both engines)
     base = (
         docs.select(
             "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("_txt")
         )
-        .withColumn(
-            "_t", F.expr("filter(split(_txt, ' '), x -> x <> '')")
-        )
-        .withColumn("_h", F.expr("cast((size(_t) + 1) div 2 as int)"))
-        .withColumn("_first", F.expr("array_join(slice(_t, 1, _h), ' ')"))
-        .withColumn(
-            "_second",
-            F.expr(
-                "array_join(slice(_t, _h + 1, greatest(size(_t) - _h, 0)), ' ')"
-            ),
-        )
+        .withColumn("_h", F.expr("cast((length(_txt) + 1) div 2 as int)"))
+        .withColumn("_first", F.expr("substring(_txt, 1, _h)"))
+        .withColumn("_second", F.expr("substring(_txt, _h + 1)"))
     )
     did = F.col("doc_id").cast("string")
     html = F.concat(
@@ -1320,20 +1317,15 @@ def q_html_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 # &amp; last, chr(10)/chr(39) for the newline/quote replacement chars
 _HTML_EXTRACT_ORACLE = r"""
 WITH src AS (
-  SELECT doc_id, list_filter(string_split(coalesce(text, ''), ' '),
-                             x -> x <> '') AS t
-  FROM documents
+  SELECT doc_id, coalesce(text, '') AS txt FROM documents
 ),
 hs AS (
-  SELECT doc_id, t, CAST((len(t) + 1) // 2 AS INT) AS h FROM src
+  SELECT doc_id, txt, CAST((length(txt) + 1) // 2 AS INT) AS h FROM src
 ),
 parts AS (
-  -- coalesce: DuckDB's array_to_string([]) is NULL where Spark's
-  -- array_join([]) is '' (the r7 c4-oracle divergence class), and a
-  -- NULL paragraph would null the whole || page
   SELECT doc_id,
-         coalesce(array_to_string(t[1:h], ' '), '') AS p1,
-         coalesce(array_to_string(t[h+1:len(t)], ' '), '') AS p2
+         substr(txt, 1, h) AS p1,
+         substr(txt, h + 1) AS p2
   FROM hs
 ),
 page AS (
@@ -1354,11 +1346,10 @@ s1 AS (SELECT doc_id, regexp_replace(html, '(?s)<!--.*?-->', ' ', 'g') AS c FROM
 s2 AS (SELECT doc_id, regexp_replace(c, '(?is)<script\b[^>]*>.*?</script\s*>', ' ', 'g') AS c FROM s1),
 s3 AS (SELECT doc_id, regexp_replace(c, '(?is)<style\b[^>]*>.*?</style\s*>', ' ', 'g') AS c FROM s2),
 s4 AS (SELECT doc_id, regexp_replace(c, '(?is)<noscript\b[^>]*>.*?</noscript\s*>', ' ', 'g') AS c FROM s3),
-s5 AS (SELECT doc_id, regexp_replace(c, '(?i)<(?:br|hr)\s*/?\s*>', chr(10), 'g') AS c FROM s4),
-s6 AS (SELECT doc_id, regexp_replace(c,
-         '(?is)</(?:__BLOCKS__)\s*>',
-         chr(10), 'g') AS c FROM s5),
-s7 AS (SELECT doc_id, regexp_replace(c, '(?s)<[^>]*>', ' ', 'g') AS c FROM s6),
+s5 AS (SELECT doc_id, regexp_replace(c,
+         '(?is)<(?:br|hr)\s*/?\s*>|</(?:__BLOCKS__)\s*>',
+         chr(10), 'g') AS c FROM s4),
+s7 AS (SELECT doc_id, regexp_replace(c, '(?s)<[^>]*>', ' ', 'g') AS c FROM s5),
 ents AS (
   SELECT doc_id,
          replace(replace(replace(replace(replace(replace(replace(c,
@@ -1366,13 +1357,12 @@ ents AS (
            '&#39;', chr(39)), '&apos;', chr(39)), '&amp;', '&') AS c
   FROM s7
 ),
-ws1 AS (SELECT doc_id, regexp_replace(c, '[ \t\r\f]+', ' ', 'g') AS c FROM ents),
-ws2 AS (SELECT doc_id, regexp_replace(c, ' ?\n ?', chr(10), 'g') AS c FROM ws1),
-ws3 AS (SELECT doc_id, regexp_replace(c, '\n+', chr(10), 'g') AS c FROM ws2),
+ws1 AS (SELECT doc_id, regexp_replace(c, '[ \t\r\f]*\n[ \t\n\r\f]*', chr(10), 'g') AS c FROM ents),
+ws2 AS (SELECT doc_id, regexp_replace(c, '[ \t\r\f]+', ' ', 'g') AS c FROM ws1),
 fin AS (
   SELECT doc_id,
-         regexp_replace(regexp_replace(c, '^\s+', ''), '\s+$', '') AS text
-  FROM ws3
+         regexp_replace(c, '^\s+|\s+$', '', 'g') AS text
+  FROM ws2
 )
 SELECT doc_id, text FROM fin
 """
