@@ -35,14 +35,18 @@ Spark shapes (matching the repo's discipline):
 
 Verification: tests/test_pq.py pins encode codes and ADC distances
 bit-for-bit against a pure-numpy reference, checks determinism, and
-holds a measured recall band for PQ+rescore vs exact KNN. The
-`pq_topk` suite entry is EXTRA/rows-only — TRAINED codebooks exist
-only at plan time, so no static SQL oracle can replay them — but the
-ADC machinery itself IS oracle-checked: `pq_adc_topk` (EXTRA,
-hash-green) runs `pq_adc_topk_df` over `hash_codebooks`
+holds a measured recall band for PQ+rescore vs exact KNN. Every suite
+seat is FULLY oracle-checked (round 11 retired the last rows-only
+row): `pq_adc_topk` runs `pq_adc_topk_df` over `hash_codebooks`
 (data-independent md5-derived literals a DuckDB oracle embeds
-verbatim), and tests pin the numpy kernels to that DataFrame plan per
-(row, subspace).
+verbatim), and `pq_topk` runs the TRAINED chain end to end —
+`train_pq_codebooks_df` uses the knn_ivf_trained fixed-point
+discipline (micro-unit HUGEINT means, in-order round-6 folds), so
+the DuckDB twin unrolls the full training and replays
+encode + LUT + ADC + exact rescore on the trained tables. The numpy
+`train_pq_codebooks`/`pq_topk_rescored` kernels remain as the
+vectorized production alternative, recall-banded rather than
+hash-gated (BLAS pairwise summation is not SQL-replayable).
 """
 
 from __future__ import annotations
@@ -289,6 +293,266 @@ def pq_topk_rescored(
         .filter(F.col("rank") <= k)
         .select("query_id", F.col("rank").cast("long").alias("rank"),
                 "id", "distance")
+    )
+
+
+def train_pq_codebooks_df(
+    items: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    max_iter: int = 10,
+    sample_size: int = 4096,
+    item_id: str = "vec_id",
+    item_emb: str = "embedding",
+    dim: int | None = None,
+):
+    """Oracle-REPLAYABLE PQ training: Lloyd's per subspace as ONE fused
+    grouped loop — the knn_ivf_trained discipline (micro-unit
+    fixed-point centroid sums, in-order round-6 fold distances,
+    lower-label tie-breaks, fixpoint early stop that an unrolled
+    replay always equals) applied with (mi, label) compound keys, so
+    all m subspaces train together in one Spark job per iteration
+    instead of m independent loops.
+
+    Numeric contract (every rounding decision happens in Spark with
+    the exact expressions the SQL oracle mirrors):
+    * sample = the `sample_size` ids with the smallest (md5(id), id)
+      — uniform, engine-independent (same rule as train_pq_codebooks);
+    * seeds per subspace = the first k sample rows in that order;
+      seed centroid component = round(val * 1e6) / 1e6;
+    * E-step distance = in-order fold of (sv[i]-cvec[i])^2, round-6,
+      -0.0 folded, ties to the LOWER label;
+    * M-step mean = exact integer micro-unit sum (decimal(38,0) /
+      HUGEINT in the oracle) with half-away-from-zero integer
+      division — the label_centroids formula.
+
+    Returns a dense numpy (m, k, sub) array; raises if any subspace
+    lost a cluster during training (the dense-codebook contract the
+    ADC search needs — lower k or dedup the input). Unlike the numpy
+    `train_pq_codebooks` (float64 means, BLAS expansion distances —
+    NOT SQL-replayable), this artifact supports a full DuckDB oracle
+    over the trained search chain.
+    """
+    import numpy as np
+
+    from chroma_rs_spark.operators.centroids import MICRO
+
+    spark = items.sparkSession
+    if dim is None:
+        probe = (
+            items.filter(F.col(item_emb).isNotNull())
+            .select(F.size(item_emb))
+            .first()
+        )
+        if probe is None:
+            raise ValueError("train_pq_codebooks_df: no vectors to train on")
+        dim = int(probe[0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    sample = (
+        items.filter(
+            F.col(item_emb).isNotNull() & (F.size(item_emb) == dim)
+        )
+        .select(
+            F.col(item_id).alias("_id"),
+            F.col(item_emb).cast("array<double>").alias("_e"),
+        )
+        .orderBy(F.md5(F.col("_id").cast("string")), "_id")
+        .limit(int(sample_size))
+    )
+    # the (row, subspace) training relation, materialized once for the
+    # whole loop (<= sample_size * m small rows)
+    subr = sample.selectExpr(
+        "_id", _subspace_sql("_e", m, sub)
+    ).localCheckpoint()
+
+    # seeds: label = rank in (md5, id) order (array_sort trick — no
+    # window); initial centroids = micro-rounded seed components via
+    # the SAME M-step aggregation with n = 1 per group
+    seeded = (
+        sample.limit(k)
+        .groupBy()
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.md5(F.col("_id").cast("string")).alias("h"),
+                        F.col("_id").alias("i"),
+                        F.col("_e").alias("v"),
+                    )
+                )
+            ).alias("xs")
+        )
+        .select(F.posexplode("xs").alias("label", "_x"))
+        .select("label", F.col("_x.v").alias("_v"))
+        .selectExpr("label", _subspace_sql("_v", m, sub))
+    )
+    micro = F.round(F.col("_val").cast("double") * F.lit(MICRO)).cast(
+        "decimal(38,0)"
+    )
+
+    def _mstep_rows(assigned):
+        return (
+            assigned.select(
+                "mi", "label", F.posexplode("sv").alias("pos", "_val")
+            )
+            .groupBy("mi", "label", "pos")
+            .agg(F.sum(micro).alias("_s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+
+    def _update(rows):
+        st = []
+        for r in rows:
+            s_int, n = int(r["_s"]), int(r["n"])
+            q = (2 * abs(s_int) + n) // (2 * n)
+            c = float(-q if s_int < 0 else q) / MICRO + 0.0
+            st.append((int(r["mi"]), int(r["label"]), int(r["pos"]), c))
+        return sorted(st)
+
+    state = _update(_mstep_rows(seeded))
+
+    def _mats(st):
+        by_key: dict[tuple[int, int], list[tuple[int, float]]] = {}
+        for mi, lbl, pos, c in st:
+            by_key.setdefault((mi, lbl), []).append((pos, c))
+        return spark.createDataFrame(
+            [
+                (mi, lbl, [c for _p, c in sorted(pcs)])
+                for (mi, lbl), pcs in sorted(by_key.items())
+            ],
+            "mi int, label int, cvec array<double>",
+        )
+
+    def _term(i):
+        d = F.element_at(F.col("sv"), i) - F.element_at(F.col("cvec"), i)
+        return d * d
+
+    sq = _term(1)
+    for i in range(2, sub + 1):
+        sq = sq + _term(i)
+    sqr = F.round(sq, 6) + F.lit(0.0)
+
+    prev_assign = None
+    for _ in range(max_iter):
+        scored = subr.join(F.broadcast(_mats(state)), "mi").select(
+            "_id", "mi", "sv", "label", sqr.alias("_d")
+        )
+        best = scored.groupBy("_id", "mi").agg(
+            F.min(F.struct("_d", "label")).alias("_b"),
+            F.first("sv").alias("sv"),
+        )
+        rows = (
+            best.select(
+                "mi",
+                F.col("_b.label").alias("label"),
+                F.xxhash64("_id", "mi", F.col("_b.label")).alias("_hh"),
+                "sv",
+            )
+            .select(
+                "mi", "label", "_hh",
+                F.posexplode("sv").alias("pos", "_val"),
+            )
+            .groupBy("mi", "label", "pos")
+            .agg(
+                F.sum(micro).alias("_s"),
+                F.count(F.lit(1)).alias("n"),
+                F.bit_xor("_hh").alias("_x"),
+            )
+            .collect()
+        )
+        sig = 0
+        for r in rows:
+            if int(r["pos"]) == 0:
+                sig ^= int(r["_x"]) & ((1 << 64) - 1)
+        if sig == prev_assign:
+            break
+        prev_assign = sig
+        state = _update(rows)
+
+    import numpy as _np
+
+    books = _np.full((m, k, sub), _np.nan, dtype=_np.float64)
+    for mi, lbl, pos, c in state:
+        books[mi, lbl, pos] = c
+    if _np.isnan(books).any():
+        missing = sorted(
+            {
+                (mi, lbl)
+                for mi in range(m)
+                for lbl in range(k)
+                if _np.isnan(books[mi, lbl]).any()
+            }
+        )
+        raise ValueError(
+            f"train_pq_codebooks_df: clusters emptied during training "
+            f"(missing {missing[:4]}...); lower k or deduplicate input"
+        )
+    return books
+
+
+def pq_topk_rescored_df(
+    items: DataFrame,
+    codebooks,
+    probes: DataFrame,
+    k: int = 10,
+    oversample: int = 4,
+    item_id: str = "vec_id",
+    item_emb: str = "embedding",
+    probe_id: str = "query_id",
+    probe_emb: str = "query_embedding",
+) -> DataFrame:
+    """Production PQ search, end-to-end SQL-replayable: the DataFrame
+    ADC chain (pq_adc_topk_df — packed codes, broadcast flat LUT,
+    unrolled in-order folds) retrieves k*oversample candidates, the
+    id-join against the raw vectors re-scores them with the exact
+    round-6 squared L2, and the final top-k ranks on exact distances
+    (ties to the lower id). With `codebooks` from
+    train_pq_codebooks_df every stage — training included — replays
+    in ANSI SQL, unlike pq_topk_rescored whose numpy ADC kernels use
+    pairwise summation no SQL engine reproduces bitwise.
+
+    Returns (probe_id, rank, neighbor_id, distance)."""
+    from chroma_rs_spark.functions.vector import l2_distance
+
+    cand = pq_adc_topk_df(
+        items,
+        codebooks,
+        probes,
+        k=int(k) * int(oversample),
+        item_id=item_id,
+        item_emb=item_emb,
+        probe_id=probe_id,
+        probe_emb=probe_emb,
+    ).select(probe_id, "neighbor_id")
+    raw = items.select(
+        F.col(item_id).alias("neighbor_id"), F.col(item_emb).alias("_re")
+    )
+    pr = probes.select(probe_id, F.col(probe_emb).alias("_qe"))
+    scored = (
+        cand.join(raw, "neighbor_id")
+        .join(F.broadcast(pr), probe_id)
+        .select(
+            probe_id,
+            "neighbor_id",
+            (F.round(l2_distance(F.col("_re"), F.col("_qe")), 6) + F.lit(0.0)).alias(
+                "distance"
+            ),
+        )
+    )
+    w = Window.partitionBy(probe_id).orderBy(
+        F.col("distance").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            probe_id,
+            F.col("rank").cast("long").alias("rank"),
+            "neighbor_id",
+            "distance",
+        )
     )
 
 

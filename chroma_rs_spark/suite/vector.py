@@ -588,13 +588,28 @@ WHERE contains(text, 'scan') AND NOT contains(text, 'hash')
 _PQ_BOOK_CACHE: dict[str, object] = {}
 
 
+_PQ_TRAIN_ITERS = 3
+_PQ_TRAIN_SAMPLE = 1024
+_PQ_OVERSAMPLE = 4
+
+
 def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantized ANN with exact re-scoring (operators/pq.py):
-    ADC over 8x16 codebooks retrieves 4x-oversampled candidates, the
-    raw-vector join re-scores them exactly, top-10 per probe."""
+    """TRAINED product-quantized ANN with exact re-scoring, end-to-end
+    oracle-replayable (round 11 — the last rows-only seat retired):
+    codebooks come from the fused grouped Lloyd's loop
+    (operators/pq.py:train_pq_codebooks_df — the knn_ivf_trained
+    micro-unit fixed-point discipline applied per subspace), ADC over
+    the trained books retrieves 4x-oversampled candidates, the
+    raw-vector join re-scores them with exact round-6 squared L2,
+    top-10 per probe. The DuckDB twin unrolls the full training
+    (sample -> seeds -> 3 E/M rounds, HUGEINT micro-unit means) and
+    replays encode + LUT + ADC + rescore on the trained tables."""
     import os
 
-    from chroma_rs_spark.operators.pq import pq_topk_rescored, train_pq_codebooks
+    from chroma_rs_spark.operators.pq import (
+        pq_topk_rescored_df,
+        train_pq_codebooks_df,
+    )
 
     try:
         mtime = os.path.getmtime(os.path.join(sf_dir, "embeddings.parquet"))
@@ -603,11 +618,168 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = f"{sf_dir}@{mtime}"
     emb = load_table(spark, sf_dir, "embeddings")
     if key not in _PQ_BOOK_CACHE:
-        _PQ_BOOK_CACHE[key] = train_pq_codebooks(emb, m=8, k=16)
-    probes = _small_vectors(spark, sf_dir, N_PROBES)
-    return pq_topk_rescored(
-        emb, _PQ_BOOK_CACHE[key], probes, k=TOP_K, oversample=4
+        _PQ_BOOK_CACHE[key] = train_pq_codebooks_df(
+            emb,
+            m=_PQ_M,
+            k=_PQ_K,
+            max_iter=_PQ_TRAIN_ITERS,
+            sample_size=_PQ_TRAIN_SAMPLE,
+        )
+    return pq_topk_rescored_df(
+        emb,
+        _PQ_BOOK_CACHE[key],
+        _probe_queries(emb),
+        k=TOP_K,
+        oversample=_PQ_OVERSAMPLE,
     )
+
+
+def _pq_trained_oracle(
+    m: int = 8,
+    k: int = 16,
+    iters: int = 3,
+    sample_size: int = 1024,
+    top_k: int = 10,
+    oversample: int = 4,
+    n_probes: int = 5,
+    dim: int = 64,
+) -> str:
+    """DuckDB replay of q_pq_topk INCLUDING the training: the same
+    (md5, id) sample and seed order, `iters` unrolled E/M rounds with
+    in-order round-6 fold distances / lower-label ties / HUGEINT
+    micro-unit integer means (the _kmeans_ivf_trained_oracle formulas
+    keyed by (mi, label)), then the _pq_adc_oracle encode/LUT/ADC
+    chain joined on the TRAINED books table, an oversampled candidate
+    cut, and the exact squared-L2 rescore with (distance, id) top-k
+    ties — every numeric step mirrors the Spark operators
+    bit-for-bit."""
+    sub = dim // m
+    dist = (
+        "round(list_sum(list_transform(range(1, {s} + 1),"
+        " i -> (sv[i] - cvec[i]) * (sv[i] - cvec[i]))), 6)"
+    ).format(s=sub)
+    ctes = [f"""sample AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb,
+         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+           AS srn
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) = {dim}
+  QUALIFY srn <= {sample_size}
+),
+sl AS MATERIALIZED (
+  SELECT vec_id, srn, CAST(t.mi AS INT) AS mi, CAST(p.i AS INT) AS pos,
+         emb[t.mi * {sub} + p.i] AS val
+  FROM sample, unnest(range(0, {m})) t(mi), unnest(range(1, {sub} + 1)) p(i)
+),
+trsv AS MATERIALIZED (
+  SELECT vec_id, mi, list(val ORDER BY pos) AS sv FROM sl GROUP BY 1, 2
+),
+cent0 AS (
+  SELECT mi, srn - 1 AS label, pos,
+         CAST(CAST(round(val * 1000000.0) AS HUGEINT) AS DOUBLE)
+           / 1000000.0 + 0.0 AS centroid
+  FROM sl WHERE srn <= {k}
+)"""]
+    for i in range(1, iters + 1):
+        ctes.append(f"""cm{i - 1} AS (
+  SELECT mi, label, list(centroid ORDER BY pos) AS cvec
+  FROM cent{i - 1} GROUP BY mi, label
+),
+sc{i} AS (
+  SELECT v.vec_id, v.mi, c.label,
+         round(list_sum(list_transform(range(1, {sub} + 1),
+               j -> (v.sv[j] - c.cvec[j]) * (v.sv[j] - c.cvec[j]))), 6) + 0.0
+           AS sq
+  FROM trsv v JOIN cm{i - 1} c ON c.mi = v.mi
+),
+assign{i} AS (
+  SELECT vec_id, mi, label FROM (
+    SELECT vec_id, mi, label,
+           row_number() OVER (PARTITION BY vec_id, mi
+                              ORDER BY sq, label) AS rn2
+    FROM sc{i}
+  ) WHERE rn2 = 1
+),
+cent{i} AS (
+  SELECT mi, label, pos,
+         CAST((CASE WHEN s < 0 THEN -1 ELSE 1 END)
+              * ((2 * abs(s) + n) // (2 * n)) AS DOUBLE)
+             / 1000000.0 + 0.0 AS centroid
+  FROM (
+    SELECT a.mi, a.label, l.pos,
+           sum(CAST(round(l.val * 1000000.0) AS HUGEINT)) AS s,
+           count(*) AS n
+    FROM assign{i} a JOIN sl l ON l.vec_id = a.vec_id AND l.mi = a.mi
+    GROUP BY 1, 2, 3
+  )
+)""")
+    ctes.append(f"""books AS MATERIALIZED (
+  SELECT mi, label AS ci, list(centroid ORDER BY pos) AS cvec
+  FROM cent{iters} GROUP BY mi, label
+),
+it AS (
+  SELECT vec_id, CAST(mi AS INT) AS mi,
+         (embedding::DOUBLE[])[mi * {sub} + 1 : (mi + 1) * {sub}] AS sv
+  FROM embeddings, unnest(range(0, {m})) t(mi)
+  WHERE embedding IS NOT NULL AND len(embedding) = {dim}
+),
+codes AS (
+  SELECT vec_id, mi, ci AS code
+  FROM (SELECT it.vec_id, it.mi, b.ci, {dist} AS d,
+               row_number() OVER (PARTITION BY it.vec_id, it.mi
+                                  ORDER BY {dist} ASC, b.ci ASC) AS rn
+        FROM it JOIN books b USING (mi))
+  WHERE rn = 1
+),
+pr AS (
+  SELECT vec_id AS qid, CAST(mi AS INT) AS mi,
+         (embedding::DOUBLE[])[mi * {sub} + 1 : (mi + 1) * {sub}] AS sv
+  FROM embeddings, unnest(range(0, {m})) t(mi)
+  WHERE vec_id < {n_probes}
+    AND embedding IS NOT NULL AND len(embedding) = {dim}
+),
+lut AS (
+  SELECT pr.qid, pr.mi, b.ci AS code, {dist} AS d
+  FROM pr JOIN books b USING (mi)
+),
+adc AS (
+  SELECT l.qid, c.vec_id,
+         round(list_sum(list(l.d ORDER BY l.mi)), 6) + 0.0 AS adc_dist
+  FROM codes c JOIN lut l ON c.mi = l.mi AND c.code = l.code
+  GROUP BY l.qid, c.vec_id
+),
+cand AS (
+  SELECT qid, vec_id FROM adc
+  QUALIFY row_number() OVER (PARTITION BY qid
+                             ORDER BY adc_dist ASC, vec_id ASC)
+          <= {top_k * oversample}
+),
+q AS (
+  SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings
+  WHERE vec_id < {n_probes}
+    AND embedding IS NOT NULL AND len(embedding) = {dim}
+),
+resc AS (
+  SELECT c.qid, c.vec_id,
+         round(list_sum(list_transform(range(1, {dim} + 1),
+               j -> (CAST(e.embedding[j] AS DOUBLE) - q.qe[j])
+                  * (CAST(e.embedding[j] AS DOUBLE) - q.qe[j]))), 6) + 0.0
+           AS distance
+  FROM cand c
+  JOIN embeddings e ON e.vec_id = c.vec_id
+  JOIN q ON q.qid = c.qid
+)""")
+    joined = ",\n".join(ctes)
+    return f"""
+WITH {joined}
+SELECT qid AS query_id,
+       CAST(row_number() OVER (PARTITION BY qid
+                               ORDER BY distance ASC, vec_id ASC) AS BIGINT)
+         AS rank,
+       vec_id AS neighbor_id, distance
+FROM resc
+QUALIFY rank <= {top_k}
+"""
 
 
 _PQ_M, _PQ_K, _PQ_SUB = 8, 16, 8
@@ -774,7 +946,24 @@ EXTRA_QUERIES = {
     # stays pinned by tests/test_pq.py numpy bit-parity + recall band
     # and tests/test_collection_pq.py end-to-end.
     "pq_adc_topk": QueryDef(q_pq_adc_topk, _pq_adc_oracle()),
-    "pq_topk": QueryDef(q_pq_topk, None, iterative=True),
+    # round 11: the last rows-only seat retired — q_pq_topk now runs
+    # the oracle-replayable trained chain (train_pq_codebooks_df), so
+    # the FULL train -> encode -> ADC -> rescore pipeline is
+    # hash-gated; iterative=True charges the (cached) training to
+    # train_sec on the cold rep
+    "pq_topk": QueryDef(
+        q_pq_topk,
+        _pq_trained_oracle(
+            m=_PQ_M,
+            k=_PQ_K,
+            iters=_PQ_TRAIN_ITERS,
+            sample_size=_PQ_TRAIN_SAMPLE,
+            top_k=TOP_K,
+            oversample=_PQ_OVERSAMPLE,
+            n_probes=N_PROBES,
+        ),
+        iterative=True,
+    ),
     # round-5 rotation out after four driver-green rounds (A14 document
     # filtering stays pinned by knn_filtered's where_document pushdown
     # and the filters pytest suite; still bit-checked locally)

@@ -188,3 +188,52 @@ def test_df_adc_path_matches_numpy_path_on_hash_codebooks(spark):
     )
     assert list(got_df["neighbor_id"]) == list(got_np["neighbor_id"])
     assert np.allclose(got_df["adc_dist"], got_np["adc_dist"], atol=2e-6)
+
+
+def test_train_pq_codebooks_df_deterministic_and_dense(spark):
+    """The oracle-replayable trainer is bit-deterministic across runs
+    and returns a dense (m, k, sub) artifact; the trained search's
+    rank-1 hit for a corpus probe is the probe itself at distance 0."""
+    import numpy as np
+
+    from chroma_rs_spark.operators.pq import (
+        pq_topk_rescored_df,
+        train_pq_codebooks_df,
+    )
+    from chroma_rs_spark.suite.vector import _probe_queries
+
+    emb = spark.read.parquet(f"{SF001_DIR}/embeddings.parquet")
+    b1 = train_pq_codebooks_df(emb, m=8, k=16, max_iter=3, sample_size=256)
+    b2 = train_pq_codebooks_df(emb, m=8, k=16, max_iter=3, sample_size=256)
+    assert b1.shape == (8, 16, 8)
+    assert not np.isnan(b1).any()
+    assert np.array_equal(b1, b2)
+    # every centroid component is an exact micro-unit multiple (the
+    # fixed-point contract that makes the SQL replay possible)
+    assert np.array_equal(b1, np.round(b1 * 1e6) / 1e6)
+    res = pq_topk_rescored_df(
+        emb, b1, _probe_queries(emb), k=5, oversample=4
+    ).collect()
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda r: r["rank"])
+        assert rows[0]["neighbor_id"] == qid and rows[0]["distance"] == 0.0
+        dists = [r["distance"] for r in rows]
+        assert dists == sorted(dists)
+
+
+def test_train_pq_codebooks_df_raises_on_emptied_cluster(spark):
+    """Degenerate corpora (fewer distinct subvectors than k) must fail
+    loudly — the dense-codebook contract — not hand back NaN rows."""
+    import pytest as _pytest
+
+    from chroma_rs_spark.operators.pq import train_pq_codebooks_df
+
+    dup = spark.createDataFrame(
+        [(i, [1.0, 2.0] * 4) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    with _pytest.raises(ValueError, match="clusters emptied|train"):
+        train_pq_codebooks_df(dup, m=4, k=8, max_iter=2, sample_size=20)
