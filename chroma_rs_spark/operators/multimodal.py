@@ -94,6 +94,40 @@ def _png_unfilter(raw: bytes, width: int, height: int, channels: int) -> bytes:
     return bytes(out)
 
 
+def encode_png_gray(pixels: bytes, width: int, height: int) -> bytes:
+    """Real 8-bit greyscale PNG encoder (zlib + struct over the public
+    spec; filter type 0 per scanline, CRC'd chunks) — the writer half
+    of decode_png, used by the real-decode driver fixture so the
+    oracle-gated round trip exercises an actual container format, not
+    a fake. Any PNG reader (PIL included) decodes it back to exactly
+    `pixels`."""
+    import struct
+    import zlib
+
+    if len(pixels) != width * height:
+        raise ValueError("encode_png_gray: pixels must be width*height bytes")
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = bytearray()
+    for y in range(height):
+        raw.append(0)  # filter type 0 (None)
+        raw += pixels[y * width : (y + 1) * width]
+    return (
+        PNG_SIGNATURE
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
 def decode_png(payload: bytes) -> dict:
     """Pure-stdlib PNG decode (zlib + struct; PNG spec is public):
     returns {width, height, channels, pixels} for 8-bit greyscale /
@@ -459,18 +493,26 @@ def decode_image_real(payload: bytes) -> dict:
 
 IMAGE_FEATURE_SCHEMA = (
     "doc_id long, width long, height long, channels long,"
-    " mean_intensity double, pixel_md5 string"
+    " mean_intensity double, pixel_md5 string, decode_status string"
 )
 
 
 def extract_image_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Distributed REAL decode: mapInPandas over (id, payload) Arrow
-    batches, decoding each PNG payload and emitting size, channel
+    batches, decoding each PNG/JPEG payload and emitting size, channel
     count, mean pixel intensity and an md5 fingerprint of the raw
     pixels. Same batch shape and partitioning as the deterministic
     fake (`extract_media_features`); the decode body is the only
     difference — this is the integration point a JPEG/video codec
-    would plug into."""
+    would plug into.
+
+    A real crawl contains formats the decoders refuse (progressive
+    JPEG, interlaced PNG, truncated files): those rows survive with
+    NULL features and `decode_status` = 'unsupported' (explicit
+    NotImplementedError guard) or 'corrupt' (anything else), so a
+    100 TB run MEASURES its undecodable fraction instead of dying on
+    the first odd file — the attrition-report discipline applied to
+    media. Healthy rows carry decode_status = 'ok'."""
     import hashlib
 
     src = df.select(F.col(id_col).alias("doc_id"), "payload")
@@ -479,7 +521,25 @@ def extract_image_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         for pdf in batches:
             rows = []
             for did, payload in zip(pdf["doc_id"], pdf["payload"]):
-                img = decode_image_real(bytes(payload))
+                base = {
+                    "doc_id": did,
+                    "width": None,
+                    "height": None,
+                    "channels": None,
+                    "mean_intensity": None,
+                    "pixel_md5": None,
+                }
+                if payload is None:
+                    rows.append({**base, "decode_status": "corrupt"})
+                    continue
+                try:
+                    img = decode_image_real(bytes(payload))
+                except NotImplementedError:
+                    rows.append({**base, "decode_status": "unsupported"})
+                    continue
+                except Exception:
+                    rows.append({**base, "decode_status": "corrupt"})
+                    continue
                 px = img["pixels"]
                 rows.append(
                     {
@@ -489,6 +549,7 @@ def extract_image_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                         "channels": img["channels"],
                         "mean_intensity": (sum(px) / len(px)) if px else 0.0,
                         "pixel_md5": hashlib.md5(px).hexdigest(),
+                        "decode_status": "ok",
                     }
                 )
             yield pd.DataFrame(rows)

@@ -208,3 +208,28 @@ def test_phash_malformed_payloads_are_unscorable(spark):
     assert rows[1]["ahash"] is None and rows[2]["ahash"] is None
     arows = {r["doc_id"]: r for r in audio_phash(df).collect()}
     assert arows[1]["ahash"] is None and arows[2]["ahash"] is None
+
+
+def test_image_phash_real_fixture_round_trip(spark):
+    """The driver fixture's rendered PNGs decode back to exactly the
+    md5-derived pixels: dimensions, exact mean, and an aHash equal to
+    the pure-python ahash64 on the raw (pre-encode) pixel buffer."""
+    import hashlib
+
+    from chroma_rs_spark.operators.multimodal import ahash64
+    from chroma_rs_spark.suite.pipeline import q_image_phash_real
+    from tests.conftest import SF001_DIR
+
+    rows = {
+        r["doc_id"]: r
+        for r in q_image_phash_real(spark, SF001_DIR).collect()
+    }
+    assert len(rows) == 500
+    for did in (0, 7, 499):
+        px = b"".join(
+            hashlib.md5(f"{did}:{i}".encode()).digest() for i in range(16)
+        )
+        r = rows[did]
+        assert (r["width"], r["height"], r["channels"]) == (16, 16, 1)
+        assert r["mean_intensity"] == sum(px) / 256
+        assert r["ahash"] == ahash64(px, 16, 16, 1)

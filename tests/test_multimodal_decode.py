@@ -431,3 +431,44 @@ def test_decode_jpeg_truncated_entropy_raises_valueerror():
     truncated = full[: len(full) - 4]
     with pytest.raises(ValueError):
         decode_jpeg(truncated)
+
+
+def test_extract_image_features_decode_status(spark):
+    """Unsupported formats (progressive JPEG, interlaced PNG) and
+    corrupt payloads survive as measured rows — NULL features with a
+    decode_status verdict — instead of killing the batch; healthy
+    rows carry 'ok'. The 100 TB crawl rule: undecodable fractions are
+    counted, not thrown."""
+    px = _pixels(8 * 8)
+    good = make_png(8, 8, 1, px)
+    # interlaced PNG: same image, IHDR interlace byte = 1 (Adam7) —
+    # decode_png's explicit NotImplementedError guard
+    ihdr = struct.pack(">IIBBBBB", 8, 8, 8, 0, 0, 0, 1)
+    raw = bytearray()
+    for r in range(8):
+        raw.append(0)
+        raw += px[r * 8 : (r + 1) * 8]
+    interlaced = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IEND", b"")
+    )
+    # progressive JPEG skeleton: SOI + SOF2 (progressive DCT) header —
+    # decode_jpeg refuses at the SOF marker before needing scan data
+    sof2 = b"\xff\xc2" + struct.pack(">HBHHB", 11, 8, 8, 8, 1) + b"\x11\x00"
+    progressive = b"\xff\xd8" + sof2 + b"\xff\xd9"
+    corrupt = b"\x89PNG\r\n\x1a\ngarbage"
+    df = spark.createDataFrame(
+        [(0, good), (1, interlaced), (2, progressive), (3, corrupt), (4, None)],
+        "doc_id long, payload binary",
+    )
+    out = {r["doc_id"]: r for r in extract_image_features(df).collect()}
+    assert out[0]["decode_status"] == "ok"
+    assert out[0]["pixel_md5"] == hashlib.md5(px).hexdigest()
+    assert out[1]["decode_status"] == "unsupported"
+    assert out[2]["decode_status"] == "unsupported"
+    assert out[3]["decode_status"] == "corrupt"
+    assert out[4]["decode_status"] == "corrupt"
+    for i in (1, 2, 3, 4):
+        assert out[i]["width"] is None and out[i]["pixel_md5"] is None
