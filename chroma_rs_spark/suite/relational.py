@@ -1461,3 +1461,17 @@ for _name in (
     "lineitem_stats",
 ):
     EXTRA_QUERIES[_name] = QUERIES.pop(_name)
+
+
+# ---------------------------------------------------------------------------
+# Round-11 rotation: local_supplier_volume (green r4-r10) and
+# orders_grouping_sets (green r5-r10) rotate out — both floor-priced
+# walls against tiny oracles (0.32/0.05 s and 0.17/0.03 s at sf0.1).
+# The broadcast-join shape stays declared via asof_purchase_attribution
+# (range/as-of joins) and every curation row's dim joins; the
+# grouping-sets/rollup shape keeps events_cube bit-checked locally and
+# order_window_frames holds the relational family's declared seat.
+# ---------------------------------------------------------------------------
+
+for _name in ("local_supplier_volume", "orders_grouping_sets"):
+    EXTRA_QUERIES[_name] = QUERIES.pop(_name)

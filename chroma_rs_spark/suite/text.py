@@ -1798,3 +1798,16 @@ FROM hashed h JOIN grp g USING (text_sha)
 EXTRA_QUERIES["dedup_unicode_normalized"] = QueryDef(
     q_dedup_unicode_normalized, _DEDUP_UNICODE_ORACLE
 )
+
+
+# ---------------------------------------------------------------------------
+# Round-11 rotation: text_normalize (the r10 unicode-normalization
+# addition) takes its declared seat — the oracle does real utf8proc
+# work, so the row is ratio-friendly. bigram_perplexity rotates out
+# after r7-r10 green; the n-gram LM family keeps lm_perplexity
+# declared (same two-phase count/score plan shape) and the row stays
+# bit-checked locally.
+# ---------------------------------------------------------------------------
+
+QUERIES["text_normalize"] = EXTRA_QUERIES.pop("text_normalize")
+EXTRA_QUERIES["bigram_perplexity"] = QUERIES.pop("bigram_perplexity")

@@ -1964,3 +1964,22 @@ EXTRA_QUERIES["find_duplicates_cross_embedding"] = QueryDef(
     _find_dup_cross_embedding_oracle(),
     iterative=True,
 )
+
+
+# ---------------------------------------------------------------------------
+# Round-11 rotation (VERDICT r10 next-round #1): the composite IVF-PQ
+# chain enters the driver window for the first time (ivfpq_topk +
+# ivfpq_recall — encode/LUT/ADC replayed by oracle-heavy twins), and
+# find_duplicates_cross gives the cross-collection bridge its declared
+# seat (the one lifecycle row this round, per the zorder/shard
+# precedent). find_duplicates_minhash rotates out after r10 green — the
+# bridge family keeps find_duplicates declared and the minhash leg's
+# plan shape stays declared via dedup_minhash_lsh; still bit-checked
+# locally.
+# ---------------------------------------------------------------------------
+
+for _name in ("ivfpq_topk", "ivfpq_recall", "find_duplicates_cross"):
+    QUERIES[_name] = EXTRA_QUERIES.pop(_name)
+EXTRA_QUERIES["find_duplicates_minhash"] = QUERIES.pop(
+    "find_duplicates_minhash"
+)
