@@ -247,9 +247,20 @@ def ngram_decontamination(
     # shuffle a semi join pays) and count total + marked in a single
     # per-doc groupBy — two fewer stages than separate totals/hits
     # aggregations joined back per doc
+    # SHUFFLE_HASH pins the physical strategy: the optimizer's size
+    # estimate for train_grams flows through a Generate (explode),
+    # which does not scale the size stats, so at 100x corpora the
+    # planner auto-broadcast a ~1.4 GB distinct-gram set and died on
+    # spark.driver.maxResultSize (measured: 500k-doc curate stress,
+    # stage 88). The docstring's no-broadcast contract is now enforced
+    # in the plan, not assumed; shuffle-hash (not sort-merge) because
+    # the gram sets need no sort order and the train side hashes
+    # per-partition.
     per_doc = (
         eval_grams.join(
-            train_grams.withColumn("_t", F.lit(1)), "_h", "left"
+            train_grams.withColumn("_t", F.lit(1)).hint("shuffle_hash"),
+            "_h",
+            "left",
         )
         .groupBy(id_col, "split")
         .agg(
