@@ -3431,6 +3431,122 @@ EXTRA_QUERIES["image_phash_real"] = QueryDef(
 )
 
 
+# The audio leg of the same round-11 closure: REAL RIFF/WAVE payloads
+# (stdlib `wave` writer — mono 16-bit PCM, 8 kHz, 128 frames) with
+# samples derived from the md5 rule, round-tripped through the real
+# decoder (audio_phash: wave reader + the all-integer audio_ahash64),
+# against an oracle that recomputes the energy-envelope hash from the
+# rule without decoding.
+
+_WAV_FIXTURE: dict[tuple[str, str], str] = {}
+
+
+def _wav_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Parquet fixture (doc_id long, payload binary) of REAL WAVs —
+    128 mono int16 frames per document at 8 kHz; frame f is the
+    little-endian int16 at bytes 2*(f%8) of md5(f"{doc_id}:a{f//8}")."""
+    import atexit
+    import shutil
+    import tempfile
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _WAV_FIXTURE.get(key)
+    if hit is not None:
+        return hit
+    root = tempfile.mkdtemp(prefix="wav_fixture_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+
+    def render(batches):
+        import hashlib
+        import io
+        import wave
+
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                raw = b"".join(
+                    hashlib.md5(f"{did}:a{i}".encode()).digest()
+                    for i in range(16)
+                )
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(8000)
+                    w.writeframes(raw)
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs.mapInPandas(
+        render, schema="doc_id long, payload binary"
+    ).write.parquet(f"{root}/wav", mode="overwrite")
+    _WAV_FIXTURE[key] = f"{root}/wav"
+    return _WAV_FIXTURE[key]
+
+
+def q_audio_ahash_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real WAV decode, distributed: every document's rendered RIFF
+    payload decoded back and fingerprinted (frame count, rate, the
+    integer-exact 64-bit energy-envelope hash). iterative=True: the
+    fixture render runs Spark jobs during build (once per session)."""
+    from chroma_rs_spark.operators.multimodal import audio_phash
+
+    fx = spark.read.schema("doc_id long, payload binary").parquet(
+        _wav_fixture(spark, sf_dir)
+    )
+    return audio_phash(fx)
+
+
+_AUDIO_AHASH_REAL_ORACLE = """
+WITH fr AS (
+  -- frame f of doc d: little-endian int16 at bytes 2*(f%8) of
+  -- md5(d || ':a' || f//8)
+  SELECT d.doc_id, CAST(t.f AS INT) AS f,
+         CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':a'
+                             || CAST(t.f // 8 AS VARCHAR)),
+                             (t.f % 8) * 4 + 1, 2) AS INT)
+         + 256 * CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':a'
+                             || CAST(t.f // 8 AS VARCHAR)),
+                             (t.f % 8) * 4 + 3, 2) AS INT) AS u
+  FROM documents d, unnest(range(0, 128)) t(f)
+),
+mix AS (
+  SELECT doc_id, f,
+         abs(CASE WHEN u >= 32768 THEN u - 65536 ELSE u END) AS a
+  FROM fr
+),
+tot AS (SELECT doc_id, sum(a) AS total FROM mix GROUP BY 1),
+wins AS (
+  SELECT doc_id, f // 2 AS w, sum(a) AS s FROM mix GROUP BY 1, 2
+),
+bits AS (
+  -- engine rule: bit i set iff win_sum * total_frames > total * win_len
+  -- = 128*s > 2*total = 64*s > total; bit 63 is -2^63 in the signed fold
+  SELECT w.doc_id,
+         CAST(sum(CASE
+             WHEN 64 * w.s > t.total AND w.w < 63
+               THEN (CAST(1 AS BIGINT) << CAST(w.w AS INT))
+             WHEN 64 * w.s > t.total AND w.w = 63
+               THEN -9223372036854775808
+             ELSE 0 END) AS BIGINT) AS ahash
+  FROM wins w JOIN tot t USING (doc_id) GROUP BY 1
+)
+SELECT t.doc_id,
+       CAST(128 AS BIGINT) AS n_samples,
+       CAST(8000 AS BIGINT) AS sample_rate,
+       b.ahash
+FROM tot t JOIN bits b USING (doc_id)
+"""
+
+
+EXTRA_QUERIES["audio_ahash_real"] = QueryDef(
+    q_audio_ahash_real, _AUDIO_AHASH_REAL_ORACLE, iterative=True
+)
+
+
 # ---------------------------------------------------------------------------
 # Round-11 rotation: the r10 sketch family gets its declared seat via
 # bloom_dedup (Bloom membership pre-filter with visible FP cost — the

@@ -233,3 +233,29 @@ def test_image_phash_real_fixture_round_trip(spark):
         assert (r["width"], r["height"], r["channels"]) == (16, 16, 1)
         assert r["mean_intensity"] == sum(px) / 256
         assert r["ahash"] == ahash64(px, 16, 16, 1)
+
+
+def test_audio_ahash_real_fixture_round_trip(spark):
+    """The rendered RIFF/WAVE payloads decode back to exactly the
+    md5-derived int16 frames: counts, rate, and an ahash equal to the
+    pure-python audio_ahash64 on the raw (pre-encode) samples."""
+    import hashlib
+    import struct
+
+    from chroma_rs_spark.operators.multimodal import audio_ahash64
+    from chroma_rs_spark.suite.pipeline import q_audio_ahash_real
+    from tests.conftest import SF001_DIR
+
+    rows = {
+        r["doc_id"]: r
+        for r in q_audio_ahash_real(spark, SF001_DIR).collect()
+    }
+    assert len(rows) == 500
+    for did in (0, 13, 499):
+        raw = b"".join(
+            hashlib.md5(f"{did}:a{i}".encode()).digest() for i in range(16)
+        )
+        samples = list(struct.unpack("<128h", raw))
+        r = rows[did]
+        assert (r["n_samples"], r["sample_rate"]) == (128, 8000)
+        assert r["ahash"] == audio_ahash64(samples, 1)
