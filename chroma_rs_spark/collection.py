@@ -1419,7 +1419,16 @@ def query(
             item_id="id",
             item_emb="embedding",
             item_norm="embedding_norm" if metric == "cosine" else None,
-            dim=len(query_embeddings[0]) if query_embeddings else None,
+            # dim=None ON PURPOSE (unlike the exact path): the pool is
+            # <= n_results*oversample rows, so the interpreted HOF fold
+            # costs nothing — while the unrolled form, FUSED with the
+            # semi-join candidate chain and the top-k sort into one
+            # whole-stage processNext(), blows janino's method limit
+            # and silently drops the stage to interpreted anyway
+            # (measured: 4 codegen failures per pq/ivfpq query at
+            # dim=64). Bit-identical doubles either way (the knn_exact
+            # contract).
+            dim=None,
         )
     elif index == "ivfpq":
         if metric != "cosine":
@@ -1532,7 +1541,8 @@ def query(
             item_id="id",
             item_emb="embedding",
             item_norm="embedding_norm",
-            dim=len(query_embeddings[0]) if query_embeddings else None,
+            # dim=None on purpose — the pq-path rationale above
+            dim=None,
         )
     elif index != "exact":
         raise EngineError(
