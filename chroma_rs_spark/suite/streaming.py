@@ -794,3 +794,185 @@ QUERIES["stream_watermark_counts"] = EXTRA_QUERIES.pop(
     "stream_watermark_counts"
 )
 EXTRA_QUERIES["dedup_ingest"] = QUERIES.pop("dedup_ingest")
+
+
+# ---------------------------------------------------------------------------
+# round 11 (second stream-semantics closure): dropDuplicatesWithinWatermark
+# under the oracle gate — including the RE-EMISSION horizon that makes
+# it different from plain first-arrival dedup. Three pinned batches of
+# real (user:event_type)-keyed events:
+#   batch 0  all day-1 events — one emission per distinct key;
+#            same-batch duplicates suppressed by state
+#   batch 1  day-2 events whose key did NOT appear on day 1 — fresh
+#            keys only, one emission each. (Day-2 rows REUSING day-1
+#            keys are withheld on purpose: whether their day-1 state
+#            is still alive at batch 1 depends on which watermark-lag
+#            formula the engine applies — the stream_watermark_counts
+#            ambiguity — so they cannot carry a deterministic verdict.)
+#   batch 2  day-3 events whose key did not appear on day 2 at all,
+#            AND whose day-1 state (if any) is unambiguously evicted:
+#            keys whose LAST day-1 event sits inside the final
+#            FOUR hours of day 1 are withheld too. Four, not two:
+#            dropDuplicatesWithinWatermark must honor "duplicates
+#            within <delay> of the first are suppressed", so it keeps
+#            state until watermark > state_ts + delay — eviction at
+#            wm - delay, and the lagged wm candidate is max(day-1)
+#            - delay, giving a 2*delay exclusion band (the first two
+#            drafts shipped 0h/2h bands and 11/3 expected
+#            re-emissions did not happen).
+#            Fresh keys emit once; keys reused from day 1 with state
+#            strictly below every watermark candidate re-emit: the
+#            documented within-watermark guarantee boundary, visible
+#            as n_emitted = 2.
+# The surviving row per key is partition-order-dependent (Spark keeps
+# an arbitrary first within a batch), so the row returns per-key
+# EMISSION COUNTS — deterministic — not payloads.
+# ---------------------------------------------------------------------------
+
+_DDW_INBOX: dict[tuple[str, str], str] = {}
+
+
+def _ddw_inbox(spark: SparkSession, sf_dir: str) -> str:
+    import atexit
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from pyspark.sql import functions as F
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _DDW_INBOX.get(key)
+    if hit is not None:
+        return hit
+    root = tempfile.mkdtemp(prefix="ddw_inbox_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            F.concat(
+                F.col("user_id").cast("string"),
+                F.lit(":"),
+                F.col("event_type"),
+            ).alias("k"),
+            "ts",
+            "event_id",
+        )
+        .filter(F.col("k").isNotNull() & F.col("ts").isNotNull())
+    )
+    c = F.col
+    day = lambda d: (c("ts") >= f"2024-01-0{d}") & (c("ts") < f"2024-01-0{d+1}")
+    d1 = ev.filter(day(1))
+    k1 = d1.select("k").distinct()
+    d2keys = ev.filter(day(2)).select("k").distinct()
+    # day-1 keys whose last event is inside the final 2h horizon:
+    # their state may survive the lagged watermark — withheld from
+    # batch 2 so every delivered key's verdict is formula-independent
+    d1max = d1.agg(F.max("ts").alias("_m"))
+    tail1 = (
+        d1.groupBy("k")
+        .agg(F.max("ts").alias("_kmax"))
+        .crossJoin(d1max)
+        .filter(F.col("_kmax") >= F.col("_m") - F.expr("INTERVAL 4 HOURS"))
+        .select("k")
+    )
+    batches = [
+        d1,
+        ev.filter(day(2)).join(k1, "k", "left_anti"),
+        ev.filter(day(3))
+        .join(d2keys, "k", "left_anti")
+        .join(tail1, "k", "left_anti"),
+    ]
+    inbox = f"{root}/inbox"
+    now = time.time()
+    for i, b in enumerate(batches):
+        path = f"{inbox}/batch_{i}"
+        b.coalesce(1).write.parquet(path, mode="overwrite")
+        for f in os.listdir(path):
+            os.utime(f"{path}/{f}", (now - 100 + i * 10, now - 100 + i * 10))
+    _DDW_INBOX[key] = inbox
+    return inbox
+
+
+def q_stream_dedup_within_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real dropDuplicatesWithinWatermark over three pinned
+    micro-batches: within-horizon duplicates suppressed, a key reused
+    a full day after its state evicted re-emits. Returns per-key
+    emission counts (1, or 2 for the re-emitted day-1/day-3 keys).
+    iterative=True: the stream runs during build."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from chroma_rs_spark.streaming.joins import dedup_events
+
+    inbox = _ddw_inbox(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="ddw_run_")
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        # keyspace-sized state partitions (the stream_watermark_counts
+        # rationale and measurement)
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        stream = (
+            spark.readStream.schema("k string, ts timestamp, event_id long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{inbox}/*")
+        )
+        dd = dedup_events(stream, keys=["k"], watermark="2 hours")
+        q = (
+            dd.writeStream.format("parquet")
+            .option("path", f"{root}/out")
+            .option("checkpointLocation", f"{root}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        out = (
+            spark.read.schema("k string, ts timestamp, event_id long")
+            .parquet(f"{root}/out")
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_emitted"))
+        )
+        out = out.localCheckpoint()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+_DDW_ORACLE = """
+WITH e AS (
+  SELECT user_id || ':' || event_type AS k, ts FROM events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL
+),
+k1 AS (SELECT DISTINCT k FROM e
+       WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-02'),
+k2 AS (SELECT DISTINCT k FROM e
+       WHERE ts >= TIMESTAMP '2024-01-02' AND ts < TIMESTAMP '2024-01-03'),
+k3 AS (SELECT DISTINCT k FROM e
+       WHERE ts >= TIMESTAMP '2024-01-03' AND ts < TIMESTAMP '2024-01-04'),
+b1 AS (SELECT k FROM k2 WHERE k NOT IN (SELECT k FROM k1)),
+tail1 AS (
+  SELECT k FROM e
+  WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-02'
+  GROUP BY k
+  HAVING max(ts) >= (SELECT max(ts) - INTERVAL '4 hours' FROM e
+                     WHERE ts >= TIMESTAMP '2024-01-01'
+                       AND ts < TIMESTAMP '2024-01-02')
+),
+b2 AS (SELECT k FROM k3 WHERE k NOT IN (SELECT k FROM k2)
+                          AND k NOT IN (SELECT k FROM tail1)),
+em AS (
+  SELECT k FROM k1
+  UNION ALL SELECT k FROM b1
+  UNION ALL SELECT k FROM b2
+)
+SELECT k, CAST(count(*) AS BIGINT) AS n_emitted FROM em GROUP BY k
+"""
+
+
+EXTRA_QUERIES["stream_dedup_within_wm"] = QueryDef(
+    q_stream_dedup_within_wm, _DDW_ORACLE, iterative=True
+)

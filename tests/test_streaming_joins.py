@@ -149,3 +149,41 @@ def test_dedup_batch_missing_order_columns_raises_clearly(spark):
     df = spark.createDataFrame([(1, "click")], "user_id long, event_type string")
     with pytest.raises(ValueError, match="ordering columns"):
         dedup_events(df, keys=["user_id", "event_type"])
+
+
+def test_stream_dedup_within_watermark_reemission(spark):
+    """The suite row's 3-batch fixture exercises both sides of the
+    dropDuplicatesWithinWatermark guarantee on real data: every
+    delivered key emits exactly once per state generation, and keys
+    reused a full eviction band after their day-1 state re-emit
+    (n_emitted = 2) — the documented within-watermark boundary."""
+    from pyspark.sql import functions as F
+
+    from chroma_rs_spark.suite.streaming import q_stream_dedup_within_wm
+    from tests.conftest import SF001_DIR
+
+    out = q_stream_dedup_within_wm(spark, SF001_DIR)
+    counts = {r["k"]: r["n_emitted"] for r in out.collect()}
+    assert set(counts.values()) <= {1, 2}
+    reemitted = [k for k, n in counts.items() if n == 2]
+    assert len(reemitted) > 0  # the fixture plants live re-emissions
+    # re-emitted keys are exactly day-1 keys re-delivered on day 3
+    ev = (
+        load_table(spark, SF001_DIR, "events")
+        .select(
+            F.concat(
+                F.col("user_id").cast("string"),
+                F.lit(":"),
+                F.col("event_type"),
+            ).alias("k"),
+            "ts",
+        )
+        .filter(F.col("k").isNotNull() & F.col("ts").isNotNull())
+    )
+    k1 = {
+        r["k"]
+        for r in ev.filter(
+            (F.col("ts") >= "2024-01-01") & (F.col("ts") < "2024-01-02")
+        ).select("k").distinct().collect()
+    }
+    assert set(reemitted) <= k1
