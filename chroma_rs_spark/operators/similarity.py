@@ -928,3 +928,132 @@ def recall_vs_exact(
     ).select(F.col(probe_id), F.col(item_id).alias("_nid"))
     ap = approx.select(F.col(probe_id), F.col(neighbor_col).alias("_nid"))
     return _recall_report(probes, exact, ap, k, probe_id)
+
+
+def mmr_topk(
+    items,
+    probes,
+    k: int = 10,
+    pool: int = 30,
+    lam: float = 0.7,
+    item_id: str = "vec_id",
+    item_emb: str = "embedding",
+    probe_id: str = "query_id",
+    probe_emb: str = "query_embedding",
+):
+    """Maximal-Marginal-Relevance diversified top-k (Carbonell &
+    Goldstein, SIGIR 1998) — the retrieval feature plain KNN lacks:
+    near-duplicate neighbors crowd the result list, MMR greedily picks
+    the candidate maximizing
+        lam * (1 - d(q, i)) - (1 - lam) * max_{j in S} (1 - d(i, j))
+    so each pick trades relevance against similarity to the already-
+    selected set S (lam = 1 degenerates to plain KNN).
+
+    Physical shape: exact top-`pool` per probe (the knn_exact
+    broadcast-cross plan — the only corpus-sized work), ONE bounded
+    pool x pool self-join for the pairwise round-6 cosine distances
+    (|probes| * pool^2 tiny rows), then the greedy selection runs on
+    the driver over the ALREADY-ROUNDED scalars — a bounded collect of
+    |probes| * (pool + pool^2) rows by contract (the centroid-collect
+    class), never corpus data. At 100 TB the pool stage is the ANN
+    index's cost; MMR's own cost is independent of corpus size.
+
+    Determinism contract (what makes the row oracle-checkable): the
+    pool is top-`pool` by (round-6 distance, id); every pairwise
+    distance is the engine-wide round-6 + -0.0 cosine; the greedy
+    arithmetic runs on python float64 with the exact literal
+    `lam` and `1 - lam` factors an unrolled SQL replay uses, ties
+    break to the lower id.
+
+    Returns (probe_id, rank, item_id, distance, mmr_score) — distance
+    is the exact round-6 cosine to the probe, mmr_score the raw
+    (unrounded) greedy objective at selection time.
+    """
+    from pyspark.sql import functions as F
+
+    from chroma_rs_spark.functions.vector import cosine_distance
+    from chroma_rs_spark.operators.knn import knn_exact
+
+    if not (0.0 <= lam <= 1.0):
+        raise ValueError(f"mmr_topk: lam must be in [0, 1], got {lam}")
+    cand = knn_exact(
+        items,
+        probes,
+        k=int(pool),
+        metric="cosine",
+        item_id=item_id,
+        item_emb=item_emb,
+        query_id=probe_id,
+        query_emb=probe_emb,
+    )
+    vecs = items.select(
+        F.col(item_id).alias("_pid"),
+        F.col(item_emb).cast("array<double>").alias("_pe"),
+    )
+    pool_df = cand.join(
+        vecs, cand[item_id] == vecs["_pid"]
+    ).select(probe_id, item_id, "distance", "_pe")
+    a = pool_df.select(
+        F.col(probe_id).alias("_q"),
+        F.col(item_id).alias("_ia"),
+        F.col("_pe").alias("_ea"),
+    )
+    b = pool_df.select(
+        F.col(probe_id).alias("_q"),
+        F.col(item_id).alias("_ib"),
+        F.col("_pe").alias("_eb"),
+    )
+    pw = (
+        a.join(b, "_q")
+        .filter(F.col("_ia") != F.col("_ib"))
+        .select(
+            "_q",
+            "_ia",
+            "_ib",
+            (
+                F.round(cosine_distance(F.col("_ea"), F.col("_eb")), 6)
+                + F.lit(0.0)
+            ).alias("_dab"),
+        )
+    )
+    # bounded driver collects: |probes| * pool and |probes| * pool^2
+    by_q: dict = {}
+    for r in pool_df.select(probe_id, item_id, "distance").collect():
+        by_q.setdefault(r[probe_id], {})[r[item_id]] = float(r["distance"])
+    pair: dict = {}
+    for r in pw.collect():
+        pair[(r["_q"], r["_ia"], r["_ib"])] = float(r["_dab"])
+
+    lam = float(lam)
+    one_minus = 1.0 - lam  # the EXACT float the oracle must embed
+    out_rows = []
+    for q in sorted(by_q):
+        dq = by_q[q]
+        selected: list = []
+        remaining = set(dq)
+        for rank in range(1, min(int(k), len(dq)) + 1):
+            best_id, best_score = None, None
+            for i in sorted(remaining):
+                # TRUE max over (1 - dab) for j in S — similarities can
+                # be negative (cosine distance runs to 2), so this must
+                # not clip at 0; the empty-S convention is 0.0 (first
+                # pick = pure relevance), mirrored by the oracle's m1
+                if selected:
+                    mx = max(1.0 - pair[(q, i, j)] for j in selected)
+                else:
+                    mx = 0.0
+                score = lam * (1.0 - dq[i]) - one_minus * mx
+                if best_score is None or score > best_score or (
+                    score == best_score and i < best_id
+                ):
+                    best_id, best_score = i, score
+            selected.append(best_id)
+            remaining.discard(best_id)
+            out_rows.append((q, rank, best_id, dq[best_id], best_score))
+    spark = items.sparkSession
+    id_type = dict(items.dtypes)[item_id]
+    return spark.createDataFrame(
+        out_rows,
+        f"{probe_id} long, rank long, {item_id} {id_type},"
+        " distance double, mmr_score double",
+    )

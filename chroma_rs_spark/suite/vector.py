@@ -1983,3 +1983,123 @@ for _name in ("ivfpq_topk", "ivfpq_recall", "find_duplicates_cross"):
 EXTRA_QUERIES["find_duplicates_minhash"] = QUERIES.pop(
     "find_duplicates_minhash"
 )
+
+
+# ---------------------------------------------------------------------------
+# mmr_diversified (round 11): Maximal-Marginal-Relevance diversified
+# retrieval (Carbonell & Goldstein 1998) — the post-KNN re-ranking
+# every production retrieval stack offers and plain top-k lacks. The
+# greedy selection is data-dependent, but every scalar it consumes is
+# the engine-wide round-6 cosine, so the DuckDB twin unrolls the k
+# selection steps as CTEs (the knn_ivf_trained discipline applied to
+# a greedy algorithm): per step, argmax of
+# lam*(1-dist) - (1-lam)*max(1-dab over selected), ties to the lower
+# id. The (1-lam) literal is embedded as repr(1.0-0.7) so both
+# engines multiply by the identical binary64.
+# ---------------------------------------------------------------------------
+
+_MMR_POOL = 20
+_MMR_K = 10
+_MMR_LAM = 0.7
+
+
+def q_mmr_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chroma_rs_spark.operators.similarity import mmr_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return mmr_topk(
+        emb,
+        _probe_queries(emb),
+        k=_MMR_K,
+        pool=_MMR_POOL,
+        lam=_MMR_LAM,
+    ).select(
+        "query_id", "rank", F.col("vec_id").alias("neighbor_id"),
+        "distance", "mmr_score",
+    )
+
+
+def _mmr_oracle(
+    k: int = _MMR_K,
+    pool: int = _MMR_POOL,
+    lam: float = _MMR_LAM,
+    n_probes: int = N_PROBES,
+) -> str:
+    lam_s = repr(float(lam))
+    om_s = repr(1.0 - float(lam))
+    pair_cos = (
+        "1.0 - list_dot_product(a.pe, b.pe)"
+        " / (sqrt(list_dot_product(a.pe, a.pe))"
+        " * sqrt(list_dot_product(b.pe, b.pe)))"
+    )
+    ctes = [f"""q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe FROM embeddings
+  WHERE vec_id < {n_probes} AND embedding IS NOT NULL
+),
+dq AS (
+  SELECT query_id, id, dist FROM (
+    SELECT q.query_id, e.vec_id AS id,
+           ROUND(({_COSINE_EXPR}), 6) + 0.0 AS dist,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+                              ORDER BY ROUND(({_COSINE_EXPR}), 6) + 0.0,
+                                       e.vec_id) AS rn
+    FROM embeddings e CROSS JOIN q
+    WHERE e.embedding IS NOT NULL
+  ) WHERE rn <= {pool}
+),
+pv AS (SELECT vec_id, embedding::DOUBLE[] AS pe FROM embeddings),
+pw AS MATERIALIZED (
+  SELECT d1.query_id, d1.id AS ia, d2.id AS ib,
+         round(({pair_cos}), 6) + 0.0 AS dab
+  FROM dq d1
+  JOIN dq d2 ON d1.query_id = d2.query_id AND d1.id <> d2.id
+  JOIN pv a ON a.vec_id = d1.id
+  JOIN pv b ON b.vec_id = d2.id
+),
+m1 AS MATERIALIZED (
+  SELECT query_id, id, dist,
+         {lam_s} * (1.0 - dist) - {om_s} * 0.0 AS score
+  FROM (
+    SELECT query_id, id, dist,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY {lam_s} * (1.0 - dist)
+                                       - {om_s} * 0.0 DESC, id) AS rn
+    FROM dq
+  ) WHERE rn = 1
+),
+s1 AS (SELECT query_id, id FROM m1)"""]
+    for i in range(2, k + 1):
+        ctes.append(f"""m{i} AS MATERIALIZED (
+  SELECT query_id, id, dist, score FROM (
+    SELECT c.query_id, c.id, c.dist, c.score,
+           ROW_NUMBER() OVER (PARTITION BY c.query_id
+                              ORDER BY c.score DESC, c.id) AS rn
+    FROM (
+      SELECT d.query_id, d.id, d.dist,
+             {lam_s} * (1.0 - d.dist) - {om_s} * max(1.0 - p.dab) AS score
+      FROM dq d
+      JOIN pw p ON p.query_id = d.query_id AND p.ia = d.id
+      JOIN s{i - 1} s ON s.query_id = p.query_id AND s.id = p.ib
+      WHERE NOT EXISTS (SELECT 1 FROM s{i - 1} x
+                        WHERE x.query_id = d.query_id AND x.id = d.id)
+      GROUP BY d.query_id, d.id, d.dist
+    ) c
+  ) WHERE rn = 1
+),
+s{i} AS (SELECT query_id, id FROM s{i - 1}
+         UNION ALL SELECT query_id, id FROM m{i})""")
+    joined = ",\n".join(ctes)
+    selects = "\nUNION ALL\n".join(
+        f"SELECT query_id, CAST({i} AS BIGINT) AS rank, id AS neighbor_id,"
+        f" dist AS distance, score AS mmr_score FROM m{i}"
+        for i in range(1, k + 1)
+    )
+    return f"""
+WITH {joined}
+{selects}
+"""
+
+
+EXTRA_QUERIES["mmr_diversified"] = QueryDef(
+    q_mmr_diversified, _mmr_oracle(), iterative=True
+)

@@ -316,3 +316,45 @@ def test_ann_recall_multiprobe_recovers_boundary_miss(spark):
 
     with _pytest.raises(ValueError, match="hamming_probes"):
         signbucket_ann(emb, probes, n_planes=4, hamming_probes=5)
+
+
+def test_mmr_topk_diversifies_planted_clones(spark):
+    """Plain KNN fills the top with a clone cluster; MMR keeps the most
+    relevant clone and pulls distinct-but-relevant vectors forward.
+    lam=1 degenerates to plain KNN order; lam validated."""
+    import pytest as _pytest
+
+    from chroma_rs_spark.operators.knn import knn_exact
+    from chroma_rs_spark.operators.similarity import mmr_topk
+
+    # probe q; 4 near-clones of q; 3 moderately-relevant distinct dirs
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0, 0.0]),
+        (2, [0.998, 0.02, 0.0, 0.0]),
+        (3, [0.997, 0.03, 0.0, 0.0]),
+        (10, [0.8, 0.6, 0.0, 0.0]),
+        (11, [0.8, 0.0, 0.6, 0.0]),
+        (12, [0.8, 0.0, 0.0, 0.6]),
+    ]
+    items = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    probes = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0])],
+        "query_id long, query_embedding array<double>",
+    )
+    knn_top4 = [
+        r["vec_id"]
+        for r in knn_exact(items, probes, k=4, metric="cosine",
+                           item_id="vec_id").collect()
+    ]
+    assert knn_top4 == [0, 1, 2, 3]  # clones crowd plain KNN
+    mmr = mmr_topk(items, probes, k=4, pool=7, lam=0.5)
+    got = [r["vec_id"] for r in sorted(mmr.collect(), key=lambda r: r["rank"])]
+    assert got[0] == 0  # first pick is pure relevance
+    # diversification: the remaining picks are NOT the clone cluster
+    assert set(got[1:]) & {10, 11, 12}, got
+    # lam=1 degenerates to plain KNN order
+    pure = mmr_topk(items, probes, k=4, pool=7, lam=1.0)
+    assert [r["vec_id"] for r in sorted(pure.collect(), key=lambda r: r["rank"])] == knn_top4
+    with _pytest.raises(ValueError):
+        mmr_topk(items, probes, lam=1.5)
