@@ -1578,6 +1578,69 @@ def query(
     return result.select(*out_cols, *extra).orderBy("query_id", "rank")
 
 
+def query_diverse(
+    engine: Engine,
+    coll: Collection,
+    query_embeddings: Sequence[Sequence[float]],
+    n_results: int = 10,
+    lam: float = 0.7,
+    pool: int | None = None,
+    where: dict | None = None,
+    where_document: dict | None = None,
+    include: Sequence[str] = ("documents", "metadatas", "distances"),
+) -> DataFrame:
+    """Diversified KNN on the collection surface — Maximal-Marginal-
+    Relevance re-ranking (operators/similarity.py:mmr_topk) over an
+    exact candidate pool, so near-duplicate stored items stop crowding
+    the result list. `lam` trades relevance against diversity (1.0
+    degenerates to plain query(index="exact")); `pool` defaults to
+    4 * n_results candidates. Cosine collections only (the MMR
+    pairwise term is the engine's round-6 cosine). Filters push down
+    exactly like query(): where / where_document / partition pruning
+    run before any distance work.
+
+    Returns (query_id, rank, id, distance, mmr_score[, document]
+    [, metadata])."""
+    metric = (coll.metadata or {}).get("hnsw:space", "l2")
+    if metric != "cosine":
+        raise EngineError(
+            f"query_diverse supports cosine collections only; this "
+            f"collection's hnsw:space is {metric!r}"
+        )
+    if not query_embeddings:
+        raise EngineError("query_diverse: query_embeddings required")
+    from chroma_rs_spark.operators.similarity import mmr_topk
+
+    df = items_df(engine, coll, keep_partition_col=True)
+    pred = _predicate(where, where_document, None)
+    if pred is not None:
+        df = df.filter(pred)
+    ppred = _partition_pred(where, _partition_key(engine, coll))
+    if ppred is not None:
+        df = df.filter(ppred)
+    df = df.drop(PARTITION_COL)
+    probes = engine.spark.createDataFrame(
+        [(i, [float(x) for x in q]) for i, q in enumerate(query_embeddings)],
+        "query_id INT, query_embedding ARRAY<DOUBLE>",
+    )
+    result = mmr_topk(
+        df,
+        probes,
+        k=int(n_results),
+        pool=int(pool) if pool is not None else 4 * int(n_results),
+        lam=lam,
+        item_id="id",
+        item_emb="embedding",
+    )
+    out_cols = ["query_id", "rank", "id"]
+    if "distances" in include:
+        out_cols += ["distance", "mmr_score"]
+    extra = [INCLUDE_COLS[i] for i in include if i in INCLUDE_COLS]
+    if extra:
+        result = result.join(df.select("id", *extra), "id", "left")
+    return result.select(*out_cols, *extra).orderBy("query_id", "rank")
+
+
 def find_duplicates(
     engine: Engine,
     coll: Collection,

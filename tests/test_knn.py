@@ -97,3 +97,59 @@ def test_self_query_rank1_is_self(spark, emb, np_data):
     )
     res = knn_exact(emb, queries, k=1, metric="cosine", item_id="vec_id").collect()
     assert res[0]["vec_id"] == ids[7] and res[0]["distance"] == 0.0
+
+
+def test_collection_query_diverse(engine):
+    """MMR on the collection surface: planted clones crowd plain
+    query(); query_diverse keeps the best clone and diversifies;
+    filters push down; lam=1 equals plain exact query order."""
+    import pytest as _pytest
+
+    from chroma_rs_spark.errors import EngineError
+
+    c = engine.create_collection("mmr_coll", {"hnsw:space": "cosine"})
+    rows = {
+        "a0": [1.0, 0.0, 0.0, 0.0],
+        "a1": [0.999, 0.01, 0.0, 0.0],
+        "a2": [0.998, 0.02, 0.0, 0.0],
+        "b0": [0.8, 0.6, 0.0, 0.0],
+        "b1": [0.8, 0.0, 0.6, 0.0],
+    }
+    c.add(
+        ids=list(rows),
+        embeddings=list(rows.values()),
+        metadatas=[{"grp": k[0]} for k in rows],
+        documents=[f"doc {k}" for k in rows],
+    )
+    probe = [[1.0, 0.0, 0.0, 0.0]]
+    got = c.query_diverse(probe, n_results=3, lam=0.5).collect()
+    ids = [r["id"] for r in sorted(got, key=lambda r: r["rank"])]
+    assert ids[0] == "a0"
+    assert set(ids) & {"b0", "b1"}  # diversified past the clone cluster
+    assert {r["document"] for r in got} == {f"doc {i}" for i in ids}
+    # lam=1 degenerates to the plain exact-query ranking
+    pure = [
+        r["id"]
+        for r in sorted(
+            c.query_diverse(probe, n_results=3, lam=1.0).collect(),
+            key=lambda r: r["rank"],
+        )
+    ]
+    plain = [
+        r["id"]
+        for r in sorted(
+            c.query(probe, n_results=3, index="exact").collect(),
+            key=lambda r: r["rank"],
+        )
+    ]
+    assert pure == plain == ["a0", "a1", "a2"]
+    # where-filter pushes down BEFORE the pool
+    only_b = c.query_diverse(
+        probe, n_results=2, lam=0.5, where={"grp": "b"}
+    ).collect()
+    assert {r["id"] for r in only_b} == {"b0", "b1"}
+    # metric gate
+    l2c = engine.create_collection("mmr_l2", {"hnsw:space": "l2"})
+    l2c.add(ids=["x"], embeddings=[[1.0, 0.0]])
+    with _pytest.raises(EngineError):
+        l2c.query_diverse([[1.0, 0.0]], n_results=1)
