@@ -1138,7 +1138,19 @@ def build_ivfpq_index(
     shutil.rmtree(old, ignore_errors=True)
     if os.path.isdir(root):
         os.replace(root, old)
-    os.replace(tmp, root)
+    try:
+        os.replace(tmp, root)
+    except FileNotFoundError:
+        # Same reader-promotion race as _overwrite: stats() /
+        # _load_ivfpq_index run _recover_interrupted_overwrite as
+        # readers, and one that observed the live dir missing inside
+        # this two-rename window promoted the committed tmp itself.
+        # The disk already holds exactly the intended state.
+        if not (
+            os.path.isdir(root)
+            and os.path.isfile(os.path.join(root, "_SUCCESS"))
+        ):
+            raise
     shutil.rmtree(old, ignore_errors=True)
     return root
 

@@ -930,6 +930,13 @@ def recall_vs_exact(
     return _recall_report(probes, exact, ap, k, probe_id)
 
 
+# Upper bound on mmr_topk's candidate pool: the greedy stage collects
+# |probes| * pool^2 pairwise-distance rows driver-side (three 8-byte-ish
+# fields each), so 512 keeps a 100-probe batch under ~30M tiny rows —
+# the same "bounded by construction" budget as the centroid collects.
+MMR_MAX_POOL = 512
+
+
 def mmr_topk(
     items,
     probes,
@@ -976,6 +983,27 @@ def mmr_topk(
 
     if not (0.0 <= lam <= 1.0):
         raise ValueError(f"mmr_topk: lam must be in [0, 1], got {lam}")
+    # Hard cap: the greedy stage collects |probes| * pool^2 pairwise
+    # rows to the driver by design (bounded-collect class). That bound
+    # is only a bound if pool stays small — pool=10k would be 1e8 rows
+    # per probe. Larger pools need a distributed greedy variant, not a
+    # silently bigger collect.
+    if not (0 < int(pool) <= MMR_MAX_POOL):
+        raise ValueError(
+            f"mmr_topk: pool must be in [1, {MMR_MAX_POOL}] (the greedy"
+            f" stage collects |probes| * pool^2 rows), got {pool}"
+        )
+    # Zero-norm embeddings have no defined cosine distance: knn_exact
+    # only filters NULLs, and a zero-norm vector reaching the pool
+    # yields NaN pairwise distances — NaN wins every > comparison on
+    # whichever candidate is evaluated first, silently corrupting the
+    # greedy order. Drop them from the candidate universe up front.
+    nz = F.aggregate(
+        F.col(item_emb).cast("array<double>"),
+        F.lit(0.0),
+        lambda acc, x: acc + x * x,
+    )
+    items = items.filter(nz > 0)
     cand = knn_exact(
         items,
         probes,
@@ -1052,8 +1080,9 @@ def mmr_topk(
             out_rows.append((q, rank, best_id, dq[best_id], best_score))
     spark = items.sparkSession
     id_type = dict(items.dtypes)[item_id]
+    probe_id_type = dict(probes.dtypes)[probe_id]
     return spark.createDataFrame(
         out_rows,
-        f"{probe_id} long, rank long, {item_id} {id_type},"
+        f"{probe_id} {probe_id_type}, rank long, {item_id} {id_type},"
         " distance double, mmr_score double",
     )

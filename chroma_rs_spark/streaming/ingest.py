@@ -445,7 +445,19 @@ def compact_sketch_dir(spark, sketch_dir: str, kind: str = "cms") -> int:
         raise RuntimeError(f"sketch compaction did not commit: {tmp}")
     n = spark.read.parquet(tmp).count()
     _os.rename(base, old)
-    _os.rename(tmp, base)
+    try:
+        _os.rename(tmp, base)
+    except FileNotFoundError:
+        # Reader-promotion race (the collection-store _overwrite
+        # pattern): read_cms/read_bloom call recover_sketch_dir, and a
+        # reader that observed the live dir missing inside this
+        # two-rename window promoted the committed tmp itself. The
+        # disk already holds exactly the compacted state.
+        if not (
+            _os.path.isdir(base)
+            and _os.path.isfile(_os.path.join(base, "_SUCCESS"))
+        ):
+            raise
     _shutil.rmtree(old, ignore_errors=True)
     return n
 

@@ -358,3 +358,35 @@ def test_mmr_topk_diversifies_planted_clones(spark):
     assert [r["vec_id"] for r in sorted(pure.collect(), key=lambda r: r["rank"])] == knn_top4
     with _pytest.raises(ValueError):
         mmr_topk(items, probes, lam=1.5)
+
+
+def test_mmr_topk_advice_hardening(spark):
+    """Round-12 ADVICE fixes: (1) string probe ids survive the output
+    createDataFrame (the probe-id type was hardcoded long); (2) a
+    zero-norm item can never reach the pool — its NaN pairwise cosine
+    would win every greedy comparison; (3) the pool^2 driver collect
+    has a hard validated cap."""
+    import pytest as _pytest
+
+    from chroma_rs_spark.operators.similarity import MMR_MAX_POOL, mmr_topk
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0, 0.0]),
+        (7, [0.0, 0.0, 0.0, 0.0]),  # zero-norm: cosine undefined
+        (10, [0.8, 0.6, 0.0, 0.0]),
+        (11, [0.8, 0.0, 0.6, 0.0]),
+    ]
+    items = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    probes = spark.createDataFrame(
+        [("qa", [1.0, 0.0, 0.0, 0.0])],
+        "query_id string, query_embedding array<double>",
+    )
+    got = mmr_topk(items, probes, k=3, pool=5, lam=0.5).collect()
+    assert got and all(r["query_id"] == "qa" for r in got)
+    ids = [r["vec_id"] for r in sorted(got, key=lambda r: r["rank"])]
+    assert 7 not in ids  # zero-norm item filtered, not NaN-promoted
+    assert ids[0] == 0
+    assert all(r["mmr_score"] == r["mmr_score"] for r in got)  # no NaN
+    with _pytest.raises(ValueError, match="pool"):
+        mmr_topk(items, probes, pool=MMR_MAX_POOL + 1)
