@@ -3559,3 +3559,18 @@ EXTRA_QUERIES["audio_ahash_real"] = QueryDef(
 
 QUERIES["bloom_dedup"] = EXTRA_QUERIES.pop("bloom_dedup")
 EXTRA_QUERIES["jsonl_ingest"] = QUERIES.pop("jsonl_ingest")
+
+# ---------------------------------------------------------------------------
+# Round-12 rotation (VERDICT r11 next-round #1): the never-driver-gated
+# r10/r11 surfaces take declared seats — cms_heavy_hitters (the
+# count-min half of the sketch family; bloom_dedup has held the Bloom
+# half since r11), dedup_simhash_pairs (the simhash banded miner — the
+# one dedup algorithm with NO declared sibling), and audio_ahash_real
+# (real WAV container decode, the ratio-cheaper of the real-decode pair
+# at 1.07 s/0.44 s vs image's 2.47 s/0.56 s at sf0.1; image_phash_real
+# stays bit-checked as EXTRA).
+# ---------------------------------------------------------------------------
+
+QUERIES["cms_heavy_hitters"] = EXTRA_QUERIES.pop("cms_heavy_hitters")
+QUERIES["dedup_simhash_pairs"] = EXTRA_QUERIES.pop("dedup_simhash_pairs")
+QUERIES["audio_ahash_real"] = EXTRA_QUERIES.pop("audio_ahash_real")

@@ -976,3 +976,15 @@ SELECT k, CAST(count(*) AS BIGINT) AS n_emitted FROM em GROUP BY k
 EXTRA_QUERIES["stream_dedup_within_wm"] = QueryDef(
     q_stream_dedup_within_wm, _DDW_ORACLE, iterative=True
 )
+
+# ---------------------------------------------------------------------------
+# Round-12 rotation (VERDICT r11 next-round #1): events_session_windows
+# (green r2-r11) and dedup_events (r4-r11) rotate out — both
+# floor-priced walls whose shapes stay covered (session windows by the
+# events EXTRA gates, first-arrival semantics by the declared
+# stream_watermark_counts / EXTRA stream_dedup_within_wm pair, which
+# exercise the same semantics WITH real micro-batch execution).
+# ---------------------------------------------------------------------------
+
+EXTRA_QUERIES["events_session_windows"] = QUERIES.pop("events_session_windows")
+EXTRA_QUERIES["dedup_events"] = QUERIES.pop("dedup_events")

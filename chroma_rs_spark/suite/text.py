@@ -1811,3 +1811,17 @@ EXTRA_QUERIES["dedup_unicode_normalized"] = QueryDef(
 
 QUERIES["text_normalize"] = EXTRA_QUERIES.pop("text_normalize")
 EXTRA_QUERIES["bigram_perplexity"] = QUERIES.pop("bigram_perplexity")
+
+# ---------------------------------------------------------------------------
+# Round-12 rotation (VERDICT r11 next-round #1): repetition_signals
+# (green r5-r11) and remove_duplicate_spans (r6-r11) rotate out —
+# floor-priced walls; duplicate_span_stats keeps the span family's
+# declared seat and gopher_repetition the repetition family's. lang_id
+# was the pre-plan's demotion candidate but STAYS DECLARED: the
+# standing r10/r11 lesson is "demote floor-priced walls, never the
+# oracle-heavy rows", and lang_id is the suite's best ratio row
+# (0.107 s Spark vs 0.762 s oracle at sf0.1 — a 7x Spark win).
+# ---------------------------------------------------------------------------
+
+EXTRA_QUERIES["repetition_signals"] = QUERIES.pop("repetition_signals")
+EXTRA_QUERIES["remove_duplicate_spans"] = QUERIES.pop("remove_duplicate_spans")

@@ -2103,3 +2103,13 @@ WITH {joined}
 EXTRA_QUERIES["mmr_diversified"] = QueryDef(
     q_mmr_diversified, _mmr_oracle(), iterative=True
 )
+
+# ---------------------------------------------------------------------------
+# Round-12 rotation (VERDICT r11 next-round #1): mmr_diversified takes
+# a declared seat — the MMR diversified re-ranker's first driver
+# exposure, and the rotation's ratio-friendliest add (4.42 s Spark vs
+# 2.32 s oracle at sf0.1: the DuckDB twin replays all k unrolled greedy
+# selection steps).
+# ---------------------------------------------------------------------------
+
+QUERIES["mmr_diversified"] = EXTRA_QUERIES.pop("mmr_diversified")
