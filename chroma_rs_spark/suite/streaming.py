@@ -988,3 +988,183 @@ EXTRA_QUERIES["stream_dedup_within_wm"] = QueryDef(
 
 EXTRA_QUERIES["events_session_windows"] = QUERIES.pop("events_session_windows")
 EXTRA_QUERIES["dedup_events"] = QUERIES.pop("dedup_events")
+
+# ---------------------------------------------------------------------------
+# stream_interval_join (round 12, VERDICT r11 missing #2 / next-round
+# #5): the LAST streaming semantic without an oracle row — the
+# stream-stream interval join's state-bound eviction, pinned with the
+# stream_watermark_counts discipline (final emitted set SQL-expressible
+# by rule). Two real file-stream sources (clicks / purchases split from
+# `events` days 1-3), 1 file per trigger each, drained availableNow
+# through streaming/joins.py::click_purchase_interval_join (inner join,
+# click within 1h before purchase, 2h watermarks on both sides).
+#
+# The planted verdicts, each unambiguous under either watermark-lag
+# formula (wm from batch-start maxes or batch-end maxes):
+# * day-2 EARLY-morning clicks (< 02:00) are delivered in the FIRST
+#   click file, a day before their matching purchases — they must sit
+#   in the join state across triggers and emit when the purchase side
+#   catches up (cross-batch buffering, the state the join exists for).
+#   Safe under min-watermark: the purchase side's max lags a full day,
+#   so the global watermark can never pass click_ts + 1h before the
+#   matching purchases arrive.
+# * ALL day-1 morning clicks (ts < 12:00 — a stuck upstream partition
+#   redelivered a day later, the realistic failure) are WITHHELD from
+#   the first file and REDELIVERED after both sides' day-2 data: by
+#   then the global watermark sits at day-2 evening minus 2h (>33h
+#   past them), so the late filter drops them on input and their
+#   would-have-matched purchase pairs (4 of 30 at sf0.01, 44 of 216 at
+#   sf0.1 — measured non-empty at both gate scales) are GONE from the
+#   emitted set — the eviction/late rule a batch join can't show.
+# * day-3 rows advance the watermark so every surviving window is
+#   final at drain end; inner joins emit eagerly, so drained = final.
+#
+# Oracle: the interval join over (clicks minus the replayed-late
+# class) x (all purchases) — the rule the stream must converge to.
+# ---------------------------------------------------------------------------
+
+_IJ_INBOX: dict[tuple[str, str], tuple[str, str]] = {}
+
+
+def _interval_join_inboxes(
+    spark: SparkSession, sf_dir: str
+) -> tuple[str, str]:
+    import atexit
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from pyspark.sql import functions as F
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _IJ_INBOX.get(key)
+    if hit is not None:
+        return hit
+    root = tempfile.mkdtemp(prefix="ij_inbox_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    c = F.col
+    day3 = (c("ts") >= "2024-01-03") & (c("ts") < "2024-01-04")
+    late_cls = c("ts") < "2024-01-01 12:00:00"
+    early_click = (c("ts") >= "2024-01-02") & (c("ts") < "2024-01-02 02:00:00")
+    clicks = ev.filter(c("event_type") == "click")
+    purchases = ev.filter(c("event_type") == "purchase")
+    # per-source file order is mtime: file i of each source is taken by
+    # trigger i while available (maxFilesPerTrigger=1, availableNow)
+    click_files = [
+        clicks.filter(
+            ((c("ts") < "2024-01-02") & ~late_cls) | early_click
+        ),
+        clicks.filter(
+            (c("ts") >= "2024-01-02 02:00:00") & (c("ts") < "2024-01-03")
+        ),
+        clicks.filter(late_cls),  # the very-late redelivery: dropped
+        clicks.filter(day3),
+    ]
+    purchase_files = [
+        purchases.filter(c("ts") < "2024-01-02"),
+        purchases.filter((c("ts") >= "2024-01-02") & (c("ts") < "2024-01-03")),
+        purchases.filter(day3),
+    ]
+    now = time.time()
+    paths = []
+    for side, files in (("clicks", click_files), ("purchases", purchase_files)):
+        inbox = f"{root}/{side}"
+        for i, flt in enumerate(files):
+            path = f"{inbox}/batch_{i}"
+            flt.coalesce(1).write.parquet(path, mode="overwrite")
+            for fname in os.listdir(path):
+                os.utime(
+                    f"{path}/{fname}",
+                    (now - 100 + i * 10, now - 100 + i * 10),
+                )
+        paths.append(inbox)
+    _IJ_INBOX[key] = (paths[0], paths[1])
+    return _IJ_INBOX[key]
+
+
+def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drained stream-stream interval join over the pinned two-source
+    inboxes (see the block comment above). iterative=True: the stream
+    runs during build."""
+    import shutil
+    import tempfile
+
+    from chroma_rs_spark.streaming.joins import click_purchase_interval_join
+
+    click_inbox, purchase_inbox = _interval_join_inboxes(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="ij_run_")
+    schema = (
+        "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double"
+    )
+    # state-store partition sizing: the live keyspace (users active
+    # inside the watermark horizon) is tiny at test scale — the
+    # stream_watermark_counts knob, same rationale and restore scope
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        mk = (
+            lambda inbox: spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{inbox}/*")
+        )
+        joined = click_purchase_interval_join(
+            mk(click_inbox),
+            mk(purchase_inbox),
+            # 6h: wide enough that the planted late class owns real
+            # pairs at sf0.01 (the 1h draft measured ZERO dropped
+            # pairs — a drop rule nothing exercises is not evidence)
+            horizon="6 hours",
+            watermark="2 hours",
+        )
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", f"{root}/out")
+            .option("checkpointLocation", f"{root}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        out = spark.read.schema(
+            "user_id long, purchase_id long, purchase_ts timestamp,"
+            " purchase_value double, click_id long, click_ts timestamp"
+        ).parquet(f"{root}/out")
+        out = out.localCheckpoint()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+_INTERVAL_JOIN_ORACLE = """
+WITH c AS (
+  SELECT user_id, ts AS click_ts, event_id AS click_id
+  FROM events
+  WHERE event_type = 'click'
+    AND ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-04'
+    AND ts >= TIMESTAMP '2024-01-01 12:00:00'
+),
+p AS (
+  SELECT user_id, ts AS purchase_ts, event_id AS purchase_id,
+         value AS purchase_value
+  FROM events
+  WHERE event_type = 'purchase'
+    AND ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-04'
+)
+SELECT p.user_id, purchase_id, purchase_ts, purchase_value,
+       click_id, click_ts
+FROM c JOIN p
+  ON c.user_id = p.user_id
+ AND click_ts <= purchase_ts
+ AND click_ts >= purchase_ts - INTERVAL '6 hours'
+"""
+
+
+EXTRA_QUERIES["stream_interval_join"] = QueryDef(
+    q_stream_interval_join, _INTERVAL_JOIN_ORACLE, iterative=True
+)

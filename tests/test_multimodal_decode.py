@@ -339,7 +339,10 @@ def test_decode_image_real_dispatches_jpeg():
     assert out["channels"] == 1 and set(out["pixels"]) == {64}
 
 
-def test_decode_jpeg_rejects_progressive():
+def test_decode_jpeg_sof2_without_scan_is_truncated():
+    """Round 12: SOF2 is now a supported frame type (progressive
+    decode), so a header-only progressive skeleton fails as TRUNCATED
+    (no scan data), not as unsupported."""
     import struct
 
     from chroma_rs_spark.operators.multimodal import decode_jpeg
@@ -347,7 +350,7 @@ def test_decode_jpeg_rejects_progressive():
     sof2 = bytes([0xFF, 0xC2]) + struct.pack(">H", 11) + struct.pack(
         ">BHHB", 8, 8, 8, 1
     ) + bytes([1, 0x11, 0])
-    with pytest.raises(NotImplementedError, match="non-baseline"):
+    with pytest.raises(ValueError, match="missing SOF or SOS"):
         decode_jpeg(b"\xff\xd8" + sof2 + b"\xff\xd9")
 
 
@@ -454,13 +457,16 @@ def test_extract_image_features_decode_status(spark):
         + _chunk(b"IDAT", zlib.compress(bytes(raw)))
         + _chunk(b"IEND", b"")
     )
-    # progressive JPEG skeleton: SOI + SOF2 (progressive DCT) header —
-    # decode_jpeg refuses at the SOF marker before needing scan data
-    sof2 = b"\xff\xc2" + struct.pack(">HBHHB", 11, 8, 8, 8, 1) + b"\x11\x00"
-    progressive = b"\xff\xd8" + sof2 + b"\xff\xd9"
+    # arithmetic-coded JPEG skeleton (SOF10): the remaining honestly-
+    # unsupported class now that progressive (SOF2) decodes (round 12)
+    sof10 = b"\xff\xca" + struct.pack(">HBHHB", 11, 8, 8, 8, 1) + b"\x11\x00"
+    arithmetic = b"\xff\xd8" + sof10 + b"\xff\xd9"
+    # a REAL progressive JPEG decodes with status ok (round 12)
+    progressive = make_jpeg_grey_progressive([90] * 64, 8, 8)
     corrupt = b"\x89PNG\r\n\x1a\ngarbage"
     df = spark.createDataFrame(
-        [(0, good), (1, interlaced), (2, progressive), (3, corrupt), (4, None)],
+        [(0, good), (1, interlaced), (2, arithmetic), (3, corrupt), (4, None),
+         (5, progressive)],
         "doc_id long, payload binary",
     )
     out = {r["doc_id"]: r for r in extract_image_features(df).collect()}
@@ -470,5 +476,344 @@ def test_extract_image_features_decode_status(spark):
     assert out[2]["decode_status"] == "unsupported"
     assert out[3]["decode_status"] == "corrupt"
     assert out[4]["decode_status"] == "corrupt"
+    assert out[5]["decode_status"] == "ok"
+    assert out[5]["width"] == 8 and out[5]["channels"] == 1
     for i in (1, 2, 3, 4):
         assert out[i]["width"] is None and out[i]["pixel_md5"] is None
+
+
+# ---------------------------------------------------------------------------
+# Progressive JPEG (round 12, VERDICT r11 #4): a full test-side
+# progressive ENCODER (spectral selection + successive approximation
+# with EOB-run and correction-bit buffering — the jcphuff algorithm)
+# encodes the SAME quantized coefficients make_jpeg_grey encodes, so a
+# correct decoder must reproduce the baseline decode BIT-IDENTICALLY.
+# Encoder and decoder are structurally disjoint transforms (buffered
+# emission vs stateful refinement), so a bug on either side breaks the
+# pixel equality rather than cancelling out.
+# ---------------------------------------------------------------------------
+
+
+def _grey_zz_blocks(pixels, width, height):
+    """Quantized (q=1) zigzag coefficient blocks in raster order —
+    exactly what make_jpeg_grey entropy-codes."""
+    import numpy as np
+
+    img = np.asarray(pixels, dtype=np.float64).reshape(height, width)
+    mcux = (width + 7) // 8
+    mcuy = (height + 7) // 8
+    padded = np.empty((mcuy * 8, mcux * 8))
+    padded[:height, :width] = img
+    padded[height:, :width] = img[-1:, :]
+    padded[:, width:] = padded[:, width - 1 : width]
+    blocks = []
+    for my in range(mcuy):
+        for mx in range(mcux):
+            blk = padded[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] - 128.0
+            coef = np.round(_fdct(blk)).astype(int)
+            blocks.append([int(coef.flat[_ZZ[i]]) for i in range(64)])
+    return blocks
+
+
+def _emit_val(w, codes, t, v):
+    w.write(*codes[t])
+    if t:
+        w.write(t, v if v >= 0 else v + (1 << t) - 1)
+
+
+def _enc_dc_first(w, dc_codes, blocks, al):
+    pred = 0
+    for zz in blocks:
+        v = zz[0] >> al  # arithmetic shift (jcphuff DC point transform)
+        diff = v - pred
+        pred = v
+        _emit_val(w, dc_codes, _cat(diff), diff)
+
+
+def _enc_dc_refine(w, blocks, al):
+    for zz in blocks:
+        w.write(1, (zz[0] >> al) & 1)
+
+
+def _enc_ac_first(w, ac_codes, blocks, ss, se, al):
+    eobrun = 0
+
+    def emit_eobrun():
+        nonlocal eobrun
+        if eobrun:
+            nbits = eobrun.bit_length() - 1
+            w.write(*ac_codes[nbits << 4])
+            if nbits:
+                w.write(nbits, eobrun & ((1 << nbits) - 1))
+            eobrun = 0
+
+    for zz in blocks:
+        r = 0
+        for k in range(ss, se + 1):
+            v = zz[k]
+            t = (v >> al) if v >= 0 else -((-v) >> al)  # magnitude shift
+            if t == 0:
+                r += 1
+                continue
+            emit_eobrun()
+            while r > 15:
+                w.write(*ac_codes[0xF0])
+                r -= 16
+            s = _cat(t)
+            w.write(*ac_codes[(r << 4) | s])
+            w.write(s, t if t >= 0 else t + (1 << s) - 1)
+            r = 0
+        if r > 0:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                emit_eobrun()
+    emit_eobrun()
+
+
+def _enc_ac_refine(w, ac_codes, blocks, ss, se, al):
+    eobrun = 0
+    be = []  # correction bits attached to the pending EOB run
+
+    def emit_eobrun():
+        nonlocal eobrun, be
+        if eobrun:
+            nbits = eobrun.bit_length() - 1
+            w.write(*ac_codes[nbits << 4])
+            if nbits:
+                w.write(nbits, eobrun & ((1 << nbits) - 1))
+            for b in be:
+                w.write(1, b)
+            be = []
+            eobrun = 0
+
+    for zz in blocks:
+        r = 0
+        br = []
+        for k in range(ss, se + 1):
+            t = abs(zz[k]) >> al
+            if t == 0:
+                r += 1  # zero-history position
+                continue
+            if t > 1:
+                br.append(t & 1)  # previously nonzero: correction bit
+                continue
+            # t == 1: newly nonzero at this precision
+            emit_eobrun()
+            while r > 15:
+                w.write(*ac_codes[0xF0])
+                for b in br:
+                    w.write(1, b)
+                br = []
+                r -= 16
+            w.write(*ac_codes[(r << 4) | 1])
+            w.write(1, 1 if zz[k] > 0 else 0)
+            for b in br:
+                w.write(1, b)
+            br = []
+            r = 0
+        if r > 0 or br:
+            eobrun += 1
+            be.extend(br)
+            if eobrun == 0x7FFF:
+                emit_eobrun()
+    emit_eobrun()
+
+
+# Progressive scans emit EOBn symbols (0x10, 0x20, ...) that the
+# standard SEQUENTIAL AC table has no codes for — real progressive
+# files ship custom Huffman tables. This flat table (255 symbols at 8
+# bits + one at 9, no all-ones code) covers every possible AC symbol.
+_FLAT_AC_BITS = [0] * 7 + [255, 1] + [0] * 7
+_FLAT_AC_VALS = bytes(range(255)) + bytes([255])
+
+
+_PROG_SCRIPT_DEFAULT = [
+    # the libjpeg -progressive grayscale scan script
+    (0, 0, 0, 1),  # DC first, point transform 1
+    (1, 5, 0, 2),  # AC 1-5 first at Al=2
+    (6, 63, 0, 2),  # AC 6-63 first at Al=2
+    (1, 63, 2, 1),  # AC refine Ah=2 -> Al=1
+    (0, 0, 1, 0),  # DC refine
+    (1, 63, 1, 0),  # AC refine Ah=1 -> Al=0
+]
+
+
+def make_jpeg_grey_progressive(pixels, width, height, script=None):
+    """Progressive (SOF2) greyscale JPEG holding the SAME quantized
+    coefficients as make_jpeg_grey(pixels, width, height)."""
+    import struct
+
+    dc_codes = _enc_huff_codes(_DC_LUM_BITS, _DC_LUM_VALS)
+    ac_codes = _enc_huff_codes(_FLAT_AC_BITS, _FLAT_AC_VALS)
+    blocks = _grey_zz_blocks(pixels, width, height)
+    if script is None:
+        script = _PROG_SCRIPT_DEFAULT
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    out += seg(
+        0xC2, struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0])
+    )
+    out += seg(0xC4, bytes([0x00]) + bytes(_DC_LUM_BITS) + bytes(_DC_LUM_VALS))
+    out += seg(0xC4, bytes([0x10]) + bytes(_FLAT_AC_BITS) + _FLAT_AC_VALS)
+    for ss, se, ah, al in script:
+        out += seg(0xDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al]))
+        w = _BitWriter()
+        if ss == 0 and ah == 0:
+            _enc_dc_first(w, dc_codes, blocks, al)
+        elif ss == 0:
+            _enc_dc_refine(w, blocks, al)
+        elif ah == 0:
+            _enc_ac_first(w, ac_codes, blocks, ss, se, al)
+        else:
+            _enc_ac_refine(w, ac_codes, blocks, ss, se, al)
+        out += w.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_decode_jpeg_progressive_matches_baseline():
+    """Full successive-approximation script on a random image: the
+    progressive decode must be BIT-identical to the baseline decode of
+    the same quantized coefficients."""
+    import numpy as np
+
+    from chroma_rs_spark.operators.multimodal import decode_jpeg
+
+    rng = np.random.RandomState(7)
+    pix = rng.randint(0, 256, size=(24, 24))
+    base = decode_jpeg(make_jpeg_grey(pix.ravel().tolist(), 24, 24))
+    prog = decode_jpeg(
+        make_jpeg_grey_progressive(pix.ravel().tolist(), 24, 24)
+    )
+    assert prog["width"] == 24 and prog["channels"] == 1
+    assert prog["pixels"] == base["pixels"]
+
+
+def test_decode_jpeg_progressive_band_split_nonmultiple_of_8():
+    """Spectral-selection-only script (no refinement) on a non-8-
+    multiple image: exercises the comp-grid-vs-MCU-grid block math and
+    the EOB-run path, still bit-equal to baseline."""
+    import numpy as np
+
+    from chroma_rs_spark.operators.multimodal import decode_jpeg
+
+    rng = np.random.RandomState(11)
+    pix = rng.randint(0, 256, size=(13, 20))
+    script = [(0, 0, 0, 0), (1, 5, 0, 0), (6, 63, 0, 0)]
+    base = decode_jpeg(make_jpeg_grey(pix.ravel().tolist(), 20, 13))
+    prog = decode_jpeg(
+        make_jpeg_grey_progressive(pix.ravel().tolist(), 20, 13, script)
+    )
+    assert prog["pixels"] == base["pixels"]
+
+
+def test_decode_jpeg_progressive_eobrun_spans_blocks():
+    """A mostly-flat multi-block image makes the AC scans pure EOB
+    runs spanning many blocks — the run accounting must land exactly."""
+    import numpy as np
+
+    from chroma_rs_spark.operators.multimodal import decode_jpeg
+
+    pix = np.full((32, 32), 140, dtype=int)
+    pix[0, 0] = 10  # one busy block so the AC scan isn't empty
+    base = decode_jpeg(make_jpeg_grey(pix.ravel().tolist(), 32, 32))
+    prog = decode_jpeg(
+        make_jpeg_grey_progressive(pix.ravel().tolist(), 32, 32)
+    )
+    assert prog["pixels"] == base["pixels"]
+
+
+def make_jpeg_color_420_progressive(ycc, width=16, height=16):
+    """Progressive twin of make_jpeg_flat_color_420: interleaved DC
+    first + DC refine scans over the 4:2:0 MCU grid, then one AC scan
+    per component (pure EOB runs — every AC is zero). Exercises the
+    interleaved progressive path and the per-component block grids."""
+    import struct
+
+    dc_codes = _enc_huff_codes(_DC_LUM_BITS, _DC_LUM_VALS)
+    ac_codes = _enc_huff_codes(_FLAT_AC_BITS, _FLAT_AC_VALS)
+    mcux = (width + 15) // 16
+    mcuy = (height + 15) // 16
+    dcs = [round(8 * (v - 128.0)) for v in ycc]
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    out += seg(
+        0xC2,
+        struct.pack(">BHHB", 8, height, width, 3)
+        + bytes([1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0]),
+    )
+    out += seg(0xC4, bytes([0x00]) + bytes(_DC_LUM_BITS) + bytes(_DC_LUM_VALS))
+    out += seg(0xC4, bytes([0x10]) + bytes(_FLAT_AC_BITS) + _FLAT_AC_VALS)
+
+    # scan 1: interleaved DC first (Al=1)
+    out += seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 0, 0x01]))
+    w = _BitWriter()
+    preds = [0, 0, 0]
+    for _ in range(mcuy * mcux):
+        for ci, nblk in ((0, 4), (1, 1), (2, 1)):
+            for _b in range(nblk):
+                v = dcs[ci] >> 1
+                diff = v - preds[ci]
+                preds[ci] = v
+                _emit_val(w, dc_codes, _cat(diff), diff)
+    out += w.flush()
+    # scan 2: interleaved DC refine (Ah=1, Al=0)
+    out += seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 0, 0x10]))
+    w = _BitWriter()
+    for _ in range(mcuy * mcux):
+        for ci, nblk in ((0, 4), (1, 1), (2, 1)):
+            for _b in range(nblk):
+                w.write(1, dcs[ci] & 1)
+    out += w.flush()
+    # scans 3-5: per-component AC first 1-63 (all zero -> one EOB run
+    # over the COMPONENT grid: Y has 2x2 blocks per MCU, chroma 1x1)
+    comp_blocks = [
+        (1, 4 * mcux * mcuy),
+        (2, mcux * mcuy),
+        (3, mcux * mcuy),
+    ]
+    for cs, nblocks in comp_blocks:
+        out += seg(0xDA, bytes([1, cs, 0x00, 1, 63, 0x00]))
+        w = _BitWriter()
+        nbits = nblocks.bit_length() - 1
+        w.write(*ac_codes[nbits << 4])
+        if nbits:
+            w.write(nbits, nblocks & ((1 << nbits) - 1))
+        out += w.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_decode_jpeg_progressive_color_420():
+    import numpy as np
+
+    from chroma_rs_spark.operators.multimodal import decode_jpeg
+
+    ycc = (120, 90, 180)
+    base = decode_jpeg(make_jpeg_flat_color_420(ycc))
+    prog = decode_jpeg(make_jpeg_color_420_progressive(ycc))
+    assert prog["channels"] == 3
+    assert prog["pixels"] == base["pixels"]
+
+
+def test_decode_jpeg_rejects_arithmetic_and_12bit():
+    import struct
+
+    from chroma_rs_spark.operators.multimodal import decode_jpeg
+
+    # arithmetic-coded progressive (SOF10 = 0xCA)
+    sof10 = b"\xff\xca" + struct.pack(">HBHHB", 11, 8, 8, 8, 1) + b"\x11\x00"
+    with pytest.raises(NotImplementedError, match="unsupported"):
+        decode_jpeg(b"\xff\xd8" + sof10 + b"\xff\xd9")
+    # 12-bit precision baseline
+    sof12 = b"\xff\xc0" + struct.pack(">HBHHB", 11, 12, 8, 8, 1) + b"\x11\x00"
+    with pytest.raises(NotImplementedError, match="8-bit"):
+        decode_jpeg(b"\xff\xd8" + sof12 + b"\xff\xd9")
