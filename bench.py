@@ -151,6 +151,11 @@ def main() -> int:
     train_sec: dict[str, float] = {}
     stage_counts: dict[str, int] = {}
     plan_build = 0.0
+    # per-row plan-build attribution (round-12, VERDICT r11 #2): the
+    # 8.06 -> 14.89 s plan_build_sec regression needed a bisect; now
+    # every run records which rows' driver-side DataFrame assembly
+    # (py4j round trips + SQL parse) carries the total.
+    plan_build_queries: dict[str, float] = {}
     floor_med_s = dispatch_floor_ms["one_stage_median"] / 1000.0
     for name, qd in qdefs.items():
         fn = qd.fn
@@ -203,6 +208,7 @@ def main() -> int:
         df = fn(spark, sf_dir)
         t1 = time.time()
         plan_build += t1 - t0
+        plan_build_queries[name] = round(t1 - t0, 3)
         # best-of-7 (both engines measured the same way): the first
         # full-scale run still pays JVM C2 compilation of the codegen'd
         # loops (the sf0.001 warmup is too few invocations to tier up),
@@ -254,6 +260,7 @@ def main() -> int:
         "duckdb_queries": duck,
         "duckdb_total_sec": duck_total,
         "plan_build_sec": round(plan_build, 3),
+        "plan_build_queries": plan_build_queries,
         "dispatch_floor_ms": dispatch_floor_ms,
         "train_sec": train_sec,
         "stage_counts": stage_counts,
