@@ -817,3 +817,144 @@ def test_decode_jpeg_rejects_arithmetic_and_12bit():
     sof12 = b"\xff\xc0" + struct.pack(">HBHHB", 11, 12, 8, 8, 1) + b"\x11\x00"
     with pytest.raises(NotImplementedError, match="8-bit"):
         decode_jpeg(b"\xff\xd8" + sof12 + b"\xff\xd9")
+
+
+def make_jpeg_grey_dri(pixels, width, height, restart_interval=2):
+    """Baseline greyscale JPEG WITH restart markers: DRI segment +
+    RSTn every `restart_interval` MCUs, DC predictor reset per
+    segment — exercises decode's align_to_marker path."""
+    import struct
+
+    dc_codes = _enc_huff_codes(_DC_LUM_BITS, _DC_LUM_VALS)
+    ac_codes = _enc_huff_codes(_AC_LUM_BITS, _AC_LUM_VALS)
+    blocks = _grey_zz_blocks(pixels, width, height)
+
+    def encode_segment(seg_blocks):
+        w = _BitWriter()
+        pred = 0
+        for zz in seg_blocks:
+            diff = zz[0] - pred
+            pred = zz[0]
+            t = _cat(diff)
+            w.write(*dc_codes[t])
+            if t:
+                w.write(t, diff if diff >= 0 else diff + (1 << t) - 1)
+            run = 0
+            last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+            for k in range(1, last_nz + 1):
+                if zz[k] == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    w.write(*ac_codes[0xF0])
+                    run -= 16
+                s = _cat(zz[k])
+                w.write(*ac_codes[(run << 4) | s])
+                w.write(s, zz[k] if zz[k] >= 0 else zz[k] + (1 << s) - 1)
+                run = 0
+            if last_nz < 63:
+                w.write(*ac_codes[0x00])
+        return w.flush()
+
+    entropy = bytearray()
+    segs = [
+        blocks[i : i + restart_interval]
+        for i in range(0, len(blocks), restart_interval)
+    ]
+    for i, seg_blocks in enumerate(segs):
+        if i:
+            entropy += bytes([0xFF, 0xD0 + ((i - 1) % 8)])
+        entropy += encode_segment(seg_blocks)
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    return (
+        b"\xff\xd8"
+        + seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+        + seg(0xC0, struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0]))
+        + seg(0xC4, bytes([0x00]) + bytes(_DC_LUM_BITS) + bytes(_DC_LUM_VALS))
+        + seg(0xC4, bytes([0x10]) + bytes(_AC_LUM_BITS) + bytes(_AC_LUM_VALS))
+        + seg(0xDD, struct.pack(">H", restart_interval))
+        + seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        + bytes(entropy)
+        + b"\xff\xd9"
+    )
+
+
+def test_decode_jpeg_restart_markers():
+    """DRI/RSTn handling: a restart-coded file must decode identically
+    to the plain encoding of the same image (predictor resets and the
+    bit-realignment both land exactly)."""
+    import numpy as np
+
+    from chroma_rs_spark.operators.multimodal import decode_jpeg
+
+    rng = np.random.RandomState(5)
+    pix = rng.randint(0, 256, size=(16, 32))  # 2x4 = 8 MCUs
+    plain = decode_jpeg(make_jpeg_grey(pix.ravel().tolist(), 32, 16))
+    for ri in (1, 2, 3):
+        dri = decode_jpeg(
+            make_jpeg_grey_dri(pix.ravel().tolist(), 32, 16, ri)
+        )
+        assert dri["pixels"] == plain["pixels"], f"restart_interval={ri}"
+
+
+def make_jpeg_grey_progressive_dri(pixels, width, height,
+                                   restart_interval=2):
+    """Progressive greyscale JPEG with restart markers inside EVERY
+    scan (DC first/refine, AC first/refine) — per-segment predictor
+    and EOB-run resets."""
+    import struct
+
+    dc_codes = _enc_huff_codes(_DC_LUM_BITS, _DC_LUM_VALS)
+    ac_codes = _enc_huff_codes(_FLAT_AC_BITS, _FLAT_AC_VALS)
+    blocks = _grey_zz_blocks(pixels, width, height)
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    out += seg(0xC2, struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0]))
+    out += seg(0xC4, bytes([0x00]) + bytes(_DC_LUM_BITS) + bytes(_DC_LUM_VALS))
+    out += seg(0xC4, bytes([0x10]) + bytes(_FLAT_AC_BITS) + _FLAT_AC_VALS)
+    out += seg(0xDD, struct.pack(">H", restart_interval))
+    chunks = [
+        blocks[i : i + restart_interval]
+        for i in range(0, len(blocks), restart_interval)
+    ]
+    for ss, se, ah, al in _PROG_SCRIPT_DEFAULT:
+        out += seg(0xDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al]))
+        entropy = bytearray()
+        for i, chunk in enumerate(chunks):
+            if i:
+                entropy += bytes([0xFF, 0xD0 + ((i - 1) % 8)])
+            w = _BitWriter()
+            if ss == 0 and ah == 0:
+                _enc_dc_first(w, dc_codes, chunk, al)
+            elif ss == 0:
+                _enc_dc_refine(w, chunk, al)
+            elif ah == 0:
+                _enc_ac_first(w, ac_codes, chunk, ss, se, al)
+            else:
+                _enc_ac_refine(w, ac_codes, chunk, ss, se, al)
+            entropy += w.flush()
+        out += bytes(entropy)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_decode_jpeg_progressive_restart_markers():
+    import numpy as np
+
+    from chroma_rs_spark.operators.multimodal import decode_jpeg
+
+    rng = np.random.RandomState(9)
+    pix = rng.randint(0, 256, size=(16, 24))  # 2x3 = 6 MCUs
+    plain = decode_jpeg(make_jpeg_grey(pix.ravel().tolist(), 24, 16))
+    for ri in (1, 2):
+        prog = decode_jpeg(
+            make_jpeg_grey_progressive_dri(pix.ravel().tolist(), 24, 16, ri)
+        )
+        assert prog["pixels"] == plain["pixels"], f"restart_interval={ri}"
