@@ -1073,6 +1073,11 @@ def build_ivfpq_index(
         max_iter=max_iter,
         item_id="id",
         item_emb="embedding",
+        # coarse quantizer trains on the deterministic sample too —
+        # the round-12 scale proof measured full-corpus Lloyd's at
+        # 637 s for 409.6k x 64 cells vs ~4 s sampled, and a sampled
+        # coarse quantizer is the standard billion-scale build
+        sample_size=sample_size,
     )
     books = train_pq_codebooks(
         _ivfpq_residuals(unit, cents),
@@ -1418,7 +1423,11 @@ def query(
             id_type="string",
         )
         pool = cand.select("id").distinct()
-        sub = df.join(pool, "id", "left_semi")
+        # the pool is bounded driver-side (<= n_queries * n_results *
+        # oversample ids) — broadcast it, or the rescore semi-join
+        # shuffles the FULL corpus (embeddings included) against a
+        # few hundred ids (round-12 scale-proof finding)
+        sub = df.join(F.broadcast(pool), "id", "left_semi")
         queries = engine.spark.createDataFrame(
             [(i, [float(x) for x in q]) for i, q in enumerate(query_embeddings)],
             "query_id INT, query_embedding ARRAY<DOUBLE>",
@@ -1505,7 +1514,21 @@ def query(
                 # move. Pruning after the anti-join keeps non-probed
                 # items out of the "late" set (they'd be re-encoded for
                 # nothing — their cells carry no LUT rows anyway).
-                late = unit.join(persisted.select("id"), "id", "left_anti")
+                # Round-12 restructure (the 100x scale-proof findings):
+                # every freshness join runs on BARE id columns — the
+                # old shape anti/semi-joined through `unit`, whose
+                # zero-norm CASE forced the interpreted l2_norm HOF
+                # over the whole corpus per query batch. The late-id
+                # set is bounded by contract (adds since the last
+                # materialize), so it broadcasts and the normalize
+                # transform runs on late rows only (Spark's
+                # PushDownLeftSemiAntiJoin moves the semi below the
+                # projection).
+                cur_ids = src.select("id")
+                late_ids = cur_ids.join(
+                    persisted.select("id"), "id", "left_anti"
+                )
+                late = unit.join(F.broadcast(late_ids), "id", "left_semi")
                 probed_cells = [
                     r["cell"]
                     for r in ivfpq_probe_cells(
@@ -1515,9 +1538,12 @@ def query(
                     .distinct()
                     .collect()
                 ]
+                # the current-ids semi keeps where-filtered / deleted
+                # rows out of the candidate pool (pool starvation
+                # guard); ids only — codes carry no embeddings
                 pruned = persisted.filter(
                     F.col("cell").isin(probed_cells)
-                ).join(unit.select("id"), "id", "left_semi")
+                ).join(cur_ids, "id", "left_semi")
                 codes = pruned.unionByName(
                     ivfpq_codes_df(late, books, cents, item_id="id")
                 )
@@ -1537,7 +1563,8 @@ def query(
             codes=codes,
         )
         pool = cand.select(F.col("neighbor_id").alias("id")).distinct()
-        sub = df.join(pool, "id", "left_semi")
+        # bounded pool -> broadcast (same rationale as the pq path)
+        sub = df.join(F.broadcast(pool), "id", "left_semi")
         queries = engine.spark.createDataFrame(
             [
                 (i, [float(x) for x in q])

@@ -828,6 +828,81 @@ def pq_adc_topk_df(
     )
 
 
+# Above this many interpreted flops per row (|cells| x dim for the
+# assignment's HOF dot products), the SQL-expression encode gear is
+# dominated by lambda-interpretation overhead and the Arrow gear takes
+# over. 16 cells x 64 dims = 1024 (every oracle-checked config) stays
+# SQL; the 64-cell scale configs (4096) go Arrow. Round-12 scale-proof
+# measurement behind the constant: materializing 409.6k codes took
+# 136 s through the HOF expression vs ~8 s through numpy.
+ARROW_ENCODE_THRESHOLD = 2048
+
+
+def _ivfpq_codes_arrow(
+    items: DataFrame,
+    books,
+    cent_mat,
+    cent_ids,
+    item_id: str,
+    item_emb: str,
+) -> DataFrame:
+    """Arrow-batch encode gear: numpy matmul assignment + per-subspace
+    argmin over a broadcast codebook, one mapInPandas pass. Argmins
+    run on UNROUNDED float64 (np.argmin takes the first minimum, and
+    centroid/code columns are ordered by ascending id, so exact ties
+    break low — the SQL gear's convention); the SQL gear argmins over
+    round-6 distances, so assignments may differ within a 1e-6 tie
+    window. Recall-neutral by construction: returned distances always
+    come from the exact rescore, never from codes."""
+    import numpy as np
+
+    m, _kk, sub = books.shape
+    dim = m * sub
+    id_type = dict(items.dtypes)[item_id]
+    b_books = books.copy()
+    b_cents = np.asarray(cent_mat, dtype=np.float64)
+    b_cids = np.asarray(cent_ids, dtype=np.int64)
+    cnorm = np.sqrt((b_cents * b_cents).sum(axis=1))
+
+    def encode(batches: "object") -> "object":
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = _np.asarray(
+                [_np.asarray(e, dtype=_np.float64) for e in pdf[item_emb]]
+            )
+            xnorm = _np.sqrt((x * x).sum(axis=1))
+            ok = xnorm != 0.0
+            x, ids, xnorm = x[ok], pdf[item_id].to_numpy()[ok], xnorm[ok]
+            if not len(x):
+                continue
+            d = 1.0 - (x @ b_cents.T) / (xnorm[:, None] * cnorm[None, :])
+            pick = _np.argmin(d, axis=1)
+            cells = b_cids[pick]
+            resid = x - b_cents[pick]
+            codes = _np.empty((len(x), m), dtype=_np.int32)
+            for mi in range(m):
+                r = resid[:, mi * sub : (mi + 1) * sub]
+                c = b_books[mi]  # (k, sub)
+                dd = ((r[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+                codes[:, mi] = _np.argmin(dd, axis=1)
+            yield _pd.DataFrame(
+                {
+                    item_id: ids,
+                    "cell": cells.astype("int32"),
+                    "codes": [row.tolist() for row in codes],
+                }
+            )
+
+    return items.select(item_id, item_emb).mapInPandas(
+        encode,
+        schema=f"{item_id} {id_type}, cell int, codes array<int>",
+    )
+
+
 def ivfpq_codes_df(
     items: DataFrame,
     codebooks,
@@ -845,7 +920,14 @@ def ivfpq_codes_df(
     (_collect_codes_array). This is the materializable scan tier:
     persisted, a query reads m bytes per candidate instead of raw
     vectors. Zero-norm/NULL/wrong-dim vectors are unscorable under the
-    cosine quantizer and are dropped."""
+    cosine quantizer and are dropped.
+
+    Two physical gears, one logical op: below ARROW_ENCODE_THRESHOLD
+    interpreted flops per row the SQL-expression pipeline runs (fully
+    oracle-replayable — every driver row lives here); above it the
+    Arrow gear (_ivfpq_codes_arrow) does the same math as numpy
+    matmuls — the round-12 scale proof measured the HOF expression at
+    17x the Arrow wall on a 409.6k x 64-cell encode."""
     import numpy as np
 
     from chroma_rs_spark.operators.ivf import assign_cells
@@ -854,14 +936,24 @@ def ivfpq_codes_df(
     m, _kk, sub = books.shape
     dim = m * sub
     spark = items.sparkSession
+    scorable = items.filter(
+        F.col(item_emb).isNotNull() & (F.size(item_emb) == dim)
+    )
+    if len(centroids) * dim > ARROW_ENCODE_THRESHOLD:
+        order = sorted(range(len(centroids)), key=lambda i: centroids[i][0])
+        return _ivfpq_codes_arrow(
+            scorable,
+            books,
+            [centroids[i][1] for i in order],
+            [centroids[i][0] for i in order],
+            item_id,
+            item_emb,
+        )
     if cent_df is None:
         cent_df = spark.createDataFrame(
             [(int(cid), [float(x) for x in vec]) for cid, vec in centroids],
             "cell INT, cvec ARRAY<DOUBLE>",
         )
-    scorable = items.filter(
-        F.col(item_emb).isNotNull() & (F.size(item_emb) == dim)
-    )
     assigned = assign_cells(scorable, centroids, item_emb=item_emb).select(
         F.col(item_id).alias("_vid"),
         F.col(item_emb).cast("array<double>").alias("_e"),

@@ -86,3 +86,40 @@ def test_ranks_contiguous_and_monotone(spark):
         dists = [r["adc_dist"] for r in rs]
         assert dists == sorted(dists)
         assert len(rs) == 10
+
+
+def test_ivfpq_codes_arrow_gear_matches_sql_gear(spark):
+    """The encode op's two physical gears (SQL expression pipeline vs
+    Arrow numpy batch) produce identical (cell, codes) on a seeded
+    corpus with no rounding ties. 33 cells x 64 dims = 2112 flops/row
+    crosses ARROW_ENCODE_THRESHOLD so the default call takes the Arrow
+    gear; the SQL gear is forced by raising the threshold."""
+    import numpy as np
+
+    from chroma_rs_spark.operators import pq as pqmod
+    from chroma_rs_spark.operators.pq import hash_codebooks, ivfpq_codes_df
+
+    rng = np.random.RandomState(42)
+    vecs = rng.uniform(-1, 1, size=(200, 64))
+    items = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = [(int(i), vecs[i].tolist()) for i in range(33)]
+    books = hash_codebooks(8, 16, 8)
+
+    def rows(df):
+        return sorted(
+            (r["vec_id"], r["cell"], tuple(r["codes"]))
+            for r in df.collect()
+        )
+
+    arrow = rows(ivfpq_codes_df(items, books, cents))
+    old = pqmod.ARROW_ENCODE_THRESHOLD
+    try:
+        pqmod.ARROW_ENCODE_THRESHOLD = 10**9
+        sql = rows(ivfpq_codes_df(items, books, cents))
+    finally:
+        pqmod.ARROW_ENCODE_THRESHOLD = old
+    assert len(arrow) == 200
+    assert arrow == sql

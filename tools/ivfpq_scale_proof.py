@@ -150,30 +150,30 @@ def main() -> int:
         oversample=10,
     )
     plan = qdf._jdf.queryExecution().executedPlan().toString()
-    pruned = "PartitionFilters" in plan and "cell IN" in plan.replace(
-        "cell#", "cell "
+    # a pruned codes scan shows a NON-EMPTY PartitionFilters on cell
+    # (Spark prints an INSET for >threshold literals, IN below it)
+    import re as _re
+    mfilt = _re.search(r"PartitionFilters: \[cell#\d+ IN", plan) or _re.search(
+        r"PartitionFilters: \[cell#\d+ INSET", plan
     )
-    got = qdf.collect()
-    t0 = time.time()
-    got = c.query(
-        probes, n_results=TOP_K, index="ivfpq", n_probe=N_PROBE,
-        oversample=10,
-    ).collect()
-    warm_query_wall = time.time() - t0
-    hits = sum(1 for row in got if row["id"] in truth[row["query_id"]])
-    recall = hits / (TOP_K * N_QUERIES)
-    print(json.dumps({
-        "stage": "query", "n_probe": N_PROBE, "n_cells": N_CELLS,
-        "recall@10": round(recall, 3),
-        "warm_query_sec": round(warm_query_wall, 2),
-        "partition_pruned": bool(pruned),
-    }), flush=True)
-    if not pruned:
-        snippet = [
-            ln for ln in plan.splitlines() if "PartitionFilters" in ln
-        ][:2]
-        print(json.dumps({"stage": "plan_debug", "lines": snippet}),
-              flush=True)
+    pruned = mfilt is not None
+    qdf.collect()
+    for n_probe, oversample in ((N_PROBE, 10), (8, 20)):
+        t0 = time.time()
+        got = c.query(
+            probes, n_results=TOP_K, index="ivfpq", n_probe=n_probe,
+            oversample=oversample,
+        ).collect()
+        warm_query_wall = time.time() - t0
+        hits = sum(1 for row in got if row["id"] in truth[row["query_id"]])
+        recall = hits / (TOP_K * N_QUERIES)
+        print(json.dumps({
+            "stage": "query", "n_probe": n_probe, "n_cells": N_CELLS,
+            "oversample": oversample,
+            "recall@10": round(recall, 3),
+            "warm_query_sec": round(warm_query_wall, 2),
+            "partition_pruned": bool(pruned),
+        }), flush=True)
 
     shutil.rmtree(root, ignore_errors=True)
     spark.stop()
