@@ -1411,9 +1411,17 @@ def query(
             # over MATCHING docs only — otherwise a selective filter
             # starves the pool (fewer than n_results returned while
             # matching neighbors exist). Mirrors the no-codes path,
-            # which only ever encodes the filtered rows.
-            codes = codes.join(enc_src.select("id"), "id", "left_semi")
-            late = enc_src.join(codes.select("id"), "id", "left_anti")
+            # which only ever encodes the filtered rows. Freshness
+            # joins run on BARE id columns (the round-12 ivfpq-path
+            # lesson: joining through enc_src forces the interpreted
+            # unit-normalize over the whole corpus per query), and the
+            # late-id set — bounded by contract to adds since the last
+            # materialize — broadcasts so only late rows normalize.
+            cur_ids = src.select("id")
+            persisted_ids = codes.select("id")
+            late_ids = cur_ids.join(persisted_ids, "id", "left_anti")
+            codes = codes.join(cur_ids, "id", "left_semi")
+            late = enc_src.join(F.broadcast(late_ids), "id", "left_semi")
             codes = codes.unionByName(
                 pq_encode(
                     late, books, item_id="id", item_emb="embedding",
