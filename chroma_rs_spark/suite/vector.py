@@ -1510,7 +1510,9 @@ _IVFPQ_TIER_CACHE: dict[str, str] = {}
 
 
 def _ivfpq_codes_tier(spark: SparkSession, sf_dir: str) -> str:
+    import atexit
     import os
+    import shutil
     import tempfile
 
     from chroma_rs_spark.operators.pq import hash_codebooks, ivfpq_codes_df
@@ -1521,7 +1523,9 @@ def _ivfpq_codes_tier(spark: SparkSession, sf_dir: str) -> str:
         mtime = -1.0
     key = f"{sf_dir}@{mtime}"
     if key not in _IVFPQ_TIER_CACHE:
-        out = os.path.join(tempfile.mkdtemp(prefix="ivfpq_tier_"), "codes")
+        root = tempfile.mkdtemp(prefix="ivfpq_tier_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        out = os.path.join(root, "codes")
         emb = load_table(spark, sf_dir, "embeddings")
         ivfpq_codes_df(
             emb,
