@@ -9,10 +9,11 @@ signature, partitioning) is real and tested, and so is image decode:
   (`decode_png`: zlib inflate + scanline unfilter per the public PNG
   spec) or a stdlib+numpy baseline JPEG decoder (`decode_jpeg`:
   Huffman + dequant + IDCT + chroma upsample per public ITU T.81,
-  sequential AND progressive as of round 12) — no
-  NotImplementedError in the default path for the two formats a real
-  corpus mostly holds; arithmetic-coded JPEG / interlaced PNG / video
-  without PIL remain explicit NotImplementedError sites.
+  sequential AND progressive as of round 12; PNG covers Adam7
+  interlace too) — no NotImplementedError in the default path for the
+  two formats a real corpus mostly holds; arithmetic-coded JPEG,
+  16-bit PNG and video without PIL remain explicit
+  NotImplementedError sites.
 * `extract_image_features` runs the real decode distributed
   (mapInPandas, Arrow binary batches); pytest drives it over
   synthetic in-test PNGs (tests/test_multimodal_decode.py).
@@ -129,11 +130,27 @@ def encode_png_gray(pixels: bytes, width: int, height: int) -> bytes:
     )
 
 
+# Adam7 interlace pass grid: (x0, y0, dx, dy) per pass (PNG spec
+# section 8.2). Each pass is an independently-filtered sub-image; the
+# IDAT stream concatenates the passes in order, empty passes (zero
+# width or height at this image size) contribute no bytes.
+_ADAM7 = [
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+]
+
+
 def decode_png(payload: bytes) -> dict:
     """Pure-stdlib PNG decode (zlib + struct; PNG spec is public):
     returns {width, height, channels, pixels} for 8-bit greyscale /
-    RGB / RGBA / grey+alpha, non-interlaced images — the real decode
-    path when no media library exists in the environment."""
+    RGB / RGBA / grey+alpha images, non-interlaced OR Adam7-interlaced
+    (round 12 — the last common-format NotImplementedError) — the real
+    decode path when no media library exists in the environment."""
     import struct
     import zlib
 
@@ -142,6 +159,7 @@ def decode_png(payload: bytes) -> dict:
     pos = len(PNG_SIGNATURE)
     width = height = None
     channels = None
+    interlace = 0
     idat = bytearray()
     while pos < len(payload):
         (length,) = struct.unpack(">I", payload[pos : pos + 4])
@@ -157,8 +175,8 @@ def decode_png(payload: bytes) -> dict:
                     f"PNG bit_depth={bit_depth} color_type={color_type} "
                     "unsupported (8-bit grey/RGB/RGBA only)"
                 )
-            if interlace != 0:
-                raise NotImplementedError("interlaced PNG unsupported")
+            if interlace not in (0, 1):
+                raise ValueError(f"unknown PNG interlace method {interlace}")
             channels = _PNG_CHANNELS[color_type]
         elif ctype == b"IDAT":
             idat += data
@@ -167,7 +185,29 @@ def decode_png(payload: bytes) -> dict:
     if width is None or not idat:
         raise ValueError("truncated PNG (missing IHDR or IDAT)")
     raw = zlib.decompress(bytes(idat))
-    pixels = _png_unfilter(raw, width, height, channels)
+    if interlace == 0:
+        pixels = _png_unfilter(raw, width, height, channels)
+    else:
+        out = bytearray(width * height * channels)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            wp = (width - x0 + dx - 1) // dx
+            hp = (height - y0 + dy - 1) // dy
+            if wp <= 0 or hp <= 0:
+                continue
+            nbytes = hp * (1 + wp * channels)
+            sub = _png_unfilter(raw[off : off + nbytes], wp, hp, channels)
+            off += nbytes
+            for ry in range(hp):
+                y = y0 + ry * dy
+                for rx in range(wp):
+                    x = x0 + rx * dx
+                    s = (ry * wp + rx) * channels
+                    d = (y * width + x) * channels
+                    out[d : d + channels] = sub[s : s + channels]
+        if off != len(raw):
+            raise ValueError("interlaced PNG data length mismatch")
+        pixels = bytes(out)
     return {
         "width": width,
         "height": height,
@@ -712,8 +752,9 @@ def extract_image_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     would plug into.
 
     A real crawl contains formats the decoders refuse (arithmetic-
-    coded JPEG, interlaced PNG, truncated files — progressive JPEG
-    DECODES as of round 12): those rows survive with
+    coded JPEG, 16-bit PNG, truncated files — progressive JPEG and
+    Adam7-interlaced PNG both DECODE as of round 12): those rows
+    survive with
     NULL features and `decode_status` = 'unsupported' (explicit
     NotImplementedError guard) or 'corrupt' (anything else), so a
     100 TB run MEASURES its undecodable fraction instead of dying on

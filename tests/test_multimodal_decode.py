@@ -437,23 +437,24 @@ def test_decode_jpeg_truncated_entropy_raises_valueerror():
 
 
 def test_extract_image_features_decode_status(spark):
-    """Unsupported formats (progressive JPEG, interlaced PNG) and
+    """Unsupported formats (16-bit PNG, arithmetic-coded JPEG) and
     corrupt payloads survive as measured rows — NULL features with a
     decode_status verdict — instead of killing the batch; healthy
-    rows carry 'ok'. The 100 TB crawl rule: undecodable fractions are
-    counted, not thrown."""
+    rows (including Adam7-interlaced PNG and progressive JPEG as of
+    round 12) carry 'ok'. The 100 TB crawl rule: undecodable
+    fractions are counted, not thrown."""
     px = _pixels(8 * 8)
     good = make_png(8, 8, 1, px)
-    # interlaced PNG: same image, IHDR interlace byte = 1 (Adam7) —
-    # decode_png's explicit NotImplementedError guard
-    ihdr = struct.pack(">IIBBBBB", 8, 8, 8, 0, 0, 0, 1)
+    # 16-bit PNG: the remaining honestly-unsupported PNG class now
+    # that Adam7 interlace decodes (round 12)
+    ihdr16 = struct.pack(">IIBBBBB", 8, 8, 16, 0, 0, 0, 0)
     raw = bytearray()
     for r in range(8):
         raw.append(0)
-        raw += px[r * 8 : (r + 1) * 8]
-    interlaced = (
+        raw += px[r * 8 : (r + 1) * 8] * 2
+    deep = (
         b"\x89PNG\r\n\x1a\n"
-        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IHDR", ihdr16)
         + _chunk(b"IDAT", zlib.compress(bytes(raw)))
         + _chunk(b"IEND", b"")
     )
@@ -464,9 +465,10 @@ def test_extract_image_features_decode_status(spark):
     # a REAL progressive JPEG decodes with status ok (round 12)
     progressive = make_jpeg_grey_progressive([90] * 64, 8, 8)
     corrupt = b"\x89PNG\r\n\x1a\ngarbage"
+    interlaced_ok = make_png_interlaced(8, 8, 1, px)
     df = spark.createDataFrame(
-        [(0, good), (1, interlaced), (2, arithmetic), (3, corrupt), (4, None),
-         (5, progressive)],
+        [(0, good), (1, deep), (2, arithmetic), (3, corrupt), (4, None),
+         (5, progressive), (6, interlaced_ok)],
         "doc_id long, payload binary",
     )
     out = {r["doc_id"]: r for r in extract_image_features(df).collect()}
@@ -478,6 +480,8 @@ def test_extract_image_features_decode_status(spark):
     assert out[4]["decode_status"] == "corrupt"
     assert out[5]["decode_status"] == "ok"
     assert out[5]["width"] == 8 and out[5]["channels"] == 1
+    assert out[6]["decode_status"] == "ok"
+    assert out[6]["pixel_md5"] == hashlib.md5(px).hexdigest()
     for i in (1, 2, 3, 4):
         assert out[i]["width"] is None and out[i]["pixel_md5"] is None
 
@@ -958,3 +962,81 @@ def test_decode_jpeg_progressive_restart_markers():
             make_jpeg_grey_progressive_dri(pix.ravel().tolist(), 24, 16, ri)
         )
         assert prog["pixels"] == plain["pixels"], f"restart_interval={ri}"
+
+
+# ---------------------------------------------------------------------
+# Adam7 interlaced PNG (round 12): real interlaced encoder fixture —
+# per-pass sub-images, independently filtered — vs the straight decode.
+
+_ADAM7_TEST = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def make_png_interlaced(width, height, channels, pixels, filter_type=0):
+    """8-bit Adam7-interlaced PNG: gathers each pass's sub-image and
+    filters its scanlines independently (type 0 None or 2 Up)."""
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 1)
+    raw = bytearray()
+    for x0, y0, dx, dy in _ADAM7_TEST:
+        wp = (width - x0 + dx - 1) // dx
+        hp = (height - y0 + dy - 1) // dy
+        if wp <= 0 or hp <= 0:
+            continue
+        stride = wp * channels
+        prev = bytearray(stride)
+        for ry in range(hp):
+            line = bytearray()
+            y = y0 + ry * dy
+            for rx in range(wp):
+                x = x0 + rx * dx
+                s = (y * width + x) * channels
+                line += pixels[s : s + channels]
+            if filter_type == 2:
+                filtered = bytearray(
+                    (line[i] - prev[i]) & 0xFF for i in range(stride)
+                )
+            else:
+                filtered = line
+            raw.append(filter_type)
+            raw += filtered
+            prev = line
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IEND", b"")
+    )
+
+
+@pytest.mark.parametrize("filter_type", [0, 2])
+@pytest.mark.parametrize(
+    "w,h,ch", [(8, 8, 1), (7, 5, 3), (9, 3, 4), (1, 1, 1), (16, 11, 3)]
+)
+def test_decode_png_interlaced_matches_straight(w, h, ch, filter_type):
+    """Adam7 decode reproduces the exact pixels of the straight
+    encoding — odd sizes exercise empty and partial passes."""
+    px = _pixels(w * h * ch)
+    straight = decode_png(make_png(w, h, ch, px))
+    inter = decode_png(make_png_interlaced(w, h, ch, px, filter_type))
+    assert inter["width"] == w and inter["channels"] == ch
+    assert inter["pixels"] == straight["pixels"] == px
+
+
+def test_decode_png_interlaced_truncated_raises():
+    px = _pixels(8 * 8)
+    good = make_png_interlaced(8, 8, 1, px)
+    # corrupt the IDAT payload length by re-wrapping a shorter stream
+    raw_short = zlib.compress(b"\x00" * 10)
+    ihdr = struct.pack(">IIBBBBB", 8, 8, 8, 0, 0, 0, 1)
+    bad = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", raw_short)
+        + _chunk(b"IEND", b"")
+    )
+    assert decode_png(good)["pixels"] == px
+    with pytest.raises((ValueError, IndexError)):
+        decode_png(bad)
