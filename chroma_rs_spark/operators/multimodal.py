@@ -130,6 +130,49 @@ def encode_png_gray(pixels: bytes, width: int, height: int) -> bytes:
     )
 
 
+def encode_png_gray_interlaced(
+    pixels: bytes, width: int, height: int
+) -> bytes:
+    """8-bit greyscale Adam7-INTERLACED PNG encoder — the writer half
+    of the interlaced decode path, used by the decode-parity fixture
+    row (each pass's sub-image gathered and written with filter type
+    0). Any PNG reader deinterlaces it back to exactly `pixels`."""
+    import struct
+    import zlib
+
+    if len(pixels) != width * height:
+        raise ValueError(
+            "encode_png_gray_interlaced: pixels must be width*height bytes"
+        )
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 1)
+    raw = bytearray()
+    for x0, y0, dx, dy in _ADAM7:
+        wp = (width - x0 + dx - 1) // dx
+        hp = (height - y0 + dy - 1) // dy
+        if wp <= 0 or hp <= 0:
+            continue
+        for ry in range(hp):
+            raw.append(0)  # filter type 0 (None)
+            y = y0 + ry * dy
+            for rx in range(wp):
+                raw.append(pixels[y * width + (x0 + rx * dx)])
+    return (
+        PNG_SIGNATURE
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
 # Adam7 interlace pass grid: (x0, y0, dx, dy) per pass (PNG spec
 # section 8.2). Each pass is an independently-filtered sub-image; the
 # IDAT stream concatenates the passes in order, empty passes (zero

@@ -3686,3 +3686,112 @@ FROM documents
 EXTRA_QUERIES["image_decode_progressive"] = QueryDef(
     q_image_decode_progressive, _PROGJPEG_ORACLE, iterative=True
 )
+
+# ---------------------------------------------------------------------------
+# image_decode_interlaced (round 12, the Adam7 twin of
+# image_decode_progressive): every document's md5-rule image rendered
+# as BOTH a straight and an Adam7-interlaced PNG, decoded by the real
+# distributed path; the row pins bit-identical pixels plus the exact
+# per-image mean — the oracle replays the md5 pixel rule itself, so
+# this row carries real CONTENT verification (the progressive row's
+# JPEG means aren't SQL-derivable; PNG is lossless, so here they are).
+# ---------------------------------------------------------------------------
+
+_INTERLACED_FIXTURE: dict[tuple[str, str], str] = {}
+
+
+def _interlaced_fixture(spark: SparkSession, sf_dir: str) -> str:
+    import atexit
+    import shutil
+    import tempfile
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _INTERLACED_FIXTURE.get(key)
+    if hit is not None:
+        return hit
+    root = tempfile.mkdtemp(prefix="interlaced_fixture_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+
+    def render(batches):
+        import hashlib
+
+        import pandas as pd
+
+        from chroma_rs_spark.operators.multimodal import (
+            encode_png_gray,
+            encode_png_gray_interlaced,
+        )
+
+        for pdf in batches:
+            straight, inter = [], []
+            for did in pdf["doc_id"]:
+                px = b"".join(
+                    hashlib.md5(f"{did}:{i}".encode()).digest()
+                    for i in range(16)
+                )
+                straight.append(encode_png_gray(px, 16, 16))
+                inter.append(encode_png_gray_interlaced(px, 16, 16))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "straight": straight,
+                 "inter": inter}
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs.mapInPandas(
+        render, schema="doc_id long, straight binary, inter binary"
+    ).write.parquet(f"{root}/png", mode="overwrite")
+    _INTERLACED_FIXTURE[key] = f"{root}/png"
+    return _INTERLACED_FIXTURE[key]
+
+
+def q_image_decode_interlaced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Adam7-vs-straight PNG decode parity + exact mean
+    intensity over the whole corpus. iterative=True: the fixture
+    render runs Spark jobs during build (once per session)."""
+    from pyspark.sql import functions as F
+
+    from chroma_rs_spark.operators.multimodal import extract_image_features
+
+    fx = spark.read.schema(
+        "doc_id long, straight binary, inter binary"
+    ).parquet(_interlaced_fixture(spark, sf_dir))
+    st = extract_image_features(
+        fx.select("doc_id", F.col("straight").alias("payload"))
+    ).select("doc_id", F.col("pixel_md5").alias("_st_md5"))
+    it = extract_image_features(
+        fx.select("doc_id", F.col("inter").alias("payload"))
+    ).select("doc_id", "decode_status", "width", "height", "channels",
+             "mean_intensity", "pixel_md5")
+    return it.join(st, "doc_id").select(
+        "doc_id",
+        "decode_status",
+        "width",
+        "height",
+        "channels",
+        "mean_intensity",
+        (F.col("pixel_md5") == F.col("_st_md5")).alias("matches_straight"),
+    )
+
+
+_INTERLACED_ORACLE = """
+WITH px AS (
+  SELECT d.doc_id,
+         CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':'
+                             || CAST(t.p // 16 AS VARCHAR)),
+                             (t.p % 16) * 2 + 1, 2) AS INT) AS v
+  FROM documents d, unnest(range(0, 256)) t(p)
+)
+SELECT doc_id,
+       'ok' AS decode_status,
+       CAST(16 AS BIGINT) AS width,
+       CAST(16 AS BIGINT) AS height,
+       CAST(1 AS BIGINT) AS channels,
+       CAST(sum(v) AS DOUBLE) / 256.0 AS mean_intensity,
+       TRUE AS matches_straight
+FROM px GROUP BY doc_id
+"""
+
+
+EXTRA_QUERIES["image_decode_interlaced"] = QueryDef(
+    q_image_decode_interlaced, _INTERLACED_ORACLE, iterative=True
+)
