@@ -1055,7 +1055,15 @@ def build_ivfpq_index(
     committed parquet tables; `query(index="ivfpq")` reads them
     instead of training per query. Same non-persistence rule as the
     other indexes: item cells/codes are derived at search time, so
-    late-added items stay searchable."""
+    late-added items stay searchable.
+
+    COMPATIBILITY NOTE (round 12): the coarse quantizer now trains on
+    the same deterministic `sample_size` subsample as the PQ codebooks
+    (it previously saw the full corpus). For corpora larger than
+    `sample_size` a default-argument REBUILD of a pre-round-12 index
+    therefore produces different (not worse — see RECALL.md) centroids
+    and cell assignments; pass `sample_size` >= the corpus row count
+    to reproduce the old full-corpus centroids bit-for-bit."""
     from chroma_rs_spark.operators.ivf import train_centroids_kmeans
     from chroma_rs_spark.operators.pq import train_pq_codebooks
 
@@ -1653,7 +1661,11 @@ def query_diverse(
     exact candidate pool, so near-duplicate stored items stop crowding
     the result list. `lam` trades relevance against diversity (1.0
     degenerates to plain query(index="exact")); `pool` defaults to
-    4 * n_results candidates. Cosine collections only (the MMR
+    4 * n_results candidates, clamped to mmr_topk's MMR_MAX_POOL so a
+    large n_results degrades to a shallower (still >= n_results)
+    candidate pool instead of raising — an EXPLICIT over-cap pool
+    still raises, since that caller asked for a collect bound the
+    greedy stage cannot honor. Cosine collections only (the MMR
     pairwise term is the engine's round-6 cosine). Filters push down
     exactly like query(): where / where_document / partition pruning
     run before any distance work.
@@ -1668,7 +1680,13 @@ def query_diverse(
         )
     if not query_embeddings:
         raise EngineError("query_diverse: query_embeddings required")
-    from chroma_rs_spark.operators.similarity import mmr_topk
+    from chroma_rs_spark.operators.similarity import MMR_MAX_POOL, mmr_topk
+
+    if int(n_results) > MMR_MAX_POOL:
+        raise EngineError(
+            f"query_diverse: n_results must be <= {MMR_MAX_POOL} (the "
+            f"MMR greedy stage is bounded by MMR_MAX_POOL candidates)"
+        )
 
     df = items_df(engine, coll, keep_partition_col=True)
     pred = _predicate(where, where_document, None)
@@ -1686,7 +1704,11 @@ def query_diverse(
         df,
         probes,
         k=int(n_results),
-        pool=int(pool) if pool is not None else 4 * int(n_results),
+        pool=(
+            int(pool)
+            if pool is not None
+            else min(4 * int(n_results), MMR_MAX_POOL)
+        ),
         lam=lam,
         item_id="id",
         item_emb="embedding",

@@ -428,6 +428,10 @@ def decode_jpeg(payload: bytes) -> dict:
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("bad marker alignment")
+        # T.81 B.1.1.2: any marker may be preceded by a run of 0xFF
+        # fill bytes; skip to the last 0xFF before the marker code.
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
         marker = payload[pos + 1]
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:

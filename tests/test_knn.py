@@ -153,3 +153,29 @@ def test_collection_query_diverse(engine):
     l2c.add(ids=["x"], embeddings=[[1.0, 0.0]])
     with _pytest.raises(EngineError):
         l2c.query_diverse([[1.0, 0.0]], n_results=1)
+
+
+def test_query_diverse_pool_clamp(engine):
+    """n_results > 128 used to derive pool = 4*n_results > MMR_MAX_POOL
+    and raise (ADVICE r12); the derived default now clamps to the cap.
+    An EXPLICIT over-cap pool still raises, and n_results above the cap
+    itself is rejected at the collection surface."""
+    import pytest as _pytest
+
+    from chroma_rs_spark.errors import EngineError
+    from chroma_rs_spark.operators.similarity import MMR_MAX_POOL
+
+    c = engine.create_collection("mmr_clamp", {"hnsw:space": "cosine"})
+    n = 140  # 4*n = 560 > MMR_MAX_POOL = 512
+    c.add(
+        ids=[f"v{i}" for i in range(8)],
+        embeddings=[[1.0, float(i) / 10.0] for i in range(8)],
+    )
+    got = c.query_diverse([[1.0, 0.0]], n_results=n, lam=0.5).collect()
+    assert len(got) == 8  # corpus smaller than n; clamp must not raise
+    with _pytest.raises(ValueError):
+        c.query_diverse(
+            [[1.0, 0.0]], n_results=4, pool=MMR_MAX_POOL + 1
+        ).collect()
+    with _pytest.raises(EngineError):
+        c.query_diverse([[1.0, 0.0]], n_results=MMR_MAX_POOL + 1)

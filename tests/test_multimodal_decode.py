@@ -1040,3 +1040,48 @@ def test_decode_png_interlaced_truncated_raises():
     assert decode_png(good)["pixels"] == px
     with pytest.raises((ValueError, IndexError)):
         decode_png(bad)
+
+
+def test_decode_jpeg_fill_bytes_before_markers():
+    # T.81 B.1.1.2: markers may be preceded by any run of 0xFF fill
+    # bytes. Insert fill runs before every marker of a valid baseline
+    # JPEG (after SOI, outside entropy data) and require identical
+    # pixels — real crawls contain such files and they must not be
+    # classified "corrupt" (ADVICE r12).
+    from chroma_rs_spark.operators.multimodal import decode_jpeg
+
+    img = make_jpeg_grey([200] * (8 * 8), 8, 8)
+    ref = decode_jpeg(img)
+
+    # Rebuild the stream, prefixing each marker segment with fill
+    # bytes. Walk markers the same way a writer would: SOI, then
+    # segment-by-segment; stop padding once SOS begins (entropy data
+    # may legally contain 0xFF00 stuffing we must not touch).
+    out = bytearray(img[:2])  # SOI
+    pos = 2
+    in_scan = False
+    while pos < len(img):
+        if not in_scan:
+            assert img[pos] == 0xFF
+            marker = img[pos + 1]
+            out += b"\xff\xff\xff"  # fill run before the marker's 0xFF
+            if marker == 0xD9:  # EOI, no length
+                out += img[pos : pos + 2]
+                pos += 2
+                continue
+            (seglen,) = struct.unpack(">H", img[pos + 2 : pos + 4])
+            out += img[pos : pos + 2 + seglen]
+            pos += 2 + seglen
+            if marker == 0xDA:  # SOS: entropy data follows verbatim
+                in_scan = True
+        else:
+            # copy entropy bytes until EOI (flat-grey fixture has no
+            # restart markers; EOI is the next non-stuffed marker)
+            nxt = img.find(b"\xff\xd9", pos)
+            assert nxt != -1
+            out += img[pos:nxt]
+            pos = nxt
+            in_scan = False
+    got = decode_jpeg(bytes(out))
+    assert got["pixels"] == ref["pixels"]
+    assert (got["width"], got["height"]) == (ref["width"], ref["height"])
