@@ -1168,3 +1168,13 @@ FROM c JOIN p
 EXTRA_QUERIES["stream_interval_join"] = QueryDef(
     q_stream_interval_join, _INTERVAL_JOIN_ORACLE, iterative=True
 )
+
+# ---------------------------------------------------------------------------
+# Round-13 rotation (VERDICT r12 next-round #1): stream_interval_join
+# takes a declared seat — the LAST streaming semantic without driver
+# exposure: a drained two-source stream-stream interval join whose
+# watermark provably drops redelivered-late pairs (4 of 30 at sf0.01).
+# The family's other declared seat (stream_watermark_counts) stays.
+# ---------------------------------------------------------------------------
+
+QUERIES["stream_interval_join"] = EXTRA_QUERIES.pop("stream_interval_join")
