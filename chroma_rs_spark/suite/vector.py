@@ -2203,3 +2203,171 @@ QUERIES["mmr_diversified"] = EXTRA_QUERIES.pop("mmr_diversified")
 # ---------------------------------------------------------------------------
 
 EXTRA_QUERIES["collection_stats"] = QUERIES.pop("collection_stats")
+
+# ---------------------------------------------------------------------------
+# collection_crud (round 13, VERDICT r12 next-round #2): the mutation
+# trio's first oracle gate. Until now upsert/update/delete (A2-A4,
+# collection.py:502,523,579) were pytest-only — this row drives the
+# full reference-shaped CRUD lifecycle end-to-end (the pattern the
+# reference's own e2e test /root/reference/tests/end-to-en.rs:4-45
+# legitimates) and pins the FINAL collection state against a DuckDB
+# replay of every mutation:
+#
+#   add     — all (documents ⋈ embeddings) items, metadata mod11 planted
+#   upsert  — replace every k%7==0 document ('upserted:'||text, same
+#             embedding) AND insert new 'u_'||id rows for k%13==0
+#   update  — patch k%5==0 base documents to 'updated:'||orig_text
+#             (embeddings/metadata untouched — coalesce semantics)
+#   delete  — (a) where={'mod11': '0'} metadata filter, then
+#             (b) explicit ids: the odd-source 'u_' rows
+#   get     — include embeddings+documents+metadatas; emit
+#             (id, document, mod11, dim)
+#
+# Sequencing is load-bearing: k%35==0 rows are upserted THEN updated
+# (update wins), k%77==0 upserted rows die in the metadata delete
+# because upsert re-plants mod11, and u_-row deletes by ids may overlap
+# rows the metadata delete already removed (delete of an absent id is a
+# no-op — the complement-keep contract). The mutation batches are
+# driver-side lists BY CONTRACT (the reference API is list-shaped);
+# each collect is bounded at |corpus|/7 + |corpus|/13 + |corpus|/5
+# rows. Lifecycle builds once per (session, sf_dir) — the timed
+# per-call work is the final get() plan, same discipline as
+# collection_stats/find_duplicates.
+# ---------------------------------------------------------------------------
+
+_CRUD_LIFECYCLE: dict[tuple[str, str], tuple] = {}
+
+
+def _crud_lifecycle(spark: SparkSession, sf_dir: str):
+    import atexit
+    import shutil
+    import tempfile
+
+    from chroma_rs_spark import collection as item_ops
+    from chroma_rs_spark.catalog import Engine
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _CRUD_LIFECYCLE.get(key)
+    if hit is not None:
+        return hit
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    items = emb.join(docs, emb.vec_id == docs.doc_id).select(
+        F.col("doc_id").cast("string").alias("id"),
+        F.col("doc_id").alias("k"),
+        F.col("embedding"),
+        F.col("text").alias("document"),
+    )
+    root = tempfile.mkdtemp(prefix="crud_row_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    eng = Engine(spark, root)
+    coll = eng.create_collection("crud_row")
+
+    # add: the whole corpus, metadata mod11 planted for the delete leg
+    item_ops.add_df(
+        eng,
+        coll,
+        items.select(
+            "id",
+            "embedding",
+            "document",
+            F.create_map(
+                F.lit("mod11"), (F.col("k") % 11).cast("string")
+            ).alias("metadata"),
+        ),
+    )
+
+    def _pfx(p: str, t):
+        return None if t is None else p + t
+
+    # upsert: replaced %7 rows + new u_ rows, one batch (list API by
+    # contract; bounded collects)
+    rep = items.filter(F.col("k") % 7 == 0).collect()
+    new = items.filter(F.col("k") % 13 == 0).collect()
+    item_ops.upsert(
+        eng,
+        coll,
+        ids=[r["id"] for r in rep] + ["u_" + r["id"] for r in new],
+        embeddings=[list(r["embedding"]) for r in rep + new],
+        documents=[_pfx("upserted:", r["document"]) for r in rep]
+        + [_pfx("new:", r["document"]) for r in new],
+        metadatas=[{"mod11": str(r["k"] % 11)} for r in rep + new],
+    )
+
+    # update: documents only — embeddings and metadata must survive
+    upd = items.filter(F.col("k") % 5 == 0).collect()
+    item_ops.update(
+        eng,
+        coll,
+        ids=[r["id"] for r in upd],
+        documents=[_pfx("updated:", r["document"]) for r in upd],
+    )
+
+    # delete (a): metadata predicate — removes every row whose planted
+    # (or upsert-re-planted) mod11 is '0'
+    item_ops.delete(eng, coll, where={"mod11": {"$eq": "0"}})
+    # delete (b): explicit ids — odd-source u_ rows (some already gone
+    # via (a): absent-id deletes are no-ops)
+    item_ops.delete(
+        eng, coll, ids=["u_" + r["id"] for r in new if r["k"] % 2 == 1]
+    )
+
+    _CRUD_LIFECYCLE[key] = (eng, coll)
+    return eng, coll
+
+
+def q_collection_crud(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chroma_rs_spark import collection as item_ops
+
+    eng, coll = _crud_lifecycle(spark, sf_dir)
+    out = item_ops.get(
+        eng, coll, include=("embeddings", "documents", "metadatas")
+    )
+    return out.select(
+        "id",
+        "document",
+        F.element_at("metadata", "mod11").alias("mod11"),
+        F.size("embedding").cast("long").alias("dim"),
+    )
+
+
+_COLLECTION_CRUD_ORACLE = """
+WITH base AS (
+  SELECT CAST(d.doc_id AS VARCHAR) AS id, d.doc_id AS k, d.text AS text,
+         CAST(len(e.embedding) AS BIGINT) AS dim
+  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+),
+-- after add + upsert: %7 documents replaced, u_ rows inserted
+state1 AS (
+  SELECT id, k, text,
+         CASE WHEN k % 7 = 0 THEN 'upserted:' || text ELSE text END AS doc,
+         dim, FALSE AS is_new
+  FROM base
+  UNION ALL
+  SELECT 'u_' || id, k, text, 'new:' || text, dim, TRUE
+  FROM base WHERE k % 13 = 0
+),
+-- after update: base %5 rows patched from ORIGINAL text (the update
+-- batch was built from the source table, so it overwrites whatever
+-- upsert left there — sequencing is the thing under test)
+state2 AS (
+  SELECT id, k,
+         CASE WHEN NOT is_new AND k % 5 = 0
+              THEN 'updated:' || text ELSE doc END AS document,
+         dim, is_new
+  FROM state1
+),
+-- delete (a): where mod11='0' (upsert re-planted mod11, so the rule is
+-- uniform); delete (b): odd-source u_ rows by explicit ids
+state3 AS (
+  SELECT * FROM state2
+  WHERE k % 11 <> 0 AND NOT (is_new AND k % 2 = 1)
+)
+SELECT id, document, CAST(k % 11 AS VARCHAR) AS mod11, dim
+FROM state3
+"""
+
+
+EXTRA_QUERIES["collection_crud"] = QueryDef(
+    q_collection_crud, _COLLECTION_CRUD_ORACLE, iterative=True
+)
