@@ -173,6 +173,45 @@ def encode_png_gray_interlaced(
     )
 
 
+def encode_png_palette(
+    indices: bytes,
+    width: int,
+    height: int,
+    palette: bytes,
+    trns: bytes | None = None,
+) -> bytes:
+    """8-bit PALETTE (color_type 3) PNG encoder — the writer half of
+    the round-13 palette decode path, used by the decode-parity fixture
+    row. `palette` is the raw PLTE body (RGB triples); `trns` an
+    optional per-entry alpha prefix. Any PNG reader expands it back to
+    exactly palette[indices]."""
+    import struct
+    import zlib
+
+    if len(indices) != width * height:
+        raise ValueError("encode_png_palette: indices must be width*height bytes")
+    if len(palette) % 3 or not palette:
+        raise ValueError("encode_png_palette: palette must be RGB triples")
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 3, 0, 0, 0)
+    raw = bytearray()
+    for y in range(height):
+        raw.append(0)  # filter type 0 (None)
+        raw += indices[y * width : (y + 1) * width]
+    out = PNG_SIGNATURE + chunk(b"IHDR", ihdr) + chunk(b"PLTE", palette)
+    if trns is not None:
+        out += chunk(b"tRNS", trns)
+    return out + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+
+
 # Adam7 interlace pass grid: (x0, y0, dx, dy) per pass (PNG spec
 # section 8.2). Each pass is an independently-filtered sub-image; the
 # IDAT stream concatenates the passes in order, empty passes (zero
@@ -191,9 +230,13 @@ _ADAM7 = [
 def decode_png(payload: bytes) -> dict:
     """Pure-stdlib PNG decode (zlib + struct; PNG spec is public):
     returns {width, height, channels, pixels} for 8-bit greyscale /
-    RGB / RGBA / grey+alpha images, non-interlaced OR Adam7-interlaced
-    (round 12 — the last common-format NotImplementedError) — the real
-    decode path when no media library exists in the environment."""
+    RGB / RGBA / grey+alpha / PALETTE (color_type 3, round 13 — the
+    most common remaining `unsupported` class in real crawls) images,
+    non-interlaced OR Adam7-interlaced — the real decode path when no
+    media library exists in the environment. Palette images expand
+    through PLTE to RGB, or to RGBA when a tRNS chunk supplies
+    per-entry alpha (spec section 11.3.2: missing trailing entries are
+    opaque 255)."""
     import struct
     import zlib
 
@@ -202,7 +245,10 @@ def decode_png(payload: bytes) -> dict:
     pos = len(PNG_SIGNATURE)
     width = height = None
     channels = None
+    color_type = None
     interlace = 0
+    plte = None
+    trns = None
     idat = bytearray()
     while pos < len(payload):
         (length,) = struct.unpack(">I", payload[pos : pos + 4])
@@ -213,20 +259,33 @@ def decode_png(payload: bytes) -> dict:
             width, height, bit_depth, color_type, _comp, _filt, interlace = (
                 struct.unpack(">IIBBBBB", data)
             )
-            if bit_depth != 8 or color_type not in _PNG_CHANNELS:
+            if bit_depth != 8 or (
+                color_type not in _PNG_CHANNELS and color_type != 3
+            ):
                 raise NotImplementedError(
                     f"PNG bit_depth={bit_depth} color_type={color_type} "
-                    "unsupported (8-bit grey/RGB/RGBA only)"
+                    "unsupported (8-bit grey/RGB/RGBA/palette only)"
                 )
             if interlace not in (0, 1):
                 raise ValueError(f"unknown PNG interlace method {interlace}")
-            channels = _PNG_CHANNELS[color_type]
+            # palette scanlines carry 1 byte/pixel of PLTE indices; the
+            # unfilter/deinterlace passes run on the index plane and the
+            # palette expansion happens once at the end
+            channels = 1 if color_type == 3 else _PNG_CHANNELS[color_type]
+        elif ctype == b"PLTE":
+            if length % 3 or length == 0:
+                raise ValueError("PLTE length not a positive multiple of 3")
+            plte = data
+        elif ctype == b"tRNS":
+            trns = data
         elif ctype == b"IDAT":
             idat += data
         elif ctype == b"IEND":
             break
     if width is None or not idat:
         raise ValueError("truncated PNG (missing IHDR or IDAT)")
+    if color_type == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE chunk")
     raw = zlib.decompress(bytes(idat))
     if interlace == 0:
         pixels = _png_unfilter(raw, width, height, channels)
@@ -251,12 +310,38 @@ def decode_png(payload: bytes) -> dict:
         if off != len(raw):
             raise ValueError("interlaced PNG data length mismatch")
         pixels = bytes(out)
+    if color_type == 3:
+        pixels, channels = _expand_palette(pixels, plte, trns)
     return {
         "width": width,
         "height": height,
         "channels": channels,
         "pixels": pixels,
     }
+
+
+def _expand_palette(
+    indices: bytes, plte: bytes, trns: bytes | None
+) -> tuple[bytes, int]:
+    """PLTE (+ optional tRNS) lookup: index plane -> RGB(A) pixels.
+
+    Vectorized (one fancy-index gather per image) because this runs
+    inside the mapInPandas decode hot loop; a per-pixel Python loop
+    tripled decode wall on the 16x16 fixture corpus."""
+    import numpy as np
+
+    pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+    idx = np.frombuffer(indices, dtype=np.uint8)
+    if idx.size and int(idx.max()) >= pal.shape[0]:
+        raise ValueError("palette index out of range")
+    if trns is not None:
+        alpha = np.full(pal.shape[0], 255, dtype=np.uint8)
+        alpha[: min(len(trns), pal.shape[0])] = np.frombuffer(
+            trns[: pal.shape[0]], dtype=np.uint8
+        )
+        pal = np.column_stack([pal, alpha])
+    out = pal[idx]
+    return out.tobytes(), pal.shape[1]
 
 
 JPEG_SOI = b"\xff\xd8"

@@ -3797,6 +3797,118 @@ EXTRA_QUERIES["image_decode_interlaced"] = QueryDef(
 )
 
 # ---------------------------------------------------------------------------
+# image_decode_palette (round 13, VERDICT r12 next-round #5): palette
+# (color_type 3) PNG — the most common remaining `unsupported` class in
+# real crawls — now decodes through the real distributed path. Every
+# document's md5-rule index plane is written as a palette PNG under a
+# NON-TRIVIAL palette (i -> (i, 255-i, i^0x55)) plus a tRNS twin
+# (alpha = 255-i below 64, opaque above), so the oracle-pinned means
+# prove the PLTE lookup actually ran: an index-passthrough "decode"
+# would report mean(v), not (255 + xor(v,85))/3. PNG is lossless, so
+# like the interlaced row this carries real CONTENT verification.
+# ---------------------------------------------------------------------------
+
+_PALETTE_FIXTURE: dict[tuple[str, str], str] = {}
+
+
+def _palette_fixture(spark: SparkSession, sf_dir: str) -> str:
+    import atexit
+    import shutil
+    import tempfile
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _PALETTE_FIXTURE.get(key)
+    if hit is not None:
+        return hit
+    root = tempfile.mkdtemp(prefix="palette_fixture_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+
+    def render(batches):
+        import hashlib
+
+        import pandas as pd
+
+        from chroma_rs_spark.operators.multimodal import encode_png_palette
+
+        pal = b"".join(bytes((i, 255 - i, i ^ 0x55)) for i in range(256))
+        trns = bytes(255 - i for i in range(64))
+        for pdf in batches:
+            rgb, rgba = [], []
+            for did in pdf["doc_id"]:
+                idx = b"".join(
+                    hashlib.md5(f"{did}:{i}".encode()).digest()
+                    for i in range(16)
+                )
+                rgb.append(encode_png_palette(idx, 16, 16, pal))
+                rgba.append(encode_png_palette(idx, 16, 16, pal, trns))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "rgb": rgb, "rgba": rgba}
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs.mapInPandas(
+        render, schema="doc_id long, rgb binary, rgba binary"
+    ).write.parquet(f"{root}/png", mode="overwrite")
+    _PALETTE_FIXTURE[key] = f"{root}/png"
+    return _PALETTE_FIXTURE[key]
+
+
+def q_image_decode_palette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed palette-PNG decode: RGB leg + tRNS (RGBA) leg, exact
+    oracle-replayable mean intensity per image. iterative=True: the
+    fixture render runs Spark jobs during build (once per session)."""
+    from pyspark.sql import functions as F
+
+    from chroma_rs_spark.operators.multimodal import extract_image_features
+
+    fx = spark.read.schema("doc_id long, rgb binary, rgba binary").parquet(
+        _palette_fixture(spark, sf_dir)
+    )
+    rgb = extract_image_features(
+        fx.select("doc_id", F.col("rgb").alias("payload"))
+    ).select(
+        "doc_id", "decode_status", "width", "height", "channels",
+        "mean_intensity",
+    )
+    rgba = extract_image_features(
+        fx.select("doc_id", F.col("rgba").alias("payload"))
+    ).select(
+        "doc_id",
+        F.col("channels").alias("channels_rgba"),
+        F.col("mean_intensity").alias("mean_rgba"),
+    )
+    return rgb.join(rgba, "doc_id")
+
+
+_PALETTE_ORACLE = """
+WITH px AS (
+  SELECT d.doc_id,
+         CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':'
+                             || CAST(t.p // 16 AS VARCHAR)),
+                             (t.p % 16) * 2 + 1, 2) AS INT) AS v
+  FROM documents d, unnest(range(0, 256)) t(p)
+)
+SELECT doc_id,
+       'ok' AS decode_status,
+       CAST(16 AS BIGINT) AS width,
+       CAST(16 AS BIGINT) AS height,
+       CAST(3 AS BIGINT) AS channels,
+       -- palette i -> (i, 255-i, i^0x55): per-pixel channel sum is
+       -- 255 + xor(v, 85), over 256 pixels * 3 channels
+       CAST(sum(255 + xor(v, 85)) AS DOUBLE) / 768.0 AS mean_intensity,
+       CAST(4 AS BIGINT) AS channels_rgba,
+       CAST(sum(255 + xor(v, 85)
+                + CASE WHEN v < 64 THEN 255 - v ELSE 255 END)
+            AS DOUBLE) / 1024.0 AS mean_rgba
+FROM px GROUP BY doc_id
+"""
+
+
+EXTRA_QUERIES["image_decode_palette"] = QueryDef(
+    q_image_decode_palette, _PALETTE_ORACLE, iterative=True
+)
+
+# ---------------------------------------------------------------------------
 # Round-13 rotation (VERDICT r12 next-round #1, executing the committed
 # pre-plan in COVERAGE.md): image_phash_real takes the multimodal
 # family's declared seat — the real distributed PNG-container decode +

@@ -1085,3 +1085,104 @@ def test_decode_jpeg_fill_bytes_before_markers():
     got = decode_jpeg(bytes(out))
     assert got["pixels"] == ref["pixels"]
     assert (got["width"], got["height"]) == (ref["width"], ref["height"])
+
+
+# -- palette PNG (color_type 3, round 13) -------------------------------
+
+
+def _palette() -> bytes:
+    # non-trivial mapping so an index-passthrough "decode" can't pass
+    return b"".join(bytes((i, 255 - i, i ^ 0x55)) for i in range(256))
+
+
+@pytest.mark.parametrize("filter_type", [0, 1, 2])
+def test_decode_png_palette_roundtrip(filter_type):
+    from chroma_rs_spark.operators.multimodal import encode_png_palette
+
+    w, h = 7, 5
+    idx = _pixels(w * h)
+    png = encode_png_palette(idx, w, h, _palette())
+    if filter_type:
+        # re-filter through the generic writer: splice palette header +
+        # PLTE onto make_png's filtered grey scanlines
+        grey = make_png(w, h, 1, idx, filter_type)
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+        png = (
+            b"\x89PNG\r\n\x1a\n"
+            + _chunk(b"IHDR", ihdr)
+            + _chunk(b"PLTE", _palette())
+            + grey[8 + 12 + 13 :]
+        )
+    img = decode_png(png)
+    assert (img["width"], img["height"], img["channels"]) == (w, h, 3)
+    assert img["pixels"] == b"".join(
+        bytes((v, 255 - v, v ^ 0x55)) for v in idx
+    )
+
+
+def test_decode_png_palette_trns_alpha():
+    from chroma_rs_spark.operators.multimodal import encode_png_palette
+
+    idx = _pixels(6 * 4)
+    trns = bytes(255 - i for i in range(64))  # entries >=64 opaque
+    img = decode_png(encode_png_palette(idx, 6, 4, _palette(), trns))
+    assert img["channels"] == 4
+    assert img["pixels"] == b"".join(
+        bytes((v, 255 - v, v ^ 0x55, (255 - v) if v < 64 else 255))
+        for v in idx
+    )
+
+
+def test_decode_png_palette_index_out_of_range_is_corrupt():
+    from chroma_rs_spark.operators.multimodal import encode_png_palette
+
+    png = encode_png_palette(bytes([5] * 4), 2, 2, b"\x00\x01\x02" * 3)
+    with pytest.raises(ValueError, match="palette index"):
+        decode_png(png)
+
+
+def test_decode_png_palette_missing_plte_is_corrupt():
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    raw = b"\x00\x00\x00" + b"\x00\x00\x00"  # 2 scanlines, filter 0
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="PLTE"):
+        decode_png(png)
+
+
+def test_decode_png_palette_subbyte_depth_unsupported():
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 4, 3, 0, 0, 0)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"PLTE", b"\x00\x00\x00" * 16)
+        + _chunk(b"IDAT", zlib.compress(b"\x00" * 12))
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError):
+        decode_png(png)
+
+
+def test_decode_png_palette_interlaced():
+    from chroma_rs_spark.operators.multimodal import (
+        encode_png_gray_interlaced,
+    )
+
+    w = h = 16
+    idx = _pixels(w * h)
+    g = bytearray(encode_png_gray_interlaced(idx, w, h))
+    g[25] = 3  # IHDR color_type: grey -> palette (decoder skips CRCs)
+    png = (
+        bytes(g[: 8 + 12 + 13])
+        + _chunk(b"PLTE", _palette())
+        + bytes(g[8 + 12 + 13 :])
+    )
+    img = decode_png(png)
+    assert img["channels"] == 3
+    assert img["pixels"] == b"".join(
+        bytes((v, 255 - v, v ^ 0x55)) for v in idx
+    )
