@@ -1186,3 +1186,121 @@ def test_decode_png_palette_interlaced():
     assert img["pixels"] == b"".join(
         bytes((v, 255 - v, v ^ 0x55)) for v in idx
     )
+
+
+# -- 24/32-bit PCM + float32 WAV (round 13) -----------------------------
+
+
+def make_wav_wide(width, n_channels=1, rate=8000, samples=None):
+    """PCM WAV at sampwidth 3 or 4: each int16 sample carried in the
+    TOP bytes (s << 8 / s << 16), the form a 16-bit master remastered
+    to 24/32-bit produces — so decode must recover `samples` exactly."""
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(n_channels)
+        w.setsampwidth(width)
+        w.setframerate(rate)
+        if width == 3:
+            raw = b"".join(
+                (s << 8).to_bytes(3, "little", signed=True) for s in samples
+            )
+        else:
+            raw = struct.pack(f"<{len(samples)}i", *[s << 16 for s in samples])
+        w.writeframes(raw)
+    return buf.getvalue()
+
+
+def make_wav_float(n_channels=1, rate=8000, samples=None):
+    """IEEE-float (format 3) WAV: int16 samples as s/32768.0 — exact in
+    float32, so decode's round(x*32768) must recover them exactly."""
+    import struct
+
+    data = struct.pack(f"<{len(samples)}f", *[s / 32768.0 for s in samples])
+    n_ch = n_channels
+    fmt = struct.pack("<HHIIHH", 3, n_ch, rate, rate * n_ch * 4, n_ch * 4, 32)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+@pytest.mark.parametrize("width", [3, 4])
+def test_decode_wav_wide_parity(width):
+    from chroma_rs_spark.operators.multimodal import decode_wav
+
+    samples = [0, 1000, -1000, 32767, -32768, 5]
+    a = decode_wav(make_wav_wide(width, 1, 8000, samples))
+    assert a["sample_rate"] == 8000 and a["n_samples"] == len(samples)
+    assert a["samples"] == samples
+    st = decode_wav(make_wav_wide(width, 2, 16000, samples))
+    assert st["n_channels"] == 2 and st["samples"] == samples
+
+
+def test_decode_wav_float32_parity():
+    from chroma_rs_spark.operators.multimodal import decode_wav
+
+    samples = [0, 1000, -1000, 32767, -32768, 5]
+    a = decode_wav(make_wav_float(1, 44100, samples))
+    assert a["n_channels"] == 1 and a["sample_rate"] == 44100
+    assert a["n_samples"] == len(samples)
+    assert a["samples"] == samples
+
+
+def test_decode_wav_float32_clamps_out_of_range():
+    from chroma_rs_spark.operators.multimodal import decode_wav
+
+    import struct
+
+    data = struct.pack("<4f", 2.0, -2.0, 0.5, -0.25)
+    fmt = struct.pack("<HHIIHH", 3, 1, 8000, 8000 * 4, 4, 32)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    a = decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+    assert a["samples"] == [32767, -32768, 16384, -8192]
+
+
+def test_decode_wav_float64_unsupported():
+    from chroma_rs_spark.operators.multimodal import decode_wav
+
+    import struct
+
+    fmt = struct.pack("<HHIIHH", 3, 1, 8000, 8000 * 8, 8, 64)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", 8) + b"\x00" * 8
+    with pytest.raises(NotImplementedError):
+        decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+
+
+def test_decode_wav_garbage_still_corrupt_class():
+    from chroma_rs_spark.operators.multimodal import decode_wav
+
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFFxxxxJUNK")
+
+
+def test_extract_audio_features_wide_widths(spark):
+    """All four widths of the same master produce identical features
+    through the distributed path — the decode-status parity claim."""
+    from chroma_rs_spark.operators.multimodal import extract_audio_features
+
+    s = [0, 3000, -3000, 3000, 12345, -12345, 7, -8]
+    df = spark.createDataFrame(
+        [
+            (16, make_wav(1, 8000, s)),
+            (24, make_wav_wide(3, 1, 8000, s)),
+            (32, make_wav_wide(4, 1, 8000, s)),
+            (33, make_wav_float(1, 8000, s)),
+        ],
+        "doc_id long, payload binary",
+    )
+    rows = {r["doc_id"]: r for r in extract_audio_features(df).collect()}
+    base = rows[16]
+    for k in (24, 32, 33):
+        assert (
+            rows[k]["n_samples"],
+            rows[k]["rms"],
+            rows[k]["peak"],
+        ) == (base["n_samples"], base["rms"], base["peak"]), k
