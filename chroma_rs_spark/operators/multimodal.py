@@ -259,19 +259,28 @@ def decode_png(payload: bytes) -> dict:
             width, height, bit_depth, color_type, _comp, _filt, interlace = (
                 struct.unpack(">IIBBBBB", data)
             )
-            if bit_depth != 8 or (
-                color_type not in _PNG_CHANNELS and color_type != 3
+            if (
+                bit_depth not in (8, 16)
+                or (color_type not in _PNG_CHANNELS and color_type != 3)
+                or (bit_depth == 16 and color_type == 3)  # spec-illegal
             ):
                 raise NotImplementedError(
                     f"PNG bit_depth={bit_depth} color_type={color_type} "
-                    "unsupported (8-bit grey/RGB/RGBA/palette only)"
+                    "unsupported (8/16-bit grey/RGB/RGBA, 8-bit palette)"
                 )
             if interlace not in (0, 1):
                 raise ValueError(f"unknown PNG interlace method {interlace}")
             # palette scanlines carry 1 byte/pixel of PLTE indices; the
             # unfilter/deinterlace passes run on the index plane and the
-            # palette expansion happens once at the end
+            # palette expansion happens once at the end. 16-bit samples
+            # (round 13) carry 2 bytes each: PNG filtering is defined on
+            # BYTES with bpp = channels*2 (spec section 9), so the
+            # unfilter/deinterlace passes run with a doubled "channel"
+            # count and the big-endian MSB extraction to the 8-bit
+            # contract happens once at the end.
             channels = 1 if color_type == 3 else _PNG_CHANNELS[color_type]
+            if bit_depth == 16:
+                channels *= 2
         elif ctype == b"PLTE":
             if length % 3 or length == 0:
                 raise ValueError("PLTE length not a positive multiple of 3")
@@ -312,6 +321,11 @@ def decode_png(payload: bytes) -> dict:
         pixels = bytes(out)
     if color_type == 3:
         pixels, channels = _expand_palette(pixels, plte, trns)
+    elif bit_depth == 16:
+        # big-endian 16-bit samples -> MSB (the standard 16->8 tone
+        # mapping); channels returns to the true per-pixel count
+        pixels = pixels[::2]
+        channels //= 2
     return {
         "width": width,
         "height": height,
@@ -884,8 +898,9 @@ def extract_image_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     would plug into.
 
     A real crawl contains formats the decoders refuse (arithmetic-
-    coded JPEG, 16-bit PNG, truncated files — progressive JPEG and
-    Adam7-interlaced PNG both DECODE as of round 12): those rows
+    coded JPEG, sub-byte palette PNG, truncated files — progressive
+    JPEG and Adam7-interlaced PNG decode as of round 12; palette,
+    16-bit PNG and 24/32-bit+float WAV as of round 13): those rows
     survive with
     NULL features and `decode_status` = 'unsupported' (explicit
     NotImplementedError guard) or 'corrupt' (anything else), so a

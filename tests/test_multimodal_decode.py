@@ -1304,3 +1304,88 @@ def test_extract_audio_features_wide_widths(spark):
             rows[k]["rms"],
             rows[k]["peak"],
         ) == (base["n_samples"], base["rms"], base["peak"]), k
+
+
+# -- 16-bit PNG (round 13): MSB tone-map to the 8-bit contract ----------
+
+
+def make_png16(w, h, ch, samples16, filter_type=0, interlace=0):
+    """16-bit PNG writer: big-endian samples, filtering on bytes with
+    bpp = ch*2 (spec section 9)."""
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, color_type, 0, 0, interlace)
+    bpp = ch * 2
+    raw = bytearray()
+    prev = bytearray(w * bpp)
+    for r in range(h):
+        line = bytearray()
+        for s in samples16[r * w * ch : (r + 1) * w * ch]:
+            line += struct.pack(">H", s)
+        filt = bytearray(line)
+        if filter_type == 1:
+            for i in range(len(line) - 1, bpp - 1, -1):
+                filt[i] = (line[i] - line[i - bpp]) & 0xFF
+        elif filter_type == 2:
+            for i in range(len(line)):
+                filt[i] = (line[i] - prev[i]) & 0xFF
+        raw.append(filter_type)
+        raw += filt
+        prev = line
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IEND", b"")
+    )
+
+
+@pytest.mark.parametrize("filter_type", [0, 1, 2])
+@pytest.mark.parametrize("channels", [1, 2, 3, 4])
+def test_decode_png_16bit(channels, filter_type):
+    w, h = 5, 4
+    s16 = [((i * 4099 + 7) % 65536) for i in range(w * h * channels)]
+    img = decode_png(make_png16(w, h, channels, s16, filter_type))
+    assert (img["width"], img["height"], img["channels"]) == (w, h, channels)
+    assert img["pixels"] == bytes((v >> 8) & 0xFF for v in s16)
+
+
+def test_decode_png_16bit_interlaced():
+    from chroma_rs_spark.operators.multimodal import _ADAM7
+
+    w = h = 13  # odd size exercises empty/partial Adam7 passes
+    s16 = [((i * 2654435761) >> 3) & 0xFFFF for i in range(w * h)]
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, 0, 0, 0, 1)
+    raw = bytearray()
+    for x0, y0, dx, dy in _ADAM7:
+        wp = (w - x0 + dx - 1) // dx
+        hp = (h - y0 + dy - 1) // dy
+        if wp <= 0 or hp <= 0:
+            continue
+        for ry in range(hp):
+            raw.append(0)
+            y = y0 + ry * dy
+            for rx in range(wp):
+                raw += struct.pack(">H", s16[y * w + x0 + rx * dx])
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IEND", b"")
+    )
+    img = decode_png(png)
+    assert img["channels"] == 1
+    assert img["pixels"] == bytes((v >> 8) & 0xFF for v in s16)
+
+
+def test_decode_png_16bit_palette_still_unsupported():
+    # bit_depth 16 + color_type 3 is spec-illegal; stays measured
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 3, 0, 0, 0)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"PLTE", b"\x00" * 6)
+        + _chunk(b"IDAT", zlib.compress(b"\x00" * 10))
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError):
+        decode_png(png)
