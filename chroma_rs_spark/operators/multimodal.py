@@ -523,6 +523,7 @@ def decode_jpeg(payload: bytes) -> dict:
     restart_interval = 0
     progressive = False
     n_scans = 0
+    adobe_transform = None
 
     while pos < len(payload):
         if payload[pos] != 0xFF:
@@ -589,6 +590,9 @@ def decode_jpeg(payload: bytes) -> dict:
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xEE:  # APP14 — Adobe color-transform tag
+            if seg[:5] == b"Adobe" and len(seg) >= 12:
+                adobe_transform = seg[11]
         elif marker == 0xDA:  # SOS — decode this scan's entropy data
             if width is None:
                 raise ValueError("SOS before SOF")
@@ -653,8 +657,38 @@ def decode_jpeg(payload: bytes) -> dict:
             "channels": 1,
             "pixels": out8.tobytes(),
         }
+    if len(full) == 4:
+        # Adobe 4-component (round 13): print-media crawls carry CMYK
+        # (APP14 transform 0 — stored INVERTED per Adobe convention)
+        # or YCCK (transform 2 — CMY channels ride the YCbCr
+        # transform, K passes through). Either way the stored planes
+        # are inverted, so RGB = stored_channel * stored_K / 255 —
+        # the standard libjpeg-consumer convention. No marker defaults
+        # to plain inverted CMYK, matching libjpeg.
+        if adobe_transform == 2:
+            y_, cb, cr, k = full
+            c_ = y_ + 1.402 * (cr - 128.0)
+            m_ = y_ - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+            ye_ = y_ + 1.772 * (cb - 128.0)
+        else:
+            c_, m_, ye_, k = full
+        k = np.clip(k, 0.0, 255.0)
+        rgb = np.stack(
+            [
+                np.clip(np.round(np.clip(ch, 0.0, 255.0) * k / 255.0), 0, 255)
+                .astype(np.uint8)
+                for ch in (c_, m_, ye_)
+            ],
+            axis=-1,
+        )
+        return {
+            "width": width,
+            "height": height,
+            "channels": 3,
+            "pixels": rgb.tobytes(),
+        }
     if len(full) != 3:
-        raise NotImplementedError("only 1- or 3-component JPEG supported")
+        raise NotImplementedError("only 1-, 3- or 4-component JPEG supported")
     y, cb, cr = full
     r = y + 1.402 * (cr - 128.0)
     g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)

@@ -1389,3 +1389,143 @@ def test_decode_png_16bit_palette_still_unsupported():
     )
     with pytest.raises(NotImplementedError):
         decode_png(png)
+
+
+# -- 4-component (Adobe CMYK / YCCK) JPEG (round 13) --------------------
+
+
+def make_jpeg_flat_cmyk(vals, width=8, height=8, transform=None):
+    """Solid-color 4-component baseline JPEG, 1x1 sampling, flat
+    DC-only blocks; `vals` are the four STORED plane values. When
+    `transform` is not None an Adobe APP14 marker carries it."""
+    import struct
+
+    dc_codes = _enc_huff_codes(_DC_LUM_BITS, _DC_LUM_VALS)
+    ac_codes = _enc_huff_codes(_AC_LUM_BITS, _AC_LUM_VALS)
+    bx = (width + 7) // 8
+    by = (height + 7) // 8
+    w = _BitWriter()
+    preds = [0, 0, 0, 0]
+
+    def put_block(ci, val):
+        dc = round(8 * (val - 128.0))
+        diff = dc - preds[ci]
+        preds[ci] = dc
+        t = _cat(diff)
+        w.write(*dc_codes[t])
+        if t:
+            w.write(t, diff if diff >= 0 else diff + (1 << t) - 1)
+        w.write(*ac_codes[0x00])  # EOB
+
+    for _ in range(by * bx):
+        for ci in range(4):
+            put_block(ci, vals[ci])
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = b"\xff\xd8"
+    if transform is not None:
+        out += seg(
+            0xEE, b"Adobe" + bytes([0, 100, 0, 0, 0, 0, transform])
+        )
+    out += seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    out += seg(
+        0xC0,
+        struct.pack(">BHHB", 8, height, width, 4)
+        + b"".join(bytes([i + 1, 0x11, 0]) for i in range(4)),
+    )
+    out += seg(0xC4, bytes([0x00]) + bytes(_DC_LUM_BITS) + bytes(_DC_LUM_VALS))
+    out += seg(0xC4, bytes([0x10]) + bytes(_AC_LUM_BITS) + bytes(_AC_LUM_VALS))
+    out += seg(0xDA, bytes([4, 1, 0x00, 2, 0x00, 3, 0x00, 4, 0x00, 0, 63, 0]))
+    return out + w.flush() + b"\xff\xd9"
+
+
+@pytest.mark.parametrize("with_marker", [True, False])
+def test_decode_jpeg_cmyk_flat(with_marker):
+    import numpy as np
+
+    from chroma_rs_spark.operators.multimodal import decode_jpeg
+
+    c_, m_, y_, k_ = 200, 120, 60, 220  # stored (inverted) planes
+    out = decode_jpeg(
+        make_jpeg_flat_cmyk(
+            (c_, m_, y_, k_), transform=0 if with_marker else None
+        )
+    )
+    assert (out["width"], out["height"], out["channels"]) == (8, 8, 3)
+    got = np.frombuffer(out["pixels"], dtype=np.uint8).reshape(8, 8, 3)
+    exp = np.array(
+        [round(c_ * k_ / 255.0), round(m_ * k_ / 255.0), round(y_ * k_ / 255.0)],
+        dtype=np.uint8,
+    )
+    assert (got == exp[None, None, :]).all()
+
+
+def test_decode_jpeg_ycck_flat():
+    import numpy as np
+
+    from chroma_rs_spark.operators.multimodal import decode_jpeg
+
+    y, cb, cr, k_ = 120, 90, 180, 240
+    out = decode_jpeg(make_jpeg_flat_cmyk((y, cb, cr, k_), transform=2))
+    got = np.frombuffer(out["pixels"], dtype=np.uint8).reshape(8, 8, 3)
+    inv = [
+        y + 1.402 * (cr - 128.0),
+        y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0),
+        y + 1.772 * (cb - 128.0),
+    ]
+    exp = np.array(
+        [
+            round(min(max(ch, 0.0), 255.0) * k_ / 255.0)
+            for ch in inv
+        ],
+        dtype=np.uint8,
+    )
+    assert (got == exp[None, None, :]).all()
+
+
+def test_decode_jpeg_two_component_still_unsupported():
+    from chroma_rs_spark.operators.multimodal import decode_jpeg
+
+    # truncate the 4-comp frame to 2 comps: still a NotImplementedError
+    import struct
+
+    dc_codes = _enc_huff_codes(_DC_LUM_BITS, _DC_LUM_VALS)
+    ac_codes = _enc_huff_codes(_AC_LUM_BITS, _AC_LUM_VALS)
+    w = _BitWriter()
+    preds = [0, 0]
+
+    def put_block(ci, val):
+        dc = round(8 * (val - 128.0))
+        diff = dc - preds[ci]
+        preds[ci] = dc
+        t = _cat(diff)
+        w.write(*dc_codes[t])
+        if t:
+            w.write(t, diff if diff >= 0 else diff + (1 << t) - 1)
+        w.write(*ac_codes[0x00])
+
+    put_block(0, 100)
+    put_block(1, 100)
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    png = (
+        b"\xff\xd8"
+        + seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+        + seg(
+            0xC0,
+            struct.pack(">BHHB", 8, 8, 8, 2)
+            + bytes([1, 0x11, 0])
+            + bytes([2, 0x11, 0]),
+        )
+        + seg(0xC4, bytes([0x00]) + bytes(_DC_LUM_BITS) + bytes(_DC_LUM_VALS))
+        + seg(0xC4, bytes([0x10]) + bytes(_AC_LUM_BITS) + bytes(_AC_LUM_VALS))
+        + seg(0xDA, bytes([2, 1, 0x00, 2, 0x00, 0, 63, 0]))
+        + w.flush()
+        + b"\xff\xd9"
+    )
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(png)
