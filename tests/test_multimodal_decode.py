@@ -437,27 +437,27 @@ def test_decode_jpeg_truncated_entropy_raises_valueerror():
 
 
 def test_extract_image_features_decode_status(spark):
-    """Unsupported formats (16-bit PNG, arithmetic-coded JPEG) and
-    corrupt payloads survive as measured rows — NULL features with a
-    decode_status verdict — instead of killing the batch; healthy
-    rows (including Adam7-interlaced PNG and progressive JPEG as of
-    round 12) carry 'ok'. The 100 TB crawl rule: undecodable
-    fractions are counted, not thrown."""
+    """Unsupported formats (sub-byte palette PNG, arithmetic-coded
+    JPEG) and corrupt payloads survive as measured rows — NULL
+    features with a decode_status verdict — instead of killing the
+    batch; healthy rows (including Adam7-interlaced PNG and
+    progressive JPEG as of round 12, 16-bit PNG as of round 13)
+    carry 'ok'. The 100 TB crawl rule: undecodable fractions are
+    counted, not thrown."""
     px = _pixels(8 * 8)
     good = make_png(8, 8, 1, px)
-    # 16-bit PNG: the remaining honestly-unsupported PNG class now
-    # that Adam7 interlace decodes (round 12)
-    ihdr16 = struct.pack(">IIBBBBB", 8, 8, 16, 0, 0, 0, 0)
-    raw = bytearray()
-    for r in range(8):
-        raw.append(0)
-        raw += px[r * 8 : (r + 1) * 8] * 2
+    # sub-byte (4-bit) palette PNG: the remaining honestly-unsupported
+    # PNG class now that 8-bit palette and 16-bit depth decode (r13)
+    ihdr4 = struct.pack(">IIBBBBB", 8, 8, 4, 3, 0, 0, 0)
     deep = (
         b"\x89PNG\r\n\x1a\n"
-        + _chunk(b"IHDR", ihdr16)
-        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IHDR", ihdr4)
+        + _chunk(b"PLTE", b"\x00\x00\x00" * 16)
+        + _chunk(b"IDAT", zlib.compress(b"\x00" * (8 * 5)))
         + _chunk(b"IEND", b"")
     )
+    # 16-bit PNG decodes via MSB tone-map as of round 13
+    deep16 = make_png16(8, 8, 1, [v << 8 for v in px])
     # arithmetic-coded JPEG skeleton (SOF10): the remaining honestly-
     # unsupported class now that progressive (SOF2) decodes (round 12)
     sof10 = b"\xff\xca" + struct.pack(">HBHHB", 11, 8, 8, 8, 1) + b"\x11\x00"
@@ -468,7 +468,7 @@ def test_extract_image_features_decode_status(spark):
     interlaced_ok = make_png_interlaced(8, 8, 1, px)
     df = spark.createDataFrame(
         [(0, good), (1, deep), (2, arithmetic), (3, corrupt), (4, None),
-         (5, progressive), (6, interlaced_ok)],
+         (5, progressive), (6, interlaced_ok), (7, deep16)],
         "doc_id long, payload binary",
     )
     out = {r["doc_id"]: r for r in extract_image_features(df).collect()}
@@ -482,6 +482,8 @@ def test_extract_image_features_decode_status(spark):
     assert out[5]["width"] == 8 and out[5]["channels"] == 1
     assert out[6]["decode_status"] == "ok"
     assert out[6]["pixel_md5"] == hashlib.md5(px).hexdigest()
+    assert out[7]["decode_status"] == "ok"
+    assert out[7]["pixel_md5"] == hashlib.md5(px).hexdigest()
     for i in (1, 2, 3, 4):
         assert out[i]["width"] is None and out[i]["pixel_md5"] is None
 
