@@ -438,37 +438,58 @@ def shingle_pair_intersections(
     docsets = sh.groupBy(id_col).agg(
         F.sort_array(F.collect_set("shingle")).alias("_set")
     )
+    # The set relation feeds THREE consumers (the df-cutoff agg and
+    # both self-join sides); Catalyst does not reuse the exchange
+    # across them (verified: 4 scans, 0 ReusedExchange in the executed
+    # plan), so without materialization the tokenize+hash+collect_set
+    # pass — the expensive stage — runs 3x. One row per doc with the
+    # hashed set array (~8 B/distinct shingle), the persisted
+    # inverted-index artifact a 100 TB curation run would write to
+    # storage anyway; lazy so the operator stays plan-only until acted.
+    docsets = docsets.localCheckpoint(eager=False)
     inv = docsets.select(
         F.col(id_col).alias("id"),
         F.size("_set").alias("sz"),
         F.explode("_set").alias("shingle"),
     )
     # Per-shingle postings list -> all (a<b) pairs, both sizes attached;
-    # postings longer than max_df are dropped before pair explosion
-    # (the driver tables have max df ~ tens, so the default cutoff
-    # changes nothing there while still bounding the worst case).
-    bysh = inv.groupBy("shingle").agg(
-        F.sort_array(F.collect_list(F.struct("id", "sz"))).alias("xs")
-    )
+    # Pair generation as a STREAMING SELF-JOIN on the posting rows
+    # (round 13 — the sf1.0 suite stress run's find). The previous
+    # form collected each shingle's postings into an array and paired
+    # via posexplode-carrying-the-array + explode(slice(...)): every
+    # posexplode output row copies the WHOLE postings array into its
+    # UnsafeRow, so a shingle with n postings materializes O(n^2)
+    # BYTES before emitting its O(n^2) pairs. At sf0.1 (max df ~20,
+    # 6.4 KB/shingle) that is invisible; on the 10x replica-dense
+    # corpus (df ~200, ~640 KB/shingle, ~hundreds of GB total) it
+    # timed dedup_ngram_jaccard out at >420 s and put
+    # dedup_containment at 377 s. The equi-join form shuffles the
+    # SAME keyed rows but streams pair rows (3 narrow columns)
+    # straight into the partial aggregate — no array materialization
+    # at any df. Measured warm at sf1.0 (50k docs, 10x replica-dense):
+    # jaccard >420 s (timeout) -> 145 s, containment 377 s -> 135 s,
+    # sf0.1 ~3 s unchanged, all consumer rows still bit-green. The
+    # remaining sf1.0 cost tracks |intersecting pairs| (~100x sf0.1 on
+    # this corpus because every doc gains 10 near-identical replicas)
+    # — the workload's true size, not a plan artifact.
     if max_df is not None:
-        bysh = bysh.filter(F.size("xs") <= max_df)
-    # Pair generation as two chained codegen explodes (posexplode then
-    # explode over a runtime slice) instead of one nested-transform HOF:
-    # higher-order lambdas run interpreted per output element, and on
-    # the ~1.3M pairs at sf0.1 the HOF costs 1.7 s vs 1.1 s for this
-    # Generate/Generate plan — both explodes stay in whole-stage codegen.
-    pairs = bysh.select(
-        F.posexplode("xs").alias("i", "x"), "xs"
-    ).select(
-        F.col("x.id").alias("id_a"),
-        F.col("x.sz").alias("size_a"),
-        F.explode(F.expr("slice(xs, i + 2, size(xs))")).alias("y"),
-    ).select(
-        "id_a",
-        "size_a",
-        F.col("y.id").alias("id_b"),
-        F.col("y.sz").alias("size_b"),
+        # per-shingle df cutoff: skew-safe partial agg (map-side
+        # combine, no giant groups on one reducer) + semi-join; also
+        # drops df=1 shingles, which can pair with nothing
+        ok = (
+            inv.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter((F.col("_df") >= 2) & (F.col("_df") <= max_df))
+            .select("shingle")
+        )
+        inv = inv.join(ok, "shingle", "left_semi")
+    left = inv.select(
+        "shingle", F.col("id").alias("id_a"), F.col("sz").alias("size_a")
     )
+    right = inv.select(
+        "shingle", F.col("id").alias("id_b"), F.col("sz").alias("size_b")
+    )
+    pairs = left.join(right, "shingle").filter(F.col("id_a") < F.col("id_b"))
     # group on the 2-long pair key only; sizes are functionally
     # determined by the ids, so they ride through as first() — cheaper
     # hashing than a 4-column key on the million-row pair set
