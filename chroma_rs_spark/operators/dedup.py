@@ -327,18 +327,40 @@ def minhash_lsh_pairs(
 
 
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32) -> DataFrame:
-    """32-bit SimHash over whitespace tokens (term-frequency weighted).
+    """SimHash over whitespace tokens (term-frequency weighted),
+    `bits` in 1..64 (32 keeps the historical fingerprint row stable;
+    the banded pair miner defaults to 64 — see simhash_near_pairs).
 
-    Token hash = first 8 hex chars of md5 as an integer — reproducible
-    in any engine with md5 + hex parsing.
+    Token hash = the first bits/4 hex chars of md5 as an integer —
+    reproducible in any engine with md5 + hex parsing. The 64-bit form
+    lands in SIGNED two's complement via a shifted-high-word
+    reconstruction that never overflows on either engine:
+    signed32(hi) * 2^32 + lo.
     """
+    if not 1 <= bits <= 64:
+        raise ValueError(f"simhash bits must be in 1..64, got {bits}")
     # hash each token once behind an explode boundary — computing the
-    # md5 inside all 32 bit-sum expressions would redo it 32x per token
+    # md5 inside all the bit-sum expressions would redo it per bit
     tok = df.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("_t"))
-    hashed = tok.select(
-        id_col,
-        F.conv(F.substring(F.md5("_t"), 1, 8), 16, 10).cast("long").alias("_h"),
-    )
+    if bits <= 32:
+        hash_expr = (
+            F.conv(F.substring(F.md5("_t"), 1, 8), 16, 10)
+            .cast("long")
+            .alias("_h")
+        )
+    else:
+        # two 32-bit md5 words -> signed 64-bit: hi in [0, 2^32) maps
+        # to signed32 in [-2^31, 2^31), so signed32*2^32 + lo spans
+        # exactly the signed-long range with no intermediate overflow
+        hash_expr = F.expr(
+            "(CASE WHEN conv(substring(md5(_t), 1, 8), 16, 10) >= 2147483648"
+            " THEN CAST(conv(substring(md5(_t), 1, 8), 16, 10) AS BIGINT)"
+            "      - 4294967296"
+            " ELSE CAST(conv(substring(md5(_t), 1, 8), 16, 10) AS BIGINT)"
+            " END) * 4294967296"
+            " + CAST(conv(substring(md5(_t), 9, 8), 16, 10) AS BIGINT)"
+        ).alias("_h")
+    hashed = tok.select(id_col, hash_expr)
     # the bit-sums and the fingerprint recombine are built as SQL
     # expression STRINGS (one py4j parse each) instead of composed
     # Column trees (hundreds of py4j round-trips) — measured ~1.2 s of
@@ -370,9 +392,12 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits:
     bit_df = hashed.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("_n"), *packs
     )
+    # bit 63 is -2^63 in the signed fold (the audio-ahash discipline):
+    # the literal 1<<63 overflows BIGINT on both engines
     fingerprint = " + ".join(
         f"(CASE WHEN 2 * (shiftrightunsigned(_p{j // 4}, {16 * (j % 4)})"
-        f" & 65535) > _n THEN CAST({1 << j} AS BIGINT)"
+        f" & 65535) > _n THEN CAST({-(1 << 63) if j == 63 else (1 << j)}"
+        " AS BIGINT)"
         " ELSE CAST(0 AS BIGINT) END)"
         for j in range(bits)
     )
@@ -489,7 +514,16 @@ def shingle_pair_intersections(
     right = inv.select(
         "shingle", F.col("id").alias("id_b"), F.col("sz").alias("size_b")
     )
-    pairs = left.join(right, "shingle").filter(F.col("id_a") < F.col("id_b"))
+    # merge (SMJ): the posting relation is corpus-sized. A broadcast
+    # pick ships every posting row through the driver (the
+    # maxResultSize failure class found at sf1.0 in minhash_accuracy's
+    # max_df=None instantiation), and shuffle_hash builds per-partition
+    # maps that cannot spill — a hot shingle's partition OOMs (observed
+    # at sf1.0). Sort-merge spills on both sides and streams each
+    # key group, the only strategy safe at every df distribution.
+    pairs = left.join(right.hint("merge"), "shingle").filter(
+        F.col("id_a") < F.col("id_b")
+    )
     # group on the 2-long pair key only; sizes are functionally
     # determined by the ids, so they ride through as first() — cheaper
     # hashing than a 4-column key on the million-row pair set
@@ -903,7 +937,11 @@ def minhash_accuracy(
             6,
         ).alias("exact_jaccard"),
     )
-    return cands.join(exact, ["id_a", "id_b"], "left").select(
+    # merge (SMJ): `exact` is |candidate pairs|-sized (GBs on a
+    # dup-dense corpus — the sf1.0 run broke the 1 GiB driver result
+    # ceiling when the planner broadcast it); sort-merge spills
+    # instead of building an unspillable map
+    return cands.join(exact.hint("merge"), ["id_a", "id_b"], "left").select(
         "id_a",
         "id_b",
         "est_jaccard",
@@ -1026,7 +1064,7 @@ def simhash_near_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
-    bits: int = 32,
+    bits: int = 64,
     bands: int = 4,
     max_bucket: int | None = None,
 ) -> DataFrame:
@@ -1038,6 +1076,17 @@ def simhash_near_pairs(
     exact `bit_count(xor)` verification. The same banded-keyed-join
     shape as the perceptual-hash miner in operators/multimodal.py:
     only same-slice candidates ever pair, never all-pairs.
+
+    Default `bits` is 64 (round 13 — the Manku et al., WWW'07
+    configuration: 64-bit fingerprints, k=3): the sf1.0 stress run
+    showed 32-bit/4-band keys saturating their 256-value band space —
+    at 50k docs EVERY bucket held ~195 docs, so candidates grew
+    quadratically with the corpus (35 s at sf1.0, 26.9x sf0.1) with
+    no skew to cap. 16-bit slice keys (65,536 values/band) defer
+    saturation by 256x; measured 35.2 -> 14.0 s warm at sf1.0 (the
+    remainder is the linear 64-bit fingerprint fold itself).
+    At larger corpora still, raise `bands` (and `max_hamming`
+    coverage comes from multi-probe) or cap with `max_bucket`.
 
     `max_bucket` caps degenerate slice buckets (constant fingerprints
     — e.g. near-empty documents all hash to 0): a bucket larger than

@@ -3167,8 +3167,9 @@ EXTRA_QUERIES["bloom_dedup"] = QueryDef(q_bloom_dedup, _bloom_oracle())
 # the banded-Hamming miner on top (operators/dedup.py:simhash_near_pairs,
 # also the collection bridge's method="simhash") had no gated row. The
 # oracle replays fingerprints (the _DEDUP_SIMHASH_ORACLE arithmetic),
-# the 4x8-bit band slicing, the same-slice candidate join and the exact
-# bit_count(xor) verify at max_hamming=3.
+# the band slicing (4x16-bit as of round 13 — the Manku 64-bit
+# config; 8-bit keys saturated at sf1.0), the same-slice candidate
+# join and the exact bit_count(xor) verify at max_hamming=3.
 # ---------------------------------------------------------------------------
 
 
@@ -3181,25 +3182,37 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DEDUP_SIMHASH_PAIRS_ORACLE = """
 WITH th AS (
+  -- signed-64 token hash from two md5 32-bit words (round 13, the
+  -- Manku 64-bit config): signed32(hi) * 2^32 + lo — the same
+  -- overflow-free reconstruction the engine's SQL expr uses
   SELECT doc_id,
-         CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) AS h
+         (CASE WHEN CAST('0x' || substr(md5(t), 1, 8) AS BIGINT)
+                    >= 2147483648
+               THEN CAST('0x' || substr(md5(t), 1, 8) AS BIGINT)
+                    - 4294967296
+               ELSE CAST('0x' || substr(md5(t), 1, 8) AS BIGINT)
+          END) * 4294967296
+         + CAST('0x' || substr(md5(t), 9, 8) AS BIGINT) AS h
   FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) d,
        unnest(toks) u(t)
 ),
 bits AS (
   SELECT doc_id, r.j AS j,
          sum(((h >> r.j) & 1) * 2 - 1) AS s
-  FROM th, range(0, 32) r(j)
+  FROM th, range(0, 64) r(j)
   GROUP BY doc_id, r.j
 ),
 fp AS (
+  -- bit 63 folds in as -2^63 (the signed-BIGINT audio-ahash rule)
   SELECT doc_id,
-         CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)
-              AS BIGINT) AS simhash
+         CAST(sum(CASE
+             WHEN s > 0 AND j < 63 THEN (CAST(1 AS BIGINT) << j)
+             WHEN s > 0 AND j = 63 THEN -9223372036854775808
+             ELSE 0 END) AS BIGINT) AS simhash
   FROM bits GROUP BY doc_id
 ),
 banded AS (
-  SELECT doc_id, r.b AS band, (simhash >> (r.b * 8)) & 255 AS key
+  SELECT doc_id, r.b AS band, (simhash >> (r.b * 16)) & 65535 AS key
   FROM fp, range(0, 4) r(b)
 ),
 cand AS (

@@ -34,7 +34,7 @@ def test_near_variant_pairs_small_hamming(spark):
     df = spark.createDataFrame(
         [(1, a), (2, b)], "doc_id long, text string"
     )
-    fps = {r["doc_id"]: r["simhash"] for r in simhash(df).collect()}
+    fps = {r["doc_id"]: r["simhash"] for r in simhash(df, bits=64).collect()}
     true_h = bin(fps[1] ^ fps[2]).count("1")
     got = {(r["id_a"], r["id_b"]): r["hamming"]
            for r in simhash_near_pairs(df, max_hamming=32).collect()}
