@@ -276,6 +276,15 @@ def main() -> int:
     with open(out_path, "w") as fh:
         json.dump(payload, fh, indent=1)
         fh.write("\n")
+    # per-round archive (VERDICT r12 #3): BENCH_LOCAL.json is
+    # overwritten every run, so round-over-round per-query
+    # adjudication was impossible. Set SPARK_GRAFT_BENCH_TAG=r13 at
+    # certification to ALSO write a committed snapshot.
+    tag = os.environ.get("SPARK_GRAFT_BENCH_TAG")
+    if tag:
+        with open(out_path.replace(".json", f"_{tag}.json"), "w") as fh:
+            json.dump(payload, fh, indent=1)
+            fh.write("\n")
     print(json.dumps(payload))
     print(
         json.dumps(
