@@ -3922,19 +3922,10 @@ EXTRA_QUERIES["image_decode_palette"] = QueryDef(
 )
 
 # ---------------------------------------------------------------------------
-# Round-13 rotation (VERDICT r12 next-round #1, executing the committed
-# pre-plan in COVERAGE.md): image_phash_real takes the multimodal
-# family's declared seat — the real distributed PNG-container decode +
-# perceptual hash, strictly stronger evidence than video_near_dup's
-# synthetic-frame hashing, which rotates out (still bit-checked EXTRA).
-# hybrid_search_ivfpq promotes the r10 composed retrieval chain (BM25 +
-# IVF-PQ legs fused by RRF) to its first driver seat. line_dedup
-# rotates out after r8-r12 green (0.89 s vs 0.16 s at sf0.1 — a
-# floor-priced wall; the dedup family keeps 6+ declared seats and the
-# CCNet line-hash path stays pinned by tests + the EXTRA bit-check).
+# The round-13 rotation pre-plan (image_phash_real / hybrid_search_ivfpq
+# in, video_near_dup / line_dedup out) was REVERTED for the round-13
+# optimization phase: an optimization round must keep the declared and
+# benched query sets identical to the last certified round (r12) — a
+# row that disappears from CORRECTNESS/BENCH is a regression regardless
+# of speed. All four candidates stay fully oracle-gated as EXTRA rows.
 # ---------------------------------------------------------------------------
-
-QUERIES["image_phash_real"] = EXTRA_QUERIES.pop("image_phash_real")
-QUERIES["hybrid_search_ivfpq"] = EXTRA_QUERIES.pop("hybrid_search_ivfpq")
-EXTRA_QUERIES["video_near_dup"] = QUERIES.pop("video_near_dup")
-EXTRA_QUERIES["line_dedup"] = QUERIES.pop("line_dedup")

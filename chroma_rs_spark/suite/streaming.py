@@ -1170,11 +1170,7 @@ EXTRA_QUERIES["stream_interval_join"] = QueryDef(
 )
 
 # ---------------------------------------------------------------------------
-# Round-13 rotation (VERDICT r12 next-round #1): stream_interval_join
-# takes a declared seat — the LAST streaming semantic without driver
-# exposure: a drained two-source stream-stream interval join whose
-# watermark provably drops redelivered-late pairs (4 of 30 at sf0.01).
-# The family's other declared seat (stream_watermark_counts) stays.
+# The round-13 rotation (stream_interval_join to a declared seat) was
+# REVERTED for the round-13 optimization phase: the declared set must
+# stay identical to r12's certified 50. The row stays oracle-gated EXTRA.
 # ---------------------------------------------------------------------------
-
-QUERIES["stream_interval_join"] = EXTRA_QUERIES.pop("stream_interval_join")

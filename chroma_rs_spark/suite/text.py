@@ -1827,14 +1827,8 @@ EXTRA_QUERIES["repetition_signals"] = QUERIES.pop("repetition_signals")
 EXTRA_QUERIES["remove_duplicate_spans"] = QUERIES.pop("remove_duplicate_spans")
 
 # ---------------------------------------------------------------------------
-# Round-13 rotation (VERDICT r12 next-round #1): dedup_unicode_normalized
-# promotes the r10 composed chain (NFKC/confusable normalization →
-# exact dedup) to its first driver seat. duplicate_span_stats rotates
-# out after r6-r12 green (0.90 s vs 0.32 s at sf0.1, floor-priced;
-# remove_duplicate_spans keeps the span family bit-checked EXTRA and
-# gopher_repetition holds the declared repetition seat — the LM seat
-# lm_perplexity stays declared per the pre-plan).
+# The round-13 rotation (dedup_unicode_normalized in, duplicate_span_stats
+# out) was REVERTED for the round-13 optimization phase: the declared set
+# must stay identical to r12's certified 50. Both rows stay oracle-gated
+# (duplicate_span_stats declared, dedup_unicode_normalized EXTRA).
 # ---------------------------------------------------------------------------
-
-QUERIES["dedup_unicode_normalized"] = EXTRA_QUERIES.pop("dedup_unicode_normalized")
-EXTRA_QUERIES["duplicate_span_stats"] = QUERIES.pop("duplicate_span_stats")

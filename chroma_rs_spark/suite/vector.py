@@ -2195,14 +2195,10 @@ EXTRA_QUERIES["mmr_diversified"] = QueryDef(
 QUERIES["mmr_diversified"] = EXTRA_QUERIES.pop("mmr_diversified")
 
 # ---------------------------------------------------------------------------
-# Round-13 rotation (VERDICT r12 next-round #1): collection_stats
-# rotates out after r1-r12 green (0.57-0.75 s vs 0.003 s at sf0.1 —
-# the suite's most floor-priced wall). The write-lifecycle family
-# keeps TWO declared seats (find_duplicates, find_duplicates_cross)
-# and the count surface stays pinned by tests + the EXTRA bit-check.
+# The round-13 rotation (collection_stats out) was REVERTED for the
+# round-13 optimization phase: the declared set must stay identical to
+# r12's certified 50. collection_stats keeps its declared seat.
 # ---------------------------------------------------------------------------
-
-EXTRA_QUERIES["collection_stats"] = QUERIES.pop("collection_stats")
 
 # ---------------------------------------------------------------------------
 # collection_crud (round 13, VERDICT r12 next-round #2): the mutation
