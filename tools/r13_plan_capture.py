@@ -43,7 +43,8 @@ def main() -> int:
     )
     os.makedirs(out_dir, exist_ok=True)
 
-    qdefs = all_queries(include_extra=True)
+    # extras resolve too when named explicitly; default is declared-only
+    qdefs = all_queries(include_extra=True) if only else all_queries()
     names = [n for n in qdefs if not only or n in only]
     unknown = only - set(names)
     if unknown:
