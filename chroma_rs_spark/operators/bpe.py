@@ -99,7 +99,14 @@ def train_bpe(
     vocab = _word_counts(df, text_col).select(
         F.col("_cnt"), F.expr(_wrap_expr("_w")).alias("_s")
     )
-    vocab = vocab.localCheckpoint()
+    # LAZY checkpoints throughout the loop (eager=False): each
+    # iteration's 1-row argmax collect is the action that materializes
+    # the latest vocab rewrite, so the lineage cut still lands every
+    # iteration but costs ZERO extra jobs — the eager form paid one
+    # materialization job per merge on top of the collect (2n+1 jobs
+    # for n merges; lazy runs the identical work in n+1). The final
+    # rewrite, which nothing consumes, is never materialized at all.
+    vocab = vocab.localCheckpoint(eager=False)
     merges: list[tuple[str, str, int]] = []
     for _ in range(n_merges):
         best = (
@@ -122,7 +129,7 @@ def train_bpe(
                 F.lit(f"{SYM_L}{left}{SYM_R}{SYM_L}{right}{SYM_R}"),
                 F.lit(f"{SYM_L}{left}{right}{SYM_R}"),
             ),
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         # the superseded vocab checkpoint is unreferenced from here on;
         # Spark's ContextCleaner reclaims it
     return merges

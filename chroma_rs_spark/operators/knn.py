@@ -152,16 +152,31 @@ def knn_exact(
         F.col("__qid").alias(query_id),
         F.col("__iid").alias(item_id),
         dist.alias("distance"),
+    )
     # NULL distance = unscorable pair (zero-norm under cosine, NULL
     # probe vector); NaN = a NaN element inside a vector. Both are
     # excluded — the same rule the oracles (NOT isnan) and the
-    # local-topk path (np.isfinite) apply. No-op for well-formed
+    # local-topk path (np.isfinite) apply. The exclusion runs ABOVE
+    # the window, not as a filter on `scored`: a filter there is
+    # pushed below the projection into the cross-join condition, and
+    # the plan then evaluates the full distance HOF 3x per pair (twice
+    # in the condition's isnotnull/isnan conjuncts, once in the
+    # projection — the guide §4.4 duplication class, verified in
+    # plans/r13/knn_cosine_before.txt). Ordering NULLS LAST keeps the
+    # output identical: Spark sorts valid doubles < NaN < NULL under
+    # asc_nulls_last, so ranks 1..k are exactly the k best valid pairs
+    # and the post-window filter drops the rest. No-op for well-formed
     # corpora.
-    ).filter(F.col("distance").isNotNull() & ~F.isnan("distance"))
-    w = Window.partitionBy(query_id).orderBy(F.col("distance").asc(), F.col(item_id).asc())
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("distance").asc_nulls_last(), F.col(item_id).asc()
+    )
     return (
         scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+        .filter(
+            (F.col("rank") <= k)
+            & F.col("distance").isNotNull()
+            & ~F.isnan("distance")
+        )
         # bigint rank on every public ranking (scale-correct, and one
         # consistent type across the exact/local-topk/ivf/pq paths)
         .select(query_id, F.col("rank").cast("long").alias("rank"),

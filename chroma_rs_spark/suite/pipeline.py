@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from chroma_rs_spark.scratch import mkscratch
 from chroma_rs_spark.operators.dedup import (
     MINHASH_MAX_BUCKET as _MINHASH_MAX_BUCKET,
     MINHASH_P,
@@ -2713,7 +2714,6 @@ _SINK_LIFECYCLE: dict[tuple[str, str], str] = {}
 def _sink_lifecycle(spark: SparkSession, sf_dir: str) -> str:
     import atexit
     import shutil
-    import tempfile
 
     from chroma_rs_spark.sources.sharding import (
         write_training_shards,
@@ -2724,7 +2724,7 @@ def _sink_lifecycle(spark: SparkSession, sf_dir: str) -> str:
     hit = _SINK_LIFECYCLE.get(key)
     if hit is not None:
         return hit
-    root = tempfile.mkdtemp(prefix="sink_rows_")
+    root = mkscratch("sink_rows_")
     atexit.register(shutil.rmtree, root, ignore_errors=True)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     write_training_shards(docs, root + "/shards", n_shards=_SINK_SHARDS)
@@ -2907,13 +2907,12 @@ _JSONL_LIFECYCLE: dict[tuple[str, str], str] = {}
 def _jsonl_fixture(spark: SparkSession, sf_dir: str) -> str:
     import atexit
     import shutil
-    import tempfile
 
     key = (spark.sparkContext.applicationId, sf_dir)
     hit = _JSONL_LIFECYCLE.get(key)
     if hit is not None:
         return hit
-    root = tempfile.mkdtemp(prefix="jsonl_row_")
+    root = mkscratch("jsonl_row_")
     atexit.register(shutil.rmtree, root, ignore_errors=True)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     lines = docs.select(
@@ -3347,13 +3346,12 @@ def _png_fixture(spark: SparkSession, sf_dir: str) -> str:
     md5(f"{doc_id}:{p // 16}"). Built once per (session, sf_dir)."""
     import atexit
     import shutil
-    import tempfile
 
     key = (spark.sparkContext.applicationId, sf_dir)
     hit = _PNG_FIXTURE.get(key)
     if hit is not None:
         return hit
-    root = tempfile.mkdtemp(prefix="png_fixture_")
+    root = mkscratch("png_fixture_")
     atexit.register(shutil.rmtree, root, ignore_errors=True)
 
     def render(batches):
@@ -3460,13 +3458,12 @@ def _wav_fixture(spark: SparkSession, sf_dir: str) -> str:
     little-endian int16 at bytes 2*(f%8) of md5(f"{doc_id}:a{f//8}")."""
     import atexit
     import shutil
-    import tempfile
 
     key = (spark.sparkContext.applicationId, sf_dir)
     hit = _WAV_FIXTURE.get(key)
     if hit is not None:
         return hit
-    root = tempfile.mkdtemp(prefix="wav_fixture_")
+    root = mkscratch("wav_fixture_")
     atexit.register(shutil.rmtree, root, ignore_errors=True)
 
     def render(batches):
@@ -3615,13 +3612,12 @@ def _progjpeg_fixture(spark: SparkSession, sf_dir: str) -> str:
     ways. Built once per (session, sf_dir)."""
     import atexit
     import shutil
-    import tempfile
 
     key = (spark.sparkContext.applicationId, sf_dir)
     hit = _PROGJPEG_FIXTURE.get(key)
     if hit is not None:
         return hit
-    root = tempfile.mkdtemp(prefix="progjpeg_fixture_")
+    root = mkscratch("progjpeg_fixture_")
     atexit.register(shutil.rmtree, root, ignore_errors=True)
 
     def render(batches):
@@ -3716,13 +3712,12 @@ _INTERLACED_FIXTURE: dict[tuple[str, str], str] = {}
 def _interlaced_fixture(spark: SparkSession, sf_dir: str) -> str:
     import atexit
     import shutil
-    import tempfile
 
     key = (spark.sparkContext.applicationId, sf_dir)
     hit = _INTERLACED_FIXTURE.get(key)
     if hit is not None:
         return hit
-    root = tempfile.mkdtemp(prefix="interlaced_fixture_")
+    root = mkscratch("interlaced_fixture_")
     atexit.register(shutil.rmtree, root, ignore_errors=True)
 
     def render(batches):
@@ -3827,13 +3822,12 @@ _PALETTE_FIXTURE: dict[tuple[str, str], str] = {}
 def _palette_fixture(spark: SparkSession, sf_dir: str) -> str:
     import atexit
     import shutil
-    import tempfile
 
     key = (spark.sparkContext.applicationId, sf_dir)
     hit = _PALETTE_FIXTURE.get(key)
     if hit is not None:
         return hit
-    root = tempfile.mkdtemp(prefix="palette_fixture_")
+    root = mkscratch("palette_fixture_")
     atexit.register(shutil.rmtree, root, ignore_errors=True)
 
     def render(batches):

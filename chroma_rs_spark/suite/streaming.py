@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from chroma_rs_spark.scratch import mkscratch
 from chroma_rs_spark.sources.tables import load_table
 from chroma_rs_spark.streaming.events import (
     session_window_agg,
@@ -131,7 +132,6 @@ def q_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     components (float32→double widening is exact in both engines) and
     dim; runs Spark jobs during build, hence iterative=True."""
     import shutil
-    import tempfile
 
     import pyspark.sql.functions as F
 
@@ -143,7 +143,7 @@ def q_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     items = emb.select(
         F.col("vec_id").cast("string").alias("id"), F.col("embedding")
     )
-    root = tempfile.mkdtemp(prefix="ingest_twin_")
+    root = mkscratch("ingest_twin_")
     try:
         inbox = f"{root}/inbox"
         for b in range(3):
@@ -274,7 +274,6 @@ def _ingest_inbox(spark: SparkSession, sf_dir: str) -> str:
     import atexit
     import os
     import shutil
-    import tempfile
     import time
 
     from pyspark.sql import functions as F
@@ -283,7 +282,7 @@ def _ingest_inbox(spark: SparkSession, sf_dir: str) -> str:
     hit = _INGEST_INBOX.get(key)
     if hit is not None:
         return hit
-    root = tempfile.mkdtemp(prefix="dedup_ingest_inbox_")
+    root = mkscratch("dedup_ingest_inbox_")
     atexit.register(shutil.rmtree, root, ignore_errors=True)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     inbox = f"{root}/inbox"
@@ -305,12 +304,11 @@ def q_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     through stream_dedup_ingest at threshold 0.7; returns the final
     corpus. iterative=True: the stream runs during build."""
     import shutil
-    import tempfile
 
     from chroma_rs_spark.streaming.ingest import stream_dedup_ingest
 
     inbox = _ingest_inbox(spark, sf_dir)
-    root = tempfile.mkdtemp(prefix="dedup_ingest_twin_")
+    root = mkscratch("dedup_ingest_twin_")
     try:
         stream = (
             spark.readStream.schema("doc_id long, text string")
@@ -492,12 +490,11 @@ def q_stream_cms_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run the document inbox through stream_cms_ingest, then read the
     merged sketch. iterative=True: the stream runs during build."""
     import shutil
-    import tempfile
 
     from chroma_rs_spark.streaming.ingest import read_cms, stream_cms_ingest
 
     inbox = _ingest_inbox(spark, sf_dir)
-    root = tempfile.mkdtemp(prefix="cms_ingest_twin_")
+    root = mkscratch("cms_ingest_twin_")
     try:
         stream = (
             spark.readStream.schema("doc_id long, text string")
@@ -563,7 +560,6 @@ def q_stream_bloom_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run the document inbox through stream_bloom_ingest, then read
     the merged filter. iterative=True: the stream runs during build."""
     import shutil
-    import tempfile
 
     from chroma_rs_spark.streaming.ingest import (
         read_bloom,
@@ -571,7 +567,7 @@ def q_stream_bloom_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     inbox = _ingest_inbox(spark, sf_dir)
-    root = tempfile.mkdtemp(prefix="bloom_ingest_twin_")
+    root = mkscratch("bloom_ingest_twin_")
     try:
         stream = (
             spark.readStream.schema("doc_id long, text string")
@@ -651,7 +647,6 @@ def _watermark_inbox(spark: SparkSession, sf_dir: str) -> str:
     import atexit
     import os
     import shutil
-    import tempfile
     import time
 
     from pyspark.sql import functions as F
@@ -660,7 +655,7 @@ def _watermark_inbox(spark: SparkSession, sf_dir: str) -> str:
     hit = _WM_INBOX.get(key)
     if hit is not None:
         return hit
-    root = tempfile.mkdtemp(prefix="wm_counts_inbox_")
+    root = mkscratch("wm_counts_inbox_")
     atexit.register(shutil.rmtree, root, ignore_errors=True)
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "ts", "event_type", "value"
@@ -702,10 +697,9 @@ def q_stream_watermark_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     emitted (finalized) windows. iterative=True: the stream runs
     during build."""
     import shutil
-    import tempfile
 
     inbox = _watermark_inbox(spark, sf_dir)
-    root = tempfile.mkdtemp(prefix="wm_counts_run_")
+    root = mkscratch("wm_counts_run_")
     # State-store partition count is a first-class sizing knob for
     # stateful streams: every micro-batch commits one state-store
     # delta PER PARTITION, so a tiny keyspace (|windows x types| here,
@@ -836,7 +830,6 @@ def _ddw_inbox(spark: SparkSession, sf_dir: str) -> str:
     import atexit
     import os
     import shutil
-    import tempfile
     import time
 
     from pyspark.sql import functions as F
@@ -845,7 +838,7 @@ def _ddw_inbox(spark: SparkSession, sf_dir: str) -> str:
     hit = _DDW_INBOX.get(key)
     if hit is not None:
         return hit
-    root = tempfile.mkdtemp(prefix="ddw_inbox_")
+    root = mkscratch("ddw_inbox_")
     atexit.register(shutil.rmtree, root, ignore_errors=True)
     ev = (
         load_table(spark, sf_dir, "events")
@@ -901,14 +894,13 @@ def q_stream_dedup_within_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
     emission counts (1, or 2 for the re-emitted day-1/day-3 keys).
     iterative=True: the stream runs during build."""
     import shutil
-    import tempfile
 
     from pyspark.sql import functions as F
 
     from chroma_rs_spark.streaming.joins import dedup_events
 
     inbox = _ddw_inbox(spark, sf_dir)
-    root = tempfile.mkdtemp(prefix="ddw_run_")
+    root = mkscratch("ddw_run_")
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         # keyspace-sized state partitions (the stream_watermark_counts
@@ -1032,7 +1024,6 @@ def _interval_join_inboxes(
     import atexit
     import os
     import shutil
-    import tempfile
     import time
 
     from pyspark.sql import functions as F
@@ -1041,7 +1032,7 @@ def _interval_join_inboxes(
     hit = _IJ_INBOX.get(key)
     if hit is not None:
         return hit
-    root = tempfile.mkdtemp(prefix="ij_inbox_")
+    root = mkscratch("ij_inbox_")
     atexit.register(shutil.rmtree, root, ignore_errors=True)
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type", "value"
@@ -1091,12 +1082,11 @@ def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     inboxes (see the block comment above). iterative=True: the stream
     runs during build."""
     import shutil
-    import tempfile
 
     from chroma_rs_spark.streaming.joins import click_purchase_interval_join
 
     click_inbox, purchase_inbox = _interval_join_inboxes(spark, sf_dir)
-    root = tempfile.mkdtemp(prefix="ij_run_")
+    root = mkscratch("ij_run_")
     schema = (
         "event_id long, ts timestamp, user_id long,"
         " event_type string, value double"

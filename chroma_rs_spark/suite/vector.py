@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from chroma_rs_spark.scratch import mkscratch
 from chroma_rs_spark.filters import column_resolver, compile_where, compile_where_document
 from chroma_rs_spark.functions.vector import l2_norm
 from chroma_rs_spark.operators.knn import knn_exact, knn_exact_local_topk, with_norm
@@ -215,7 +216,6 @@ _STATS_LIFECYCLE: dict[tuple[str, str], tuple] = {}
 def _stats_lifecycle(spark: SparkSession, sf_dir: str):
     import atexit
     import shutil
-    import tempfile
 
     from chroma_rs_spark import collection as item_ops
     from chroma_rs_spark.catalog import Engine
@@ -228,7 +228,7 @@ def _stats_lifecycle(spark: SparkSession, sf_dir: str):
     items = emb.select(
         F.col("vec_id").cast("string").alias("id"), F.col("embedding")
     )
-    root = tempfile.mkdtemp(prefix="stats_row_")
+    root = mkscratch("stats_row_")
     atexit.register(shutil.rmtree, root, ignore_errors=True)
     eng = Engine(spark, root)
     coll = eng.create_collection("stats_row")
@@ -1123,7 +1123,6 @@ _FINDDUP_LIFECYCLE: dict[tuple[str, str], tuple] = {}
 def _finddup_lifecycle(spark: SparkSession, sf_dir: str):
     import atexit
     import shutil
-    import tempfile
 
     from chroma_rs_spark import collection as item_ops
     from chroma_rs_spark.catalog import Engine
@@ -1147,7 +1146,7 @@ def _finddup_lifecycle(spark: SparkSession, sf_dir: str):
         "embedding",
         "document",
     )
-    root = tempfile.mkdtemp(prefix="finddup_row_")
+    root = mkscratch("finddup_row_")
     atexit.register(shutil.rmtree, root, ignore_errors=True)
     eng = Engine(spark, root)
     coll = eng.create_collection("finddup_row")
@@ -1513,7 +1512,6 @@ def _ivfpq_codes_tier(spark: SparkSession, sf_dir: str) -> str:
     import atexit
     import os
     import shutil
-    import tempfile
 
     from chroma_rs_spark.operators.pq import hash_codebooks, ivfpq_codes_df
 
@@ -1523,7 +1521,7 @@ def _ivfpq_codes_tier(spark: SparkSession, sf_dir: str) -> str:
         mtime = -1.0
     key = f"{sf_dir}@{mtime}"
     if key not in _IVFPQ_TIER_CACHE:
-        root = tempfile.mkdtemp(prefix="ivfpq_tier_")
+        root = mkscratch("ivfpq_tier_")
         atexit.register(shutil.rmtree, root, ignore_errors=True)
         out = os.path.join(root, "codes")
         emb = load_table(spark, sf_dir, "embeddings")
@@ -1771,7 +1769,6 @@ _FINDDUP_CROSS_LIFECYCLE: dict = {}
 def _finddup_cross_lifecycle(spark: SparkSession, sf_dir: str):
     import atexit
     import shutil
-    import tempfile
 
     from chroma_rs_spark import collection as item_ops
     from chroma_rs_spark.catalog import Engine
@@ -1805,7 +1802,7 @@ def _finddup_cross_lifecycle(spark: SparkSession, sf_dir: str):
         .unionByName(planted)
         .unionByName(nulldoc)
     )
-    root = tempfile.mkdtemp(prefix="finddup_cross_row_")
+    root = mkscratch("finddup_cross_row_")
     atexit.register(shutil.rmtree, root, ignore_errors=True)
     eng = Engine(spark, root)
     refc = eng.create_collection("finddup_cross_ref")
@@ -2237,7 +2234,6 @@ _CRUD_LIFECYCLE: dict[tuple[str, str], tuple] = {}
 def _crud_lifecycle(spark: SparkSession, sf_dir: str):
     import atexit
     import shutil
-    import tempfile
 
     from chroma_rs_spark import collection as item_ops
     from chroma_rs_spark.catalog import Engine
@@ -2254,7 +2250,7 @@ def _crud_lifecycle(spark: SparkSession, sf_dir: str):
         F.col("embedding"),
         F.col("text").alias("document"),
     )
-    root = tempfile.mkdtemp(prefix="crud_row_")
+    root = mkscratch("crud_row_")
     atexit.register(shutil.rmtree, root, ignore_errors=True)
     eng = Engine(spark, root)
     coll = eng.create_collection("crud_row")
