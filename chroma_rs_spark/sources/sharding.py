@@ -69,31 +69,44 @@ def write_training_shards(
 
 
 def shard_manifest(
-    spark: SparkSession, path: str, sort_by: str = "doc_id"
+    spark: SparkSession, path: str, sort_by: str = "doc_id",
+    checksum_col: str | None = None,
 ) -> DataFrame:
-    """(shard_file, n_rows, min_key, max_key) per shard file — the
-    audit a consumer runs before trusting a layout: ranges must be
-    disjoint and row counts roughly even. One scan, one small groupBy
-    (|files| result rows)."""
+    """(shard_file, n_rows, min_key, max_key[, key_sum]) per shard file
+    — the audit a consumer runs before trusting a layout: ranges must
+    be disjoint and row counts roughly even. One scan, one small
+    groupBy (|files| result rows). Pass `checksum_col` to ride a
+    per-file sum of that column on the same scan (round 13: the audit
+    row paid a second full layout scan for a content checksum the
+    manifest aggregation could carry for free)."""
+    cols = [F.input_file_name().alias("shard_file"), F.col(sort_by).alias("_k")]
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.min("_k").alias("min_key"),
+        F.max("_k").alias("max_key"),
+    ]
+    if checksum_col is not None:
+        cols.append(F.col(checksum_col).alias("_ck"))
+        aggs.append(F.sum("_ck").cast("long").alias("key_sum"))
     return (
         spark.read.parquet(path)
-        .select(
-            F.input_file_name().alias("shard_file"), F.col(sort_by).alias("_k")
-        )
+        .select(*cols)
         .groupBy("shard_file")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_rows"),
-            F.min("_k").alias("min_key"),
-            F.max("_k").alias("max_key"),
-        )
+        .agg(*aggs)
     )
 
 
-def assert_disjoint_shards(manifest: DataFrame) -> None:
-    """Raise if any two shards' [min_key, max_key] ranges overlap —
-    collects |files| rows only."""
+def assert_disjoint_shards(manifest) -> None:
+    """Raise if any two shards' [min_key, max_key] ranges overlap.
+    Accepts the manifest DataFrame (collects |files| rows only) or an
+    already-collected list of its rows — callers that hold the rows
+    avoid re-running the manifest scan."""
+    if isinstance(manifest, DataFrame):
+        manifest = manifest.select(
+            "shard_file", "min_key", "max_key"
+        ).collect()
     rows = sorted(
-        manifest.select("shard_file", "min_key", "max_key").collect(),
+        manifest,
         key=lambda r: (r["min_key"], r["max_key"]),
     )
     for prev, cur in zip(rows, rows[1:]):
@@ -198,20 +211,50 @@ def zorder_prune_stats(
     files, how many could contain rows with `col` in [lo, hi] by their
     min/max — the fraction a stats-based reader (parquet row-group
     skipping, Delta file skipping) would actually scan. One manifest
-    aggregation, |files| result rows."""
+    aggregation, |files| result rows. For several ranges over the same
+    layout, use `zorder_prune_stats_multi` — one scan for all of them."""
+    return zorder_prune_stats_multi(spark, path, [(col, lo, hi)])[0]
+
+
+def zorder_prune_stats_multi(
+    spark: SparkSession, path: str, ranges: list[tuple[str, object, object]]
+) -> list[dict]:
+    """`zorder_prune_stats` for a batch of (col, lo, hi) probes in ONE
+    layout scan (round 13: the audit row asked four range questions and
+    paid four full scan+aggregate+collect jobs for a manifest that
+    never changed between them). The per-file min/max manifest is
+    aggregated once over the union of probed columns; every range
+    verdict is then a driver-side pass over the |files|-row manifest.
+    Results are positionally aligned with `ranges` and identical to
+    per-call `zorder_prune_stats` values."""
+    cols = []
+    for c, _, _ in ranges:
+        if c not in cols:
+            cols.append(c)
+    aggs = []
+    for c in cols:
+        aggs.append(F.min(F.col(c)).alias(f"mn_{c}"))
+        aggs.append(F.max(F.col(c)).alias(f"mx_{c}"))
     man = (
         spark.read.parquet(path)
-        .select(F.input_file_name().alias("f"), F.col(col).alias("_k"))
+        .select(F.input_file_name().alias("f"), *[F.col(c) for c in cols])
         .groupBy("f")
-        .agg(F.min("_k").alias("mn"), F.max("_k").alias("mx"))
+        .agg(*aggs)
         .collect()
     )
-    cand = [r for r in man if r["mx"] >= lo and r["mn"] <= hi]
-    return {
-        "n_files": len(man),
-        "n_candidate_files": len(cand),
-        "frac_scanned": round(len(cand) / len(man), 6) if man else None,
-    }
+    out = []
+    for c, lo, hi in ranges:
+        cand = [r for r in man if r[f"mx_{c}"] >= lo and r[f"mn_{c}"] <= hi]
+        out.append(
+            {
+                "n_files": len(man),
+                "n_candidate_files": len(cand),
+                "frac_scanned": round(len(cand) / len(man), 6)
+                if man
+                else None,
+            }
+        )
+    return out
 
 
 def write_shuffled_shards(

@@ -2755,31 +2755,28 @@ def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     root = _sink_lifecycle(spark, sf_dir)
-    man = shard_manifest(spark, root + "/shards")
-    agg = man.agg(
-        F.count(F.lit(1)).cast("long").alias("n_shards"),
-        F.sum("n_rows").cast("long").alias("total_rows"),
-        F.min("min_key").cast("long").alias("min_key"),
-        F.max("max_key").cast("long").alias("max_key"),
-    ).collect()[0]
+    # ONE manifest scan answers every audit question (round 13): the
+    # per-file rows carry count/min/max AND the doc_id checksum term,
+    # so the global aggregate, the disjointness check and the content
+    # checksum are all driver-side folds over |files| rows — the old
+    # shape paid three full layout scans (agg, disjointness re-collect,
+    # checksum) for the same bytes.
+    rows = shard_manifest(
+        spark, root + "/shards", checksum_col="doc_id"
+    ).collect()
     try:
-        assert_disjoint_shards(man)
+        assert_disjoint_shards(rows)
         disjoint = True
     except ValueError:
         disjoint = False
-    checksum = (
-        spark.read.parquet(root + "/shards")
-        .agg(F.sum("doc_id").cast("long"))
-        .collect()[0][0]
-    )
     return spark.createDataFrame(
         [
             (
-                int(agg["n_shards"]),
-                int(agg["total_rows"]),
-                int(agg["min_key"]),
-                int(agg["max_key"]),
-                int(checksum),
+                len(rows),
+                int(sum(r["n_rows"] for r in rows)),
+                int(min(r["min_key"] for r in rows)),
+                int(max(r["max_key"] for r in rows)),
+                int(sum(r["key_sum"] for r in rows)),
                 bool(disjoint),
             )
         ],
@@ -2811,7 +2808,7 @@ def q_zorder_prune_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Raw candidate counts for the narrow bands ride on sampled quantile
     and range boundaries, so the row pins their booleans, plus
     losslessness (row total vs source)."""
-    from chroma_rs_spark.sources.sharding import zorder_prune_stats
+    from chroma_rs_spark.sources.sharding import zorder_prune_stats_multi
 
     root = _sink_lifecycle(spark, sf_dir)
     zpath = root + "/zorder"
@@ -2821,12 +2818,19 @@ def q_zorder_prune_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("o_custkey"))
         .collect()[0][0]
     )
-    full = zorder_prune_stats(spark, zpath, "o_custkey", 0, int(ck_mx))
-    empty = zorder_prune_stats(spark, zpath, "o_custkey", -100, -1)
-    zx = zorder_prune_stats(
-        spark, zpath, "o_custkey", int(ck_mx * 0.40), int(ck_mx * 0.45)
+    # all four range probes share ONE per-file min/max manifest scan
+    # (round 13): the per-call form re-scanned the layout four times
+    # for verdicts that are driver-side folds over 8 manifest rows
+    full, empty, zx, zy = zorder_prune_stats_multi(
+        spark,
+        zpath,
+        [
+            ("o_custkey", 0, int(ck_mx)),
+            ("o_custkey", -100, -1),
+            ("o_custkey", int(ck_mx * 0.40), int(ck_mx * 0.45)),
+            ("o_totalprice", 240000.0, 265000.0),
+        ],
     )
-    zy = zorder_prune_stats(spark, zpath, "o_totalprice", 240000.0, 265000.0)
     return spark.createDataFrame(
         [
             (

@@ -180,3 +180,45 @@ def test_shuffled_shards_deterministic_permutation(spark, tmp_path):
     # shuffled order is not the identity
     assert o1 != list(range(500))
     assert_disjoint_shards(shard_manifest(spark, p1, sort_by="_shuffle_key"))
+
+
+def test_manifest_checksum_col_and_row_list_disjointness(spark, tmp_path):
+    # round-13 fusion surface: the checksum rides the manifest scan and
+    # the disjointness check accepts pre-collected rows
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(300)], "doc_id LONG, text STRING"
+    )
+    path = str(tmp_path / "shards_ck")
+    write_training_shards(df, path, n_shards=3)
+    rows = shard_manifest(spark, path, checksum_col="doc_id").collect()
+    assert sum(r["key_sum"] for r in rows) == sum(range(300))
+    assert sum(r["n_rows"] for r in rows) == 300
+    assert_disjoint_shards(rows)  # list form, no re-scan
+    # the DataFrame form still works and agrees
+    assert_disjoint_shards(shard_manifest(spark, path))
+
+
+def test_zorder_prune_stats_multi_matches_per_call(spark, tmp_path):
+    from chroma_rs_spark.sources.sharding import (
+        write_zorder_layout,
+        zorder_prune_stats,
+        zorder_prune_stats_multi,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float(i % 97), i % 13) for i in range(2000)],
+        "k LONG, x DOUBLE, y LONG",
+    )
+    path = str(tmp_path / "z")
+    write_zorder_layout(df, path, ("x", "y"), n_shards=6)
+    ranges = [
+        ("x", 0.0, 96.0),      # full
+        ("x", -50.0, -1.0),    # empty
+        ("x", 10.0, 20.0),     # narrow x band
+        ("y", 3, 5),           # narrow y band (other column)
+    ]
+    multi = zorder_prune_stats_multi(spark, path, ranges)
+    for (c, lo, hi), got in zip(ranges, multi):
+        assert got == zorder_prune_stats(spark, path, c, lo, hi)
+    assert multi[0]["frac_scanned"] == 1.0
+    assert multi[1]["n_candidate_files"] == 0
