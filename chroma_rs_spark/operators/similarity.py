@@ -79,10 +79,20 @@ def cosine_topk_pairs(
     )
     return (
         side("a").join(side("b"), F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", sim.alias("cosine_sim"))
-        .filter(~F.isnan("cosine_sim"))
+        # NaN sims become NULL inside the projection (single reference
+        # to the pairwise dot fold — a separate `~isnan` filter is
+        # pushed into the join condition and evaluates the
+        # CodegenFallback HOF twice per pair, round 13) and sort after
+        # every valid sim under DESC NULLS LAST; the post-limit NOT
+        # NULL filter yields the identical top-N set, order and values.
+        .select(
+            "id_a",
+            "id_b",
+            F.nanvl(sim, F.lit(None).cast("double")).alias("cosine_sim"),
+        )
         .orderBy(F.col("cosine_sim").desc(), "id_a", "id_b")
         .limit(top_n)
+        .filter(F.col("cosine_sim").isNotNull())
     )
 
 
@@ -289,10 +299,22 @@ def cosine_topk_pairs_tiled(
             "cosine_sim",
         )
         # finite-norm rows can still produce a NaN product in exotic
-        # float corners; keep the blocked path's finite-only contract
-        .filter(~F.isnan("cosine_sim"))
+        # float corners; keep the blocked path's finite-only contract.
+        # NaN is excluded via nanvl->NULL in the projection + a
+        # POST-limit NOT NULL filter (round 13): a pre-sort
+        # `~isnan(cosine_sim)` filter is pushed below the projection
+        # and evaluates the pairwise dot fold twice per cross-block
+        # pair (HOFs are CodegenFallback — no subexpression
+        # elimination). NULLs sort after every valid sim under the
+        # default DESC NULLS LAST, so the top-N set, order and values
+        # are identical; the filter cannot push through the limit.
+        .withColumn(
+            "cosine_sim",
+            F.nanvl(F.col("cosine_sim"), F.lit(None).cast("double")),
+        )
         .orderBy(F.col("cosine_sim").desc(), "id_a", "id_b")
         .limit(top_n)
+        .filter(F.col("cosine_sim").isNotNull())
     )
 
 
@@ -758,7 +780,18 @@ def semantic_dedup(
             ),
             "inner",
         )
-        .filter(~F.isnan(sim) & (sim >= F.lit(float(threshold))))
+        # single-reference NaN guard (round 13): `~isnan(sim) & (sim >=
+        # t)` references the pairwise dot fold TWICE, and higher-order
+        # functions are CodegenFallback — no subexpression elimination
+        # across the pushed-down join condition's conjuncts, so every
+        # same-cluster pair paid the fold twice (verified: 2x zip_with
+        # in the optimized plan). nanvl(sim, -inf) >= t is the same
+        # predicate (NaN -> -inf fails any finite threshold; +/-inf and
+        # finite sims compare unchanged) with ONE reference, so the
+        # fold runs once per pair. Plan now carries a single zip_with.
+        .filter(
+            F.nanvl(sim, F.lit(float("-inf"))) >= F.lit(float(threshold))
+        )
         .select(F.col("_ida").alias(id_col))
         .distinct()
         .withColumn("_dup", F.lit(True))
