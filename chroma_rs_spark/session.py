@@ -39,8 +39,15 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # Keep parquet scans well-sized: at 100 TB this bounds task count
-        # and keeps per-task memory predictable.
-        .config("spark.sql.files.maxPartitionBytes", "128m")
+        # and keeps per-task memory predictable. Deployment-tunable
+        # (guide §6: large sequential scans on fast storage want
+        # 512m-1g splits — fewer map tasks feeding every shuffle);
+        # 128m stays the default so small-SF local runs keep their
+        # scan parallelism.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "128m"),
+        )
         # local[N] runs everything in the driver JVM: size the heap for
         # N concurrent tasks or GC pauses dominate small-query timings
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
