@@ -1042,6 +1042,7 @@ def ivfpq_adc_topk_df(
     probe_id: str = "query_id",
     probe_emb: str = "query_embedding",
     codes: DataFrame | None = None,
+    probed: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ with RESIDUAL encoding — the composite Faiss index
     (Jégou et al. TPAMI 2011 §IV; the `IndexIVFPQ` everyone runs at
@@ -1116,15 +1117,24 @@ def ivfpq_adc_topk_df(
 
     if probes is None:
         raise ValueError("ivfpq_adc_topk_df: probes DataFrame required")
-    probed = ivfpq_probe_cells(
-        probes,
-        centroids,
-        n_probe=n_probe,
-        dim=dim,
-        probe_id=probe_id,
-        probe_emb=probe_emb,
-        cent_df=cent_df,
-    )
+    if probed is None:
+        # `probed`: optional precomputed ivfpq_probe_cells output
+        # (_qid, cell, _qr). A caller that already collected the probe
+        # assignment to build a partition-pruning isin() over the code
+        # tier (q_ivfpq_topk's shape) passes the same rows back here
+        # instead of paying the |queries| x |cells| assignment branch
+        # a second time in-plan (round 13). Doubles round-trip the
+        # collect/createDataFrame boundary bit-exactly, so the LUT is
+        # identical either way.
+        probed = ivfpq_probe_cells(
+            probes,
+            centroids,
+            n_probe=n_probe,
+            dim=dim,
+            probe_id=probe_id,
+            probe_emb=probe_emb,
+            cent_df=cent_df,
+        )
     lut = (
         probed.selectExpr("_qid", "cell", _subspace_sql("_qr", m, sub))
         .join(F.broadcast(bdf), "mi")

@@ -237,3 +237,53 @@ def test_train_pq_codebooks_df_raises_on_emptied_cluster(spark):
     )
     with _pytest.raises(ValueError, match="clusters emptied|train"):
         train_pq_codebooks_df(dup, m=4, k=8, max_iter=2, sample_size=20)
+
+
+def test_ivfpq_adc_topk_precollected_probed_parity(spark):
+    """The round-13 `probed=` reuse path: passing ivfpq_probe_cells'
+    COLLECTED rows back into ivfpq_adc_topk_df (the q_ivfpq_topk shape
+    — one probe assignment feeding both the partition-pruning isin()
+    and the ADC LUT) must reproduce the default in-plan assignment
+    bit-for-bit: doubles round-trip collect/createDataFrame exactly."""
+    import numpy as np
+
+    from chroma_rs_spark.operators.pq import (
+        hash_codebooks,
+        ivfpq_adc_topk_df,
+        ivfpq_probe_cells,
+    )
+
+    rng = np.random.default_rng(7)
+    n, m, k_codes, sub, n_cells = 200, 4, 8, 4, 8
+    dim = m * sub
+    rows = [
+        (i, [float(x) for x in rng.normal(0.0, 1.0, size=dim)])
+        for i in range(n)
+    ]
+    items = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    cents = [(c, rows[c][1]) for c in range(n_cells)]
+    probes = spark.createDataFrame(
+        [(i, rows[i][1]) for i in (3, 50, 117)],
+        "query_id long, query_embedding array<double>",
+    )
+    books = hash_codebooks(m, k_codes, sub)
+
+    base = ivfpq_adc_topk_df(
+        items, books, cents, n_probe=3, k=5, probes=probes
+    ).collect()
+    pre = ivfpq_probe_cells(probes, cents, n_probe=3, dim=dim).collect()
+    probed_df = spark.createDataFrame(
+        [(r["_qid"], int(r["cell"]), list(r["_qr"])) for r in pre],
+        "_qid LONG, cell INT, _qr ARRAY<DOUBLE>",
+    )
+    reused = ivfpq_adc_topk_df(
+        items, books, cents, n_probe=3, k=5, probes=probes,
+        probed=probed_df,
+    ).collect()
+    key = lambda r: (r["query_id"], r["rank"])
+    assert sorted(map(tuple, base), key=lambda t: (t[0], t[1])) == sorted(
+        map(tuple, reused), key=lambda t: (t[0], t[1])
+    )
+    assert len(base) == 15
