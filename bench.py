@@ -286,12 +286,22 @@ def main() -> int:
             json.dump(payload, fh, indent=1)
             fh.write("\n")
     print(json.dumps(payload))
+    # The driver parses the LAST printed line, so that line must carry
+    # the per-query timings (the harness contract:
+    # {"metric", "value", "unit", "queries", "sf"}). For two rounds the
+    # summary line below omitted "queries" and the driver's PERF
+    # per-query table and scaling block came back empty (VERDICT r13
+    # #1). The summary stays deliberately smaller than the full payload
+    # (no stage_counts/est_floor/plan_build maps) so a tail-capture
+    # window still gets a parseable record, but "queries" — the one map
+    # the driver contract names — now rides it (~1.5 KB for 50 rows).
     print(
         json.dumps(
             {
                 "metric": "suite_total_wall_sec",
                 "value": total,
                 "unit": "sec",
+                "queries": timings,
                 "duckdb_total_sec": duck_total,
                 "plan_build_sec": round(plan_build, 3),
                 "sf": sf,
