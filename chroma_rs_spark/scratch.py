@@ -22,10 +22,15 @@ Selection policy:
   (the deployment knows its disks).
 * Otherwise the candidates — the system temp dir and
   ``~/.cache/chroma_rs_spark/scratch`` — are probed ONCE per process
-  with an 8 MB fsync'd write, and the faster root wins. The probe
-  costs ~50 ms on a healthy disk and pays for itself three orders of
-  magnitude over when it steers a streaming checkpoint off a throttled
-  ``/tmp``.
+  with an 8 MB fsync'd write (median of 3 — this host's documented
+  1.8-4x drift waves can mispick on a single sample), and the faster
+  root wins. The probe costs ~150 ms on a healthy disk and pays for
+  itself three orders of magnitude over when it steers a streaming
+  checkpoint off a throttled ``/tmp``.
+* The winning root is persisted to a marker file under ``~/.cache``
+  (24 h TTL) so child/sibling Python processes skip the ~48 MB of
+  re-probe writes; delete the marker (or set ``SPARK_GRAFT_SCRATCH``)
+  to force a re-probe.
 
 This module intentionally does NOT touch ``spark.local.dir`` (shuffle
 scratch): shuffle writes are buffered, never fsync'd, and measured
@@ -41,19 +46,29 @@ import tempfile
 import time
 
 _PROBE_BYTES = 8 << 20
+_PROBE_REPS = 3
+_MARKER_TTL_SEC = 24 * 3600
 _cached_root: str | None = None
 
 
 def _probe_seconds(d: str) -> float:
-    """Seconds to write+fsync _PROBE_BYTES under `d`; inf on failure."""
+    """Median of _PROBE_REPS write+fsync probes under `d`; inf on
+    failure. One sample is not trustworthy here: the host's measured
+    1.8-4x drift waves can make the fast root momentarily look slow
+    (ADVICE r13), while a throttled /tmp is consistently ~15-20x
+    slower — the median keeps the decision on the persistent signal."""
     path = os.path.join(d, f".scratch_probe_{os.getpid()}")
+    samples = []
     try:
-        t0 = time.time()
-        with open(path, "wb") as f:
-            f.write(b"\0" * _PROBE_BYTES)
-            f.flush()
-            os.fsync(f.fileno())
-        return time.time() - t0
+        for _ in range(_PROBE_REPS):
+            t0 = time.time()
+            with open(path, "wb") as f:
+                f.write(b"\0" * _PROBE_BYTES)
+                f.flush()
+                os.fsync(f.fileno())
+            samples.append(time.time() - t0)
+        samples.sort()
+        return samples[len(samples) // 2]
     except OSError:
         return float("inf")
     finally:
@@ -61,6 +76,40 @@ def _probe_seconds(d: str) -> float:
             os.remove(path)
         except OSError:
             pass
+
+
+def _marker_path() -> str:
+    return os.path.join(
+        os.path.expanduser("~"), ".cache", "chroma_rs_spark", "scratch_root"
+    )
+
+
+def _read_marker() -> str | None:
+    """A fresh (<TTL) marker from a previous probe, if still usable."""
+    try:
+        p = _marker_path()
+        if time.time() - os.path.getmtime(p) > _MARKER_TTL_SEC:
+            return None
+        with open(p) as f:
+            root = f.read().strip()
+        if not root:
+            return None
+        os.makedirs(root, exist_ok=True)
+        return root if os.access(root, os.W_OK) else None
+    except OSError:
+        return None
+
+
+def _write_marker(root: str) -> None:
+    try:
+        p = _marker_path()
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        tmp = f"{p}.{os.getpid()}"
+        with open(tmp, "w") as f:
+            f.write(root)
+        os.replace(tmp, p)
+    except OSError:
+        pass  # marker is an optimization; probing still decided
 
 
 def scratch_root() -> str:
@@ -73,6 +122,10 @@ def scratch_root() -> str:
         os.makedirs(env, exist_ok=True)
         _cached_root = env
         return env
+    marker = _read_marker()
+    if marker is not None:
+        _cached_root = marker
+        return marker
     sys_tmp = tempfile.gettempdir()
     home_cache = os.path.join(
         os.path.expanduser("~"), ".cache", "chroma_rs_spark", "scratch"
@@ -89,6 +142,7 @@ def scratch_root() -> str:
         t = _probe_seconds(d)
         if t < best_t:
             best, best_t = d, t
+    _write_marker(best)
     _cached_root = best
     return best
 
