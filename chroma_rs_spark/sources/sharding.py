@@ -227,6 +227,10 @@ def zorder_prune_stats_multi(
     verdict is then a driver-side pass over the |files|-row manifest.
     Results are positionally aligned with `ranges` and identical to
     per-call `zorder_prune_stats` values."""
+    if not ranges:
+        # zero ranges would otherwise build a groupBy().agg() with no
+        # aggregates — a confusing py4j analysis error (ADVICE r13)
+        return []
     cols = []
     for c, _, _ in ranges:
         if c not in cols:

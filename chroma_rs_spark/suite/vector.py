@@ -1565,13 +1565,18 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # |queries| x |cells| assignment branch runs once per call instead
     # of twice (round 13; doubles round-trip collect/createDataFrame
     # bit-exactly)
-    probed_rows = ivfpq_probe_cells(
+    probed = ivfpq_probe_cells(
         probes, cents, n_probe=IVF_PROBE, dim=_PQ_M * _PQ_SUB
-    ).collect()
+    )
+    # _qid's type rides the probe schema (ADVICE r13: a hardcoded LONG
+    # would silently corrupt the LUT join key if a future suite path
+    # casts probe ids to string)
+    qid_type = probed.schema["_qid"].dataType.simpleString()
+    probed_rows = probed.collect()
     probed_cells = sorted({int(r["cell"]) for r in probed_rows})
     probed_df = spark.createDataFrame(
         [(r["_qid"], int(r["cell"]), list(r["_qr"])) for r in probed_rows],
-        "_qid LONG, cell INT, _qr ARRAY<DOUBLE>",
+        f"_qid {qid_type}, cell INT, _qr ARRAY<DOUBLE>",
     )
     return ivfpq_adc_topk_df(
         emb,
