@@ -44,6 +44,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def _ntokens_col(text_col: str):
@@ -116,13 +117,12 @@ def curate_corpus(
     tests/test_curate.py::test_checkpoint_dir_bit_equal_and_reloadable).
     """
     from chroma_rs_spark.operators.dedup import (
-        exact_dedup,
         line_dedup,
         minhash_lsh_pairs,
     )
-    from chroma_rs_spark.operators.graph import dedup_clusters
+    from chroma_rs_spark.operators.graph import pair_graph_components
     from chroma_rs_spark.operators.sampling import (
-        leakage_safe_split,
+        dataset_split,
         ngram_decontamination,
     )
     from chroma_rs_spark.operators.text import (
@@ -250,15 +250,21 @@ def curate_corpus(
             .filter(F.trim(F.col(text_col)) != ""),
         )
 
-    # 4. byte-identical duplicates: keep the min-id representative
+    # 4. byte-identical duplicates: keep the min-id representative.
+    # Fused form (round 14, guide §2.4): one window over the text hash
+    # replaces exact_dedup's groupBy + join-back + the outer semi-join
+    # (3 exchanges and two references to s3 -> 1 exchange, one
+    # reference). Identical rows: keep == (id == min(id) over sha
+    # group) is exactly exact_dedup's keep flag.
     s4 = s3
     if "exact_dedup" not in skip:
-        ex_keep = (
-            exact_dedup(s3, id_col=id_col, text_col=text_col)
-            .filter(F.col("keep"))
-            .select(id_col)
+        w = Window.partitionBy(F.sha2(F.col(text_col), 256))
+        s4 = _stage(
+            "exact_dedup",
+            s3.withColumn("_keep_id", F.min(id_col).over(w))
+            .filter(F.col(id_col) == F.col("_keep_id"))
+            .drop("_keep_id"),
         )
-        s4 = _stage("exact_dedup", s3.join(ex_keep, id_col, "left_semi"))
 
     # 5. near-duplicate clusters (banded MinHash candidates -> CC),
     # keep one doc per cluster. The pair list is reused by the
@@ -294,19 +300,21 @@ def curate_corpus(
         pairs = pairs.localCheckpoint(eager=False)
     s5 = s4
     if "near_dup_clusters" not in skip:
-        cl_keep = (
-            dedup_clusters(
-                s4,
-                pairs,
-                id_col=id_col,
-                threshold=near_dup_threshold,
-                lazy_local=True,
+        # Fused form (round 14): dedup_clusters(docs, pairs) joins the
+        # corpus internally to emit per-doc keep flags, and the old
+        # keep-filter + semi-join referenced s4 a second time to apply
+        # them. keep == False exactly for pair-graph members whose
+        # component label differs from their own id, so one anti-join
+        # against that (bounded, broadcast) set is the whole stage.
+        dup_ids = (
+            pair_graph_components(
+                pairs, threshold=near_dup_threshold
             )
-            .filter(F.col("keep"))
-            .select(id_col)
+            .filter(F.col("component") != F.col("node"))
+            .select(F.col("node").alias(id_col))
         )
         s5 = _stage(
-            "near_dup_clusters", s4.join(cl_keep, id_col, "left_semi")
+            "near_dup_clusters", s4.join(dup_ids, id_col, "left_anti")
         )
 
     # 6. substring-level CUT: duplicated spans removed except their
@@ -328,16 +336,32 @@ def curate_corpus(
 
     # 7. leakage-safe split over the SURVIVING docs: restrict the
     # candidate pairs to both-surviving endpoints so clustering matches
-    # the corpus being split
+    # the corpus being split. Fused form (round 14): leakage_safe_split
+    # joins the corpus internally (dedup_clusters) and the old outer
+    # join attached the result to s6 AGAIN — the label attach + the
+    # split's map-side bucket arithmetic (dataset_split on cluster_id,
+    # the same one-definition call leakage_safe_split makes) need only
+    # ONE left join against the bounded component-label set. Split
+    # values are identical: cluster_id == coalesce(component, id) is
+    # dedup_clusters' cluster_id, and dataset_split is deterministic
+    # per cluster_id.
     ids6 = s6.select(id_col)
     pairs6 = (
         pairs.join(ids6.withColumnRenamed(id_col, "id_a"), "id_a", "left_semi")
         .join(ids6.withColumnRenamed(id_col, "id_b"), "id_b", "left_semi")
     )
-    split = leakage_safe_split(
-        s6, pairs6, weights, id_col=id_col, threshold=near_dup_threshold
-    ).select(id_col, "split")
-    s7 = _stage("leakage_safe_split", s6.join(split, id_col))
+    labels6 = pair_graph_components(
+        pairs6, threshold=near_dup_threshold
+    ).select(F.col("node").alias(id_col), F.col("component").alias("cluster_id"))
+    with_cluster = s6.join(labels6, id_col, "left").withColumn(
+        "cluster_id", F.coalesce("cluster_id", F.col(id_col))
+    )
+    s7 = _stage(
+        "leakage_safe_split",
+        dataset_split(with_cluster, weights, id_col="cluster_id").select(
+            id_col, text_col, "split"
+        ),
+    )
 
     # 8. decontamination against the ACTUAL split from stage 7:
     # non-train docs sharing any 13-gram with train are dropped

@@ -348,6 +348,32 @@ def dedup_clusters(
     )
 
 
+def pair_graph_components(
+    pairs: DataFrame,
+    threshold: float,
+    sim_col: str = "est_jaccard",
+) -> DataFrame:
+    """(node, component) labels for every id on a thresholded candidate
+    pair edge — the lazy bounded-pair union-find (_cc_local_lazy) with
+    NO corpus join attached.
+
+    This is the curate-pipeline fusion surface (round 14): a caller
+    holding the corpus can attach labels with ONE left join and derive
+    both `dedup_clusters` verdicts from them in place —
+    keep == (coalesce(component, id) == id), cluster_id ==
+    coalesce(component, id) — instead of calling an operator that joins
+    the corpus internally and then joining the corpus AGAIN to apply
+    the verdict. Labels are bit-identical to `dedup_clusters
+    (lazy_local=True)` on the same pairs: same edge filter, same
+    union-find kernel, same min-id component convention.
+    """
+    _require_integral_id(pairs, "id_a", "pair_graph_components")
+    edges = pairs.where(F.col(sim_col) >= F.lit(threshold)).select(
+        F.col("id_a").alias("u"), F.col("id_b").alias("v")
+    )
+    return _cc_local_lazy(edges, with_sizes=False)
+
+
 def dedup_keep_best(
     docs: DataFrame,
     pairs: DataFrame,
