@@ -15,13 +15,31 @@ Exact KNN (brute force top-k per query) lives in operators/knn.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from chroma_rs_spark.functions.vector import cosine_distance, dot_product, l2_norm
 from chroma_rs_spark.plans import fan_out
 
 _INTEGRAL_ID_TYPES = ("tinyint", "smallint", "int", "bigint")
+
+
+def _norm_scorable(norm_col: Column) -> Column:
+    """norm ∈ (0, inf) — the shared unscorable-row exclusion of the
+    exact pair operators — as ONE reference to the norm column.
+
+    The spelled-out `(n != 0) & ~isnan(n) & (n != inf)` references the
+    aliased norm THREE times; pushed below the projection that computes
+    it, each reference re-evaluates the linear-cost l2_norm fold (HOFs
+    are CodegenFallback — no subexpression elimination; the round-13
+    pair-sim finding, VERDICT r13 #7). Here `nullif` maps inf to NULL,
+    `nanvl` maps NaN to 0, and a single `> 0` comparison rejects
+    0 / NaN / inf / NULL alike — equivalent on every reachable value
+    (l2_norm is a sqrt: never negative, never -inf)."""
+    return (
+        F.nanvl(F.nullif(norm_col, F.lit(float("inf"))), F.lit(0.0))
+        > F.lit(0.0)
+    )
 
 
 def _require_integral_id(df: DataFrame, id_col: str, op: str) -> None:
@@ -65,11 +83,7 @@ def cosine_topk_pairs(
                 F.col(emb_col).alias(f"emb_{suffix}"),
                 l2_norm(f"`{emb_col}`", dim).alias(f"norm_{suffix}"),
             )
-            .filter(
-                (F.col(f"norm_{suffix}") != F.lit(0.0))
-                & ~F.isnan(f"norm_{suffix}")
-                & (F.col(f"norm_{suffix}") != F.lit(float("inf")))
-            )
+            .filter(_norm_scorable(F.col(f"norm_{suffix}")))
         )
 
     sim = F.round(
@@ -246,11 +260,7 @@ def cosine_topk_pairs_tiled(
         # the blocked path's np.isfinite mask (a NaN/inf component would
         # otherwise sort FIRST under Spark's NaN-greatest descending
         # order and hijack the top-N)
-        .filter(
-            (F.col("_norm") != F.lit(0.0))
-            & ~F.isnan("_norm")
-            & (F.col("_norm") != F.lit(float("inf")))
-        )
+        .filter(_norm_scorable(F.col("_norm")))
         .withColumn("_blk", F.pmod(F.hash("_id"), F.lit(n_blocks)))
     )
     spark = df.sparkSession
@@ -366,11 +376,7 @@ def cosine_topk_pairs_tiled_np(
             F.col(emb_col).alias("_emb"),
             l2_norm(f"`{emb_col}`").alias("_norm"),
         )
-        .filter(
-            (F.col("_norm") != F.lit(0.0))
-            & ~F.isnan("_norm")
-            & (F.col("_norm") != F.lit(float("inf")))
-        )
+        .filter(_norm_scorable(F.col("_norm")))
         .withColumn("_blk", F.pmod(F.hash("_id"), F.lit(n_blocks)))
     )
     spark = df.sparkSession
@@ -688,6 +694,17 @@ def semantic_dedup(
     wide per cluster by construction; a degenerate hot cluster is an
     AQE skew-join split, not a single-task window.
     """
+    import math
+
+    if not math.isfinite(threshold):
+        # the single-reference pair predicate below maps NaN-similarity
+        # to -inf before comparing; only a FINITE threshold keeps that
+        # exactly equivalent to the historical ~isnan(sim) & (sim >= t)
+        # form (ADVICE r13: threshold=-inf would admit NaN pairs)
+        raise ValueError(
+            f"semantic_dedup threshold must be finite, got {threshold}"
+        )
+
     from chroma_rs_spark.operators.centroids import (
         assign_nearest_centroid,
         kmeans,
@@ -735,11 +752,7 @@ def semantic_dedup(
         emb.select(
             F.col(id_col), F.col(emb_col).alias("_e"), norm.alias("_n")
         )
-        .filter(
-            (F.col("_n") != F.lit(0.0))
-            & ~F.isnan("_n")
-            & (F.col("_n") != F.lit(float("inf")))
-        )
+        .filter(_norm_scorable(F.col("_n")))
         .join(assigned, id_col)
         .select(
             F.col(id_col).alias("_id"),
