@@ -412,12 +412,43 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits:
 SHINGLE_MAX_DF = 1000
 
 
+# Salting for the max_df=None exact-verification join (guide §2.5,
+# VERDICT r13 #5): a shingle with df postings emits df²/2 pairs from
+# ONE sort-merge key group = one task. With no df cutoff (ground truth
+# must not drop hot shingles) a corpus-common shingle serializes the
+# whole join on a single straggler — minhash_accuracy's 347 s wall at
+# sf1.0. Hot shingles (df > 2x target) split into ceil(df/target)
+# salt groups: the left side picks ONE deterministic salt per posting,
+# the right side replicates across all of them, so every pair still
+# meets exactly once while the df² work spreads over ~df/target tasks.
+SHINGLE_SALT_TARGET = 128
+# Below this optimizer-estimated corpus size the worst-case single
+# group is bounded (df <= |docs| and |docs|² pairs is small) and the
+# census + broadcast + explode machinery costs more than it saves.
+SHINGLE_SALT_MIN_BYTES = 4 << 20
+
+
+def _resolve_salt(size_source: DataFrame, salt: bool | str) -> bool:
+    """Resolve the ``"auto"`` sentinel with the same optimizer-estimate
+    gate as `_resolve_max_bucket`: provably small corpora skip the
+    salting machinery; large or unknown-size corpora get it."""
+    if isinstance(salt, str) and salt != "auto":
+        raise ValueError(f"salt must be a bool or 'auto'; got {salt!r}")
+    if salt != "auto":
+        return bool(salt)
+    from chroma_rs_spark.plans.partitioning import plan_size_bytes
+
+    est = plan_size_bytes(size_source)
+    return not (0 <= est < SHINGLE_SALT_MIN_BYTES)
+
+
 def shingle_pair_intersections(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_k: int = 3,
     max_df: int | None = SHINGLE_MAX_DF,
+    salt: bool | str = "auto",
 ) -> DataFrame:
     """(id_a, id_b, n_inter, size_a, size_b) for every document pair
     sharing at least one k-gram shingle with document frequency
@@ -434,6 +465,14 @@ def shingle_pair_intersections(
     while size_a/size_b remain the true shingle-set sizes (the
     conservative direction: scores can only drop for pairs whose
     overlap is boilerplate).
+
+    `salt` (only meaningful with max_df=None, where no cutoff bounds a
+    hot shingle's group): split high-df shingles' pair generation
+    across `ceil(df / SHINGLE_SALT_TARGET)` salt sub-groups so the df²
+    pair stream parallelizes instead of serializing on one task. Pure
+    plan change — every pair still meets exactly once, all values
+    identical (pinned by tests). Default "auto" size-gates the census
+    like `max_bucket`'s gate; pass True/False to force.
     """
     # Single linear pipeline — the shingle stage is computed once and
     # set sizes ride along through the inverted index, instead of a
@@ -514,6 +553,45 @@ def shingle_pair_intersections(
     right = inv.select(
         "shingle", F.col("id").alias("id_b"), F.col("sz").alias("size_b")
     )
+    join_keys = ["shingle"]
+    if max_df is None and _resolve_salt(df.select(id_col, text_col), salt):
+        # hot-shingle census (map-side combinable, |shingles| groups)
+        # -> per-shingle salt fan-out; the hot set is tiny (shingles
+        # with df > 2x target) and broadcast
+        hot = (
+            inv.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_hdf"))
+            .filter(F.col("_hdf") > 2 * SHINGLE_SALT_TARGET)
+            .select(
+                "shingle",
+                F.ceil(F.col("_hdf") / SHINGLE_SALT_TARGET)
+                .cast("int")
+                .alias("_ns"),
+            )
+        )
+        # left: ONE deterministic salt per posting (xxhash64 of the id,
+        # guide §2.5 — never rand()); right: replicated across all
+        # salts of a hot shingle, single copy (salt 0) elsewhere
+        left = left.join(F.broadcast(hot), "shingle", "left").select(
+            "shingle",
+            F.coalesce(
+                F.pmod(F.xxhash64("id_a"), F.col("_ns")).cast("int"),
+                F.lit(0),
+            ).alias("_salt"),
+            "id_a",
+            "size_a",
+        )
+        right = right.join(F.broadcast(hot), "shingle", "left").select(
+            "shingle",
+            F.explode(
+                F.sequence(
+                    F.lit(0), F.coalesce(F.col("_ns"), F.lit(1)) - F.lit(1)
+                )
+            ).alias("_salt"),
+            "id_b",
+            "size_b",
+        )
+        join_keys = ["shingle", "_salt"]
     # merge (SMJ): the posting relation is corpus-sized. A broadcast
     # pick ships every posting row through the driver (the
     # maxResultSize failure class found at sf1.0 in minhash_accuracy's
@@ -521,7 +599,7 @@ def shingle_pair_intersections(
     # maps that cannot spill — a hot shingle's partition OOMs (observed
     # at sf1.0). Sort-merge spills on both sides and streams each
     # key group, the only strategy safe at every df distribution.
-    pairs = left.join(right.hint("merge"), "shingle").filter(
+    pairs = left.join(right.hint("merge"), join_keys).filter(
         F.col("id_a") < F.col("id_b")
     )
     # group on the 2-long pair key only; sizes are functionally
@@ -926,7 +1004,16 @@ def minhash_accuracy(
     )
     sub = df.join(cand_ids, id_col, "left_semi")
     inter = shingle_pair_intersections(
-        sub, id_col, text_col, shingle_k, max_df=None
+        sub,
+        id_col,
+        text_col,
+        shingle_k,
+        max_df=None,
+        # resolve the hot-shingle salting gate on the RAW corpus (known
+        # optimizer estimate); `sub` sits behind a semi-join against a
+        # checkpointed pair list, whose size estimate is unknown and
+        # would force the census machinery on at every scale
+        salt=_resolve_salt(df.select(id_col, text_col), "auto"),
     )
     exact = inter.select(
         "id_a",

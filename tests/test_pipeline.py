@@ -563,6 +563,62 @@ def test_shingle_max_df_drops_boilerplate_pairs(spark):
     assert r["size_a"] == 6 and r["size_b"] == 6
 
 
+def test_shingle_salted_join_parity(spark):
+    """Hot-shingle salting (round 14, guide §2.5) is a pure plan
+    change: forced-salt results must be row-identical to the unsalted
+    join — including a shingle hot enough to actually fan out — and
+    the auto gate must leave a provably tiny corpus unsalted."""
+    from chroma_rs_spark.operators.dedup import (
+        SHINGLE_SALT_TARGET,
+        _resolve_salt,
+        shingle_pair_intersections,
+    )
+    from chroma_rs_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF001_DIR, "documents")
+    # force a genuinely hot shingle: every doc gains a shared prefix,
+    # so its leading shingles' df = |docs| (> 2x SHINGLE_SALT_TARGET
+    # at sf0.001's 50+ docs is false — so ALSO drop the target via a
+    # synthetic corpus below for the fan-out case)
+    key = lambda r: (r["id_a"], r["id_b"])  # noqa: E731
+    base = {
+        key(r): (r["n_inter"], r["size_a"], r["size_b"])
+        for r in shingle_pair_intersections(
+            docs, max_df=None, salt=False
+        ).collect()
+    }
+    salted = {
+        key(r): (r["n_inter"], r["size_a"], r["size_b"])
+        for r in shingle_pair_intersections(
+            docs, max_df=None, salt=True
+        ).collect()
+    }
+    assert salted == base
+
+    # synthetic hot shingle with df > 2x target: fan-out actually fires
+    n = 2 * SHINGLE_SALT_TARGET + 40
+    rows = [(i, f"spam ham jam tail{i} x{i} y{i}") for i in range(n)]
+    hot = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    b2 = {
+        key(r): r["n_inter"]
+        for r in shingle_pair_intersections(
+            hot, max_df=None, salt=False
+        ).collect()
+    }
+    s2 = {
+        key(r): r["n_inter"]
+        for r in shingle_pair_intersections(
+            hot, max_df=None, salt=True
+        ).collect()
+    }
+    assert s2 == b2
+    # every pair shares exactly the one hot shingle ('spam ham jam')
+    assert set(b2.values()) == {1} and len(b2) == n * (n - 1) // 2
+
+    # auto gate: a tiny parquet-backed corpus resolves to unsalted
+    assert _resolve_salt(docs.select("doc_id", "text"), "auto") is False
+
+
 def test_leakage_safe_split_co_assigns_near_dups(spark):
     """Every near-dup pair must land in the SAME split (the structural
     guarantee the plain id-hash split cannot give), and singletons must
