@@ -122,8 +122,8 @@ def curate_corpus(
     )
     from chroma_rs_spark.operators.graph import pair_graph_components
     from chroma_rs_spark.operators.sampling import (
+        contaminated_ids,
         dataset_split,
-        ngram_decontamination,
     )
     from chroma_rs_spark.operators.text import (
         c4_filters,
@@ -345,6 +345,15 @@ def curate_corpus(
     # values are identical: cluster_id == coalesce(component, id) is
     # dedup_clusters' cluster_id, and dataset_split is deterministic
     # per cluster_id.
+    # Both-surviving restriction: semi joins against the survivor id
+    # set. A measured NEGATIVE result (round 14) stands against the
+    # "anti join the bounded dropped sets instead" rewrite — dropped =
+    # dup_ids UNION span-emptied is provably equivalent (endpoints
+    # live in s4) and exchanges fewer bytes at scale, but the small
+    # subtrees re-execute per consumer here: 71 -> 95 warm stages, and
+    # 103 with a dup_ids checkpoint to stop the re-execution. The
+    # survivor-set semi join reads the ALREADY-CHECKPOINTED s6 RDD —
+    # cheap scans beat extra materialization boundaries.
     ids6 = s6.select(id_col)
     pairs6 = (
         pairs.join(ids6.withColumnRenamed(id_col, "id_a"), "id_a", "left_semi")
@@ -364,19 +373,20 @@ def curate_corpus(
     )
 
     # 8. decontamination against the ACTUAL split from stage 7:
-    # non-train docs sharing any 13-gram with train are dropped
+    # non-train docs sharing any 13-gram with train are dropped. The
+    # membership-only form (round 14): this stage only needs WHICH docs
+    # are contaminated, so `contaminated_ids` skips the full operator's
+    # per-doc gram counts and join-back to the non-train doc set —
+    # identical dropped set (see its docstring + parity test), 3 fewer
+    # exchanges in the most expensive curate stage.
     corpus = s7
     if "ngram_decontamination" not in skip:
-        contaminated = (
-            ngram_decontamination(
-                s7,
-                n=decontam_n,
-                id_col=id_col,
-                text_col=text_col,
-                split_col="split",
-            )
-            .filter(F.col("contaminated"))
-            .select(id_col)
+        contaminated = contaminated_ids(
+            s7,
+            n=decontam_n,
+            id_col=id_col,
+            text_col=text_col,
+            split_col="split",
         )
         corpus = _stage(
             "ngram_decontamination",

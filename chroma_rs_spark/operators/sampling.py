@@ -160,6 +160,62 @@ def split_contamination(
     )
 
 
+def contaminated_ids(
+    df: DataFrame,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    train_split: str = "train",
+    split_col: str = "split",
+) -> DataFrame:
+    """Just the ids of contaminated non-train documents — the exact
+    set ``ngram_decontamination(...).filter(contaminated)`` selects,
+    computed with strictly less work (round 14, guide §2.3/§2.4): a
+    consumer that only DROPS contaminated docs (curate_corpus stage 8)
+    needs membership, not per-doc gram counts, so the per-(doc, gram)
+    distinct, the count aggregation and the join-back to the full
+    non-train doc set all fall away. One semi join on the gram hash
+    decides membership; dedup to one row per doc happens on the id
+    alone. Equivalence: contaminated == (n_contaminated > 0) == "some
+    n-gram of this non-train doc occurs in train" — precisely the semi
+    join's predicate; gram-less docs (n_grams=0) are absent from the
+    gram stream and were never contaminated. Pinned by
+    tests/test_quality_decontam.py parity test.
+    """
+    from chroma_rs_spark.operators.dedup import (
+        nonempty_tokens_col,
+        shingles_col,
+    )
+    from chroma_rs_spark.plans import fan_out
+
+    if split_col not in df.columns:
+        raise ValueError(f"split_col {split_col!r} is not a column of df")
+    # same fan-out + tokenize/shingle/md5 stream as the full operator
+    src = fan_out(
+        df.select(id_col, F.col(split_col).alias("split"), text_col),
+        min_bytes=0,
+    )
+    grams = src.select(
+        F.col(id_col),
+        F.col("split"),
+        F.explode(shingles_col(nonempty_tokens_col(text_col), n)).alias("_g"),
+    ).select(id_col, "split", F.md5("_g").alias("_h"))
+    train_grams = (
+        grams.filter(F.col("split") == train_split).select("_h").distinct()
+    )
+    eval_grams = grams.filter(F.col("split") != train_split).select(
+        id_col, "_h"
+    )
+    # same SHUFFLE_HASH rationale as the full operator: the size
+    # estimate behind a Generate would let the planner auto-broadcast
+    # a corpus-scaled gram set (measured maxResultSize failure)
+    return (
+        eval_grams.join(train_grams.hint("shuffle_hash"), "_h", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+
+
 def ngram_decontamination(
     df: DataFrame,
     weights: dict[str, float] | None = None,

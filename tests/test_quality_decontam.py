@@ -87,6 +87,38 @@ def test_ngram_decontamination_flags_shared_grams(spark):
         assert rows[d]["contamination_ratio"] == 0.0
 
 
+def test_contaminated_ids_matches_full_operator(spark):
+    """contaminated_ids (the curate stage-8 membership-only form) must
+    select EXACTLY the ids ngram_decontamination flags contaminated —
+    on a corpus with contaminated, clean, gram-less and NULL-text docs."""
+    from chroma_rs_spark.operators.sampling import (
+        contaminated_ids,
+        dataset_split,
+    )
+
+    n = 5
+    df = _decontam_corpus(spark, n=n)
+    # add gram-less (too short) and NULL-text docs
+    extra = spark.createDataFrame(
+        [(200, "a b c"), (201, None)], "doc_id long, text string"
+    )
+    df = df.unionByName(extra)
+    weights = {"train": 0.8, "val": 0.1, "test": 0.1}
+    sp = dataset_split(df, weights)
+    full = {
+        r["doc_id"]
+        for r in ngram_decontamination(sp, n=n, split_col="split")
+        .filter(F.col("contaminated"))
+        .select("doc_id")
+        .collect()
+    }
+    lean = {
+        r["doc_id"]
+        for r in contaminated_ids(sp, n=n).collect()
+    }
+    assert lean == full and full, (sorted(lean), sorted(full))
+
+
 def test_ngram_decontamination_short_docs_unscorable(spark):
     df = spark.createDataFrame(
         [(i, "a b c") for i in range(30)] + [(50, None)],
