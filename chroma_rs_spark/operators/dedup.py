@@ -1119,8 +1119,8 @@ def lsh_recall(
             ).alias("_j"),
         )
         .filter(F.col("_j") >= F.lit(float(threshold)))
-        # consumed by both the truth count and the caught semi-join:
-        # lazy checkpoint keeps the inverted-index plan to one pass
+        # lineage cut: the inverted-index pair plan materializes once
+        # and every downstream action reads the cut, not the plan
         .localCheckpoint(eager=False)
     )
     cands = minhash_lsh_pairs(
@@ -1132,17 +1132,25 @@ def lsh_recall(
         shingle_k=shingle_k,
         max_bucket=max_bucket,
     ).select("id_a", "id_b")
-    caught = true_pairs.join(cands, ["id_a", "id_b"], "left_semi")
-    return (
-        true_pairs.agg(F.count(F.lit(1)).alias("_nt"))
-        .crossJoin(caught.agg(F.count(F.lit(1)).alias("_nc")))
-        .select(
-            F.col("_nt").cast("long").alias("n_true"),
-            F.col("_nc").cast("long").alias("n_caught"),
-            F.when(F.col("_nt") == 0, F.lit(None)).otherwise(
-                F.round(F.col("_nc").cast("double") / F.col("_nt"), 6)
-            ).alias("recall"),
-        )
+    # ONE aggregation for both counts (round 14, guide §2.4 — the
+    # ngram_decontamination single-agg discipline): mark each true pair
+    # by a left join against the candidate set (minhash_lsh_pairs
+    # returns DISTINCT pairs on both its paths, so marking cannot
+    # duplicate a truth row; the join keys the same shuffle a semi join
+    # pays) and take total + caught in one pass — the old
+    # two-aggregations-cross-joined form consumed true_pairs twice and
+    # dispatched a second aggregation subtree per action.
+    marked = true_pairs.join(
+        cands.withColumn("_c", F.lit(1)), ["id_a", "id_b"], "left"
+    )
+    return marked.agg(
+        F.count(F.lit(1)).alias("_nt"), F.count("_c").alias("_nc")
+    ).select(
+        F.col("_nt").cast("long").alias("n_true"),
+        F.col("_nc").cast("long").alias("n_caught"),
+        F.when(F.col("_nt") == 0, F.lit(None)).otherwise(
+            F.round(F.col("_nc").cast("double") / F.col("_nt"), 6)
+        ).alias("recall"),
     )
 
 

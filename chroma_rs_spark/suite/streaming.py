@@ -638,6 +638,29 @@ EXTRA_QUERIES["stream_bloom_ingest"] = QueryDef(
 # construction).
 # ---------------------------------------------------------------------------
 
+def _state_partitions() -> str:
+    """State-store partition count for the suite's stateful streams —
+    a keyspace sizing knob, not a parallelism knob. Every micro-batch
+    commits (writes + fsyncs) one state-store delta PER PARTITION, so
+    partition count multiplies the stream's fsync count. Round-14
+    counter evidence (tools/r14_stream_probe.py, StreamingQueryProgress
+    stateOperators.commitTimeMs): at sf0.1 the commit time dominates
+    the whole drain — with 8 stores the per-run commit sum ranged
+    3.6-23.9 s as the host's I/O waves came and went (the r13 "8-CPU
+    anomaly" was exactly such a wave landing on 40 fsyncs; an
+    interleaved same-window ladder measured c8 FASTER than c32, so
+    core count was never the variable), while 2 stores held a stable
+    0.4-0.7 s with bit-identical output at every width (live keys here
+    are a few hundred; the fixed-point aggregations are
+    partitioning-independent). Deployments size this to live key
+    cardinality inside the watermark horizon / target keys-per-store —
+    override via SPARK_GRAFT_STREAM_STATE_PARTITIONS.
+    """
+    import os
+
+    return os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "2")
+
+
 _WM_INBOX: dict[tuple[str, str], str] = {}
 _WM_DELAY = "2 hours"
 _WM_WIDTH = "10 minutes"
@@ -713,7 +736,7 @@ def q_stream_watermark_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (fresh per call) compiles under the override.
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     try:
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        spark.conf.set("spark.sql.shuffle.partitions", _state_partitions())
         stream = (
             spark.readStream.schema(
                 "event_id long, ts timestamp, event_type string, value double"
@@ -905,7 +928,7 @@ def q_stream_dedup_within_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         # keyspace-sized state partitions (the stream_watermark_counts
         # rationale and measurement)
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        spark.conf.set("spark.sql.shuffle.partitions", _state_partitions())
         stream = (
             spark.readStream.schema("k string, ts timestamp, event_id long")
             .option("maxFilesPerTrigger", 1)
@@ -1096,7 +1119,7 @@ def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stream_watermark_counts knob, same rationale and restore scope
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     try:
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        spark.conf.set("spark.sql.shuffle.partitions", _state_partitions())
         mk = (
             lambda inbox: spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", 1)

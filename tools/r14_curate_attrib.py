@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Round-14 attribution probe for curate_report: wraps
+"""Round-14 attribution probe for checkpoint-heavy queries (default curate_report): wraps
 DataFrame.localCheckpoint to record, per checkpoint site, the jobs and
 wall seconds its build-time AQE stage materialization costs, then runs
 the final action and prints the residual. Warm numbers (second run)
@@ -56,7 +56,8 @@ def main() -> int:
 
     DataFrame.localCheckpoint = patched
     try:
-        fn = all_queries()["curate_report"].fn
+        qname = sys.argv[1] if len(sys.argv) > 1 else "curate_report"
+        fn = all_queries(include_extra=True)[qname].fn
         for rep in range(2):
             records.clear()
             j0, t0 = njobs(), time.time()
