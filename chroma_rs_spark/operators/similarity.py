@@ -900,25 +900,47 @@ def _recall_report(
     probe_id: str,
 ) -> DataFrame:
     """Shared recall assembly: `exact` and `approx` are (probe_id,
-    _nid) neighbor sets; emits one row per distinct probe id with the
-    ann_recall output contract."""
-    n_exact = exact.groupBy(probe_id).agg(
-        F.count(F.lit(1)).cast("long").alias("n_exact")
+    _nid) neighbor sets — DISTINCT per (probe, neighbor) by
+    construction (both are top-k lists); emits one row per distinct
+    probe id with the ann_recall output contract.
+
+    Tagged-union form (round 14, guide §2.4): the old
+    three-aggregations-joined shape consumed EACH input subtree twice
+    (its count + the hits join) with zero exchange reuse — for the
+    recall rows that means the corpus-sized exact-KNN cross join and
+    the approximate index chain both executed twice per action
+    (plan-audited: 8 BroadcastNestedLoopJoin / 16 WindowGroupLimit in
+    pq_recall's before-plan). Tagging each side and grouping once per
+    (probe, neighbor) then per probe reads each subtree ONCE; counts
+    are identical on distinct inputs: n_exact = #tags with _e, n_approx
+    = #tags with _a, n_hits = #pairs carrying both."""
+    tagged = exact.select(
+        F.col(probe_id),
+        F.col("_nid"),
+        F.lit(1).alias("_e"),
+        F.lit(0).alias("_a"),
+    ).unionByName(
+        approx.select(
+            F.col(probe_id),
+            F.col("_nid"),
+            F.lit(0).alias("_e"),
+            F.lit(1).alias("_a"),
+        )
     )
-    n_approx = approx.groupBy(probe_id).agg(
-        F.count(F.lit(1)).cast("long").alias("n_approx")
-    )
-    hits = (
-        approx.join(exact, [probe_id, "_nid"])
+    counts = (
+        tagged.groupBy(probe_id, "_nid")
+        .agg(F.max("_e").alias("_e"), F.max("_a").alias("_a"))
         .groupBy(probe_id)
-        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+        .agg(
+            F.sum("_e").cast("long").alias("n_exact"),
+            F.sum("_a").cast("long").alias("n_approx"),
+            F.sum(F.col("_e") * F.col("_a")).cast("long").alias("n_hits"),
+        )
     )
     zero = F.lit(0).cast("long")
     return (
         probes.select(F.col(probe_id)).distinct()
-        .join(n_exact, probe_id, "left")
-        .join(n_approx, probe_id, "left")
-        .join(hits, probe_id, "left")
+        .join(counts, probe_id, "left")
         .select(
             probe_id,
             F.coalesce("n_exact", zero).alias("n_exact"),
