@@ -168,7 +168,21 @@ def curate_corpus(
         stages.append((name, sdf))
         return sdf
 
-    s0 = _stage("input", docs.select(F.col(id_col), F.col(text_col)))
+    # `_nt` — the per-doc token count the attrition ledger sums — rides
+    # the working rows as a column (round 14, guide §1.2 step 1: don't
+    # recompute what you already know). It is (re)computed ONLY at the
+    # stages that produce new text; drop-only stages (semi/anti joins,
+    # the exact-dedup window, the split assignment) carry it unchanged,
+    # so the ledger is a pure column sum instead of one full tokenize
+    # pass per stage over every checkpointed corpus (7 passes -> the
+    # number of text-producing stages). The 8 bytes/doc it adds to each
+    # checkpoint is noise next to the text it rides beside.
+    s0 = _stage(
+        "input",
+        docs.select(F.col(id_col), F.col(text_col)).withColumn(
+            "_nt", _ntokens_col(text_col)
+        ),
+    )
 
     # 0. URL-level dedup (RefinedWeb §3.2 runs it FIRST — the cheapest
     # dedup granularity goes before any content-touching stage). Runs
@@ -201,9 +215,9 @@ def curate_corpus(
 
         s0 = _stage(
             "normalize_text",
-            normalize_text(s0, id_col=id_col, text_col=text_col).select(
-                F.col(id_col), F.col("nfc_text").alias(text_col)
-            ),
+            normalize_text(s0, id_col=id_col, text_col=text_col)
+            .select(F.col(id_col), F.col("nfc_text").alias(text_col))
+            .withColumn("_nt", _ntokens_col(text_col)),
         )
 
     # 1. C4 line cleaning + page drops (operates on raw text; its
@@ -213,9 +227,9 @@ def curate_corpus(
         c4 = c4_filters(s0, id_col=id_col, text_col=text_col)
         s1 = _stage(
             "c4_filters",
-            c4.filter(F.col("passes")).select(
-                F.col(id_col), F.col("text_clean").alias(text_col)
-            ),
+            c4.filter(F.col("passes"))
+            .select(F.col(id_col), F.col("text_clean").alias(text_col))
+            .withColumn("_nt", _ntokens_col(text_col)),
         )
 
     # 2. Gopher quality rules over the cleaned text
@@ -247,7 +261,8 @@ def curate_corpus(
         s3 = _stage(
             "line_dedup",
             ld.select(F.col(id_col), F.col("text_clean").alias(text_col))
-            .filter(F.trim(F.col(text_col)) != ""),
+            .filter(F.trim(F.col(text_col)) != "")
+            .withColumn("_nt", _ntokens_col(text_col)),
         )
 
     # 4. byte-identical duplicates: keep the min-id representative.
@@ -328,10 +343,23 @@ def curate_corpus(
             id_col=id_col,
             text_col=text_col,
         )
+        # the cut's post-stage token count is already on the operator's
+        # output: clean_text is the space-join of the kept tokens (each
+        # nonempty, space-free), so re-splitting it yields exactly
+        # n_tokens - n_tokens_removed — no re-tokenize. NULL clean_text
+        # (NULL input) coalesces to the ledger's 0-token convention.
         s6 = _stage(
             "remove_duplicate_spans",
-            sp.select(F.col(id_col), F.col("clean_text").alias(text_col))
-            .filter(F.trim(F.col(text_col)) != ""),
+            sp.select(
+                F.col(id_col),
+                F.col("clean_text").alias(text_col),
+                F.coalesce(
+                    F.col("n_tokens") - F.col("n_tokens_removed"),
+                    F.lit(0),
+                )
+                .cast("long")
+                .alias("_nt"),
+            ).filter(F.trim(F.col(text_col)) != ""),
         )
 
     # 7. leakage-safe split over the SURVIVING docs: restrict the
@@ -368,7 +396,7 @@ def curate_corpus(
     s7 = _stage(
         "leakage_safe_split",
         dataset_split(with_cluster, weights, id_col="cluster_id").select(
-            id_col, text_col, "split"
+            id_col, text_col, "_nt", "split"
         ),
     )
 
@@ -403,7 +431,10 @@ def curate_corpus(
         branch = sdf.select(
             F.lit(i).cast("int").alias("stage_no"),
             F.lit(name).alias("stage"),
-            _ntokens_col(text_col).alias("_nt"),
+            # the carried per-doc count (see the `_nt` note above) —
+            # summing a column instead of re-tokenizing every stage's
+            # checkpointed corpus
+            F.col("_nt"),
         )
         tagged = branch if tagged is None else tagged.unionByName(branch)
     counted = tagged.groupBy("stage_no", "stage").agg(
@@ -427,4 +458,6 @@ def curate_corpus(
         )
         .orderBy("stage_no")
     )
-    return corpus, report
+    # the ledger column is internal: the corpus contract stays
+    # (id, text, split)
+    return corpus.drop("_nt"), report

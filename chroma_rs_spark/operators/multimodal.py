@@ -1401,17 +1401,23 @@ def audio_ahash64(samples: list[int], n_channels: int) -> int | None:
     n_frames = len(samples) // n_channels
     if n_frames < 64:
         return None
-    mix = [
-        abs(sum(samples[f * n_channels + c] for c in range(n_channels)))
-        for f in range(n_frames)
-    ]
+    # vectorized mixdown + prefix sums (guide §4.2): the per-frame
+    # Python generator loop dominated the decode task. int64 is exact
+    # here — samples are int16-normalized, so even a year-long clip's
+    # total absolute sum stays far below 2**63 — and the 64 window
+    # comparisons fold in arbitrary-precision Python ints, so the bits
+    # match the scalar loop bit-for-bit.
+    import numpy as np
+
+    arr = np.asarray(samples[: n_frames * n_channels], dtype=np.int64)
+    mix = np.abs(arr.reshape(n_frames, n_channels).sum(axis=1))
+    csum = np.concatenate(([0], np.cumsum(mix)))
     wb = [(i * n_frames) // 64 for i in range(65)]
-    sums = [sum(mix[wb[i] : wb[i + 1]]) for i in range(64)]
-    lens = [wb[i + 1] - wb[i] for i in range(64)]
-    total_sum, total_len = sum(sums), n_frames
+    total_sum, total_len = int(csum[n_frames]), n_frames
     h = 0
     for i in range(64):
-        if sums[i] * total_len > total_sum * lens[i]:
+        s = int(csum[wb[i + 1]] - csum[wb[i]])
+        if s * total_len > total_sum * (wb[i + 1] - wb[i]):
             h |= 1 << i
     return h - (1 << 64) if h >= (1 << 63) else h
 

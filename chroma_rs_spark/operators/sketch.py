@@ -49,6 +49,7 @@ def cms_build(
     item_col: str,
     depth: int = 4,
     width: int = 1024,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Count-min sketch over long-form item rows (one row = one
     occurrence — tokens, shingles, URLs, whatever the caller explodes):
@@ -60,15 +61,29 @@ def cms_build(
     the sketch never holds more than depth*width groups, however many
     distinct items exist. Merging two corpora's sketches = union + the
     same groupBy summing cnt.
+
+    `weight_col` builds the SAME sketch from pre-aggregated rows: a
+    cell's count is the sum of occurrence counts over the items hashing
+    into it, so feeding (item, count) rows and summing the count column
+    is cell-for-cell identical to feeding the raw occurrence stream —
+    and when the caller already aggregated per-item counts for another
+    purpose, the sketch rides that table instead of re-scanning and
+    re-exploding the corpus.
     """
     buckets = F.array(
         *[_seeded_bucket(item_col, r, width) for r in range(depth)]
     )
+    contrib = (
+        F.count(F.lit(1))
+        if weight_col is None
+        else F.sum(F.col(weight_col))
+    )
+    extra = [] if weight_col is None else [F.col(weight_col)]
     return (
-        items.select(F.posexplode(buckets).alias("row", "bucket"))
+        items.select(F.posexplode(buckets).alias("row", "bucket"), *extra)
         .filter(F.col("bucket").isNotNull())
         .groupBy("row", "bucket")
-        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .agg(contrib.cast("long").alias("cnt"))
     )
 
 

@@ -3056,7 +3056,19 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("exact_count")
     )
     top = exact.orderBy(F.col("exact_count").desc(), "item").limit(20)
-    sketch = cms_build(sh, "item", depth=_CMS_DEPTH, width=_CMS_WIDTH)
+    # the sketch rides the per-item count table the top-20 branch
+    # already aggregates (cms_build's weight_col form — cell-for-cell
+    # identical by count associativity): the occurrence-stream form
+    # scanned + shingle-exploded the corpus a SECOND time, and the two
+    # branches now share one exchange (AQE reuses the groupBy("item")
+    # shuffle stage across them)
+    sketch = cms_build(
+        exact,
+        "item",
+        depth=_CMS_DEPTH,
+        width=_CMS_WIDTH,
+        weight_col="exact_count",
+    )
     est = cms_estimate(top, sketch, "item", depth=_CMS_DEPTH, width=_CMS_WIDTH)
     return est.select(
         "item",
@@ -3494,7 +3506,13 @@ def _wav_fixture(spark: SparkSession, sf_dir: str) -> str:
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    docs.mapInPandas(
+    # spread the fixture across one file per core (deterministic hash
+    # partitioning — §2.5): the documents scan is a single split at
+    # bench scale, so without this the render AND every later decode
+    # pass ran as ONE task on one parquet file; the decode row's wall
+    # is pure per-task Python, so its parallelism is the file count
+    n_files = max(spark.sparkContext.defaultParallelism, 1)
+    docs.repartition(n_files, "doc_id").mapInPandas(
         render, schema="doc_id long, payload binary"
     ).write.parquet(f"{root}/wav", mode="overwrite")
     _WAV_FIXTURE[key] = f"{root}/wav"

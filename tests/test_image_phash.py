@@ -161,6 +161,51 @@ def test_audio_phash_planted_near_dup(spark):
     assert not any(3 in p for p in pairs)
 
 
+def test_audio_ahash64_matches_scalar_reference():
+    """The vectorized audio_ahash64 (round 14, guide §4.2) is
+    bit-identical to the original scalar loop on multi-channel clips,
+    non-multiple-of-64 frame counts, trailing partial frames, and the
+    unscorable short/empty cases."""
+    import random
+
+    from chroma_rs_spark.operators.multimodal import audio_ahash64
+
+    def scalar(samples, n_channels):
+        if not samples or n_channels < 1:
+            return None
+        n_frames = len(samples) // n_channels
+        if n_frames < 64:
+            return None
+        mix = [
+            abs(sum(samples[f * n_channels + c] for c in range(n_channels)))
+            for f in range(n_frames)
+        ]
+        wb = [(i * n_frames) // 64 for i in range(65)]
+        sums = [sum(mix[wb[i] : wb[i + 1]]) for i in range(64)]
+        lens = [wb[i + 1] - wb[i] for i in range(64)]
+        total_sum, total_len = sum(sums), n_frames
+        h = 0
+        for i in range(64):
+            if sums[i] * total_len > total_sum * lens[i]:
+                h |= 1 << i
+        return h - (1 << 64) if h >= (1 << 63) else h
+
+    rng = random.Random(7)
+    cases = [
+        ([rng.randrange(-32768, 32768) for _ in range(128)], 1),
+        ([rng.randrange(-32768, 32768) for _ in range(257)], 2),  # odd tail
+        ([rng.randrange(-32768, 32768) for _ in range(101)], 1),  # n%64 != 0
+        ([rng.randrange(-32768, 32768) for _ in range(6 * 73)], 6),
+        ([32767] * 128, 1),  # all-equal: every comparison is a tie
+        ([0] * 128, 1),
+        ([rng.randrange(-32768, 32768) for _ in range(63)], 1),  # short
+        ([], 1),
+        ([1, 2, 3], 0),  # bad channel count
+    ]
+    for samples, ch in cases:
+        assert audio_ahash64(samples, ch) == scalar(samples, ch)
+
+
 def test_video_near_dup_planted(spark):
     """Planted (doc_id, frame_md5) streams: docs 1/2 share 3 frames,
     doc 3 shares only 1 (below min_shared), doc 4 disjoint; a

@@ -59,6 +59,23 @@ def test_cms_merges_by_cellwise_sum(spark):
     assert whole.exceptAll(merged).count() == 0
 
 
+def test_cms_weighted_build_matches_occurrence_stream(spark):
+    """cms_build(weight_col=) over pre-aggregated (item, count) rows is
+    cell-for-cell identical to the occurrence-stream build — the
+    associativity the fused cms_heavy_hitters query rides (round 14):
+    a cell's count is the sum of per-item counts of the items hashing
+    into it, whichever side of the groupBy the sum runs on."""
+    rows = [f"tok{i % 9}" for i in range(120)] + ["rare", "rare"]
+    items = _items(spark, rows)
+    counts = items.groupBy("item").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    stream = cms_build(items, "item", depth=4, width=16)
+    weighted = cms_build(counts, "item", depth=4, width=16, weight_col="n")
+    assert stream.exceptAll(weighted).count() == 0
+    assert weighted.exceptAll(stream).count() == 0
+
+
 def test_cms_never_seen_estimates_can_be_zero(spark):
     items = _items(spark, ["x", "y"])
     sketch = cms_build(items, "item", depth=4, width=1 << 16)
